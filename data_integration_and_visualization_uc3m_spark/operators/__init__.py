@@ -1,0 +1,16 @@
+"""Composable DataFrame→DataFrame operators (SURVEY.md §2 inventory).
+
+Each module maps a category of the reference's operator surface to
+idiomatic, Catalyst-friendly Spark:
+
+    cleaning    C1-C6: normalize, coercing casts, missing markers, rounding
+    filters     F1-F8: membership/length/range/conjunctive predicates
+    joins       J1-J4: validated m2o join, broadcast lookup with fallback
+    dedup       A1/A2 + exact/minhash/simhash/jaccard document dedup
+    validate    V1-V5: NOT NULL / UNIQUE / FK / range violation sets
+    upsert      K2: conflict-ignoring idempotent upsert (anti-join append)
+    slicing     F8/C9/§2.8: deterministic slices, top-k, bucketize, windows
+    similarity  embedding cosine top-k, LSH bucketing (scale path)
+    text        language-ID, quality score, token counts, fingerprints
+    multimodal  binary-column plumbing (decode stubs, real Spark shape)
+"""

@@ -1,0 +1,102 @@
+"""Join operators (SURVEY.md §2.5, J1-J4).
+
+Physical strategy notes (the 100 TB view):
+- Lookup/dimension joins broadcast (dims are tiny vs facts); the
+  explicit ``F.broadcast`` hint documents intent even where
+  autoBroadcastJoinThreshold would pick it anyway.
+- Fact-fact joins shuffle on their keys; AQE handles skew splitting.
+  Callers co-partitioning several joins on one key should
+  ``repartition(key)`` once and reuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class CardinalityViolation(ValueError):
+    """Raised when a join side declared unique has duplicate keys."""
+
+
+def assert_unique_keys(df: DataFrame, keys: list[str], side: str = "build") -> None:
+    """V5 — join-cardinality validation (``validate="many_to_one"``,
+    ``crime_immigration_etl.py:288``): the build side must be unique on
+    the join keys. One aggregation pass; raises on violation.
+
+    Scale note: this is a deliberate extra job (like pandas' validate=).
+    At 100 TB, run it as part of the pipeline's validation stage, or
+    skip for sources with a declared-unique contract.
+    """
+    dup = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise CardinalityViolation(
+            f"{side} side has duplicate keys on {keys} (many-to-one violated)"
+        )
+
+
+def validated_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    validate_unique: bool = True,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1 — equi-join with many-to-one validation.
+
+    Reference: ``immig.merge(population, on=[...], how="inner",
+    validate="many_to_one")`` at ``crime_immigration_etl.py:284-289`` —
+    enriches a fact with a dimension while semi-filtering to known keys.
+    """
+    if validate_unique:
+        assert_unique_keys(dim, on, side="dim")
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=on, how=how)
+
+
+def lookup_join_with_fallback(
+    df: DataFrame,
+    lookup: DataFrame,
+    key_expr,
+    out_col: str,
+    lookup_key: str = "alias",
+    lookup_value: str = "canonical",
+) -> DataFrame:
+    """J2/J3 — broadcast dictionary-lookup join with fallback-to-input.
+
+    Reference: ``COUNTRIES_MAP.get(name.strip().lower(), name)`` at
+    ``crime_immigration_etl.py:31-34,177-179`` and the ISO2→ISO3
+    conversion at ``:271-276``. The ``.get(k, default)`` fallback — the
+    part ports forget — becomes ``coalesce(canonical, original)`` after a
+    left join against the broadcast lookup table.
+
+    ``key_expr`` is the (already-normalized) Column to look up.
+    """
+    probe = df.withColumn("__lk", key_expr)
+    lk = F.broadcast(
+        lookup.select(
+            F.col(lookup_key).alias("__lk"), F.col(lookup_value).alias("__lv")
+        )
+    )
+    joined = probe.join(lk, on="__lk", how="left")
+    return joined.withColumn(out_col, F.coalesce(F.col("__lv"), F.col("__lk"))).drop(
+        "__lk", "__lv"
+    )
+
+
+def semi_join(df: DataFrame, keys_df: DataFrame, on: list[str]) -> DataFrame:
+    """J4 — FK semi-join (keep rows whose key exists in the dim), the
+    load-order/FK semantics of ``schema.sql:44-54`` + ``etl:377-380``."""
+    return df.join(keys_df, on=on, how="left_semi")
+
+
+def anti_join(df: DataFrame, keys_df: DataFrame, on: list[str]) -> DataFrame:
+    """J4 complement — rows violating FK (used by validators, V3)."""
+    return df.join(keys_df, on=on, how="left_anti")

@@ -1,0 +1,87 @@
+"""Ordering-dependent operators: slices, top-k, buckets, windows
+(SURVEY.md §2.8 + F8/C9).
+
+pandas positional slices (``df[a:b]``, ``map-making/create-maps.py:22-24``)
+are order-defined by file position; Spark DataFrames are unordered sets,
+so every slice here takes an EXPLICIT sort key (SURVEY §7.4.6) and a
+unique tiebreaker to make results deterministic across engines and runs.
+
+Scale notes: row_number over a global orderBy is a single-partition
+window at the limit — fine for top-of-report slices (k rows), wrong for
+whole-table ranking. For global ranks at 100 TB use repartitionByRange +
+per-partition offsets, or restrict to per-group windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def deterministic_slice(
+    df: DataFrame, order_by: list[Column], start: int, end: int
+) -> DataFrame:
+    """F8 — positional row-range slice ``[start, end)`` (0-based) under an
+    explicit total order. Reference: viz size buckets
+    ``limits=[(0,3),(3,11),...]`` at ``map-making/create-maps.py:15,22-24``.
+    """
+    w = Window.orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > start) & (F.col("__rn") <= end))
+        .drop("__rn")
+    )
+
+
+def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """§2.8 — top-k under a deterministic order ("biggest bubbles" for the
+    viz layer). orderBy+limit lets Spark run a per-partition TakeOrdered
+    then merge k·p rows on the driver — no global sort."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group_by: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """Top-k within each group — per-group window, shuffles once on the
+    group key; no global ordering bottleneck."""
+    w = Window.partitionBy(*group_by).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def bucketize(
+    col: Column | str, edges: list[float], labels: list[str] | None = None
+) -> Column:
+    """C9 — value bucketing (marker color/size buckets,
+    ``map-making/create-maps.py:15-18,31``). Half-open buckets
+    ``[edges[i], edges[i+1])``; values below the first edge or at/above
+    the last get NULL (caller decides the policy). A chained CASE WHEN —
+    codegen fuses it into one pass, same cost as an arithmetic column."""
+    c = F.col(col) if isinstance(col, str) else col
+    expr = F.lit(None)
+    for i in range(len(edges) - 1):
+        lab = labels[i] if labels else str(i)
+        cond = (c >= edges[i]) & (c < edges[i + 1])
+        expr = F.when(cond, F.lit(lab)) if i == 0 else expr.when(cond, F.lit(lab))
+    return expr
+
+
+def running_agg(
+    df: DataFrame,
+    group_by: list[str],
+    order_by: list[Column],
+    agg_col: Column,
+    out: str,
+) -> DataFrame:
+    """§2.8 — running (cumulative) aggregate per group; the engine-side
+    primitive backing "running totals" reports."""
+    w = (
+        Window.partitionBy(*group_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, F.sum(agg_col).over(w))

@@ -1,0 +1,62 @@
+"""File readers with declared schemas (SURVEY.md §2.1, S5-S7).
+
+Schema is always passed explicitly (no inferSchema in the engine path):
+inference costs an extra pass and can flip types between files — wrong
+at 100 TB. The testdata catalog mirrors ``TESTDATA.md``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA, TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-testdata table with its declared schema.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS,false), unreadable by Spark
+    natively; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
+    int64 nanos and is converted here via exact integer division (``div``,
+    not ``/`` — float division loses precision above 2^53 ns) to the
+    microsecond TimestampType, matching DuckDB's nanos→micros truncation.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.schema(TESTDATA[name]).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """S5/S6 — CSV scan with declared schema (reference:
+    ``pandas.read_csv`` at ``crime_immigration_etl.py:144-148``,
+    ``map-making/create-maps.py:11``)."""
+    return spark.read.schema(schema).csv(path, header=header)
+
+
+def empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    """S3 — the all-or-nothing ingest fallback: an empty DataFrame with
+    the declared schema (reference resets accumulated rows to [] on any
+    request failure, ``crime_immigration_etl.py:128-130``)."""
+    return spark.createDataFrame([], schema)
+
+
+def year_dim(spark: SparkSession, start: int = 2018, end: int = 2023) -> DataFrame:
+    """S7 — static year-dimension seed (``schema.sql:111-117`` seeds
+    2018–2022). ``spark.range`` is a parallel generator, no driver list."""
+    return spark.range(start, end).select(F.col("id").cast("int").alias("year_id"))
