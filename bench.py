@@ -1,0 +1,85 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with the noop sink (full materialization, no
+driver-side collect cost). One untimed warmup executes first so JVM/
+codegen startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the scan→agg, join, window, sessionize, and text/dedup
+# paths — the shapes that dominate at 100 TB.
+HEADLINE = [
+    "pricing_summary",
+    "flagship_nation_year_rate",
+    "validated_m2o_join",
+    "rollup_region_nation",
+    "keyed_dedup_first_wins",
+    "deterministic_slice",
+    "events_hourly",
+    "sessionize_events",
+    "upsert_conflict_ignore",
+]
+# Extended set (text/dedup/similarity) — included when registered.
+EXTENDED = [
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "token_count_profile",
+    "doc_quality_score",
+    "lang_id_predict",
+    "embedding_cosine_topk",
+]
+
+
+def main() -> None:
+    from data_integration_and_visualization_uc3m_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: JVM + codegen + parquet footer caches
+    force(qs["pricing_summary"](spark, SF_DIR))
+
+    names = [n for n in HEADLINE + EXTENDED if n in qs]
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        force(qs[name](spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "sum of headline query wall times (noop-sink forced)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
