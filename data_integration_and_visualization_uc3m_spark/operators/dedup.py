@@ -186,15 +186,17 @@ def lsh_candidate_pairs(
     Scale: the bucket-join replaces the all-pairs O(n²) comparison with
     per-bucket joins; bucket sizes are bounded by near-dup cluster sizes.
     """
+    # canonical band string: lpad(seed) so lexicographic sort == seed
+    # order — the same canonicalization the SQL oracle's string_agg
+    # (ORDER BY item) produces, making buckets engine-portable.
+    item = F.concat_ws(
+        "@", F.lpad(F.col("seed").cast("string"), 2, "0"), F.col("minhash")
+    )
     banded = (
         signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
         .agg(
-            F.md5(
-                F.concat_ws(
-                    "|", F.array_sort(F.collect_list(F.concat_ws("@", "seed", "minhash")))
-                )
-            ).alias("bucket")
+            F.md5(F.concat_ws("|", F.array_sort(F.collect_list(item)))).alias("bucket")
         )
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -238,7 +240,7 @@ def simhash(
         .withColumn(
             "contrib",
             F.when(
-                F.substring("h", F.col("bit_pos"), 1).isin(
+                F.substr(F.col("h"), F.col("bit_pos"), F.lit(1)).isin(
                     "1", "3", "5", "7", "9", "b", "d", "f"
                 ),
                 1,
@@ -247,10 +249,11 @@ def simhash(
         .groupBy(id_col, "bit_pos")
         .agg(F.sum("contrib").alias("s"))
     )
+    # shiftleft with a Column shift amount needs the SQL form (the
+    # PySpark wrapper only takes a Python int).
+    bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), bit_pos - 1)")
     return bit_contrib.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit_pos") - 1)).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+        F.sum(F.when(F.col("s") > 0, bit_value).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("simhash")
     )

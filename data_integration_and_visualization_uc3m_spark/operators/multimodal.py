@@ -1,0 +1,120 @@
+"""Multimodal column plumbing (north-star extension).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; the Spark-side shape — schema, partition sizing, Arrow-batched
+UDF signatures — is real and tested, while the actual codec calls are
+STUBBED (image/audio libraries are not in this container) behind
+``DecoderUnavailable`` or a deterministic fake.
+
+Scale notes:
+- binary payloads inflate row size: cap ``spark.sql.files.maxPartitionBytes``
+  and avoid wide shuffles carrying the blob — project metadata early,
+  shuffle ids + features, re-join the payload only when needed.
+- decode/feature steps run as ``mapInPandas`` (Arrow batches), so the
+  per-row Python cost is amortized; batch size is the knob
+  (``spark.sql.execution.arrow.maxRecordsPerBatch``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised by stubbed codec paths — swap in a real decoder (PIL,
+    torchaudio, pyav) where available."""
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime_type", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as an opaque payload so the
+    binary plumbing is exercisable against the driver testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("text/plain").alias("mime_type"),
+        F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")).alias(
+            "meta"
+        ),
+    )
+
+
+def payload_metadata(media: DataFrame) -> DataFrame:
+    """Cheap, JVM-side metadata extraction — no decode, no Python:
+    byte length + content hash. This is the projection that should be
+    computed and persisted BEFORE any shuffle at 100 TB."""
+    return media.select(
+        "media_id",
+        "mime_type",
+        F.length("payload").alias("n_bytes"),
+        F.md5(F.col("payload").cast("string")).alias("content_hash"),
+    )
+
+
+_FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, feature_0 double, feature_1 double, feature_2 double"
+)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow batches).
+
+    With ``fake=True`` (default in this container) emits deterministic
+    pseudo-features from the payload bytes so the distributed plumbing
+    (batch iteration, schema contract, partition-parallel execution) is
+    fully testable. With ``fake=False`` raises DecoderUnavailable where
+    a real image/audio decode would run.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise DecoderUnavailable(
+                    "real decode needs an image/audio codec library"
+                )
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(lambda b: 0 if b is None else len(b))
+            # deterministic fake features: byte-sum based, no RNG
+            def feat(b, k):
+                if b is None or len(b) == 0:
+                    return 0.0
+                return float(sum(b[k::7]) % 1000) / 1000.0
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": n_bytes,
+                    "feature_0": payloads.map(lambda b: feat(b, 0)),
+                    "feature_1": payloads.map(lambda b: feat(b, 1)),
+                    "feature_2": payloads.map(lambda b: feat(b, 2)),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(op, _FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: expands each payload row into
+    frame-index rows (the decode itself is stubbed — indexes are derived
+    from payload size as a deterministic fake). Shows the explode-then-
+    process shape that keeps frame work parallel instead of per-video."""
+    n_frames = (F.length("payload") / F.lit(100)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    return media.select(
+        "media_id", F.explode(idx).alias("frame_index")
+    )

@@ -1,0 +1,183 @@
+"""Text-analysis operators over the documents table (north-star
+extension: the pieces an LLM-training-data pipeline needs).
+
+All operators are built-in-expression compositions (no UDFs): token
+counting, quality scoring, n-gram language-ID, and document
+fingerprinting. Ratios are exact integer divisions surfaced as doubles,
+so every query here is oracle-checkable bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Real pipelines ship bigger lists; the operator shape
+# (token-set hit counting + argmax with deterministic tiebreak) is what
+# matters at scale.
+STOPWORDS = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "es"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "zh": ["的", "是", "了", "在", "我", "有", "他", "这"],
+}
+
+
+def _tokens(text_col="text"):
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish estimate.
+
+    ``approx_bpe_tokens`` uses the public ~4-chars-per-token rule of
+    thumb (ceil(n_chars/4)) — a deterministic stand-in for a real BPE
+    vocab, which isn't in this container.
+    """
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.ceil(n_chars / F.lit(4.0)).cast("long").alias("approx_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length band, type-token ratio,
+    English-stopword ratio — the standard cheap pre-filter trio.
+
+    score = 0.4·len_ok + 0.3·ttr + 0.3·stopword_ratio, all components
+    exact rationals ⇒ bit-stable across engines.
+    """
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    len_ok = F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    ttr = n_unique.cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        ttr.alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.lit(0.4) * len_ok + F.lit(0.3) * ttr + F.lit(0.3) * stop_ratio).alias(
+            "quality_score"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language-ID with deterministic alphabetical-first
+    argmax tiebreak. Adds hit counts per language + the prediction."""
+    toks = _tokens(text_col)
+
+    def hits(words: list[str]):
+        # NB: the lambda must be unary — F.filter treats a 2-arg lambda
+        # as (value, index), so capturing via closure, not default arg.
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    hit_cols = {
+        lang: hits(words).alias(f"hits_{lang}")
+        for lang, words in sorted(STOPWORDS.items())
+    }
+    out = df.select(F.col(id_col), F.col("lang").alias("actual_lang"), *hit_cols.values())
+    langs = sorted(STOPWORDS)
+    pred = F.lit(None)
+    # alphabetical-first argmax: lang L wins if its hits >= every later
+    # lang's hits and > every earlier lang's (earlier already failed).
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            ge = F.col(f"hits_{lang}") >= F.col(f"hits_{other}") if langs.index(
+                other
+            ) > i else F.col(f"hits_{lang}") > F.col(f"hits_{other}")
+            cond = ge if cond is None else (cond & ge)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    # fall through (all-zero ties resolve to first language)
+    pred = expr.otherwise(F.lit(langs[0]))
+    return out.withColumn("predicted_lang", pred).withColumn(
+        "is_correct", (F.col("predicted_lang") == F.col("actual_lang")).cast("int")
+    )
+
+
+def bottom_k_fingerprint(
+    df: DataFrame,
+    k: int = 4,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document fingerprint via a bottom-k sketch of rolling word-n-gram
+    hashes: fp_i = min over shingles of md5(i || ':' || shingle).
+
+    A compact content signature (near-dup docs share most components);
+    the same seeded-md5 primitive as MinHash, so it's oracle-portable.
+    """
+    toks = _tokens(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)),
+    )
+    exploded = df.select(F.col(id_col), F.explode(shingles).alias("shingle")).filter(
+        F.length("shingle") > 0
+    )
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"fp_{i}")
+        for i in range(k)
+    ]
+    aggs.append(F.countDistinct("shingle").alias("n_shingles"))
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def winnowing_fingerprint(
+    df: DataFrame,
+    window: int = 4,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD 2003): per position, hash the
+    word n-gram; keep the min hash of every sliding window; the distinct
+    kept hashes are the fingerprint set. Guarantees a match window for
+    shared substrings ≥ window+ngram-1 tokens.
+
+    posexplode + a rows-window min per document — shuffles once on
+    doc_id; fingerprint cardinality is bounded by n_tokens/window on
+    average. Output: (doc_id, fingerprint string, n_kept).
+    """
+    toks = _tokens(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)),
+    )
+    pos = df.select(
+        F.col(id_col), F.posexplode(shingles).alias("pos", "shingle")
+    ).withColumn("h", F.md5("shingle"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    kept = (
+        pos.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("pos") >= window - 1)
+        .select(id_col, "wmin")
+        .distinct()
+    )
+    return kept.groupBy(id_col).agg(
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list("wmin")))).alias(
+            "fingerprint"
+        ),
+        F.count(F.lit(1)).alias("n_kept"),
+    )

@@ -37,7 +37,18 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import cleaning, dedup, filters, joins, slicing, upsert, validate
+from .operators import (
+    cleaning,
+    dedup,
+    filters,
+    joins,
+    multimodal,
+    similarity,
+    slicing,
+    text,
+    upsert,
+    validate,
+)
 from .sources.readers import load_table
 from .session import tune
 
@@ -769,6 +780,392 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("new_session").cast("long").alias("n_sessions"),
     )
+
+
+# =====================================================================
+# Training-data pipeline extensions (SURVEY §7.1 Phase E): dedup,
+# text analysis, similarity search over documents/embeddings.
+# =====================================================================
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY content_hash
+    """,
+    ops=["dedup-exact", "A2"],
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text), keep lowest id.
+    Uniform 128-bit shuffle key ⇒ no skew at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ) WHERE token != ''
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
+           CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+    """,
+    ops=["dedup-jaccard"],
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs (threshold 0.8): self-join on
+    shared tokens → exact |A∩B|/|A∪B| as a rational of counts. The
+    token join key is the scale hazard (hot tokens) — the LSH variant
+    below is the 100 TB path; this is the exact baseline."""
+    d = _t(spark, sf_dir, "documents")
+    sets = dedup.token_set(d)
+    return dedup.jaccard_pairs(sets, threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ) WHERE token != ''
+    ), hashes AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || token) AS h
+        FROM tok CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+    ), sigs AS (
+        SELECT doc_id, seed, MIN(h) AS minhash FROM hashes GROUP BY doc_id, seed
+    ), bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '@' || minhash,
+                              '|' ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '@' || minhash))
+                 AS bucket
+        FROM sigs GROUP BY doc_id, band
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id
+    ), verified AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cands c
+        JOIN tok ta ON ta.doc_id = c.id_a
+        JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT v.id_a, v.id_b,
+           CAST(v.n_common AS DOUBLE) / (sa.set_size + sb.set_size - v.n_common) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.id_a
+    JOIN sizes sb ON sb.doc_id = v.id_b
+    WHERE CAST(v.n_common AS DOUBLE) / (sa.set_size + sb.set_size - v.n_common) >= 0.5
+    """,
+    ops=["dedup-minhash-lsh"],
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH banding (4 bands × 4 rows) candidate pairs,
+    verified with exact Jaccard ≥ 0.5. The full scale pipeline:
+    shingle → seeded-md5 minhash → band buckets → bucket join →
+    verify-within-candidates (never all-pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    sets = dedup.token_set(d)
+    sigs = dedup.minhash_signatures(sets, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    ta = sets.select(F.col("doc_id").alias("id_a"), "token")
+    tb = sets.select(F.col("doc_id").alias("id_b"), "token")
+    verified = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        verified.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "simhash_signatures",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ) WHERE token != ''
+    ), bits AS (
+        SELECT doc_id, bit_pos,
+               SUM(CASE WHEN substr(md5(token), CAST(bit_pos AS INTEGER), 1)
+                             IN ('1','3','5','7','9','b','d','f')
+                        THEN 1 ELSE -1 END) AS s
+        FROM tok CROSS JOIN (SELECT unnest(range(1, 33)) AS bit_pos) b
+        GROUP BY doc_id, bit_pos
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << CAST(bit_pos - 1 AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    ops=["dedup-simhash"],
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar SimHash (32-bit, md5-parity bit source) per document —
+    near-dups differ in few bits; banding over bit slices gives the
+    scale path (same S-curve machinery as MinHash LSH)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, bits=32)
+
+
+@register(
+    "token_count_profile",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(lower(text), ' ')) AS n_tokens,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_unique_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    """,
+    ops=["text-tokens"],
+)
+def token_count_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + ~4-chars/token BPE estimate."""
+    d = _t(spark, sf_dir, "documents")
+    return text.token_stats(d)
+
+
+@register(
+    "doc_quality_score",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(lower(text), ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+           CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a','that'))) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           0.4 * (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             + 0.3 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a','that'))) AS DOUBLE)
+                      / len(toks)) AS quality_score
+    FROM t
+    """,
+    ops=["text-quality"],
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length band + type-token ratio + stopword
+    ratio, weighted — the cheap pre-filter every corpus pipeline runs."""
+    d = _t(spark, sf_dir, "documents")
+    return text.quality_score(d)
+
+
+def _lang_hits_sql(lang: str, words: list[str]) -> str:
+    wl = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({wl})))"
+        f" AS hits_{lang}"
+    )
+
+
+@register(
+    "lang_id_predict",
+    """
+    WITH hits AS (
+        SELECT doc_id, lang AS actual_lang,
+               """
+    + ",\n               ".join(
+        _lang_hits_sql(lang, words)
+        for lang, words in sorted(
+            {
+                "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+                "en": ["the", "and", "of", "to", "in", "is", "a", "that"],
+                "es": ["el", "la", "de", "que", "y", "los", "un", "es"],
+                "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+                "zh": ["的", "是", "了", "在", "我", "有", "他", "这"],
+            }.items()
+        )
+    )
+    + """
+        FROM documents
+    )
+    SELECT doc_id, actual_lang, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+           CASE
+             WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+             WHEN hits_en > hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+             WHEN hits_es > hits_de AND hits_es > hits_en AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+             WHEN hits_fr > hits_de AND hits_fr > hits_en AND hits_fr > hits_es AND hits_fr >= hits_zh THEN 'fr'
+             WHEN hits_zh > hits_de AND hits_zh > hits_en AND hits_zh > hits_es AND hits_zh > hits_fr THEN 'zh'
+             ELSE 'de'
+           END AS predicted_lang,
+           CAST(CASE
+             WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+             WHEN hits_en > hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+             WHEN hits_es > hits_de AND hits_es > hits_en AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+             WHEN hits_fr > hits_de AND hits_fr > hits_en AND hits_fr > hits_es AND hits_fr >= hits_zh THEN 'fr'
+             WHEN hits_zh > hits_de AND hits_zh > hits_en AND hits_zh > hits_es AND hits_zh > hits_fr THEN 'zh'
+             ELSE 'de'
+           END = actual_lang AS INTEGER) AS is_correct
+    FROM hits
+    """,
+    ops=["text-langid"],
+)
+def lang_id_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID with alphabetical-first argmax tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    return text.lang_id(d)
+
+
+@register(
+    "doc_fingerprint",
+    """
+    WITH sh AS (
+        SELECT doc_id, unnest(
+            [array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+             FOR i IN range(0, greatest(len(toks) - 3, 0) + 1)]
+        ) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    ), shf AS (
+        SELECT doc_id, shingle FROM sh WHERE length(shingle) > 0
+    )
+    SELECT doc_id,
+           MIN(md5('0:' || shingle)) AS fp_0,
+           MIN(md5('1:' || shingle)) AS fp_1,
+           MIN(md5('2:' || shingle)) AS fp_2,
+           MIN(md5('3:' || shingle)) AS fp_3,
+           COUNT(DISTINCT shingle) AS n_shingles
+    FROM shf GROUP BY doc_id
+    """,
+    ops=["text-fingerprint"],
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch of rolling word-3-gram hashes — compact content
+    signature; the winnowing variant lives in operators/text.py (unit-
+    tested; its positional window is Spark-side only)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bottom_k_fingerprint(d, k=4, ngram=3)
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+        SELECT vec_id,
+               list_sum(list_transform(list_zip(embedding, qv),
+                                       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+                                               s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(list_zip(qv, qv),
+                                                 s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
+                 AS cosine
+        FROM embeddings, q
+    )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT 20
+    """,
+    ops=["similarity-brute"],
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 vs the vec_id=0 embedding — the exact
+    ANN baseline. Left-fold double dot products on both engines ⇒
+    bit-identical scores."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.cosine_topk(e, qv, k=20)
+
+
+@register(
+    "embedding_lsh_buckets",
+    """
+    WITH comp AS (
+        SELECT p.plane, d.dim,
+               CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || ':' || CAST(d.dim AS VARCHAR)), 1, 1)
+                         IN ('1','3','5','7','9','b','d','f')
+                    THEN 1.0 ELSE -1.0 END AS c
+        FROM (SELECT unnest(range(8)) AS plane) p,
+             (SELECT unnest(range(64)) AS dim) d
+    ), proj AS (
+        SELECT e.vec_id, c.plane,
+               SUM(CAST(e.embedding[CAST(c.dim AS INTEGER) + 1] AS DOUBLE) * c.c) AS s
+        FROM embeddings e, comp c
+        GROUP BY e.vec_id, c.plane
+    ), buckets AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << CAST(plane AS INTEGER) ELSE 0 END) AS BIGINT)
+                 AS bucket
+        FROM proj GROUP BY vec_id
+    )
+    SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket
+    """,
+    ops=["similarity-lsh"],
+)
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH bucket histogram (8 Rademacher
+    hyperplanes from md5 parity) — the candidate-pruning stage of ANN
+    at scale; entirely map-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    b = similarity.lsh_bucket(e, n_planes=8)
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+    ops=["multimodal-meta"],
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: opaque payload + typed metadata, with
+    JVM-side length/hash extraction (the project-before-shuffle step for
+    100 TB media tables). Decode/featurize stubs live in
+    operators/multimodal.py (mapInPandas, unit-tested)."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d)
+    meta = multimodal.payload_metadata(media)
+    # md5 of the utf8 payload == md5 of the original text (portable)
+    return meta.select("media_id", "mime_type", "n_bytes", "content_hash")
 
 
 # =====================================================================
