@@ -37,12 +37,13 @@ def coerce_numeric(col: Column | str, to: str = "double") -> Column:
     """C2 — coercing numeric cast: NULL on unparseable input.
 
     Reference: ``pandas.to_numeric(errors="coerce")`` at
-    ``crime_immigration_etl.py:182,214,278-280``. Spark's ``cast`` has the
-    same null-on-garbage contract (ANSI mode off), incl. whitespace
-    trimming and exponent forms; corner cases covered in tests.
+    ``crime_immigration_etl.py:182,214,278-280``. Spark 4 runs ANSI mode
+    by default, where plain ``cast`` THROWS on malformed input — so the
+    coercing contract (null-on-garbage, whitespace trimmed, exponent
+    forms accepted) requires ``try_cast``. Corner cases in tests.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(to)
+    return c.try_cast(to)
 
 
 def replace_missing_marker(
@@ -55,7 +56,10 @@ def replace_missing_marker(
     matters: marker→0 first, then coerce, so markers don't become NULL.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.trim(c) == marker, F.lit(replacement)).otherwise(c)
+    # keep the replacement in the string domain: a typed literal would
+    # make when/otherwise unify the whole column to that type, which
+    # under ANSI mode throws on the not-yet-coerced values.
+    return F.when(F.trim(c) == marker, F.lit(str(replacement))).otherwise(c)
 
 
 def strip_thousands_separators(col: Column | str) -> Column:

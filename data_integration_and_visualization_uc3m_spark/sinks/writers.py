@@ -1,0 +1,58 @@
+"""Sinks (SURVEY.md §2.2, K1-K6).
+
+The reference loads Postgres with batched inserts + per-table
+commit/rollback (``crime_immigration_etl.py:314-382``) and exports query
+results to CSV for the viz layer (``map-making/create-files.py``).
+Spark-side:
+
+- warehouse-native: parquet snapshots (job-atomic via the file-commit
+  protocol — the engine's K3 "rollback" equivalent: a failed write
+  leaves no visible output);
+- viz egress: single-file CSV (coalesce(1) — driver-bound by design,
+  viz outputs are small by contract);
+- relational: ``df.write.jdbc`` with batchsize (K1's page_size analog);
+  config-only here since no JDBC driver jar ships in this image.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_snapshot(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """K6 — warehouse snapshot. Partition by the query-pruning key at
+    scale (e.g. year_id) so readers skip irrelevant files."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_viz_csv(df: DataFrame, path: str) -> None:
+    """K5 — query-results-to-CSV egress for the map layer
+    (map-making/data.csv shape). coalesce(1): one output file; only for
+    small, final, human-facing outputs — never mid-pipeline."""
+    df.coalesce(1).write.mode("overwrite").csv(path, header=True)
+
+
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = 1000,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+):
+    """K1 — batched relational sink (execute_values page_size=1000,
+    etl:321 → JDBC ``batchsize``). Returns the configured writer;
+    caller invokes ``.save()`` where a JDBC driver jar is present."""
+    props = {"batchsize": str(batchsize), **(properties or {})}
+    return (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .options(**props)
+        .mode(mode)
+    )

@@ -1,0 +1,102 @@
+"""Structured Streaming over the events table.
+
+Batch/stream parity by construction: the windowed aggregation here is
+the same logical plan as the batch ``events_hourly`` query — Spark's
+unified DataFrame semantics guarantee the results line up, and the
+test drives both and compares.
+
+Scale notes:
+- watermark bounds state: late rows beyond 30 min are dropped, so
+  state size is O(active windows × event types), not O(stream);
+- ``session_window`` is the streaming twin of the batch lag-gap
+  sessionization (queries.sessionize_events);
+- sinks: memory (tests), foreachBatch → parquet/upsert (prod), with
+  checkpointLocation for exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Streaming-side schema: ts arrives as a proper timestamp (streams
+# wouldn't carry the testdata's NANOS quirk; the file-source test
+# converts first).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def hourly_agg(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + decimal-exact sum.
+    Works on both batch and streaming DataFrames (unified API)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("hour_ts"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def sessionized_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization via ``session_window`` — the stateful
+    twin of the batch lag-gap version."""
+    src = events.withWatermark("ts", gap) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str = "events_hourly_stream",
+    agg=hourly_agg,
+) -> DataFrame:
+    """Drive a file-source stream to completion against a directory of
+    parquet events (micro-batch per file), landing in a memory sink.
+    Synchronous: processAllAvailable + stop. Returns the result table."""
+    from ..session import tune
+
+    tune(spark)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    q = (
+        agg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,96 @@
+"""Document dedup (exact/Jaccard/MinHash/SimHash) and text analysis."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_and_visualization_uc3m_spark.operators import dedup, text
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    d = docs(spark, [(1, "same text"), (5, "same text"), (3, "other")])
+    got = {r.keep_id: r.n_copies for r in dedup.exact_dedup(d).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_jaccard_pairs_exact_value(spark):
+    # A={a,b,c,d}, B={a,b,c,e} → |∩|=3, |∪|=5 → 0.6
+    d = docs(spark, [(1, "a b c d"), (2, "a b c e"), (3, "z z z")])
+    sets = dedup.token_set(d)
+    got = dedup.jaccard_pairs(sets, threshold=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert abs(r.jaccard - 0.6) < 1e-12
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " extra"
+    far = "completely different words in this one entirely unrelated stuff"
+    d = docs(spark, [(1, base), (2, near), (3, far)])
+    sigs = dedup.minhash_signatures(dedup.token_set(d), num_hashes=16)
+    assert sigs.count() == 3 * 16
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).collect()
+    pairs = {(r.id_a, r.id_b) for r in cands}
+    assert (1, 2) in pairs  # near-dup pair bucketed together
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_docs_equal_near_docs_close(spark):
+    base = "spark engine query plan optimizer shuffle partition broadcast"
+    d = docs(spark, [(1, base), (2, base), (3, base + " tweak"), (4, "xyz unrelated")])
+    got = {r.doc_id: r.simhash for r in dedup.simhash(d, bits=32).collect()}
+    assert got[1] == got[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(got[1], got[3]) <= 8
+    assert ham(got[1], got[4]) > ham(got[1], got[3])
+
+
+def test_ngram_set_shingles(spark):
+    d = docs(spark, [(1, "a b c d")])
+    got = sorted(r.shingle for r in dedup.ngram_set(d, n=3).collect())
+    assert got == ["a b c", "b c d"]
+
+
+def test_token_stats(spark):
+    d = docs(spark, [(1, "one two two three")])
+    r = text.token_stats(d).collect()[0]
+    assert (r.n_chars, r.n_tokens, r.n_unique_tokens) == (17, 4, 3)
+    assert r.approx_bpe_tokens == 5  # ceil(17/4)
+
+
+def test_quality_score_components(spark):
+    d = docs(spark, [(1, "the cat sat")])  # 3 tokens → len_ok=0
+    r = text.quality_score(d).collect()[0]
+    assert r.n_tokens == 3
+    assert abs(r.type_token_ratio - 1.0) < 1e-12
+    assert abs(r.stopword_ratio - 1 / 3) < 1e-12
+    assert abs(r.quality_score - (0.3 * 1.0 + 0.3 / 3)) < 1e-12
+
+
+def test_lang_id_tiebreak_deterministic(spark):
+    d = spark.createDataFrame(
+        [(1, "xq zz", "en"), (2, "el la de que y", "es")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r.predicted_lang for r in text.lang_id(d).collect()}
+    assert got[1] == "de"  # all-zero hits → alphabetical first
+    assert got[2] == "es"
+
+
+def test_winnowing_shares_fingerprints_on_overlap(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = docs(
+        spark,
+        [(1, "x y " + shared), (2, shared + " p q"), (3, "totally different words here now ok")],
+    )
+    got = {r.doc_id: r.fingerprint for r in text.winnowing_fingerprint(d).collect()}
+    # overlapping docs share most kept hashes but full fingerprint differs
+    assert got[1] != got[3]
+    kept = text.winnowing_fingerprint(d, window=4).select("doc_id", "n_kept").collect()
+    assert all(r.n_kept >= 1 for r in kept)

@@ -1,0 +1,82 @@
+"""Embedding similarity (cosine/LSH) and multimodal binary plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_and_visualization_uc3m_spark.operators import multimodal, similarity
+
+
+def vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_self_is_top(spark):
+    e = vecs(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+    )
+    got = similarity.cosine_topk(e, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in got] == [0, 1]
+    assert abs(got[0].cosine - 1.0) < 1e-12
+
+
+def test_lsh_bucket_identical_vectors_same_bucket(spark):
+    e = vecs(spark, [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])])
+    got = {r.vec_id: r.bucket for r in similarity.lsh_bucket(e, n_planes=4).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]  # antipodal vector flips every plane sign
+
+
+def test_lsh_topk_returns_query_bucket_hits(spark):
+    e = vecs(spark, [(i, [float(i == j) for j in range(8)]) for i in range(8)])
+    got = similarity.lsh_topk(e, [1.0] + [0.0] * 7, n_planes=4, k=3).collect()
+    assert any(r.vec_id == 0 for r in got)
+
+
+def test_media_payload_metadata(spark):
+    d = spark.createDataFrame(
+        [(1, "héllo", "en", "s")], "doc_id long, text string, lang string, source string"
+    )
+    media = multimodal.documents_as_media(d)
+    r = multimodal.payload_metadata(media).collect()[0]
+    assert r.n_bytes == 6  # é is 2 bytes utf8
+    assert r.mime_type == "text/plain"
+    assert len(r.content_hash) == 32
+
+
+def test_extract_features_deterministic(spark):
+    d = spark.createDataFrame(
+        [(i, f"payload {i}", "en", "s") for i in range(10)],
+        "doc_id long, text string, lang string, source string",
+    )
+    media = multimodal.documents_as_media(d)
+    a = sorted(map(tuple, multimodal.extract_features(media).collect()))
+    b = sorted(map(tuple, multimodal.extract_features(media).collect()))
+    assert a == b
+    assert all(0.0 <= row[2] <= 1.0 for row in a)
+
+
+def test_extract_features_real_decode_raises(spark):
+    d = spark.createDataFrame(
+        [(1, "x", "en", "s")], "doc_id long, text string, lang string, source string"
+    )
+    media = multimodal.documents_as_media(d)
+    with pytest.raises(Exception):  # DecoderUnavailable via PythonException
+        multimodal.extract_features(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    d = spark.createDataFrame(
+        [(1, "x" * 1000, "en", "s")], "doc_id long, text string, lang string, source string"
+    )
+    media = multimodal.documents_as_media(d)
+    frames = multimodal.frame_sample_plan(media, every_n=2).collect()
+    assert len(frames) == 5  # 10 frames, every 2nd
+    assert [f.frame_index for f in frames] == [0, 2, 4, 6, 8]

@@ -1,0 +1,114 @@
+"""Ingest edges (paginated API with injected fetcher, error absorption,
+XLSX bridge) and egress sinks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_integration_and_visualization_uc3m_spark.sinks import writers
+from data_integration_and_visualization_uc3m_spark.sources import api
+from data_integration_and_visualization_uc3m_spark.sources.readers import year_dim
+
+
+def wb_row(iso3, name, value):
+    return {
+        "countryiso3code": iso3,
+        "country": {"id": iso3[:2], "value": name},
+        "value": value,
+    }
+
+
+def test_ingest_indicator_per_year_injects_year(spark):
+    pages = {
+        "u/2018": [{}, [wb_row("ESP", "Spain", "46000000")]],
+        "u/2019": [{}, [wb_row("ESP", "Spain", "47000000"), wb_row("FRA", "France", "67000000")]],
+    }
+    df = api.ingest_indicator_per_year(
+        spark, lambda url: pages[url], "u/{year}", [2018, 2019]
+    )
+    got = sorted((r.countryiso3code, r.year_id) for r in df.collect())
+    assert got == [("ESP", 2018), ("ESP", 2019), ("FRA", 2019)]
+    assert df.schema["country"].dataType.typeName() == "struct"
+
+
+def test_ingest_all_or_nothing_on_failure(spark):
+    calls = {"n": 0}
+
+    def flaky(url):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise api.IngestError("boom")
+        return [{}, [wb_row("ESP", "Spain", "1")]]
+
+    df = api.ingest_indicator_per_year(spark, flaky, "u/{year}", [2018, 2019])
+    assert df.count() == 0  # etl:128-130 — reset, not partial
+    assert df.schema == api.RAW_POPULATION
+
+
+def test_ingest_country_metadata_aggregates_table(spark):
+    payload = [
+        {},
+        [
+            {"id": "ESP", "name": "Spain", "region": {"id": "EMU", "value": "Europe"}},
+            {"id": "WLD", "name": "World", "region": {"id": "NA", "value": "Aggregates"}},
+        ],
+    ]
+    countries, aggregates = api.ingest_country_metadata(spark, lambda u: payload, "u")
+    assert countries.count() == 2
+    assert [r.code for r in aggregates.collect()] == ["WLD"]
+
+
+def test_fetch_paginated_stops_on_empty(spark):
+    pages = {"p/1": [{}, [{"a": 1}]], "p/2": [{}, [{"a": 2}]], "p/3": [{}, []]}
+    got = api.fetch_paginated(lambda u: pages[u], "p/{page}", range(1, 10))
+    assert got == [{"a": 1}, {"a": 2}]
+
+
+def test_retry_backoff(spark):
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("conn refused")
+        return "ok"
+
+    sleeps = []
+    assert api.retry(flaky, retries=5, delay_s=3, sleep=sleeps.append) == "ok"
+    assert sleeps == [3, 3]
+
+    with pytest.raises(api.IngestError):
+        api.retry(lambda: (_ for _ in ()).throw(RuntimeError("x")).__next__(),
+                  retries=2, delay_s=0, sleep=lambda s: None)
+
+
+def test_xlsx_bridge_header_offset(spark, tmp_path):
+    pytest.importorskip("openpyxl")
+    import pandas as pd
+
+    p = str(tmp_path / "t.xlsx")
+    with pd.ExcelWriter(p) as xw:
+        pd.DataFrame([["junk1"], ["junk2"], ["Iso3_code"], ["ESP"]]).to_excel(
+            xw, header=False, index=False
+        )
+    from data_integration_and_visualization_uc3m_spark.sources.xlsx import read_xlsx
+
+    df = read_xlsx(spark, p, header_row=2)
+    assert df.columns == ["Iso3_code"]
+    assert [r.Iso3_code for r in df.collect()] == ["ESP"]
+
+
+def test_parquet_snapshot_and_viz_csv(spark, tmp_path):
+    df = year_dim(spark)
+    writers.write_parquet_snapshot(df, str(tmp_path / "snap"))
+    assert spark.read.parquet(str(tmp_path / "snap")).count() == 5
+    writers.write_viz_csv(df, str(tmp_path / "viz"))
+    files = [f for f in os.listdir(tmp_path / "viz") if f.endswith(".csv")]
+    assert len(files) == 1  # coalesce(1): single file egress
+
+
+def test_jdbc_writer_is_configured_only(spark):
+    w = writers.jdbc_writer(year_dim(spark), "jdbc:postgresql://x/db", "year")
+    assert w is not None  # construct-only: no driver jar in this image

@@ -1,0 +1,38 @@
+"""Structured Streaming: file-source stream → memory sink, compared
+against the batch twin (unified-API parity)."""
+
+from __future__ import annotations
+
+from data_integration_and_visualization_uc3m_spark.sources.readers import load_table
+from data_integration_and_visualization_uc3m_spark.streaming import events as se
+
+SF = "/root/testdata/sf0.001"
+
+
+def _prepare_stream_dir(spark, tmp_path) -> str:
+    # materialize events (ts already converted from NANOS) as a stream
+    # source directory of several files → several micro-batches
+    src = load_table(spark, SF, "events")
+    out = str(tmp_path / "events_stream")
+    src.repartition(4).write.parquet(out)
+    return out
+
+
+def test_stream_hourly_agg_matches_batch(spark, tmp_path):
+    src_dir = _prepare_stream_dir(spark, tmp_path)
+    stream_result = se.run_stream_to_memory(spark, src_dir, "t_hourly")
+    batch_result = se.hourly_agg(spark.read.parquet(src_dir))
+    a = sorted(map(tuple, stream_result.collect()))
+    b = sorted(map(tuple, batch_result.collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_stream_sessionized_agg_runs(spark, tmp_path):
+    src_dir = _prepare_stream_dir(spark, tmp_path)
+    result = se.run_stream_to_memory(
+        spark, src_dir, "t_sessions", agg=se.sessionized_agg
+    )
+    rows = result.collect()
+    assert len(rows) > 0
+    assert all(r.n_events >= 1 for r in rows)

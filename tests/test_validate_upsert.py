@@ -1,0 +1,80 @@
+"""V1-V5 validators and the K2 idempotent upsert (FIXTURES §F6.1-F6.3:
+dup keys in batch, exact re-run, FK orphans)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_and_visualization_uc3m_spark.operators import upsert, validate
+
+
+def test_not_null_violations_tags_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, None)], "k int, name string"
+    )
+    got = validate.not_null_violations(df, ["k", "name"]).collect()
+    tags = sorted(tuple(r.null_columns) for r in got)
+    assert tags == [("k",), ("k", "name")]
+
+
+def test_uniqueness_violations(spark):
+    df = spark.createDataFrame(
+        [("ESP", 2019), ("ESP", 2019), ("FRA", 2019)], "k string, y int"
+    )
+    got = validate.uniqueness_violations(df, ["k", "y"]).collect()
+    assert [(r.k, r.y, r.n_rows) for r in got] == [("ESP", 2019, 2)]
+
+
+def test_fk_violations(spark):
+    fact = spark.createDataFrame([("ESP",), ("XXX",)], "k string")
+    dim = spark.createDataFrame([("ESP",), ("FRA",)], "k string")
+    got = validate.fk_violations(fact, dim, ["k"]).collect()
+    assert [r.k for r in got] == ["XXX"]
+
+
+def test_range_violations_null_counts_as_violation(spark):
+    df = spark.createDataFrame([(5.0,), (-1.0,), (None,)], "v double")
+    got = validate.range_violations(df, F.col("v") >= 0).collect()
+    assert sorted([r.v for r in got], key=lambda x: (x is None, x)) == [-1.0, None]
+
+
+def test_code_length_violations(spark):
+    df = spark.createDataFrame([("ESP",), ("ES",), (None,)], "code string")
+    got = validate.code_length_violations(df, "code", 3).collect()
+    assert len(got) == 2
+
+
+def test_upsert_conflict_ignore_semantics(spark):
+    target = spark.createDataFrame(
+        [("ESP", 2019, 100), ("FRA", 2019, 200)], "k string, y int, v long"
+    )
+    batch = spark.createDataFrame(
+        [
+            ("ESP", 2019, 999),  # conflict → ignored, old value kept
+            ("DEU", 2019, 300),  # fresh → appended
+            ("DEU", 2019, 301),  # within-batch dup → first-wins
+        ],
+        "k string, y int, v long",
+    )
+    out = upsert.upsert_ignore(target, batch, keys=["k", "y"], order_by=["v"])
+    got = {(r.k, r.y): r.v for r in out.collect()}
+    assert got == {("ESP", 2019): 100, ("FRA", 2019): 200, ("DEU", 2019): 300}
+
+
+def test_upsert_idempotent_double_run(spark):
+    # SURVEY §5.4: run the load twice ⇒ identical table
+    target = spark.createDataFrame([("A", 1)], "k string, v int")
+    batch = spark.createDataFrame([("A", 9), ("B", 2)], "k string, v int")
+    once = upsert.upsert_ignore(target, batch, ["k"])
+    twice = upsert.upsert_ignore(once, batch, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_dedup_first_wins_deterministic(spark):
+    df = spark.createDataFrame(
+        [("A", 2, "second"), ("A", 1, "first"), ("B", 5, "only")],
+        "k string, ord int, tag string",
+    )
+    out = upsert.dedup_batch_first_wins(df, ["k"], order_by=["ord"])
+    got = {r.k: r.tag for r in out.collect()}
+    assert got == {"A": "first", "B": "only"}
