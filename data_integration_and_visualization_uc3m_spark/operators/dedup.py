@@ -151,25 +151,21 @@ def minhash_signatures(
 
     hash_i(item) = md5(i || ':' || item); signature_i = min over items.
     md5's 128 bits are far past the collision needs of minhash, and the
-    string min is a valid total order. One explode by num_hashes (cheap:
-    items × num_hashes rows, all map-side until the final min-agg, which
-    combines partially per partition).
+    string min is a valid total order.
 
-    Output: (id, seed, minhash).
+    WIDE single-pass form: all ``num_hashes`` mins are aggregation
+    expressions over ONE scan of the set relation — no seed explode
+    (a seed explode multiplies the shuffle by num_hashes; measured 16×
+    row inflation and ~10× wall time at sf0.1). Partial aggregation
+    combines map-side, so the only shuffle is |docs| rows wide.
+
+    Output: (id, mh_0 … mh_{n-1}).
     """
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return (
-        sets_df.select(
-            F.col(id_col), F.explode(seeds).alias("seed"), F.col(item_col)
-        )
-        .select(
-            id_col,
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed"), F.col(item_col))).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(i), F.col(item_col)))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sets_df.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -178,27 +174,27 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH banding: group the signature into ``bands`` bands of
-    ``rows_per_band`` hashes, hash each band, and emit candidate pairs
-    that share any band bucket. Probability a pair with Jaccard s becomes
-    a candidate: 1 − (1 − s^r)^b (standard S-curve).
+    """LSH banding over wide signatures: band b's bucket is the md5 of
+    its ``rows_per_band`` signature columns concatenated in seed order
+    (engine-portable: same construction in the SQL oracle). Candidate
+    pairs share any band bucket; P(candidate | Jaccard s) =
+    1 − (1 − s^r)^b — the standard S-curve.
 
-    Scale: the bucket-join replaces the all-pairs O(n²) comparison with
-    per-bucket joins; bucket sizes are bounded by near-dup cluster sizes.
+    Scale: the bucket self-join replaces all-pairs O(n²); bucket sizes
+    are bounded by true near-dup cluster sizes because random md5
+    buckets don't collide meaningfully at 128 bits.
     """
-    # canonical band string: lpad(seed) so lexicographic sort == seed
-    # order — the same canonicalization the SQL oracle's string_agg
-    # (ORDER BY item) produces, making buckets engine-portable.
-    item = F.concat_ws(
-        "@", F.lpad(F.col("seed").cast("string"), 2, "0"), F.col("minhash")
-    )
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(F.concat_ws("|", F.array_sort(F.collect_list(item)))).alias("bucket")
-        )
-    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded_wide = signatures.select(F.col(id_col), *band_cols)
+    stack = ", ".join(f"{b}, band_{b}" for b in range(bands))
+    banded = banded_wide.selectExpr(id_col, f"stack({bands}, {stack}) AS (band, bucket)")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -226,6 +222,11 @@ def simhash(
     Output: (id, simhash as BIGINT). Near-dup = small Hamming distance;
     pair generation at scale goes through band-buckets on bit slices
     (same LSH idea as MinHash).
+
+    WIDE single-pass form: the 32 per-bit ±1 sums are 32 aggregation
+    expressions over one scan of the distinct-token relation (a bit-
+    position explode would inflate the shuffle 32×), then one map-side
+    expression assembles the integer.
     """
     assert bits <= 32
     tok = (
@@ -234,26 +235,18 @@ def simhash(
         .distinct()
         .withColumn("h", F.md5("token"))
     )
-    pos = F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("bit_pos")
-    bit_contrib = (
-        tok.select(id_col, "h", pos)
-        .withColumn(
-            "contrib",
-            F.when(
-                F.substr(F.col("h"), F.col("bit_pos"), F.lit(1)).isin(
-                    "1", "3", "5", "7", "9", "b", "d", "f"
-                ),
-                1,
-            ).otherwise(-1),
-        )
-        .groupBy(id_col, "bit_pos")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    # shiftleft with a Column shift amount needs the SQL form (the
-    # PySpark wrapper only takes a Python int).
-    bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), bit_pos - 1)")
-    return bit_contrib.groupBy(id_col).agg(
-        F.sum(F.when(F.col("s") > 0, bit_value).otherwise(F.lit(0).cast("long")))
-        .cast("long")
-        .alias("simhash")
-    )
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+    sums = [
+        F.sum(
+            F.when(F.substring("h", b, 1).isin(*odd), 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(1, bits + 1)
+    ]
+    wide = tok.groupBy(id_col).agg(*sums)
+    sim = None
+    for b in range(1, bits + 1):
+        term = F.when(
+            F.col(f"s_{b}") > 0, F.lit(1 << (b - 1)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return wide.select(F.col(id_col), sim.cast("long").alias("simhash"))

@@ -806,19 +806,32 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(d)
 
 
+# Shared CTE: distinct word-3-gram shingles per document. Shingles, not
+# unigram tokens: with a small shared vocabulary, unigrams make every
+# doc pair a join candidate (measured 105 s at sf0.1 — quadratic);
+# 3-grams have near-zero cross-doc frequency unless text actually
+# overlaps, which is the whole point of shingling (Broder).
+_SHINGLES_CTE = """
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(
+                [array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+                 FOR i IN range(0, greatest(len(toks) - 3, 0) + 1)]
+            ) AS shingle
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        ) WHERE length(shingle) > 0
+    )
+"""
+
+
 @register(
     "dedup_ngram_jaccard",
-    """
-    WITH tok AS (
-        SELECT DISTINCT doc_id, token FROM (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
-            FROM documents
-        ) WHERE token != ''
-    ), sizes AS (
-        SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id
+    f"""
+    WITH {_SHINGLES_CTE}, sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
     ), inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY id_a, id_b
     )
     SELECT id_a, id_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
@@ -826,50 +839,52 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
     """,
     ops=["dedup-jaccard"],
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard near-dup pairs (threshold 0.8): self-join on
-    shared tokens → exact |A∩B|/|A∪B| as a rational of counts. The
-    token join key is the scale hazard (hot tokens) — the LSH variant
-    below is the 100 TB path; this is the exact baseline."""
+    """Word-3-gram Jaccard near-dup pairs (threshold 0.5): self-join on
+    shared shingles → exact |A∩B|/|A∪B| as a rational of counts. The
+    shingle join key keeps candidate generation linear-ish in practice;
+    the LSH variant below is the sub-linear 100 TB path."""
     d = _t(spark, sf_dir, "documents")
-    sets = dedup.token_set(d)
-    return dedup.jaccard_pairs(sets, threshold=0.8)
+    sets = dedup.ngram_set(d, n=3)
+    return dedup.jaccard_pairs(sets, item_col="shingle", threshold=0.5)
+
+
+_MH_MINS = ",\n               ".join(
+    f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(16)
+)
+_MH_BANDS = "\n        UNION ALL\n        ".join(
+    "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs".format(
+        b=b,
+        cat=" || '|' || ".join(f"mh_{b * 4 + r}" for r in range(4)),
+    )
+    for b in range(4)
+)
 
 
 @register(
     "dedup_minhash_lsh",
-    """
-    WITH tok AS (
-        SELECT DISTINCT doc_id, token FROM (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
-            FROM documents
-        ) WHERE token != ''
-    ), hashes AS (
-        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || token) AS h
-        FROM tok CROSS JOIN (SELECT unnest(range(16)) AS seed) s
-    ), sigs AS (
-        SELECT doc_id, seed, MIN(h) AS minhash FROM hashes GROUP BY doc_id, seed
+    f"""
+    WITH {_SHINGLES_CTE}, sigs AS (
+        SELECT doc_id,
+               {_MH_MINS}
+        FROM sh GROUP BY doc_id
     ), bands AS (
-        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-               md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || '@' || minhash,
-                              '|' ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || '@' || minhash))
-                 AS bucket
-        FROM sigs GROUP BY doc_id, band
+        {_MH_BANDS}
     ), cands AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ), sizes AS (
-        SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
     ), verified AS (
         SELECT c.id_a, c.id_b, COUNT(*) AS n_common
         FROM cands c
-        JOIN tok ta ON ta.doc_id = c.id_a
-        JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+        JOIN sh ta ON ta.doc_id = c.id_a
+        JOIN sh tb ON tb.doc_id = c.id_b AND tb.shingle = ta.shingle
         GROUP BY c.id_a, c.id_b
     )
     SELECT v.id_a, v.id_b,
@@ -882,20 +897,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=["dedup-minhash-lsh"],
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH banding (4 bands × 4 rows) candidate pairs,
-    verified with exact Jaccard ≥ 0.5. The full scale pipeline:
-    shingle → seeded-md5 minhash → band buckets → bucket join →
-    verify-within-candidates (never all-pairs)."""
+    """MinHash(16, wide single-pass) + LSH banding (4×4) candidate
+    pairs over word-3-gram shingles, verified with exact Jaccard ≥ 0.5.
+    The full scale pipeline: shingle → seeded-md5 minhash → band
+    buckets → bucket join → verify-within-candidates (never all-pairs)."""
     d = _t(spark, sf_dir, "documents")
-    sets = dedup.token_set(d)
-    sigs = dedup.minhash_signatures(sets, num_hashes=16)
+    sets = dedup.ngram_set(d, n=3)
+    sigs = dedup.minhash_signatures(sets, num_hashes=16, item_col="shingle")
     cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    ta = sets.select(F.col("doc_id").alias("id_a"), "token")
-    tb = sets.select(F.col("doc_id").alias("id_b"), "token")
+    ta = sets.select(F.col("doc_id").alias("id_a"), "shingle")
+    tb = sets.select(F.col("doc_id").alias("id_b"), "shingle")
     verified = (
         cands.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
+        .join(tb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -34,7 +34,8 @@ def test_minhash_lsh_finds_near_dups(spark):
     far = "completely different words in this one entirely unrelated stuff"
     d = docs(spark, [(1, base), (2, near), (3, far)])
     sigs = dedup.minhash_signatures(dedup.token_set(d), num_hashes=16)
-    assert sigs.count() == 3 * 16
+    assert sigs.count() == 3  # wide: one row per doc
+    assert len(sigs.columns) == 17  # id + 16 signature columns
     cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).collect()
     pairs = {(r.id_a, r.id_b) for r in cands}
     assert (1, 2) in pairs  # near-dup pair bucketed together
