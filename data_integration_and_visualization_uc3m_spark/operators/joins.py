@@ -99,3 +99,54 @@ def semi_join(df: DataFrame, keys_df: DataFrame, on: list[str]) -> DataFrame:
 def anti_join(df: DataFrame, keys_df: DataFrame, on: list[str]) -> DataFrame:
     """J4 complement — rows violating FK (used by validators, V3)."""
     return df.join(keys_df, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join (Spark has no native one): for each left row, the
+    latest right row with ``right_ts <= left_ts`` within the ``on`` keys.
+
+    Implementation is the scalable union+window pattern, NOT a range
+    self-join: tag both sides, union, and take the running max of the
+    right side's (ts, values) over a window ordered by (ts, side) with
+    the right side sorting first at equal timestamps (so ties satisfy
+    ``<=`` like the SQL definition). One shuffle on the key — no O(n·m)
+    per-key pair explosion, which is what kills range joins at 100 TB.
+
+    Returns left rows + ``asof_<value>`` columns (null when no prior
+    right row exists).
+    """
+    from pyspark.sql import Window
+
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    lcols = set(left.columns)
+    rcols = set(right.columns)
+    all_cols = list(dict.fromkeys(left.columns + right.columns))
+    sel_l = [
+        (F.col(c) if c in lcols else F.lit(None)).alias(c) for c in all_cols
+    ] + [F.col("__side"), F.col("__ts")]
+    sel_r = [
+        (F.col(c) if c in rcols else F.lit(None)).alias(c) for c in all_cols
+    ] + [F.col("__side"), F.col("__ts")]
+    unioned = lt.select(*sel_l).unionByName(rt.select(*sel_r))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for v in value_cols:
+        out = out.withColumn(
+            f"asof_{v}",
+            F.last(F.when(F.col("__side") == 0, F.col(v)), ignorenulls=True).over(w),
+        )
+    return out.filter(F.col("__side") == 1).select(
+        *[c for c in left.columns], *[f"asof_{v}" for v in value_cols]
+    )

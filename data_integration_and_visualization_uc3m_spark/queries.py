@@ -782,6 +782,180 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "viz_hover_points",
+    """
+    WITH pts AS (
+        SELECT lower(trim(n_name)) AS name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY name
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, name) AS rn FROM pts
+    )
+    SELECT name, revenue, n_customers,
+           name || '<br>Revenue ' || CAST(CAST(revenue / 1000000 AS DECIMAL(18,2)) AS VARCHAR)
+                || 'M<br>Customers ' || CAST(n_customers AS VARCHAR) AS hover_text,
+           CASE WHEN rn <= 3 THEN 'xl' WHEN rn <= 11 THEN 'l'
+                WHEN rn <= 21 THEN 'm' ELSE 's' END AS size_bucket
+    FROM ranked
+    """,
+    ops=["C8", "C9", "F8", "K5"],
+)
+def viz_hover_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The viz egress pipeline (map-making/create-maps.py): per-point
+    metrics → hover-text concat (C8, MAPS:14) → positional size buckets
+    over an explicit order (C9/F8, MAPS:15-24). Numbers are stringified
+    through DECIMAL so both engines render identical text."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pts = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(cleaning.normalize_string("n_name").alias("name"))
+        .agg(
+            F.sum(_dec2("o_totalprice")).cast("double").alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("name"))
+    ranked = pts.withColumn("rn", F.row_number().over(w))
+    hover = F.concat(
+        F.col("name"),
+        F.lit("<br>Revenue "),
+        (F.col("revenue") / 1000000).cast(DEC2).cast("string"),
+        F.lit("M<br>Customers "),
+        F.col("n_customers").cast("string"),
+    )
+    bucket = (
+        F.when(F.col("rn") <= 3, "xl")
+        .when(F.col("rn") <= 11, "l")
+        .when(F.col("rn") <= 21, "m")
+        .otherwise("s")
+    )
+    return ranked.select(
+        "name", "revenue", "n_customers", hover.alias("hover_text"), bucket.alias("size_bucket")
+    )
+
+
+@register(
+    "pivot_event_matrix",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_bucket
+    """,
+    ops=["pivot", "A3"],
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide counts). Spark's .pivot with an EXPLICIT value
+    list — without one, Spark runs a distinct-scan job to discover
+    values, and output columns become data-dependent (both bad at scale)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot yields nullable counts (null = no rows) — normalize to 0 to
+    # match the CASE-count oracle
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
+    return out
+
+
+@register(
+    "top3_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    ops=["§2.8", "top-k-per-group"],
+)
+def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — per-group window (one shuffle on the group
+    key), no global-order bottleneck."""
+    o = _t(spark, sf_dir, "orders")
+    out = slicing.top_k_per_group(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        group_by=["o_orderpriority"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return out.withColumn("rn", F.row_number().over(w))
+
+
+@register(
+    "asof_last_purchase",
+    """
+    SELECT c.event_id, c.user_id, c.ts, MAX(p.ts) AS asof_ts
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts <= c.ts
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id, c.user_id, c.ts
+    """,
+    ops=["asof-join"],
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the user's most recent prior
+    (or simultaneous) purchase. Spark lacks a native as-of join; the
+    operator uses the union+window pattern — one shuffle on user_id,
+    never the O(clicks × purchases) range self-join the SQL oracle
+    spells (fine for DuckDB at 10k rows, fatal at 100 TB)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return joins.asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["ts"]
+    ).select("event_id", "user_id", "ts", F.col("asof_ts"))
+
+
+@register(
+    "quantiles_order_value",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    ops=["percentile", "A3"],
+)
+def quantiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: same linear-interpolation definition on
+    the same doubles). At 100 TB prefer ``approx_percentile`` (KLL-ish
+    sketch, mergeable map-side) — kept exact here for the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
 # =====================================================================
 # Training-data pipeline extensions (SURVEY §7.1 Phase E): dedup,
 # text analysis, similarity search over documents/embeddings.

@@ -74,6 +74,22 @@ def test_validated_join_inner_semifilters(spark):
     assert [r.k for r in out.collect()] == ["ESP"]
 
 
+def test_asof_join_latest_prior_and_ties(spark):
+    clicks = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 25), (3, 200, 5)], "event_id long, user_id long, ts long"
+    )
+    purchases = spark.createDataFrame(
+        [(100, 8), (100, 20), (100, 25), (200, 9)], "user_id long, ts long"
+    )
+    out = joins.asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["ts"]
+    )
+    got = {r.event_id: r.asof_ts for r in out.collect()}
+    # click@10 → purchase@8; click@25 → purchase@25 (<= tie included);
+    # click@5 → no prior purchase → null
+    assert got == {1: 8, 2: 25, 3: None}
+
+
 def test_semi_and_anti_join(spark):
     df = spark.createDataFrame([(1,), (2,), (3,)], "k int")
     keys = spark.createDataFrame([(2,), (3,)], "k int")
