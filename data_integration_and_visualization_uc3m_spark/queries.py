@@ -23,6 +23,12 @@ ORACLE-DETERMINISM CONVENTIONS
    epoch arithmetic via unix_micros/epoch_us (exact integers).
 6. **Portable hashing**: content hashes use md5 (identical in both
    engines) — never Spark's xxhash64/hash or DuckDB's hash().
+7. **Float aggregation = fixed-point with FLOOR.** Decimal casts of
+   doubles hit half-way ties (dyadic values CAN sit exactly on a
+   10^-k boundary when the mantissa carries enough factors of 5), and
+   Spark (HALF_UP) and DuckDB round those ties differently — observed
+   on real data. ``floor(x * 10^k)`` has no tie semantics: identical
+   doubles in, identical BIGINTs out, exact integer sums after.
 
 Queries are tagged with the SURVEY §2 operator ids they exercise, and
 they call the operator library (this is how the library itself gets
@@ -1332,6 +1338,51 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     b = similarity.lsh_bucket(e, n_planes=8)
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+@register(
+    "label_centroids",
+    """
+    WITH ex AS (
+        SELECT label,
+               CAST(d.dim AS INTEGER) AS dim,
+               CAST(FLOOR(CAST(embedding[CAST(d.dim AS INTEGER) + 1] AS DOUBLE)
+                          * 1000000000) AS BIGINT) AS nano
+        FROM embeddings, (SELECT unnest(range(64)) AS dim) d
+    )
+    SELECT label, dim,
+           CAST(SUM(nano) AS DOUBLE) / COUNT(*) / 1000000000 AS centroid,
+           COUNT(*) AS n_vecs
+    FROM ex GROUP BY label, dim
+    """,
+    ops=["embedding-centroid", "A3"],
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the building block
+    of k-means / cluster-assignment loops (one iteration = assignment
+    join + this).
+
+    Determinism: per-dimension values are quantized to nano-units with
+    FLOOR (widen float→double exactly, scale, floor) and summed as
+    BIGINT. floor has no tie semantics, unlike decimal casts, whose
+    half-way rounding differs between Spark (HALF_UP) and DuckDB on
+    exact dyadic ties — observed on this very dataset at scales 10 and
+    12. Fixed-point accumulation is also the standard trick for
+    order-independent float aggregation at cluster scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("xf").cast("double") * 1000000000).cast("long").alias("nano"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        (F.sum("nano").cast("double") / F.count(F.lit(1)) / 1000000000).alias(
+            "centroid"
+        ),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
 
 
 @register(

@@ -71,6 +71,49 @@ def sessionized_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total carried across micro-batches.
+
+    State is one (count, total) pair per user — O(users), watermark-
+    independent. The GroupState API is the Spark-idiomatic replacement
+    for the reference's nothing (it has no streams) and for hand-rolled
+    accumulators: state lives in the state store (checkpointed,
+    exactly-once under a durable sink).
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_dir: str,

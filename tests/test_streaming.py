@@ -28,6 +28,43 @@ def test_stream_hourly_agg_matches_batch(spark, tmp_path):
     assert len(a) > 0
 
 
+def test_stateful_running_totals(spark, tmp_path):
+    src_dir = _prepare_stream_dir(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(se.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    q = (
+        se.running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last update per user must equal the batch ground truth
+    from pyspark.sql import functions as F, Window
+
+    got = spark.sql("SELECT * FROM t_state")
+    # memory sink in update mode appends each state change; dedup to the
+    # final row per user (max n_events is the last state)
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    truth = (
+        spark.read.parquet(src_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_truth"))
+    )
+    diff = final.join(truth, "user_id").filter(F.col("n_events") != F.col("n_truth"))
+    assert truth.count() > 0 and diff.count() == 0
+
+
 def test_stream_sessionized_agg_runs(spark, tmp_path):
     src_dir = _prepare_stream_dir(spark, tmp_path)
     result = se.run_stream_to_memory(
