@@ -26,6 +26,9 @@ HEADLINE = [
     "pricing_summary",
     "flagship_nation_year_rate",
     "validated_m2o_join",
+    "region_revenue",
+    "shipping_priority",
+    "small_quantity_orders",
     "rollup_region_nation",
     "keyed_dedup_first_wins",
     "deterministic_slice",

@@ -789,6 +789,300 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    ops=["J1", "A3", "§2.8"],
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 3-way join → revenue agg →
+    top-10. Customer filter broadcasts; lineitem never shuffles for the
+    dim sides."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        l.join(
+            F.broadcast(o.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(_dec2("l_extendedprice") * (one - disc)).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY r_name
+    """,
+    ops=["J1", "A3"],
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-table snowflake join rolled up to region. All
+    four dim sides broadcast — the fact table streams through one
+    codegen stage, shuffling only for the final 5-group agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        l.join(F.broadcast(o.select("o_orderkey", "o_custkey")), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(_dec2("l_extendedprice") * (one - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    ops=["F5", "F7", "A3"],
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg — every predicate reaches
+    the parquet row-group level; no shuffle at all (single global agg)."""
+    l = _t(spark, sf_dir, "lineitem")
+    sliced = filters.conjunctive_slice(
+        l,
+        [
+            F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"),
+            F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"),
+            filters.in_range("l_discount", 0.03, 0.07),
+            F.col("l_quantity") < 24,
+        ],
+    )
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return sliced.agg(
+        F.sum(_dec2("l_extendedprice") * disc).cast("double").alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "small_quantity_orders",
+    """
+    WITH part_avg AS (
+        SELECT l_partkey AS pk, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_small_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN part_avg ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty
+    GROUP BY p_brand
+    """,
+    ops=["J1", "A3", "correlated-agg"],
+)
+def small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average decorrelated into an
+    aggregate-then-join (the plan Catalyst itself produces for the
+    correlated subquery). avg is sum/count in exact decimal → double."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand")), l.l_partkey == F.col("p_partkey"))
+        .join(part_avg, l.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.sum(_dec2("l_extendedprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "supplier_nation_volume",
+    """
+    SELECT n_name,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS supply_revenue,
+           CAST(MIN(s_acctbal) AS DOUBLE) AS min_supplier_bal
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    ops=["J1", "A3"],
+)
+def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-side volume per nation (exercises the supplier dim)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec2("l_extendedprice") * (one - disc)).cast("double").alias(
+                "supply_revenue"
+            ),
+            F.min("s_acctbal").cast("double").alias("min_supplier_bal"),
+        )
+    )
+
+
+@register(
+    "data_profile_orders",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT) AS n_null_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order
+    FROM orders
+    """,
+    ops=["profiling", "V1"],
+)
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profile (the audit report a pipeline runs before
+    load): row/distinct/null counts + value ranges."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).cast("long").alias("n_null_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+    )
+
+
+@register(
+    "events_moving_sum",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+               SUM(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events GROUP BY hour_ts, event_type
+    )
+    SELECT hour_ts, event_type,
+           CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY hour_ts
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_4h_value
+    FROM hourly
+    """,
+    ops=["§2.8", "window-frame"],
+)
+def events_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 4-hour window sum per event type — bounded ROWS frame over
+    the pre-aggregated hourly series (never the raw events: aggregate
+    first, window the small series)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(F.sum(F.col("value").cast(DEC6)).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return hourly.select(
+        "hour_ts",
+        "event_type",
+        F.sum("v").over(w).cast("double").alias("moving_4h_value"),
+    )
+
+
+@register(
+    "approx_sketches",
+    None,  # approximate by nature — rows-only check, no value oracle
+    ops=["approx-distinct", "approx-percentile"],
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for 100 TB interactive profiling: HLL++ distinct
+    counts and KLL-style quantiles — mergeable map-side, error-bounded.
+    Approximate ⇒ deliberately registered WITHOUT a value oracle (the
+    driver records a rows-only check); the exact twins are
+    data_profile_orders and quantiles_order_value."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
+@register(
     "viz_hover_points",
     """
     WITH pts AS (
