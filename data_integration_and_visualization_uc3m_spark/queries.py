@@ -1635,6 +1635,55 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_ops_customers",
+    """
+    WITH y97 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    ), y98 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    )
+    SELECT 'both_years' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98)
+    UNION ALL
+    SELECT 'only_1997' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98)
+    UNION ALL
+    SELECT 'either_year' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y97 UNION SELECT * FROM y98)
+    """,
+    ops=["set-ops"],
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (intersect / except / union-distinct) — cohort
+    retention counts across order years. Spark plans these as
+    aggregations/joins on the distinct key sets."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year_keys(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y97, y98 = year_keys(1997), year_keys(1998)
+    rows = [
+        ("both_years", y97.intersect(y98)),
+        ("only_1997", y97.exceptAll(y98).distinct()),
+        ("either_year", y97.union(y98).distinct()),
+    ]
+    out = None
+    for name, df in rows:
+        piece = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("cohort"), "n"
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+@register(
     "label_centroids",
     """
     WITH ex AS (
