@@ -1323,6 +1323,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle join key keeps candidate generation linear-ish in practice;
     the LSH variant below is the sub-linear 100 TB path."""
     d = _t(spark, sf_dir, "documents")
+    # NB: the shingle relation feeds sizes + both join sides and IS
+    # recomputed per consumer (no subtree reuse in the plan) — measured
+    # persist() here and it was a net LOSS at sf0.1 (cache write/read
+    # costs more than re-running the codegen'd explode over the small
+    # parquet scan). Revisit only when the document scan itself is the
+    # dominant cost.
     sets = dedup.ngram_set(d, n=3)
     return dedup.jaccard_pairs(sets, item_col="shingle", threshold=0.5)
 
@@ -1376,7 +1382,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The full scale pipeline: shingle → seeded-md5 minhash → band
     buckets → bucket join → verify-within-candidates (never all-pairs)."""
     d = _t(spark, sf_dir, "documents")
-    sets = dedup.ngram_set(d, n=3)
+    sets = dedup.ngram_set(d, n=3)  # recompute beats persist here; see above
     sigs = dedup.minhash_signatures(sets, num_hashes=16, item_col="shingle")
     cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
@@ -1632,6 +1638,178 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     b = similarity.lsh_bucket(e, n_planes=8)
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+@register(
+    "scd2_price_history",
+    """
+    WITH snap1 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ), snap2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    + CASE WHEN o_orderkey % 10 = 0 THEN 5 ELSE 0 END AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ), v1 AS (
+        SELECT *, md5(o_orderstatus || chr(31) || CAST(price AS VARCHAR)) AS row_hash,
+               1 AS valid_from, CAST(NULL AS INTEGER) AS valid_to
+        FROM snap1
+    ), v2 AS (
+        SELECT *, md5(o_orderstatus || chr(31) || CAST(price AS VARCHAR)) AS row_hash
+        FROM snap2
+    ), changed AS (
+        SELECT c.o_orderkey FROM v1 c
+        LEFT JOIN v2 i ON c.o_orderkey = i.o_orderkey
+        WHERE i.row_hash IS NULL OR i.row_hash != c.row_hash
+    ), closed AS (
+        SELECT o_orderkey, o_orderstatus, price, row_hash, valid_from, 2 AS valid_to
+        FROM v1 WHERE o_orderkey IN (SELECT o_orderkey FROM changed)
+    ), still_open AS (
+        SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)
+    ), new_rows AS (
+        SELECT i.o_orderkey, i.o_orderstatus, i.price, i.row_hash,
+               2 AS valid_from, CAST(NULL AS INTEGER) AS valid_to
+        FROM v2 i
+        WHERE NOT EXISTS (SELECT 1 FROM v1 c
+                          WHERE c.o_orderkey = i.o_orderkey AND c.row_hash = i.row_hash)
+    ), hist AS (
+        SELECT * FROM closed UNION ALL SELECT * FROM still_open UNION ALL SELECT * FROM new_rows
+    )
+    SELECT valid_from, valid_to, COUNT(*) AS n_rows,
+           CAST(SUM(price) AS DOUBLE) AS total_price
+    FROM hist GROUP BY valid_from, valid_to
+    """,
+    ops=["scd2", "merge-emulation"],
+)
+def scd2_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 change tracking (MERGE emulation, operators/history.py):
+    snapshot v2 perturbs every 10th order's price — those keys close
+    their v1 row and open a v2 row; pre-1998 unchanged keys stay open;
+    1998+ keys arrive as new. Aggregated by (valid_from, valid_to)."""
+    from .operators import history as H
+
+    o = _t(spark, sf_dir, "orders")
+    snap1 = o.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_orderstatus", _dec2("o_totalprice").alias("price"))
+    snap2 = o.filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            _dec2("o_totalprice")
+            + F.when(F.col("o_orderkey") % 10 == 0, 5).otherwise(0)
+        )
+        .cast(DEC2)
+        .alias("price"),
+    )
+    hist = H.snapshot_to_scd2(snap1, ["o_orderkey"], ["o_orderstatus", "price"], 1)
+    merged = H.apply_changes(hist, snap2, ["o_orderkey"], ["o_orderstatus", "price"], 2)
+    return merged.groupBy("valid_from", "valid_to").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "interval_bucket_join",
+    """
+    WITH windows AS (
+        SELECT * FROM (VALUES
+            (1, TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-05 00:00:00'),
+            (2, TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-11 06:00:00'),
+            (3, TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-22 00:00:00')
+        ) AS w(window_id, w_start, w_end)
+    )
+    SELECT window_id, event_type, COUNT(*) AS n_events
+    FROM events JOIN windows
+      ON ts >= w_start AND ts < w_end
+    GROUP BY window_id, event_type
+    """,
+    ops=["range-join"],
+)
+def interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join via day-bucket equi-join + residual filter —
+    the scale pattern for point-in-interval joins: explode each interval
+    to its covered day buckets, equi-join events on their day bucket
+    (hash join, pruned), then apply the exact range predicate. Never the
+    full cross-product the SQL oracle spells."""
+    e = _t(spark, sf_dir, "events")
+    windows = spark.createDataFrame(
+        [
+            (1, "2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+            (2, "2024-01-10 12:00:00", "2024-01-11 06:00:00"),
+            (3, "2024-01-20 00:00:00", "2024-01-22 00:00:00"),
+        ],
+        "window_id int, w_start string, w_end string",
+    ).select(
+        "window_id",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    # explode intervals to day buckets (intervals are few; events many)
+    buckets = windows.select(
+        "window_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "w_start"),
+                F.date_trunc("day", F.col("w_end") - F.expr("INTERVAL 1 MICROSECOND")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day_bucket"),
+    )
+    tagged = e.withColumn("day_bucket", F.date_trunc("day", "ts"))
+    joined = tagged.join(F.broadcast(buckets), on="day_bucket").filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    return joined.groupBy("window_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "sql_api_revenue_rank",
+    """
+    SELECT o_orderpriority, order_year, total_revenue, rank_in_year
+    FROM (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+               RANK() OVER (PARTITION BY CAST(year(o_orderdate) AS INTEGER)
+                            ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) DESC)
+                 AS rank_in_year
+        FROM orders
+        GROUP BY o_orderpriority, order_year
+    ) WHERE rank_in_year <= 3
+    """,
+    ops=["sql-api", "§2.8"],
+)
+def sql_api_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the Spark SQL API (temp views +
+    spark.sql) — Catalyst produces the identical plan either way; this
+    query keeps the SQL surface covered."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, order_year, total_revenue, rank_in_year
+        FROM (
+            SELECT o_orderpriority,
+                   CAST(year(o_orderdate) AS INT) AS order_year,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+                   RANK() OVER (PARTITION BY CAST(year(o_orderdate) AS INT)
+                                ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) DESC)
+                     AS rank_in_year
+            FROM orders_v
+            GROUP BY o_orderpriority, order_year
+        ) WHERE rank_in_year <= 3
+        """
+    )
 
 
 @register(
