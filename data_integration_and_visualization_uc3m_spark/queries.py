@@ -1641,6 +1641,75 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_zscore_outliers",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_v,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) AS mean_sq
+        FROM events GROUP BY event_type
+    ), st2 AS (
+        -- round() barrier: DuckDB fuses mean_sq - mean_v*mean_v into an
+        -- FMA (different last-ulp than the JVM's separate mul+sub);
+        -- rounding to 6 decimals absorbs the ~1e-12 fusion noise
+        SELECT event_type, mean_v, round(mean_sq - mean_v * mean_v, 6) AS var_v
+        FROM stats
+    )
+    SELECT event_id, e.event_type, value,
+           (value - mean_v) / sqrt(var_v) AS zscore
+    FROM events e JOIN st2 s ON e.event_type = s.event_type
+    WHERE abs((value - mean_v) / sqrt(var_v)) > 1.8
+    """,
+    ops=["stats", "A3", "V4"],
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection without UDFs: per-type mean and
+    variance via exact decimal sums (E[x²]−E[x]² on identical doubles ⇒
+    identical sqrt), then a broadcast join back to flag |z| > 1.8.
+    The expression-only version of what's usually written as a grouped
+    pandas UDF — and ~100× cheaper at scale."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value").cast(DEC6)
+    stats = e.groupBy("event_type").agg(
+        (F.sum(v).cast("double") / F.count(F.lit(1))).alias("mean_v"),
+        (F.sum(v * v).cast("double") / F.count(F.lit(1))).alias("mean_sq"),
+    ).withColumn(
+        # round barrier against DuckDB's FMA fusion of a - b*c (see SQL)
+        "var_v",
+        F.round(F.col("mean_sq") - F.col("mean_v") * F.col("mean_v"), 6),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.sqrt(F.col("var_v"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 1.8)
+        .select("event_id", "event_type", "value", "zscore")
+    )
+
+
+@register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    ops=["A3", "grouping-sets"],
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over two dimensions (all 4 grouping sets in one
+    shuffle) — completes the grouping-sets family next to rollup."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec2("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@register(
     "scd2_price_history",
     """
     WITH snap1 AS (

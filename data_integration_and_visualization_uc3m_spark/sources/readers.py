@@ -49,6 +49,15 @@ def read_csv(
     return spark.read.schema(schema).csv(path, header=header)
 
 
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """S1-adjacent — JSON-lines scan with a declared schema (the
+    file-at-rest twin of the API ingest; nested structs map 1:1 to
+    StructType, no inference pass)."""
+    return spark.read.schema(schema).json(path)
+
+
 def empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """S3 — the all-or-nothing ingest fallback: an empty DataFrame with
     the declared schema (reference resets accumulated rows to [] on any

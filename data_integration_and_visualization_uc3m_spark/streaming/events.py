@@ -114,6 +114,53 @@ def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     )
 
 
+def run_stream_foreach_batch_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once-style sink: foreachBatch applies the K2 upsert per
+    micro-batch into a parquet target, with a checkpoint so a restarted
+    query resumes from the last committed batch instead of reprocessing.
+
+    The upsert inside foreachBatch makes redelivered batches harmless
+    (idempotent), which is the standard at-least-once → effectively-once
+    recipe when the sink itself isn't transactional.
+    """
+    from ..operators.upsert import dedup_batch_first_wins, upsert_ignore
+    from ..session import tune
+
+    tune(spark)
+
+    def sink(batch_df, epoch_id: int) -> None:
+        batch = dedup_batch_first_wins(batch_df, ["event_id"])
+        try:
+            target = spark.read.parquet(target_path)
+            merged = upsert_ignore(target, batch, ["event_id"])
+        except Exception:  # first batch: no target yet
+            merged = batch
+        merged.write.mode("overwrite").parquet(target_path + ".tmp")
+        spark.read.parquet(target_path + ".tmp").write.mode("overwrite").parquet(
+            target_path
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_dir: str,

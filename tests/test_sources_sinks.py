@@ -100,6 +100,21 @@ def test_xlsx_bridge_header_offset(spark, tmp_path):
     assert [r.Iso3_code for r in df.collect()] == ["ESP"]
 
 
+def test_read_json_with_nested_schema(spark, tmp_path):
+    from data_integration_and_visualization_uc3m_spark.schemas import RAW_POPULATION
+    from data_integration_and_visualization_uc3m_spark.sources.readers import read_json
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text(
+        '{"countryiso3code":"ESP","country":{"id":"ES","value":"Spain"},"value":"47000000","year_id":2019}\n'
+        '{"countryiso3code":"FRA","country":{"id":"FR","value":null},"value":"bad","year_id":2019}\n'
+    )
+    df = read_json(spark, str(p), RAW_POPULATION)
+    rows = {r.countryiso3code: r for r in df.collect()}
+    assert rows["ESP"].country.value == "Spain"
+    assert rows["FRA"].country.value is None  # nested null preserved
+
+
 def test_parquet_snapshot_and_viz_csv(spark, tmp_path):
     df = year_dim(spark)
     writers.write_parquet_snapshot(df, str(tmp_path / "snap"))

@@ -65,6 +65,20 @@ def test_stateful_running_totals(spark, tmp_path):
     assert truth.count() > 0 and diff.count() == 0
 
 
+def test_foreach_batch_upsert_checkpoint_resume(spark, tmp_path):
+    src_dir = _prepare_stream_dir(spark, tmp_path)
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    se.run_stream_foreach_batch_upsert(spark, src_dir, target, ckpt)
+    n_events = spark.read.parquet(src_dir).count()
+    got = spark.read.parquet(target)
+    assert got.count() == n_events
+    # restart with the same checkpoint: no new source files ⇒ no new
+    # batches replayed, target unchanged (exactly-once effect)
+    se.run_stream_foreach_batch_upsert(spark, src_dir, target, ckpt)
+    assert spark.read.parquet(target).count() == n_events
+
+
 def test_stream_sessionized_agg_runs(spark, tmp_path):
     src_dir = _prepare_stream_dir(spark, tmp_path)
     result = se.run_stream_to_memory(
