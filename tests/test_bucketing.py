@@ -16,6 +16,20 @@ from data_integration_and_visualization_uc3m_spark.sources.readers import load_t
 SF = "/root/testdata/sf0.001"
 
 
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Warehouse layout rule: partition by the query-pruning key so
+    reads skip irrelevant files (K6 scale note). Proven from the plan:
+    the lang filter lands in PartitionFilters, not the row scan."""
+    docs = load_table(spark, SF, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+    pruned = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[:1500]
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert pruned.count() == n_en
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     suffix = uuid.uuid4().hex[:8]
     t_line, t_ord = f"b_lineitem_{suffix}", f"b_orders_{suffix}"

