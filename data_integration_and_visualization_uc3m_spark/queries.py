@@ -1641,6 +1641,134 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skyline_customers",
+    """
+    SELECT c_custkey, c_acctbal, n_orders
+    FROM (
+        SELECT c_custkey, c_acctbal, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_acctbal
+    ) a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM (
+            SELECT c_custkey, c_acctbal, COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_acctbal
+        ) b
+        WHERE b.c_acctbal >= a.c_acctbal AND b.n_orders >= a.n_orders
+          AND (b.c_acctbal > a.c_acctbal OR b.n_orders > a.n_orders)
+    )
+    """,
+    ops=["skyline", "preference-query"],
+)
+def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over (acctbal max, order count max):
+    customers not dominated on both wealth and activity. Engine side is
+    the two-phase operator (local pandas skyline → tiny global
+    anti-join, operators/skyline.py); the SQL oracle spells the O(n²)
+    NOT EXISTS definition."""
+    from .operators.skyline import skyline
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    base = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return skyline(base, [("c_acctbal", "max"), ("n_orders", "max")])
+
+
+@register(
+    "cleaning_corners",
+    """
+    WITH raw AS (
+        SELECT * FROM (VALUES
+            ('1.000.000'), ('1,000,000'), ('3.14'), (' 42 '), ('1.5e3'),
+            (':'), (' : '), ('n/a'), (''), ('-2,500,000'), ('8.1255')
+        ) AS t(v)
+    )
+    SELECT v,
+           TRY_CAST(CASE WHEN trim(v) = ':' THEN '0'
+                         WHEN regexp_matches(trim(v), '^-?\\d{1,3}([.,]\\d{3})+$')
+                           THEN regexp_replace(trim(v), '[.,]', '', 'g')
+                         ELSE v END AS DOUBLE) AS coerced,
+           CAST(ROUND(CAST(TRY_CAST(CASE WHEN trim(v) = ':' THEN '0'
+                         WHEN regexp_matches(trim(v), '^-?\\d{1,3}([.,]\\d{3})+$')
+                           THEN regexp_replace(trim(v), '[.,]', '', 'g')
+                         ELSE v END AS DOUBLE) AS DECIMAL(18,4)), 2) AS DOUBLE) AS rounded2
+    FROM raw
+    """,
+    ops=["C2", "C3", "C5", "§7.4"],
+)
+def cleaning_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURVEY §7.4 coercion corner set through the oracle gate:
+    thousands separators (report §3.1.1), ':' markers, whitespace,
+    exponent forms, garbage→NULL, and the HALF_UP .xx55 tie — all via
+    the cleaning operator chain."""
+    raw = spark.createDataFrame(
+        [
+            ("1.000.000",), ("1,000,000",), ("3.14",), (" 42 ",), ("1.5e3",),
+            (":",), (" : ",), ("n/a",), ("",), ("-2,500,000",), ("8.1255",),
+        ],
+        "v string",
+    )
+    coerced = cleaning.coerce_numeric(
+        cleaning.strip_thousands_separators(
+            cleaning.replace_missing_marker("v", ":", 0)
+        ),
+        "double",
+    )
+    return raw.select(
+        "v",
+        coerced.alias("coerced"),
+        cleaning.round_half_up(coerced.cast("decimal(18,4)"), 2)
+        .cast("double")
+        .alias("rounded2"),
+    )
+
+
+@register(
+    "doc_winnowing",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               CAST(z[2] AS INTEGER) AS pos,
+               CAST(z[1] AS VARCHAR) AS shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_zip(ngrams, range(1, len(ngrams) + 1))) AS z
+            FROM (
+                SELECT doc_id,
+                       [array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+                        FOR i IN range(0, greatest(len(toks) - 3, 0) + 1)] AS ngrams
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+            )
+        )
+        WHERE length(CAST(z[1] AS VARCHAR)) > 0
+    ), wm AS (
+        SELECT doc_id, pos,
+               MIN(md5(shingle)) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM sh
+    ), kept AS (
+        SELECT DISTINCT doc_id, wmin FROM wm WHERE pos >= 4
+    )
+    SELECT doc_id,
+           md5(string_agg(wmin, '|' ORDER BY wmin)) AS fingerprint,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+    """,
+    ops=["text-winnowing"],
+)
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003) — the positional
+    sliding-window min construction, oracle-checked end to end."""
+    d = _t(spark, sf_dir, "documents")
+    return text.winnowing_fingerprint(d, window=4, ngram=3)
+
+
+@register(
     "events_zscore_outliers",
     """
     WITH stats AS (

@@ -49,6 +49,21 @@ def test_salted_join_matches_plain(spark):
     assert plain == salted
 
 
+def test_skyline_two_phase_exact(spark):
+    from data_integration_and_visualization_uc3m_spark.operators.skyline import skyline
+
+    rows = [
+        (1, 10.0, 5), (2, 10.0, 5),   # tied pair — both survive
+        (3, 9.0, 6),                  # incomparable with (10,5) — survives
+        (4, 9.0, 5),                  # dominated by 3 (and by 1)
+        (5, 1.0, 1),                  # dominated by everyone
+        (6, 11.0, 1),                 # best acctbal — survives
+    ]
+    df = spark.createDataFrame(rows, "id long, bal double, n int").repartition(3)
+    got = sorted(r.id for r in skyline(df, [("bal", "max"), ("n", "max")]).collect())
+    assert got == [1, 2, 3, 6]
+
+
 def test_key_histogram_orders_heaviest_first(spark):
     got = skew.key_histogram(skewed_df(spark), ["k"], top_n=3).collect()
     assert got[0].k == "hot" and got[0].n_rows == 900
