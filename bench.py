@@ -36,16 +36,23 @@ HEADLINE = [
     "sessionize_events",
     "upsert_conflict_ignore",
 ]
-# Extended set (text/dedup/similarity) — included when registered.
+# Extended set (text/dedup/similarity/analytics) — included when registered.
 EXTENDED = [
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "simhash_signatures",
+    "doc_winnowing",
     "token_count_profile",
     "doc_quality_score",
     "lang_id_predict",
     "embedding_cosine_topk",
+    "embedding_lsh_buckets",
+    "label_centroids",
+    "events_zscore_outliers",
+    "interval_bucket_join",
+    "scd2_price_history",
+    "skyline_customers",
 ]
 
 

@@ -1641,6 +1641,91 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_norms",
+    """
+    SELECT vec_id, label, dim,
+           CAST(SUM(nano) AS DOUBLE) / 1000000000 AS sum_components,
+           CAST(MAX(nano) AS DOUBLE) / 1000000000 AS max_component
+    FROM (
+        SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000000) AS BIGINT) AS nano
+        FROM embeddings
+    )
+    GROUP BY vec_id, label, dim
+    """,
+    ops=["array-fold", "embedding-stats"],
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector component stats via array folds — stays entirely
+    map-side (no explode-shuffle: the fold runs inside the row).
+    Fixed-point quantization keeps sums oracle-exact (convention #7)."""
+    e = _t(spark, sf_dir, "embeddings")
+    nano = lambda x: F.floor(x.cast("double") * 1000000000).cast("long")
+    sum_nano = F.aggregate(
+        F.col("embedding"), F.lit(0).cast("long"), lambda acc, x: acc + nano(x)
+    )
+    max_nano = F.array_max(F.transform(F.col("embedding"), nano))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        (sum_nano.cast("double") / 1000000000).alias("sum_components"),
+        (max_nano.cast("double") / 1000000000).alias("max_component"),
+    )
+
+
+@register(
+    "fuzzy_name_matching",
+    """
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance
+    FROM (SELECT DISTINCT p_name FROM part) a
+    JOIN (SELECT DISTINCT p_name FROM part) b
+      ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    ops=["fuzzy-match", "J2-adjacent"],
+)
+def fuzzy_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching — the engine-side answer to the
+    reference's country-alias problem when the alias ISN'T in the
+    lookup table (etl:31-34 falls back to the raw string; fuzzy match
+    recovers typos).
+
+    Scale pattern: LENGTH-BAND BLOCKING. distance ≤ 3 implies
+    |len(a)−len(b)| ≤ 3, so each name is exploded to the bands covering
+    len±3 and candidates meet in an EQUI-join on the band (hash join —
+    verified: no nested-loop in the plan), with exact levenshtein as a
+    residual filter. The SQL oracle spells the quadratic definition;
+    results are identical because the length bound is exact, not a
+    heuristic."""
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_name").distinct().withColumn("ln", F.length("p_name"))
+    band = 4
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.sequence(
+                F.floor((F.col("ln") - 3) / band).cast("int"),
+                F.floor((F.col("ln") + 3) / band).cast("int"),
+            )
+        ).alias("block"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.floor(F.col("ln") / band).cast("int").alias("block"),
+    )
+    return (
+        a.join(b, on="block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_distance") <= 3)
+        .select("name_a", "name_b", "edit_distance")
+        .distinct()
+    )
+
+
+@register(
     "skyline_customers",
     """
     SELECT c_custkey, c_acctbal, n_orders

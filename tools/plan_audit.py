@@ -26,8 +26,10 @@ sys.path.insert(0, "/root/repo")
 # Queries with a DELIBERATE global window (documented single-partition
 # top-of-report slices — SURVEY §7.4.6).
 GLOBAL_WINDOW_OK = {"deterministic_slice", "viz_hover_points"}
-# The exact baseline intentionally compares all candidate pairs.
-HEAVY_OK: set[str] = set()
+# Queries whose nested-loop join is DELIBERATE over a provably-small
+# input: the skyline global phase runs a quadratic dominance check over
+# the per-partition survivors only (frontier-sized, ≤ tens of rows).
+HEAVY_OK: set[str] = {"skyline_customers"}
 
 
 def main() -> None:
