@@ -1,0 +1,45 @@
+"""Registry self-checks: every oracle parses in DuckDB and projects the
+same column names as the Spark side (the driver's compare hashes by
+column name — a rename typo fails the gate even with correct values)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from data_integration_and_visualization_uc3m_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def test_registry_nonempty_and_named():
+    assert len(REGISTRY) >= 50
+    assert all(q.name == name for name, q in REGISTRY.items())
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_oracle_columns_match_spark(name, spark, duck):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, SF)
+    if q.oracle is None:
+        assert sdf.columns  # rows-only entries still have a schema
+        return
+    res = duck.execute(q.oracle)
+    duck_cols = [d[0] for d in res.description]
+    assert sorted(sdf.columns) == sorted(duck_cols), (
+        f"{name}: spark={sorted(sdf.columns)} oracle={sorted(duck_cols)}"
+    )
