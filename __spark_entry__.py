@@ -11,9 +11,15 @@ package; this module is a thin adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# defensive: make the package importable even when the driver imports
+# this module by file path from a different working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_integration_and_visualization_uc3m_spark import queries as Q
 

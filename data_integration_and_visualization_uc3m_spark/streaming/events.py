@@ -114,6 +114,19 @@ def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once event dedup: drop duplicate event_ids
+    within the watermark horizon (``dropDuplicatesWithinWatermark`` —
+    state is bounded by the horizon, unlike plain dropDuplicates whose
+    state grows forever on a stream). The streaming twin of the batch
+    exact-dedup operator."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 def run_stream_foreach_batch_upsert(
     spark: SparkSession,
     source_dir: str,

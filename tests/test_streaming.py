@@ -65,6 +65,34 @@ def test_stateful_running_totals(spark, tmp_path):
     assert truth.count() > 0 and diff.count() == 0
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "dup_src")
+    base = load_table(spark, SF, "events").limit(200)
+    dupes = base.union(base)  # every event twice
+    dupes.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(se.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        se.dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT count(DISTINCT event_id) AS d, count(*) AS n FROM t_dedup").first()
+    assert got.d == got.n  # no duplicate ids delivered downstream
+    assert got.n == base.count()
+
+
 def test_foreach_batch_upsert_checkpoint_resume(spark, tmp_path):
     src_dir = _prepare_stream_dir(spark, tmp_path)
     target = str(tmp_path / "target")
