@@ -53,6 +53,7 @@ EXTENDED = [
     "interval_bucket_join",
     "scd2_price_history",
     "skyline_customers",
+    "dedup_clusters",
 ]
 
 

@@ -205,6 +205,64 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: connected components via
+    iterative min-label propagation (each node adopts the smallest label
+    among itself and its neighbors until fixpoint).
+
+    The driver loop runs O(component-diameter) rounds — for dedup
+    graphs (dense near-dup cliques) that's 1-3 rounds; the per-round
+    work is one join + one aggregation, fully distributed. This is the
+    standard large-scale construction (hash-to-min); the driver only
+    checks a one-row convergence count per round.
+
+    Output: (doc_id, cluster_id = min node id in the component), one
+    row per node that appears in any pair.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        # disjoint column names per step — labels derives from edges, so
+        # qualified self-join references would be ambiguous otherwise
+        nbr = edges.select(F.col("u").alias("nu"), F.col("v").alias("nv"))
+        lab_v = labels.select(F.col("u").alias("nv"), F.col("label").alias("vlabel"))
+        neighbor_min = (
+            nbr.join(lab_v, "nv")
+            .groupBy(F.col("nu").alias("u"))
+            .agg(F.min("vlabel").alias("nmin"))
+        )
+        merged = labels.join(neighbor_min, "u", "left").select(
+            "u",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        changed = (
+            merged.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        )
+        labels = merged.select("u", "label")
+        if not changed:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_survivors(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor selection: one representative per cluster (the min id),
+    plus every document not in any cluster. The final step of the
+    near-dup pipeline: pairs → components → keep-set."""
+    drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return docs.join(drop, on=id_col, how="left_anti")
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

@@ -1410,6 +1410,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    f"""
+    WITH {_SHINGLES_CTE}, sigs AS (
+        SELECT doc_id,
+               {_MH_MINS}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        {_MH_BANDS}
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), verified AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cands c
+        JOIN sh ta ON ta.doc_id = c.id_a
+        JOIN sh tb ON tb.doc_id = c.id_b AND tb.shingle = ta.shingle
+        GROUP BY c.id_a, c.id_b
+    ), pairs AS (
+        SELECT v.id_a, v.id_b FROM verified v
+        JOIN sizes sa ON sa.doc_id = v.id_a
+        JOIN sizes sb ON sb.doc_id = v.id_b
+        WHERE CAST(v.n_common AS DOUBLE) / (sa.set_size + sb.set_size - v.n_common) >= 0.5
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(u, label) AS (
+        SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY u
+    """.replace("WITH ", "WITH RECURSIVE ", 1),
+    ops=["dedup-clusters", "connected-components", "iterative"],
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: connected components over the MinHash-LSH
+    near-dup pair graph via iterative min-label propagation (the
+    driver-loop iterative-algorithm pattern; O(diameter) rounds, one
+    join+agg each). The SQL oracle uses a recursive CTE — identical
+    fixpoint. Completes the dedup pipeline: candidates → verified
+    pairs → components → survivor selection (dedup_survivors op)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    return dedup.connected_components(pairs)
+
+
+@register(
     "simhash_signatures",
     """
     WITH tok AS (

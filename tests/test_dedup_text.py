@@ -52,6 +52,24 @@ def test_simhash_identical_docs_equal_near_docs_close(spark):
     assert ham(got[1], got[4]) > ham(got[1], got[3])
 
 
+def test_connected_components_and_survivors(spark):
+    # chain a-b-c + isolated pair (d,e): two clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    all_docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11]], "doc_id long")
+    kept = sorted(
+        r.doc_id
+        for r in dedup.dedup_survivors(
+            all_docs, dedup.connected_components(pairs)
+        ).collect()
+    )
+    assert kept == [1, 4, 10]  # one survivor per cluster + untouched doc
+
+
 def test_ngram_set_shingles(spark):
     d = docs(spark, [(1, "a b c d")])
     got = sorted(r.shingle for r in dedup.ngram_set(d, n=3).collect())
