@@ -225,6 +225,11 @@ def connected_components(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
+        # materialize ONCE: the iteration re-reads edges every round and
+        # triggers an action per convergence check — without this, an
+        # expensive upstream pairs pipeline (e.g. the full MinHash-LSH
+        # chain) re-executes per round (measured 24 s vs 6 s at sf0.1)
+        .localCheckpoint()
     )
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_iter):
@@ -247,7 +252,10 @@ def connected_components(
         changed = (
             merged.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = merged.select("u", "label")
+        # checkpoint per round: truncates the iterative lineage (plan
+        # size otherwise doubles per round) and caches the small label
+        # table for the next round's join
+        labels = merged.select("u", "label").localCheckpoint()
         if not changed:
             break
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
