@@ -104,6 +104,132 @@ def lsh_bucket(
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-similarity pair generation with coarse blocking —
+    the embedding-space analogue of near-dup candidate generation.
+
+    Pairs are formed ONLY within a block (here the coarse-quantizer
+    cell / ``label``), turning the O(n²) all-pairs cross join into a
+    per-block self-join: one shuffle on the block key, quadratic only
+    in the cell size. At 100 TB the block key comes from an IVF coarse
+    quantizer (see :func:`ivf_topk`) so cells stay bounded; skewed
+    cells get salted sub-blocks.
+
+    Exact cosine (left-fold double dot product) is the residual filter,
+    so within a block results equal brute force — the blocking bound is
+    the only approximation, exactly like length-band fuzzy matching.
+    """
+    a = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("emb_a"),
+    )
+    b = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("emb_b"),
+    )
+    va, vb = F.col("emb_a"), F.col("emb_b")
+    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    return (
+        a.join(b, on="block")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("block", "vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+NANO = 1_000_000_000
+
+
+def label_centroids_nano(
+    df: DataFrame,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell centroid components in fixed-point (the IVF coarse
+    codebook). Components are quantized to nano units BEFORE the sum so
+    the cross-row aggregation is exact integer math (summation-order-
+    free ⇒ oracle-portable); the centroid itself is
+    ``sum_nano / cnt / 1e9`` evaluated identically on both engines.
+
+    One posexplode (row → dim rows) + one shuffle on (cell, dim); the
+    result is tiny (cells × dims) and broadcastable everywhere.
+    """
+    exploded = df.select(
+        F.col(block_col).alias("block"),
+        F.posexplode(vec_col).alias("dim", "comp"),
+    )
+    return exploded.groupBy("block", "dim").agg(
+        F.sum(F.floor(F.col("comp").cast("double") * NANO).cast("long")).alias(
+            "sum_nano"
+        ),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 15,
+    nprobe: int = 3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: rank coarse-quantizer cells by centroid distance
+    to the query, probe the ``nprobe`` nearest cells, exact cosine
+    top-k inside them.
+
+    This is the scale path for similarity search: the full corpus is
+    partitioned by cell (at rest: parquet partitioned by cell id), a
+    probe touches nprobe/cells of the data, and partition pruning skips
+    the rest at the scan. Everything is deterministic — centroid sums in
+    fixed point, distances in fixed point, ordered tiebreaks — so the
+    whole ANN pipeline is oracle-checkable (rare for ANN).
+    """
+    q = [float(x) for x in query_vec]
+    qarr = F.array(*[F.lit(x) for x in q])
+
+    cents = label_centroids_nano(df, block_col, vec_col)
+    comp = (F.col("sum_nano").cast("double") / F.col("cnt") / NANO)
+    qcomp = F.element_at(qarr, F.col("dim") + 1)
+    diff = qcomp - comp
+    dist = cents.select(
+        "block", (F.floor(diff * diff * NANO)).cast("long").alias("term_nano")
+    ).groupBy("block").agg(F.sum("term_nano").alias("dist_nano"))
+
+    from pyspark.sql import Window
+
+    probed = (
+        dist.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("dist_nano"), F.col("block"))
+            ),
+        )
+        .filter(F.col("rk") <= nprobe)
+        .select("block")
+    )
+
+    v = F.col(vec_col)
+    cos = _dot(v, qarr) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qarr, qarr)))
+    cand = df.join(
+        F.broadcast(probed), df[block_col] == F.col("block"), "left_semi"
+    )
+    return (
+        cand.select(F.col(id_col), F.col(block_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

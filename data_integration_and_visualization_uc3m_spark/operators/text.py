@@ -47,6 +47,39 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+# GPT-2-style pre-tokenizer regex, restricted to the syntax subset that
+# Java regex (Spark) and RE2 (DuckDB) treat identically: contractions,
+# letter runs, single digits, punctuation runs. No lookarounds, no \p
+# classes — those diverge between engines.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_tokenize(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Regex pre-tokenization (the split step that precedes BPE merges)
+    with per-document stats. A real BPE vocab isn't in this container;
+    the pre-tokenizer IS the part with distributed cost — pure map-side
+    JVM regex, no shuffle, no Python.
+
+    ``sum_token_chars`` is an exact integer fold over token lengths, so
+    the mean token length divides identical integers on both engines.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_SPLIT_PATTERN), 0)
+    sum_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe_tokens"),
+        sum_chars.alias("sum_token_chars"),
+        (sum_chars.cast("double") / F.size(toks)).alias("mean_token_len"),
+    )
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic document quality: length band, type-token ratio,
     English-stopword ratio — the standard cheap pre-filter trio.

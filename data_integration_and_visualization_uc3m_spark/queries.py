@@ -2262,6 +2262,474 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round 2 — relational breadth: outer joins, (not-)exists semantics,
+# disjunctive pushdown, conditional-agg ratios, having + join-back,
+# scalar-subquery thresholds. TPC-H Q4/Q12/Q13/Q14/Q18/Q19/Q22 shapes
+# adapted to the driver's narrower schemas.
+# =====================================================================
+
+
+@register(
+    "outer_join_order_counts",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    ops=["J-outer", "A3"],
+)
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with an extra join-side
+    predicate (the predicate must live IN the join condition, not a
+    post-filter — a post-filter would silently drop the zero-order
+    customers the outer join exists to keep), COUNT of the nullable
+    side, then a histogram of the counts. Two shuffles: join key, then
+    count key; the second aggregation input is one row per customer, so
+    it is tiny regardless of scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderstatus != "F"),
+            "left_outer",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "exists_late_shipments",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    ops=["J4-semi", "F5", "A3"],
+)
+def exists_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi conjunct
+    (shipped >90 days after order) → LEFT SEMI join whose condition
+    carries both the key equality and the correlated comparison. The
+    equality conjunct keeps it a hash semi-join (never nested-loop);
+    the date comparison rides along as a residual."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "not_exists_rich_inactive",
+    """
+    WITH threshold AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c, threshold t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+    ops=["J4-anti", "A3", "scalar-subquery"],
+)
+def not_exists_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (average positive
+    balance — exact decimal sum ÷ count, oracle convention #1) +
+    NOT EXISTS as a LEFT ANTI join, then per-nation aggregation. The
+    scalar lands in the plan as a 1-row broadcast (cross) join; the
+    anti join shuffles on the customer key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    rich = c.join(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    inactive = joins.anti_join(
+        rich, o.select(F.col("o_custkey").alias("c_custkey")), on=["c_custkey"]
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec2("c_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
+@register(
+    "disjunctive_pushdown_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    ops=["F7-disjunctive", "J1", "A3"],
+)
+def disjunctive_pushdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
+    derives the single-side implications (brand ∈ {...} onto the part
+    scan, quantity ∈ [1,30] onto the lineitem scan) so both parquet
+    scans still get PushedFilters despite the top-level OR; the full
+    disjunction evaluates post-join. Part is small → broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#14")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#21")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).filter(cond)
+    return joined.agg(
+        F.sum(_dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(100.0 AS DOUBLE)
+             * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ship_year
+    """,
+    ops=["A3-conditional", "J1", "C7"],
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio (promo revenue /
+    total revenue) per ship year. Both sums are exact decimals; the
+    ratio divides the surfaced doubles, identical on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "priority_lines_matrix",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_linestatus
+    """,
+    ops=["A3-conditional", "J1"],
+)
+def priority_lines_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: pivot-style conditional counts of order
+    priority classes per line status. One shuffle join (orders ⋈
+    lineitem on the order key — both large at scale, so sort-merge with
+    AQE), one 3-group aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "having_large_volume_orders",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+    ops=["A3", "F-having", "J1", "J4-semi"],
+)
+def having_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregation used as an IN
+    subquery (semi join), then join-back to orders + customer and
+    re-aggregate. The big-volume key set is tiny after HAVING, so the
+    semi join broadcasts it; the partial agg before HAVING is the only
+    full-lineitem shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec2("l_quantity")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(F.broadcast(big), "o_orderkey", "left_semi")
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"))
+    )
+
+
+@register(
+    "nation_value_share",
+    """
+    WITH nat AS (
+        SELECT s_nationkey,
+               SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS nat_value
+        FROM supplier GROUP BY s_nationkey
+    ), tot AS (
+        SELECT SUM(nat_value) AS total_value FROM nat
+    )
+    SELECT n.n_name,
+           CAST(nat.nat_value AS DOUBLE) AS nation_value,
+           CAST(nat.nat_value AS DOUBLE) / CAST(tot.total_value AS DOUBLE)
+             AS value_share
+    FROM nat CROSS JOIN tot
+    JOIN nation n ON n.n_nationkey = nat.s_nationkey
+    WHERE CAST(nat.nat_value AS DOUBLE)
+          > CAST(0.05 AS DOUBLE) * CAST(tot.total_value AS DOUBLE)
+    """,
+    ops=["A3", "scalar-subquery", "F-having"],
+)
+def nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value filtered against a fraction of
+    the GLOBAL total (scalar subquery). The global total re-aggregates
+    the per-nation decimal sums — exact, so the 5% threshold compares
+    identical doubles. Plan: one shuffle to nation grains, then the
+    1-row total broadcasts back over it."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nat = s.groupBy("s_nationkey").agg(F.sum(_dec2("s_acctbal")).alias("nat_value"))
+    tot = nat.agg(F.sum("nat_value").alias("total_value"))
+    return (
+        nat.join(F.broadcast(tot))
+        .filter(
+            F.col("nat_value").cast("double")
+            > F.lit(0.05).cast("double") * F.col("total_value").cast("double")
+        )
+        .join(F.broadcast(n), n.n_nationkey == F.col("s_nationkey"))
+        .select(
+            "n_name",
+            F.col("nat_value").cast("double").alias("nation_value"),
+            (
+                F.col("nat_value").cast("double")
+                / F.col("total_value").cast("double")
+            ).alias("value_share"),
+        )
+    )
+
+
+# =====================================================================
+# Round 2 — training-data extensions: embedding-space near-dup pairs,
+# IVF ANN, BPE pre-tokenization, multimodal frame sampling.
+# =====================================================================
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT * FROM (
+        SELECT a.label AS block, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+                                               s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+                                                 s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
+                 AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+    ops=["dedup-embedding", "similarity-blocked"],
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with coarse-quantizer
+    blocking (pairs only form inside a cell) — the embedding analogue
+    of MinHash candidate pairs. Within a block the result is exact,
+    and the left-fold dot products are bit-identical to the oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_blocked(e, block_col="label", threshold=0.3)
+
+
+@register(
+    "ivf_topk",
+    """
+    WITH q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), dims AS (
+        SELECT CAST(unnest(range(64)) AS INTEGER) AS dim
+    ), comp AS (
+        SELECT label, d.dim,
+               SUM(CAST(FLOOR(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000000000)
+                        AS BIGINT)) AS sum_nano,
+               COUNT(*) AS cnt
+        FROM embeddings, dims d
+        GROUP BY label, d.dim
+    ), diffs AS (
+        SELECT c.label,
+               CAST(q.qv[c.dim + 1] AS DOUBLE)
+                 - CAST(c.sum_nano AS DOUBLE) / c.cnt / 1000000000 AS diff
+        FROM comp c, q
+    ), cdist AS (
+        SELECT label,
+               SUM(CAST(FLOOR(diff * diff * 1000000000) AS BIGINT)) AS dist_nano
+        FROM diffs GROUP BY label
+    ), probe AS (
+        SELECT label FROM cdist ORDER BY dist_nano, label LIMIT 3
+    )
+    SELECT e.vec_id, e.label,
+           list_sum(list_transform(list_zip(e.embedding, q.qv),
+                                   s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+                                           s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(list_zip(q.qv, q.qv),
+                                             s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
+             AS cosine
+    FROM embeddings e JOIN probe USING (label), q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 15
+    """,
+    ops=["similarity-ivf"],
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: rank coarse cells by fixed-point centroid distance to
+    the query, probe the 3 nearest cells, exact cosine top-15 inside
+    them. Fully deterministic (nano-quantized centroid + distance sums)
+    so even the approximate index path is oracle-checked — the scale
+    story is partition-by-cell + partition pruning at the scan."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.ivf_topk(e, qv, k=15, nprobe=3)
+
+
+@register(
+    "bpe_token_estimate",
+    """
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_bpe_tokens,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+             AS sum_token_chars,
+           CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+                AS DOUBLE) / len(toks) AS mean_token_len
+    FROM (
+        SELECT doc_id,
+               regexp_extract_all(lower(text),
+                 '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]') AS toks
+        FROM documents
+    )
+    """,
+    ops=["text-bpe"],
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style regex pre-tokenization (the deterministic split step
+    before BPE merges) with per-doc token stats — pure map-side JVM
+    regex, no shuffle; the pattern sticks to the Java∩RE2 syntax subset
+    so both engines tokenize identically."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bpe_tokenize(d)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0,
+                greatest(CAST(octet_length(encode(text)) / 100 AS INTEGER) - 1, 0) + 1,
+                10)) AS INTEGER) AS frame_index
+    FROM documents
+    """,
+    ops=["multimodal-frames"],
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: each payload expands to its
+    sampled frame-index rows (every 10th frame; frame count is a
+    deterministic fake derived from payload size — the decode itself is
+    stubbed, see operators/multimodal.py). The explode keeps frame work
+    row-parallel instead of per-video."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d)
+    return multimodal.frame_sample_plan(media, every_n=10)
+
+
+# =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
 
