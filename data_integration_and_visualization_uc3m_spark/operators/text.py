@@ -76,7 +76,9 @@ def bpe_tokenize(
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_bpe_tokens"),
         sum_chars.alias("sum_token_chars"),
-        (sum_chars.cast("double") / F.size(toks)).alias("mean_token_len"),
+        # try_divide: token-less docs yield NULL, matching DuckDB's x/0
+        # (plain `/` throws under Spark 4 ANSI mode)
+        F.try_divide(sum_chars.cast("double"), F.size(toks)).alias("mean_token_len"),
     )
 
 
