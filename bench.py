@@ -54,6 +54,13 @@ EXTENDED = [
     "scd2_price_history",
     "skyline_customers",
     "dedup_clusters",
+    "dedup_embedding_cosine",
+    "ivf_topk",
+    "bpe_token_estimate",
+    "outer_join_order_counts",
+    "exists_late_shipments",
+    "priority_lines_matrix",
+    "having_large_volume_orders",
 ]
 
 

@@ -125,18 +125,30 @@ def cosine_pairs_blocked(
     so within a block results equal brute force — the blocking bound is
     the only approximation, exactly like length-band fuzzy matching.
     """
-    a = df.select(
+    # norms are per-VECTOR, so compute them once before the pair join —
+    # per-pair recomputation costs two extra 64-dim folds on every pair
+    # (measured ~2× wall time on the sf0.1 pair set). Same fold, same
+    # floats, so the oracle (which spells norms per pair) still matches.
+    v = F.col(vec_col)
+    with_n = df.select(
         F.col(block_col).alias("block"),
+        F.col(id_col),
+        v.alias("emb"),
+        F.sqrt(_dot(v, v)).alias("norm"),
+    )
+    a = with_n.select(
+        "block",
         F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("emb_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
     )
-    b = df.select(
-        F.col(block_col).alias("block"),
+    b = with_n.select(
+        "block",
         F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("emb_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
     )
-    va, vb = F.col("emb_a"), F.col("emb_b")
-    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         a.join(b, on="block")
         .filter(F.col("vec_a") < F.col("vec_b"))

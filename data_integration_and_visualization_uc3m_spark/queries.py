@@ -2528,18 +2528,23 @@ def having_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     l = _t(spark, sf_dir, "lineitem")
+    # the HAVING aggregate IS the output sum — carry it through the semi
+    # filter instead of re-joining lineitem and re-aggregating (saves a
+    # second full-lineitem shuffle join; o_orderkey is unique in orders
+    # so the final grain is already one row per qualifying order)
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum(_dec2("l_quantity")).alias("q"))
         .filter(F.col("q") > 300)
-        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("q").cast("double").alias("sum_qty"),
+        )
     )
     return (
-        o.join(F.broadcast(big), "o_orderkey", "left_semi")
+        o.join(F.broadcast(big), "o_orderkey")
         .join(c, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
     )
 
 
