@@ -2734,6 +2734,33 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(media, every_n=10)
 
 
+@register(
+    "events_sliding_windows",
+    """
+    WITH w AS (
+        SELECT make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000)
+                 AS win_start,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+    )
+    SELECT win_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM w GROUP BY win_start, event_type
+    """,
+    ops=["A3-sliding", "streaming-batch-parity"],
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15min windows per event type (each event lands in 4
+    overlapping windows) — batch twin of streaming.sliding_agg. The
+    oracle expands the window membership explicitly (k ∈ 0..3 hops on
+    the exact microsecond grid), which is precisely Spark's internal
+    Expand for sliding windows."""
+    e = _t(spark, sf_dir, "events")
+    from .streaming.events import sliding_agg
+
+    return sliding_agg(e)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================

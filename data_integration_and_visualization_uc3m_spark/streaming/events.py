@@ -114,6 +114,43 @@ def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     )
 
 
+def sliding_agg(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding (hopping) window per event_type — each event lands in
+    size/slide overlapping windows. Same unified-API shape as
+    hourly_agg; the batch twin is the oracle-checked
+    ``events_sliding_windows`` query."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", size, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str = "user_id", how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich each event with a (small) dimension.
+    The static side is broadcast — re-read per micro-batch, never
+    shuffled with the stream, and requires no state store at all
+    (unlike stream-stream joins). This is the streaming twin of the
+    reference's lookup-join (J2/J3) and the right plan for dimension
+    enrichment at any scale."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exactly-once event dedup: drop duplicate event_ids
     within the watermark horizon (``dropDuplicatesWithinWatermark`` —

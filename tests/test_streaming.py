@@ -107,6 +107,54 @@ def test_foreach_batch_upsert_checkpoint_resume(spark, tmp_path):
     assert spark.read.parquet(target).count() == n_events
 
 
+def test_stream_sliding_agg_matches_batch(spark, tmp_path):
+    src_dir = _prepare_stream_dir(spark, tmp_path)
+    stream_result = se.run_stream_to_memory(spark, src_dir, "t_sliding", agg=se.sliding_agg)
+    batch_result = se.sliding_agg(spark.read.parquet(src_dir))
+    a = sorted(map(tuple, stream_result.collect()))
+    b = sorted(map(tuple, batch_result.collect()))
+    assert a == b
+    assert len(a) > 0
+    # every event lands in exactly size/slide = 4 windows
+    n_events = spark.read.parquet(src_dir).count()
+    assert sum(r.n_events for r in batch_result.collect()) == 4 * n_events
+
+
+def test_stream_static_enrich_broadcast(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src_dir = _prepare_stream_dir(spark, tmp_path)
+    users = spark.read.parquet(src_dir).select("user_id").distinct()
+    # static dim covering half the users; left join keeps the rest
+    dim = users.filter(F.col("user_id") % 2 == 0).withColumn(
+        "segment", F.lit("even")
+    )
+    stream = (
+        spark.readStream.schema(se.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    q = (
+        se.enrich_stream(stream, dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_enrich")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_enrich")
+    assert got.count() == spark.read.parquet(src_dir).count()  # left join keeps all
+    assert got.filter(
+        (F.col("user_id") % 2 == 0) & F.col("segment").isNull()
+    ).count() == 0
+    assert got.filter(
+        (F.col("user_id") % 2 == 1) & F.col("segment").isNotNull()
+    ).count() == 0
+
+
 def test_stream_sessionized_agg_runs(spark, tmp_path):
     src_dir = _prepare_stream_dir(spark, tmp_path)
     result = se.run_stream_to_memory(
