@@ -2761,6 +2761,157 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_agg(e)
 
 
+@register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+    ops=["json-extract", "S1-adjacent"],
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload access post-ingest: pull a typed field
+    out of a JSON string column (the reference's nested-dict access,
+    etl:171-179, generalized). get_json_object is JVM-side path
+    evaluation — no Python, no full from_json schema needed for a
+    single field."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+           CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+    ops=["A3-grouping-sets"],
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube, which are also
+    covered): per-(region,nation), per-region, and grand total in one
+    pass, with GROUPING() markers disambiguating real NULLs from
+    subtotal rows. Spark executes this as a single Expand + one
+    aggregation — not three scans."""
+    for t in ("orders", "customer", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"gs_{t}")
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               CAST(GROUPING(r_name) AS INT) AS g_region,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM gs_orders
+        JOIN gs_customer ON o_custkey = c_custkey
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+@register(
+    "ntile_customer_quartiles",
+    """
+    SELECT c_nationkey, quartile,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+    FROM (
+        SELECT c_nationkey, c_acctbal,
+               NTILE(4) OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        FROM customer
+    )
+    GROUP BY c_nationkey, quartile
+    """,
+    ops=["§2.8", "window-ntile"],
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartiles per nation via NTILE — partitioned window
+    (shuffles on nation, never a global sort), deterministic under ties
+    via the custkey tiebreak. The bucketing-by-rank complement to the
+    value-range Bucketizer query."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select("c_nationkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_above_avg
+    FROM (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    )
+    WHERE CAST(price AS DOUBLE) > cust_avg
+    GROUP BY o_orderpriority
+    """,
+    ops=["§2.8", "scalar-subquery-correlated"],
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated per-row scalar (each order vs ITS customer's average
+    order value) decorrelated into a partitioned window — one shuffle on
+    the customer key instead of a per-row subquery. The average is an
+    exact decimal sum ÷ count so the comparison is engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    price = _dec2("o_totalprice")
+    cust_avg = F.sum(price).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return (
+        o.select(
+            "o_orderpriority",
+            price.alias("price"),
+            cust_avg.alias("cust_avg"),
+        )
+        .filter(F.col("price").cast("double") > F.col("cust_avg"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
