@@ -316,3 +316,59 @@ def simhash(
         ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return wide.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, band-blocked.
+
+    The scale path for SimHash (Manku et al., WWW 2007 "Detecting
+    near-duplicates for web crawling"): split the b-bit signature into
+    ``n_bands`` contiguous slices; if two signatures differ in at most
+    ``max_hamming`` < n_bands bits, the pigeonhole principle guarantees
+    at least one identical slice. So: explode each doc into its band
+    values, self-join on (band index, band value) — candidates are only
+    the docs sharing a slice bucket, never the O(n²) cross product —
+    then verify the exact distance with one XOR+popcount.
+
+    Band value = (simhash >> band*w) mod 2^w via integer div/mod —
+    portable to the SQL oracle (no engine-specific bit slicing).
+    Output: (id_a, id_b, hamming) with id_a < id_b, distinct.
+    """
+    assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
+    width = bits // n_bands
+    bands = F.array(
+        *[
+            ((F.col(sim_col) / F.lit(1 << (b * width))).cast("long") % (1 << width))
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col(sim_col), F.posexplode(bands).alias("band", "band_val")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,115 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100 TB corpus is never trained on wholesale: pipelines carve
+stratified, reproducible subsets (per-language quotas, per-source
+rates, fixed holdouts). The standard scale trick is HASH sampling —
+``keep iff h(key) mod M < rate·M`` — because it is:
+
+  * deterministic and seed-stable (re-runs select identical rows; no
+    RNG state on executors, unlike ``df.sample``),
+  * embarrassingly parallel (pure map-side predicate, no shuffle, no
+    coordination — survives any partitioning at any scale),
+  * consistent across tables (sampling users by ``h(user_id)`` keeps
+    ALL events of a kept user — join-closed subsets).
+
+Hash primitive: the first 8 hex chars of md5 as an unsigned 32-bit
+integer — portable bit-for-bit to the DuckDB oracle
+(``('0x'||substr(md5(x),1,8))::BIGINT`` ≡ Spark
+``conv(substring(md5(x),1,8),16,10)``), unlike xxhash64/rand.
+
+No counterpart exists in the reference (it ingests everything:
+crime_immigration_etl.py:88-150); this is a north-star extension per
+SURVEY §7 phase E.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^32 — the hash space of the first 8 md5 hex chars.
+HASH_SPACE = 1 << 32
+
+
+def hash_bucket(col: F.Column, seed: str = "s0") -> F.Column:
+    """Uniform deterministic bucket in [0, 2^32) from a key column.
+
+    Map-side only: md5 of ``seed || ':' || key``, first 8 hex chars,
+    base-16 → base-10. ``conv`` returns a decimal string; cast LONG.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(seed), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: str = "s0"
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by key hash.
+
+    Pure filter — Catalyst keeps it map-side and pushes surviving
+    predicates below it; no shuffle at any scale.
+    """
+    threshold = int(rate * HASH_SPACE)
+    return df.filter(hash_bucket(F.col(key_col), seed) < F.lit(threshold))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. language rebalancing: keep 25%
+    of English, 100% of low-resource languages).
+
+    The rate table is a CASE expression, not a join — strata counts are
+    small and known; the filter stays map-side.
+    """
+    expr = F.lit(int(default_rate * HASH_SPACE))
+    for stratum, rate in sorted(rates.items()):
+        expr = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(rate * HASH_SPACE)))
+            .otherwise(expr)
+        )
+    return df.filter(hash_bucket(F.col(key_col), seed) < expr)
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+    seed: str = "s0",
+) -> DataFrame:
+    """Exactly-N-per-group sampling (uniform without replacement,
+    deterministic): rank rows inside each group by their key hash and
+    keep the first N. Hash order is uniform ⇒ the quota is an unbiased
+    sample; the (hash, key) sort key is collision-proof ⇒ reproducible.
+
+    One shuffle on ``group_col``; with AQE, skewed groups split. This
+    is the distributed replacement for reservoir sampling — same
+    guarantee, no sequential state.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+def split_train_holdout(
+    df: DataFrame, key_col: str, holdout_rate: float = 0.1, seed: str = "split"
+) -> DataFrame:
+    """Tag each row train/holdout by key hash — the leakage-safe way to
+    hold out evaluation data (same key always lands on the same side,
+    across runs AND across tables sharing the key)."""
+    threshold = int(holdout_rate * HASH_SPACE)
+    side = F.when(
+        hash_bucket(F.col(key_col), seed) < F.lit(threshold), F.lit("holdout")
+    ).otherwise(F.lit("train"))
+    return df.withColumn("split", side)

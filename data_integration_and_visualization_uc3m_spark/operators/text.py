@@ -175,6 +175,69 @@ def bottom_k_fingerprint(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    share of the document occupied by its most frequent bigram, and the
+    fraction of duplicated trigrams. High values flag boilerplate /
+    machine-generated text for removal before training.
+
+    Shape: explode bigrams+trigrams once, two-level aggregation
+    (ngram-frequency then per-doc max/sum) — both shuffles keyed on
+    doc_id so AQE coalesces them; ratios are exact integer divisions.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+
+    def grams(k: int) -> F.Column:
+        # element_at is 1-based; guard docs with < k tokens (sequence()
+        # would go descending for start > stop).
+        seq = F.sequence(F.lit(1), n - (k - 1))
+        make = F.transform(
+            seq,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+        return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
+
+    big = (
+        df.select(F.col(id_col), F.explode(grams(2)).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.max("cnt").cast("long").alias("top_bigram_cnt"),
+        )
+    )
+    tri = (
+        df.select(F.col(id_col), F.explode(grams(3)).alias("tg"))
+        .groupBy(id_col, "tg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_trigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_unique_trigrams"),
+        )
+    )
+    return (
+        big.join(tri, id_col, "inner")
+        .select(
+            id_col,
+            "n_bigrams",
+            F.try_divide(
+                F.col("top_bigram_cnt").cast("double"), F.col("n_bigrams")
+            ).alias("top_bigram_share"),
+            F.try_divide(
+                (F.col("n_trigrams") - F.col("n_unique_trigrams")).cast("double"),
+                F.col("n_trigrams"),
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
 def winnowing_fingerprint(
     df: DataFrame,
     window: int = 4,

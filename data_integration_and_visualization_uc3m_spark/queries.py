@@ -44,11 +44,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import (
+    cdc,
     cleaning,
     dedup,
     filters,
     joins,
     multimodal,
+    sampling,
     similarity,
     slicing,
     text,
@@ -2910,6 +2912,274 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_above_avg"))
     )
+
+
+# =====================================================================
+# Deterministic sampling — training-data curation (SURVEY §7 phase E).
+# All four share the md5-prefix hash bucket, portable bit-for-bit:
+# Spark conv(substring(md5(k),1,8),16,10) ≡ DuckDB
+# ('0x'||substring(md5(k),1,8))::BIGINT.
+# =====================================================================
+
+# 0.25 * 2^32 — keep-threshold for a 25% hash sample.
+_Q4 = 1 << 30
+
+
+@register(
+    "hash_sample_docs",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x'||substring(md5('s0:'||CAST(doc_id AS VARCHAR)),1,8))
+               AS BIGINT) < {_Q4}
+    """,
+    ops=["sampling-hash"],
+)
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% hash sample of documents: a pure map-side
+    filter (no shuffle, no RNG state), seed-stable across re-runs —
+    the scale-correct replacement for df.sample in curation pipelines."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(d, "doc_id", 0.25).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "stratified_lang_sample",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE CAST(('0x'||substring(md5('s0:'||CAST(doc_id AS VARCHAR)),1,8))
+               AS BIGINT)
+          < CASE lang WHEN 'en' THEN {int(0.25 * (1 << 32))}
+                      WHEN 'de' THEN {int(0.5 * (1 << 32))}
+                      WHEN 'fr' THEN {int(0.5 * (1 << 32))}
+                      WHEN 'es' THEN {int(0.75 * (1 << 32))}
+                      WHEN 'zh' THEN {1 << 32}
+                      ELSE 0 END
+    GROUP BY lang
+    """,
+    ops=["sampling-stratified"],
+)
+def stratified_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: per-stratum hash rates (downsample the
+    dominant language, keep all of the low-resource ones) as one
+    map-side CASE filter — no join, no shuffle before the final agg."""
+    d = _t(spark, sf_dir, "documents")
+    kept = sampling.stratified_hash_sample(
+        d,
+        "doc_id",
+        "lang",
+        rates={"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.75, "zh": 1.0},
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
+@register(
+    "quota_sample_per_lang",
+    """
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x'||substring(
+                                md5('s0:'||CAST(doc_id AS VARCHAR)),1,8))
+                            AS BIGINT), doc_id
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= 20
+    """,
+    ops=["sampling-quota"],
+)
+def quota_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language uniform sample: rank by key hash inside
+    each stratum, keep the first 20 — the distributed, deterministic
+    replacement for reservoir sampling (one shuffle on the stratum)."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.quota_per_group(d, "lang", 20, "doc_id").select("doc_id", "lang")
+
+
+@register(
+    "train_holdout_split",
+    f"""
+    SELECT CASE WHEN CAST(('0x'||substring(
+                       md5('split:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+                     < {int(0.2 * (1 << 32))}
+                THEN 'holdout' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM documents
+    GROUP BY 1
+    """,
+    ops=["sampling-split"],
+)
+def train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout tagging by key hash (a key lands on
+    the same side across runs and across tables sharing the key),
+    summarized per side."""
+    d = _t(spark, sf_dir, "documents")
+    tagged = sampling.split_train_holdout(d, "doc_id", holdout_rate=0.2)
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+
+
+# =====================================================================
+# CDC / snapshot diff — the incremental-load primitive the reference's
+# rerun-everything ON CONFLICT path (etl:335-368) cannot provide at
+# scale.
+# =====================================================================
+
+
+@register(
+    "cdc_order_changes",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 < 8
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 >= 2
+    )
+    SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                     OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                THEN 'changed' ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n_keys,
+           CAST(SUM(COALESCE(old.o_orderkey, new.o_orderkey)) AS BIGINT)
+               AS key_checksum
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    GROUP BY 1
+    """,
+    ops=["cdc-snapshot-diff"],
+)
+def cdc_order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two simulated order extracts (yesterday =
+    keys %10<8, today = keys %10>=2 with every 7th price bumped):
+    full-outer join on the key comparing map-side row digests, then a
+    change_type census. At 100 TB this is the O(|delta|) alternative to
+    reprocessing the table."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 < 8)
+    new = o.filter(F.col("o_orderkey") % 10 >= 2).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = cdc.snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )
+
+
+# =====================================================================
+# Text repetition + SimHash near-dup pairs — Gopher-style quality
+# signals and the banded Hamming join (Manku WWW'07).
+# =====================================================================
+
+
+@register(
+    "doc_repetition_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM tok WHERE len(t) >= 2
+    ), tg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i + 1]
+                                          || ' ' || t[i + 2])) AS g
+        FROM tok WHERE len(t) >= 3
+    ), big AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               MAX(cnt) AS top_bigram_cnt
+        FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM bg GROUP BY doc_id, g)
+        GROUP BY doc_id
+    ), tri AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_trigrams
+        FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM tg GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT big.doc_id, n_bigrams,
+           CAST(top_bigram_cnt AS DOUBLE) / n_bigrams AS top_bigram_share,
+           CAST(n_trigrams - n_unique_trigrams AS DOUBLE) / n_trigrams
+               AS dup_trigram_frac
+    FROM big JOIN tri ON big.doc_id = tri.doc_id
+    """,
+    ops=["text-repetition"],
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (top-bigram share, duplicated-trigram
+    fraction) per document — boilerplate/machine-text detectors,
+    computed by one ngram explode + two-level aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(d)
+
+
+@register(
+    "simhash_near_pairs",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ) WHERE token != ''
+    ), bits AS (
+        SELECT doc_id, bit_pos,
+               SUM(CASE WHEN substr(md5(token), CAST(bit_pos AS INTEGER), 1)
+                             IN ('1','3','5','7','9','b','d','f')
+                        THEN 1 ELSE -1 END) AS s
+        FROM tok CROSS JOIN (SELECT unnest(range(1, 33)) AS bit_pos) b
+        GROUP BY doc_id, bit_pos
+    ), sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0
+                             THEN 1::BIGINT << CAST(bit_pos - 1 AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, simhash, band,
+               (simhash // (1::BIGINT << CAST(band * 8 AS INTEGER))) % 256
+                   AS band_val
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    ops=["dedup-simhash-pairs"],
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance ≤ 3 over 32-bit SimHash:
+    4-band pigeonhole blocking (≥1 identical 8-bit slice is guaranteed)
+    turns the O(n²) all-pairs scan into a bucket self-join, verified by
+    one XOR+popcount."""
+    d = _t(spark, sf_dir, "documents")
+    sig = dedup.simhash(d, bits=32)
+    pairs = dedup.simhash_hamming_pairs(sig, max_hamming=3, bits=32, n_bands=4)
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 # =====================================================================

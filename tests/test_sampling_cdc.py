@@ -1,0 +1,187 @@
+"""Unit tests for deterministic sampling, CDC snapshot-diff,
+repetition stats, and SimHash Hamming-pair blocking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_and_visualization_uc3m_spark.operators import cdc, dedup, sampling, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+class TestHashSample:
+    def test_deterministic_and_subset_monotone(self, spark):
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        a = {r.k for r in sampling.hash_sample(df, "k", 0.3).collect()}
+        b = {r.k for r in sampling.hash_sample(df, "k", 0.3).collect()}
+        assert a == b  # seed-stable re-run
+        wider = {r.k for r in sampling.hash_sample(df, "k", 0.6).collect()}
+        assert a <= wider  # raising the rate only ADDS keys
+        # rate is approximately honored on a uniform key space
+        assert 0.2 < len(a) / 1000 < 0.4
+
+    def test_rate_zero_and_one(self, spark):
+        df = spark.range(100).withColumnRenamed("id", "k")
+        assert sampling.hash_sample(df, "k", 0.0).count() == 0
+        assert sampling.hash_sample(df, "k", 1.0).count() == 100
+
+    def test_seed_changes_selection(self, spark):
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        a = {r.k for r in sampling.hash_sample(df, "k", 0.3, seed="s0").collect()}
+        b = {r.k for r in sampling.hash_sample(df, "k", 0.3, seed="s1").collect()}
+        assert a != b
+
+    def test_join_closed_across_tables(self, spark):
+        """Sampling two tables by the SAME key keeps matching rows."""
+        users = spark.range(200).withColumnRenamed("id", "uid")
+        events = users.select("uid", F.lit("e").alias("ev"))
+        ku = {r.uid for r in sampling.hash_sample(users, "uid", 0.5).collect()}
+        ke = {r.uid for r in sampling.hash_sample(events, "uid", 0.5).collect()}
+        assert ku == ke
+
+
+class TestStratifiedAndQuota:
+    def test_stratified_rates_per_group(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+            "k long, g string",
+        )
+        kept = sampling.stratified_hash_sample(
+            df, "k", "g", rates={"a": 1.0, "b": 0.0}
+        )
+        got = kept.groupBy("g").count().collect()
+        assert {r.g: r["count"] for r in got} == {"a": 200}
+
+    def test_default_rate_for_unlisted_stratum(self, spark):
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, g string")
+        kept = sampling.stratified_hash_sample(
+            df, "k", "g", rates={"x": 1.0}, default_rate=1.0
+        )
+        assert kept.count() == 2
+
+    def test_quota_exact_n_per_group(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"g{i % 3}") for i in range(90)], "k long, g string"
+        )
+        got = sampling.quota_per_group(df, "g", 5, "k")
+        counts = {r.g: r["count"] for r in got.groupBy("g").count().collect()}
+        assert counts == {"g0": 5, "g1": 5, "g2": 5}
+        again = sampling.quota_per_group(df, "g", 5, "k")
+        assert {tuple(r) for r in got.collect()} == {tuple(r) for r in again.collect()}
+
+    def test_quota_smaller_group_kept_whole(self, spark):
+        df = spark.createDataFrame([(1, "g"), (2, "g")], "k long, g string")
+        assert sampling.quota_per_group(df, "g", 10, "k").count() == 2
+
+    def test_split_partitions_every_row(self, spark):
+        df = spark.range(500).withColumnRenamed("id", "k")
+        tagged = sampling.split_train_holdout(df, "k", holdout_rate=0.2)
+        sides = {r.split: r["count"] for r in tagged.groupBy("split").count().collect()}
+        assert sum(sides.values()) == 500
+        assert 0.1 < sides.get("holdout", 0) / 500 < 0.3
+
+
+class TestSnapshotDiff:
+    def _snap(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v string, x double")
+
+    def test_all_four_change_types(self, spark):
+        old = self._snap(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
+        new = self._snap(spark, [(2, "b", 2.0), (3, "CHANGED", 3.0), (4, "d", 4.0)])
+        diff = cdc.snapshot_diff(old, new, keys=["k"], compare_cols=["v", "x"])
+        got = {r.k: r.change_type for r in diff.collect()}
+        assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    def test_null_vs_empty_not_conflated(self, spark):
+        """(None,) and ('',) must differ, and (a,None) vs (a,'') too —
+        the digest's null sentinel is doing real work here."""
+        old = self._snap(spark, [(1, None, 1.0)])
+        new = self._snap(spark, [(1, "", 1.0)])
+        diff = cdc.snapshot_diff(old, new, keys=["k"], compare_cols=["v", "x"])
+        assert diff.collect()[0].change_type == "changed"
+
+    def test_null_equals_null(self, spark):
+        old = self._snap(spark, [(1, None, 1.0)])
+        new = self._snap(spark, [(1, None, 1.0)])
+        diff = cdc.snapshot_diff(old, new, keys=["k"], compare_cols=["v", "x"])
+        assert diff.collect()[0].change_type == "unchanged"
+
+    def test_changes_only_drops_unchanged(self, spark):
+        old = self._snap(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+        new = self._snap(spark, [(1, "a", 1.0), (2, "B", 2.0)])
+        diff = cdc.snapshot_diff(old, new, keys=["k"], compare_cols=["v", "x"])
+        only = cdc.changes_only(diff)
+        assert [r.k for r in only.collect()] == [2]
+
+    def test_old_new_values_exposed(self, spark):
+        old = self._snap(spark, [(1, "a", 1.0)])
+        new = self._snap(spark, [(1, "z", 9.0)])
+        row = (
+            cdc.snapshot_diff(old, new, keys=["k"], compare_cols=["v", "x"])
+            .collect()[0]
+        )
+        assert (row.old_v, row.new_v, row.old_x, row.new_x) == ("a", "z", 1.0, 9.0)
+
+
+class TestRepetitionStats:
+    def test_fully_repeated_doc(self, spark):
+        df = _docs(spark, [(1, "en", "ab ab ab ab")])
+        row = text.repetition_stats(df).collect()[0]
+        # bigrams: "ab ab" ×3 → top share 1.0; trigrams "ab ab ab" ×2,
+        # 1 unique → dup frac (2-1)/2 = 0.5
+        assert row.n_bigrams == 3
+        assert row.top_bigram_share == pytest.approx(1.0)
+        assert row.dup_trigram_frac == pytest.approx(0.5)
+
+    def test_all_distinct_ngrams(self, spark):
+        df = _docs(spark, [(1, "en", "a b c d")])
+        row = text.repetition_stats(df).collect()[0]
+        assert row.top_bigram_share == pytest.approx(1.0 / 3.0)
+        assert row.dup_trigram_frac == pytest.approx(0.0)
+
+    def test_short_docs_dropped(self, spark):
+        # <3 tokens → no trigram row → inner join drops the doc
+        df = _docs(spark, [(1, "en", "one two"), (2, "en", "a b c")])
+        ids = {r.doc_id for r in text.repetition_stats(df).collect()}
+        assert ids == {2}
+
+
+class TestSimhashHammingPairs:
+    def _sig(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    def test_identical_signatures_pair_at_zero(self, spark):
+        sig = self._sig(spark, [(1, 0xABCD1234), (2, 0xABCD1234)])
+        got = dedup.simhash_hamming_pairs(sig, max_hamming=3).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 0)]
+
+    def test_within_radius_found_regardless_of_band(self, spark):
+        """Pigeonhole: ≤3 differing bits with 4 bands ⇒ always found,
+        even when the flipped bits straddle bands."""
+        base = 0x0F0F0F0F
+        # flip one bit in each of 3 DIFFERENT bands — still one clean band
+        other = base ^ (1 << 0) ^ (1 << 9) ^ (1 << 18)
+        sig = self._sig(spark, [(1, base), (2, other)])
+        got = dedup.simhash_hamming_pairs(sig, max_hamming=3).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 3)]
+
+    def test_beyond_radius_excluded(self, spark):
+        base = 0x0F0F0F0F
+        far = base ^ 0xF0  # 4 bits differ > max_hamming=3
+        sig = self._sig(spark, [(1, base), (2, far)])
+        assert dedup.simhash_hamming_pairs(sig, max_hamming=3).count() == 0
+
+    def test_pair_emitted_once_despite_multiple_shared_bands(self, spark):
+        # identical sigs share ALL 4 bands — distinct must collapse to 1 row
+        sig = self._sig(spark, [(1, 7), (2, 7), (3, 7)])
+        got = dedup.simhash_hamming_pairs(sig, max_hamming=3).collect()
+        assert sorted((r.id_a, r.id_b) for r in got) == [(1, 2), (1, 3), (2, 3)]
+
+    def test_guard_rejects_bad_band_config(self, spark):
+        sig = self._sig(spark, [(1, 0)])
+        with pytest.raises(AssertionError):
+            dedup.simhash_hamming_pairs(sig, max_hamming=4, n_bands=4)
