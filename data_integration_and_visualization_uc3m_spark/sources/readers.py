@@ -7,11 +7,25 @@ at 100 TB. The testdata catalog mirrors ``TESTDATA.md``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import TESTDATA, TESTDATA_TABLES
+
+# Small-scan re-spread bounds: a parquet file is splittable only at
+# row-group boundaries, so a small single-file table scans as ONE task
+# and serializes every downstream narrow op (explode, hash, filter)
+# onto one core — measured 3-4x on the shingle/minhash pipelines at
+# sf0.1 on local[32]. Repartitioning such scans costs one shuffle of
+# < _RESPREAD_MAX_BYTES (trivial by construction) and buys full map
+# parallelism. Above the cap, the scan already splits; below the floor
+# the table is a broadcast-bound dimension where an extra stage is pure
+# overhead. At production scale (files >> cores) this never triggers.
+_RESPREAD_MIN_BYTES = 256 * 1024
+_RESPREAD_MAX_BYTES = 64 * 1024 * 1024
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -24,9 +38,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond TimestampType, matching DuckDB's nanos→micros truncation.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(TESTDATA[name]).parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.schema(TESTDATA[name]).parquet(path)
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    try:
+        nbytes = os.path.getsize(path)
+    except OSError:  # non-local path (directory, object store) — already multi-file
+        nbytes = None
+    if nbytes is not None and _RESPREAD_MIN_BYTES < nbytes < _RESPREAD_MAX_BYTES:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
