@@ -3183,6 +3183,248 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# TPC-H breadth, part 3: Q7/Q8/Q10/Q15 shapes (adapted to the testdata
+# schema — no partsupp table, so supply-cost terms are out of scope).
+# =====================================================================
+
+
+@register(
+    "nation_pair_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    ops=["J1", "A3", "tpch-q7"],
+)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year. Six-table join where every dimension side broadcasts and the
+    nation filter prunes BEFORE the fact join (Catalyst pushes the
+    disjunction into the two broadcast nation sides); lineitem streams
+    through one stage, shuffling only for the 3-key final agg."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = _dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(o.select("o_orderkey", "o_custkey")), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            vol.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("volume").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(volume) AS DOUBLE) AS total_rev,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume END)
+                AS DOUBLE) AS nation_rev,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume END)
+                AS DOUBLE) / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               n1.n_name AS supp_nation,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    """,
+    ops=["J1", "A3", "tpch-q8"],
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of the European
+    customers' market by year. The share divides two decimal-exact
+    aggregates (cast to double AFTER summing) so both engines produce
+    the identical IEEE quotient; the conditional sum uses CASE-without-
+    ELSE (nulls are ignored by SUM) instead of a 0-literal whose type
+    would have to match the decimal volume."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = _dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))
+    base = (
+        l.join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(o.select("o_orderkey", "o_custkey", "o_orderdate")), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("supp_nation"),
+            vol.alias("volume"),
+        )
+    )
+    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")))
+    return base.groupBy("o_year").agg(
+        F.sum("volume").cast("double").alias("total_rev"),
+        nation_vol.cast("double").alias("nation_rev"),
+        (nation_vol.cast("double") / F.sum("volume").cast("double")).alias("mkt_share"),
+    )
+
+
+@register(
+    "returned_item_customers",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    ops=["J1", "A3", "§2.8", "tpch-q10"],
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    items in a half-year window. Revenue is decimal-exact before the
+    double cast, and the top-k order carries the c_custkey tiebreaker
+    (convention 4) so the LIMIT frontier is engine-identical."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = _dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        l.join(F.broadcast(o.select("o_orderkey", "o_custkey")), l.l_orderkey == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2))
+                           - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    ops=["J1", "A3", "scalar-subquery", "tpch-q15"],
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue. The scalar MAX subquery decorrelates into a 1-row broadcast
+    cross-join against the per-supplier revenue aggregate (computed
+    once, reused for both sides); equality on the decimal-exact double
+    is portable because both engines compare identical bit patterns."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = _dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))
+    rev = l.groupBy("l_suppkey").agg(F.sum(vol).cast("double").alias("total_revenue"))
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
 
