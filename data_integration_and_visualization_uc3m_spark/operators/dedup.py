@@ -96,6 +96,40 @@ def ngram_set(
     )
 
 
+def df_capped_sets(
+    sets_df: DataFrame,
+    max_df_frac: float = 0.01,
+    id_col: str = "doc_id",
+    item_col: str = "shingle",
+) -> DataFrame:
+    """Stop-shingle removal: drop items whose document frequency exceeds
+    ``max_df_frac`` of the corpus before any set-similarity self-join.
+
+    This is THE lever that keeps Jaccard/MinHash sub-quadratic at
+    100 TB: candidate volume is Σ df(item)², so one boilerplate shingle
+    shared by 1% of a billion documents alone yields 10^14 candidate
+    pairs. High-df items carry no near-dup signal (they don't
+    discriminate) — removing them changes Jaccard marginally and
+    collapses the join fan-out.
+
+    Shape: one aggregation on the item (already the self-join key, so
+    no extra shuffle pattern), a 1-row corpus count broadcast into the
+    threshold (lazy — no driver action, no extra scan job), and a
+    semi-join of the set relation against surviving items. The
+    threshold is floor(frac·N) — double multiply then floor, identical
+    in both engines, then an exact integer compare.
+    """
+    totals = sets_df.agg(F.count_distinct(F.col(id_col)).alias("_n_docs"))
+    item_df = (
+        sets_df.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("df") <= F.floor(F.lit(max_df_frac) * F.col("_n_docs")))
+        .select(item_col)
+    )
+    return sets_df.join(item_df, item_col, "left_semi")
+
+
 def jaccard_pairs(
     sets_df: DataFrame,
     id_col: str = "doc_id",

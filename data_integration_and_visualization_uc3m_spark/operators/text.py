@@ -238,6 +238,53 @@ def repetition_stats(
     )
 
 
+def top_terms_tfidf(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most characteristic terms per document by TF·IDF with a
+    LINEAR inverse document frequency (score = tf · N / df).
+
+    The linear idf ranks identically to the usual log form within a
+    document (log is monotone in N/df) but stays inside exactly-rounded
+    IEEE ops (multiply, divide) — ln() is correctly-rounded in neither
+    engine, so scores would drift in the last ulp across engines and
+    break value-hash comparison. Same two-aggregation shape as any
+    TF-IDF at scale: (doc, term) counts, term document frequencies, a
+    1-row corpus size broadcast, and a per-doc top-k window with the
+    term as tiebreaker.
+    """
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.col("_n").cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def winnowing_fingerprint(
     df: DataFrame,
     window: int = 4,

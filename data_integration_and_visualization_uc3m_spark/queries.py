@@ -50,6 +50,7 @@ from .operators import (
     filters,
     joins,
     multimodal,
+    packing,
     sampling,
     similarity,
     slicing,
@@ -3422,6 +3423,156 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ), tk AS (
+        SELECT doc_id, term FROM toks WHERE term <> ''
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM tk) GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS _n FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf AS DOUBLE) * CAST(_n AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+    """,
+    ops=["text-tfidf", "A3", "W2"],
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by TF·IDF (linear
+    idf — same ranking as log-idf, but exactly-rounded IEEE ops only,
+    so cross-engine bit-identical). Two shuffles on the term key plus a
+    per-doc top-k window; the 1-row corpus count is a broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    return text.top_terms_tfidf(d, k=3)
+
+
+@register(
+    "dedup_jaccard_df_capped",
+    f"""
+    WITH {_SHINGLES_CTE}, capped AS (
+        SELECT sh.doc_id, sh.shingle
+        FROM sh
+        JOIN (
+            SELECT shingle FROM sh
+            GROUP BY shingle
+            HAVING COUNT(*) <= floor(
+                0.02 * (SELECT COUNT(DISTINCT doc_id) FROM sh))
+        ) keep USING (shingle)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM capped a JOIN capped b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
+           CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
+    """,
+    ops=["dedup-jaccard", "dedup-df-cap"],
+)
+def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup pairs AFTER stop-shingle removal (drop shingles
+    in > 2% of docs). The df cap is what keeps the shingle self-join
+    sub-quadratic at 100 TB — candidate volume is Σ df(shingle)², so
+    removing boilerplate shingles collapses the fan-out while barely
+    moving Jaccard for true near-dups."""
+    d = _t(spark, sf_dir, "documents")
+    sets = dedup.ngram_set(d, n=3)
+    capped = dedup.df_capped_sets(sets, max_df_frac=0.02, item_col="shingle")
+    return dedup.jaccard_pairs(capped, item_col="shingle", threshold=0.5)
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, tokens,
+           CAST(SUM(tokens) OVER w - tokens AS BIGINT) AS seq_offset,
+           CAST(SUM(tokens) OVER w - tokens AS BIGINT) // 2048 AS seq_no
+    FROM t
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+    """,
+    ops=["pack-contiguous", "W1"],
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign each document to a
+    fixed 2048-token-budget sequence within its language shard via
+    contiguous start-offset packing (cumsum div budget) — one window
+    per shard, no sequential state, no driver loop."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("tokens"),
+    )
+    return packing.pack_contiguous(
+        toks, budget=2048, tokens_col="tokens", shard_col="lang"
+    ).select("doc_id", "lang", "tokens", "seq_offset", "seq_no")
+
+
+@register(
+    "pack_stats_per_lang",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens
+        FROM documents
+    ), packed AS (
+        SELECT lang, tokens,
+               CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                    - tokens AS BIGINT) // 2048 AS seq_no
+        FROM t
+    )
+    SELECT lang,
+           CAST(MAX(seq_no) + 1 AS BIGINT) AS n_sequences,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM packed
+    GROUP BY lang
+    """,
+    ops=["pack-contiguous", "A3"],
+)
+def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing summary (sequences, tokens, docs) over the
+    contiguous packer — the fill-ratio report a pipeline emits before
+    shipping a packed dataset to training."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("tokens"),
+    )
+    packed = packing.pack_contiguous(
+        toks, budget=2048, tokens_col="tokens", shard_col="lang"
+    )
+    return packing.packing_stats(packed, tokens_col="tokens", shard_col="lang")
 
 
 # =====================================================================

@@ -1,0 +1,124 @@
+"""Unit tests for sequence packing, stop-shingle df-capping, and
+TF-IDF top-terms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_and_visualization_uc3m_spark.operators import dedup, packing, text
+
+
+class TestPackContiguous:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, shard string, tokens long")
+
+    def test_bins_fill_in_order(self, spark):
+        df = self._docs(
+            spark,
+            [(1, "en", 600), (2, "en", 600), (3, "en", 600), (4, "en", 600)],
+        )
+        got = {
+            r.doc_id: (r.seq_offset, r.seq_no)
+            for r in packing.pack_contiguous(
+                df, budget=1000, tokens_col="tokens", shard_col="shard"
+            ).collect()
+        }
+        # start offsets 0,600,1200,1800 → bins 0,0,1,1
+        assert got == {1: (0, 0), 2: (600, 0), 3: (1200, 1), 4: (1800, 1)}
+
+    def test_shards_pack_independently(self, spark):
+        df = self._docs(spark, [(1, "en", 900), (2, "fr", 900), (3, "fr", 900)])
+        got = {
+            r.doc_id: r.seq_no
+            for r in packing.pack_contiguous(
+                df, budget=1000, tokens_col="tokens", shard_col="shard"
+            ).collect()
+        }
+        # fr restarts at offset 0: doc 3 starts at 900 → still bin 0
+        assert got == {1: 0, 2: 0, 3: 0}
+
+    def test_oversized_doc_owns_start_bin(self, spark):
+        df = self._docs(spark, [(1, "en", 5000), (2, "en", 10)])
+        got = {
+            r.doc_id: (r.seq_offset, r.seq_no)
+            for r in packing.pack_contiguous(
+                df, budget=1000, tokens_col="tokens", shard_col="shard"
+            ).collect()
+        }
+        assert got == {1: (0, 0), 2: (5000, 5)}
+
+    def test_stats_roll_up(self, spark):
+        df = self._docs(spark, [(1, "en", 600), (2, "en", 600), (3, "fr", 10)])
+        packed = packing.pack_contiguous(
+            df, budget=1000, tokens_col="tokens", shard_col="shard"
+        )
+        got = {
+            r.shard: (r.n_sequences, r.total_tokens, r.n_docs)
+            for r in packing.packing_stats(
+                packed, tokens_col="tokens", shard_col="shard"
+            ).collect()
+        }
+        assert got == {"en": (1, 1200, 2), "fr": (1, 10, 1)}
+
+
+class TestDfCappedSets:
+    def test_drops_only_high_df_items(self, spark):
+        # 'common' appears in all 4 docs (df=4 > floor(0.5*4)=2);
+        # 'rare' in 1 doc; 'mid' in 2 docs (df=2 ≤ 2 → kept).
+        rows = [
+            (1, "common"), (2, "common"), (3, "common"), (4, "common"),
+            (1, "rare"),
+            (2, "mid"), (3, "mid"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, shingle string")
+        kept = {
+            (r.doc_id, r.shingle)
+            for r in dedup.df_capped_sets(
+                df, max_df_frac=0.5, item_col="shingle"
+            ).collect()
+        }
+        assert kept == {(1, "rare"), (2, "mid"), (3, "mid")}
+
+    def test_capped_jaccard_ignores_boilerplate(self, spark):
+        # Docs 1/2 share only the boilerplate shingle; 3/4 share a real one.
+        rows = [
+            (1, "boiler"), (2, "boiler"), (3, "boiler"), (4, "boiler"),
+            (1, "alpha"), (2, "beta"),
+            (3, "gamma"), (4, "gamma"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, shingle string")
+        capped = dedup.df_capped_sets(df, max_df_frac=0.6, item_col="shingle")
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in dedup.jaccard_pairs(
+                capped, item_col="shingle", threshold=0.5
+            ).collect()
+        }
+        assert pairs == {(3, 4)}
+
+
+class TestTopTermsTfidf:
+    def test_rare_term_outranks_common(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "shared shared unique"),
+                (2, "shared filler"),
+                (3, "shared filler"),
+            ],
+            "doc_id long, text string",
+        )
+        top1 = {
+            r.doc_id: r.term
+            for r in text.top_terms_tfidf(df, k=1).collect()
+        }
+        # doc 1: unique has df=1 → score 1*3/1=3 beats shared 2*3/3=2
+        assert top1[1] == "unique"
+        # docs 2/3: filler (df=2, score 1.5) beats shared (df=3, score 1.0)
+        assert top1[2] == "filler"
+
+    def test_k_and_tiebreak(self, spark):
+        df = spark.createDataFrame([(1, "b a")], "doc_id long, text string")
+        rows = text.top_terms_tfidf(df, k=2).orderBy("rk").collect()
+        # equal scores → lexicographic term tiebreak
+        assert [(r.term, r.rk) for r in rows] == [("a", 1), ("b", 2)]
