@@ -130,6 +130,44 @@ def df_capped_sets(
     return sets_df.join(item_df, item_col, "left_semi")
 
 
+def contaminated_docs(
+    corpus_sets: DataFrame,
+    benchmark_sets: DataFrame,
+    id_col: str = "doc_id",
+    item_col: str = "shingle",
+) -> DataFrame:
+    """Benchmark decontamination report: corpus documents sharing at
+    least one shingle with a held-out benchmark/eval set, with the
+    number of overlapping shingles.
+
+    The standard training-data hygiene step (the reference has no
+    analogue; public precedent: GPT-3/Gopher n-gram decontamination).
+    Shape at 100 TB: the benchmark shingle set is small (evals are
+    thousands of docs, not billions) — distinct-project it and the
+    semi-join broadcasts; the corpus is never self-joined, so cost is
+    one scan + one map-side membership probe + one groupBy(id).
+    """
+    bench_items = benchmark_sets.select(item_col).distinct()
+    return (
+        corpus_sets.join(F.broadcast(bench_items), item_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
+def decontaminate(
+    corpus_df: DataFrame,
+    corpus_sets: DataFrame,
+    benchmark_sets: DataFrame,
+    id_col: str = "doc_id",
+    item_col: str = "shingle",
+) -> DataFrame:
+    """Corpus rows surviving decontamination (anti-join against the
+    contaminated-id set)."""
+    hits = contaminated_docs(corpus_sets, benchmark_sets, id_col, item_col)
+    return corpus_df.join(hits.select(id_col), id_col, "left_anti")
+
+
 def jaccard_pairs(
     sets_df: DataFrame,
     id_col: str = "doc_id",

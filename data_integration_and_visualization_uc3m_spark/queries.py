@@ -3575,6 +3575,376 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.packing_stats(packed, tokens_col="tokens", shard_col="lang")
 
 
+@register(
+    "decontaminate_docs",
+    f"""
+    WITH {_SHINGLES_CTE}, src AS (
+        SELECT doc_id, source FROM documents
+    ), bench AS (
+        SELECT DISTINCT shingle
+        FROM sh JOIN src USING (doc_id) WHERE source = 'src0'
+    ), corpus AS (
+        SELECT sh.doc_id, sh.shingle
+        FROM sh JOIN src USING (doc_id) WHERE source <> 'src0'
+    )
+    SELECT doc_id, COUNT(*) AS n_contaminated
+    FROM corpus JOIN bench USING (shingle)
+    GROUP BY doc_id
+    """,
+    ops=["decontam", "J-semi", "A3"],
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (source≠src0) sharing any
+    word-3-gram with the held-out benchmark slice (source=src0), with
+    overlap counts. The benchmark shingle set broadcasts (evals are
+    tiny next to a 100 TB corpus), so this is one corpus scan, no
+    self-join."""
+    d = _t(spark, sf_dir, "documents")
+    bench = dedup.ngram_set(d.filter(F.col("source") == "src0"), n=3)
+    corpus = dedup.ngram_set(d.filter(F.col("source") != "src0"), n=3)
+    return dedup.contaminated_docs(corpus, bench, item_col="shingle")
+
+
+@register(
+    "min_cost_supplier_per_part",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DOUBLE) AS supply_value
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+        SELECT l_partkey, l_suppkey, supply_value,
+               MIN(supply_value) OVER (PARTITION BY l_partkey) AS min_value
+        FROM cost
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name, supply_value
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE supply_value = min_value AND p_size <= 5
+    """,
+    ops=["tpch-q2", "W2", "J1"],
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest supplier(s) for each small part —
+    the correlated MIN subquery decorrelated into a per-part window
+    min (one shuffle on partkey, no second scan), then dimension joins
+    broadcast. Equality on decimal-exact doubles is portable."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = _t(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = _dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(vol).cast("double").alias("supply_value")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.withColumn("min_value", F.min("supply_value").over(w))
+        .filter(F.col("supply_value") == F.col("min_value"))
+        .join(F.broadcast(p.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "supply_value")
+    )
+
+
+@register(
+    "nation_year_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%green%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    ops=["tpch-q9", "J1", "A3", "F-like"],
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: revenue on 'green' parts by supplier nation and
+    order year. The part LIKE-filter semi-reduces lineitem via a
+    broadcast hash join BEFORE the orders join (biggest table joins
+    last against the already-filtered fact)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = _dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(vol).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "important_parts_share",
+    """
+    WITH val AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DOUBLE) AS part_value
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DOUBLE) AS total_value
+        FROM lineitem
+    )
+    SELECT l_partkey, part_value, part_value / total_value AS value_share
+    FROM val CROSS JOIN tot
+    WHERE part_value > 0.001 * total_value
+    """,
+    ops=["tpch-q11", "A3", "scalar-subquery"],
+)
+def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds 0.1% of total.
+    The scalar total decorrelates into a 1-row broadcast; both the
+    per-part and global sums are decimal-exact so the share divides
+    identical doubles in both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = _dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))
+    val = l.groupBy("l_partkey").agg(F.sum(vol).cast("double").alias("part_value"))
+    tot = l.agg(F.sum(vol).cast("double").alias("total_value"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
+        .select(
+            "l_partkey",
+            "part_value",
+            (F.col("part_value") / F.col("total_value")).alias("value_share"),
+        )
+    )
+
+
+@register(
+    "customer_order_count_histogram",
+    """
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    ops=["tpch-q13", "J-outer", "A3"],
+)
+def customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of non-urgent order counts per
+    customer, zero-order customers included via the outer join. Double
+    aggregation: the first shuffles on custkey, the second on the
+    (tiny-cardinality) count value — the classic histogram-of-counts
+    plan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.select("c_custkey")
+        .join(o.select("o_custkey", "o_orderkey"), c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "parts_supplier_breadth",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    ops=["tpch-q16", "A-distinct", "J-anti", "F-like"],
+)
+def parts_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    (brand, type, size), excluding negative-balance suppliers. The NOT
+    IN subquery becomes a broadcast left-anti join (null-safe here:
+    s_suppkey is a key, never null); distinct-count shuffles once on
+    the group key."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (~F.col("p_type").like("PROMO%"))
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            l.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "suppliers_kept_orders_waiting",
+    """
+    WITH ll AS (
+        SELECT l_orderkey, l_suppkey,
+               CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS BOOLEAN) AS is_late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM ll WHERE is_late) late
+    JOIN supplier ON s_suppkey = late.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM ll o2
+        WHERE o2.l_orderkey = late.l_orderkey AND o2.l_suppkey <> late.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM ll o3
+        WHERE o3.l_orderkey = late.l_orderkey AND o3.l_suppkey <> late.l_suppkey
+          AND o3.is_late
+    )
+    GROUP BY s_name
+    """,
+    ops=["tpch-q21", "J-semi", "J-anti", "A3"],
+)
+def suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order ("late" = shipped >90 days after the
+    order date — the testdata has no receipt/commit dates). EXISTS →
+    left-semi, NOT EXISTS → left-anti, both on the orderkey after a
+    distinct projection, so the per-order supplier relation shuffles
+    once and is reused three times."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ll = l.join(
+        o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+            "is_late"
+        ),
+    )
+    per = ll.select("l_orderkey", "l_suppkey", "is_late").distinct()
+    late = (
+        ll.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = per.select(
+        F.col("l_orderkey").alias("o_orderkey2"),
+        F.col("l_suppkey").alias("o_suppkey2"),
+        "is_late",
+    )
+    with_other = late.join(
+        others,
+        (late.l_orderkey == F.col("o_orderkey2"))
+        & (late.l_suppkey != F.col("o_suppkey2")),
+        "left_semi",
+    )
+    no_other_late = with_other.join(
+        others.filter(F.col("is_late")),
+        (with_other.l_orderkey == F.col("o_orderkey2"))
+        & (with_other.l_suppkey != F.col("o_suppkey2")),
+        "left_anti",
+    )
+    return (
+        no_other_late.join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            no_other_late.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    """
+    WITH blue AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
+    ), per AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_qty
+        FROM lineitem JOIN blue ON p_partkey = l_partkey
+        GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_qty
+        FROM lineitem JOIN blue ON p_partkey = l_partkey
+        GROUP BY l_partkey
+    ), flagged AS (
+        SELECT DISTINCT per.l_suppkey
+        FROM per JOIN tot USING (l_partkey)
+        WHERE supp_qty > 0.5 * part_qty
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN flagged ON s_suppkey = l_suppkey
+    """,
+    ops=["tpch-q20", "J-semi", "A3", "scalar-subquery"],
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half of some
+    blue part's total quantity (partsupp availability re-based on
+    lineitem). Both quantity sums are decimal-exact BEFORE the double
+    comparison — a window-sum of doubles here would be summation-order
+    nondeterministic. The flagged-supplier set semi-joins supplier."""
+    l = _t(spark, sf_dir, "lineitem")
+    blue = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    lb = l.join(F.broadcast(blue), l.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    per = lb.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec2("l_quantity")).cast("double").alias("supp_qty")
+    )
+    tot = lb.groupBy("l_partkey").agg(
+        F.sum(_dec2("l_quantity")).cast("double").alias("part_qty")
+    )
+    flagged = (
+        per.join(tot, "l_partkey")
+        .filter(F.col("supp_qty") > F.lit(0.5) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        F.broadcast(flagged), s.s_suppkey == flagged.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================

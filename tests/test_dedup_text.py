@@ -113,3 +113,21 @@ def test_winnowing_shares_fingerprints_on_overlap(spark):
     assert got[1] != got[3]
     kept = text.winnowing_fingerprint(d, window=4).select("doc_id", "n_kept").collect()
     assert all(r.n_kept >= 1 for r in kept)
+
+
+def test_decontamination_flags_overlapping_docs(spark):
+    bench = docs(spark, [(100, "secret eval question answer")])
+    corpus = docs(
+        spark,
+        [
+            (1, "prefix secret eval question answer suffix"),  # contains bench 3-grams
+            (2, "totally unrelated corpus document text"),
+        ],
+    )
+    bsets = dedup.ngram_set(bench, n=3)
+    csets = dedup.ngram_set(corpus, n=3)
+    hits = {r.doc_id: r.n_contaminated for r in dedup.contaminated_docs(csets, bsets).collect()}
+    assert 1 in hits and hits[1] >= 2
+    assert 2 not in hits
+    clean = dedup.decontaminate(corpus, csets, bsets)
+    assert [r.doc_id for r in clean.collect()] == [2]
