@@ -68,6 +68,22 @@ EXTENDED = [
     "cdc_order_changes",
     "doc_repetition_stats",
     "simhash_near_pairs",
+    "nation_pair_volume",
+    "nation_market_share",
+    "returned_item_customers",
+    "top_revenue_supplier",
+    "min_cost_supplier_per_part",
+    "nation_year_profit",
+    "important_parts_share",
+    "customer_order_count_histogram",
+    "parts_supplier_breadth",
+    "dominant_part_suppliers",
+    "suppliers_kept_orders_waiting",
+    "tfidf_top_terms",
+    "dedup_jaccard_df_capped",
+    "pack_sequences",
+    "pack_stats_per_lang",
+    "decontaminate_docs",
 ]
 
 

@@ -64,3 +64,34 @@ def packing_stats(
         F.sum(tokens_col).cast("long").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+def pack_payloads(
+    packed: DataFrame,
+    text_col: str,
+    shard_col: str,
+    order_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Materialize the packed sequences: concatenate each sequence's
+    documents in deterministic ``order_col`` order.
+
+    ``collect_list`` order is partition-dependent, so the documents are
+    collected as (order, text) structs and ``array_sort``-ed before the
+    join — the portable way to get an ordered string_agg in Spark. One
+    shuffle on (shard, seq_no); sequences are budget-bounded (~one
+    context window), so groups are small and skew-free by construction.
+    """
+    docs = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t")))
+    )
+    return (
+        packed.groupBy(shard_col, "seq_no")
+        .agg(docs.alias("docs"))
+        .select(
+            shard_col,
+            "seq_no",
+            F.concat_ws(sep, F.transform("docs", lambda d: d["t"])).alias("payload"),
+            F.size("docs").alias("n_docs"),
+        )
+    )

@@ -3576,6 +3576,45 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_payloads_per_seq",
+    """
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, lang, text,
+               CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                    - tokens AS BIGINT) // 2048 AS seq_no
+        FROM t
+    )
+    SELECT lang, seq_no,
+           string_agg(text, ' ' ORDER BY doc_id) AS payload,
+           CAST(COUNT(*) AS INTEGER) AS n_docs
+    FROM packed
+    GROUP BY lang, seq_no
+    """,
+    ops=["pack-payload", "A-ordered"],
+)
+def pack_payloads_per_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training sequences: each (lang, seq_no)
+    bin's documents concatenated in doc_id order — Spark's ordered
+    string_agg via array_sort(collect_list(struct)). One shuffle on
+    the (shard, seq_no) key; groups are context-window-sized."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("tokens"),
+    )
+    packed = packing.pack_contiguous(
+        toks, budget=2048, tokens_col="tokens", shard_col="lang"
+    )
+    return packing.pack_payloads(packed, text_col="text", shard_col="lang")
+
+
+@register(
     "decontaminate_docs",
     f"""
     WITH {_SHINGLES_CTE}, src AS (

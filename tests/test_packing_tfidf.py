@@ -122,3 +122,26 @@ class TestTopTermsTfidf:
         rows = text.top_terms_tfidf(df, k=2).orderBy("rk").collect()
         # equal scores → lexicographic term tiebreak
         assert [(r.term, r.rk) for r in rows] == [("a", 1), ("b", 2)]
+
+
+class TestPackPayloads:
+    def test_payload_concat_in_doc_order(self, spark):
+        df = spark.createDataFrame(
+            [
+                (2, "en", "world", 600),
+                (1, "en", "hello", 600),
+                (3, "en", "again", 600),
+            ],
+            "doc_id long, shard string, text string, tokens long",
+        )
+        packed = packing.pack_contiguous(
+            df, budget=1000, tokens_col="tokens", shard_col="shard"
+        )
+        rows = {
+            (r.shard, r.seq_no): (r.payload, r.n_docs)
+            for r in packing.pack_payloads(
+                packed, text_col="text", shard_col="shard"
+            ).collect()
+        }
+        # docs 1,2 (offsets 0,600) → seq 0; doc 3 (offset 1200) → seq 1
+        assert rows == {("en", 0): ("hello world", 2), ("en", 1): ("again", 1)}

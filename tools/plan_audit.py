@@ -34,7 +34,13 @@ HEAVY_OK: set[str] = {"skyline_customers"}
 # broadcast (global threshold / global total joined onto every row) —
 # a nested loop over a single broadcast row is the correct physical
 # plan there, not an explosion.
-SCALAR_OK: set[str] = {"not_exists_rich_inactive", "nation_value_share"}
+SCALAR_OK: set[str] = {
+    "not_exists_rich_inactive",
+    "nation_value_share",
+    "tfidf_top_terms",          # 1-row corpus count broadcast
+    "dedup_jaccard_df_capped",  # 1-row corpus count broadcast (df threshold)
+    "important_parts_share",    # 1-row global total broadcast
+}
 
 
 def main() -> None:
