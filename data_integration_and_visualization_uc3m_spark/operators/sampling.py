@@ -113,3 +113,30 @@ def split_train_holdout(
         hash_bucket(F.col(key_col), seed) < F.lit(threshold), F.lit("holdout")
     ).otherwise(F.lit("train"))
     return df.withColumn("split", side)
+
+
+def training_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "s0",
+    shards: int = 64,
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization.
+
+    Global row order = lexicographic ``(shard, shuffle_rank)``. A
+    single global sort would serialize into one partition; instead the
+    hash key is split into a shard (its low bits mod ``shards``) and a
+    within-shard rank over the full md5 — each shard sorts locally
+    after one hash shuffle, and a training job reads shard files in
+    order. Seed-stable: same seed ⇒ identical order on any cluster
+    layout; a new seed is a fresh permutation.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
+    out = df.withColumn("_h", h).withColumn(
+        "shard", (hash_bucket(F.col(key_col), seed) % shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(key_col))
+    return (
+        out.withColumn("shuffle_rank", F.row_number().over(w).cast("int"))
+        .drop("_h")
+    )

@@ -3576,6 +3576,32 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_shuffle_order",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               md5('s0:' || CAST(doc_id AS VARCHAR)) AS h,
+               CAST(CAST('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 64 AS INTEGER) AS shard
+        FROM documents
+    )
+    SELECT doc_id, lang, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS INTEGER) AS shuffle_rank
+    FROM t
+    """,
+    ops=["training-shuffle", "W1"],
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: global order is
+    (shard, shuffle_rank) — md5-keyed, seed-stable, one hash shuffle
+    with per-shard local sorts (a single global sort would serialize
+    into one partition at 100 TB)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.training_shuffle(d, key_col="doc_id", seed="s0", shards=64)
+
+
+@register(
     "pack_payloads_per_seq",
     """
     WITH t AS (

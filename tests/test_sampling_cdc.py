@@ -185,3 +185,25 @@ class TestSimhashHammingPairs:
         sig = self._sig(spark, [(1, 0)])
         with pytest.raises(AssertionError):
             dedup.simhash_hamming_pairs(sig, max_hamming=4, n_bands=4)
+
+
+def test_training_shuffle_is_seed_stable_permutation(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import sampling
+
+    df = spark.createDataFrame([(i, "x") for i in range(100)], "doc_id long, lang string")
+    a = sampling.training_shuffle(df, shards=8, seed="s0")
+    b = sampling.training_shuffle(df, shards=8, seed="s0")
+    rows_a = {(r.doc_id, r.shard, r.shuffle_rank) for r in a.collect()}
+    rows_b = {(r.doc_id, r.shard, r.shuffle_rank) for r in b.collect()}
+    assert rows_a == rows_b  # seed-stable
+    # permutation: every doc exactly once, ranks contiguous per shard
+    assert len(rows_a) == 100
+    per_shard = {}
+    for _, sh, rk in rows_a:
+        per_shard.setdefault(sh, []).append(rk)
+    for sh, rks in per_shard.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+    # a different seed gives a different order
+    c = {(r.doc_id, r.shard, r.shuffle_rank) for r in
+         sampling.training_shuffle(df, shards=8, seed="s1").collect()}
+    assert c != rows_a
