@@ -86,6 +86,8 @@ EXTENDED = [
     "decontaminate_docs",
     "training_shuffle_order",
     "pack_payloads_per_seq",
+    "funnel_view_click_purchase",
+    "weekly_retention_cohorts",
 ]
 
 

@@ -3576,6 +3576,112 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_view_click_purchase",
+    """
+    WITH fv AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), fc AS (
+        SELECT e.user_id, MIN(e.ts) AS first_click
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'click' AND e.ts > fv.first_view
+        GROUP BY e.user_id
+    ), fp AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM fv) AS users_view,
+           (SELECT COUNT(*) FROM fc) AS users_click,
+           (SELECT COUNT(*) FROM fp) AS users_purchase
+    """,
+    ops=["funnel", "A3", "J-semi"],
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): each stage
+    keeps users whose first qualifying event strictly follows the prior
+    stage's. Three per-user aggregations chained by broadcast-sized
+    joins (one row per user ≪ events), then three 1-row counts."""
+    e = _t(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        fv.agg(F.count(F.lit(1)).alias("users_view"))
+        .crossJoin(F.broadcast(fc.agg(F.count(F.lit(1)).alias("users_click"))))
+        .crossJoin(F.broadcast(fp.agg(F.count(F.lit(1)).alias("users_purchase"))))
+    )
+
+
+@register(
+    "weekly_retention_cohorts",
+    """
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, fs.cohort_week,
+               date_trunc('week', e.ts) AS activity_week
+        FROM events e JOIN first_seen fs ON e.user_id = fs.user_id
+    )
+    SELECT cohort_week,
+           CAST((epoch(activity_week) - epoch(cohort_week)) // 604800
+                AS INTEGER) AS week_offset,
+           COUNT(*) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+    ops=["retention", "A3", "A-distinct"],
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted as
+    active per subsequent week offset. Two aggregations on user_id
+    (same shuffle key, exchange reused) + a distinct on (user, week);
+    week arithmetic is exact integer epoch division — no interval
+    types cross the engine boundary."""
+    e = _t(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        e.join(fs, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("activity_week"),
+        )
+        .distinct()
+    )
+    off = (
+        (F.unix_timestamp("activity_week") - F.unix_timestamp("cohort_week"))
+        / F.lit(604800)
+    ).cast("int")
+    return (
+        act.groupBy("cohort_week", off.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        # DuckDB's date_trunc('week') yields DATE; align the group key
+        .withColumn("cohort_week", F.col("cohort_week").cast("date"))
+    )
+
+
+@register(
     "training_shuffle_order",
     """
     WITH t AS (
