@@ -88,6 +88,7 @@ EXTENDED = [
     "pack_payloads_per_seq",
     "funnel_view_click_purchase",
     "weekly_retention_cohorts",
+    "daily_revenue_momentum",
 ]
 
 

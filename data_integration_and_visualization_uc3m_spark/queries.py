@@ -3576,6 +3576,53 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "daily_revenue_momentum",
+    """
+    WITH daily AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(o_orderdate AS DATE) AS o_day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE year(o_orderdate) = 1997
+        GROUP BY o_year, o_day
+    )
+    SELECT o_year, o_day, revenue,
+           revenue - lag(revenue) OVER w AS delta_prev_day,
+           lead(revenue) OVER w - revenue AS delta_next_day,
+           percent_rank() OVER (PARTITION BY o_year ORDER BY revenue, o_day)
+             AS revenue_pctile,
+           cume_dist() OVER (PARTITION BY o_year ORDER BY revenue, o_day)
+             AS revenue_cume
+    FROM daily
+    WINDOW w AS (PARTITION BY o_year ORDER BY o_day)
+    """,
+    ops=["W-lag-lead", "W-pctrank", "A3"],
+)
+def daily_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth on one plan: lag/lead day-over-day
+    deltas plus percent_rank/cume_dist of each day within its year.
+    Both windows partition by year, so no global single-partition sort;
+    deltas subtract decimal-exact doubles (identical operands ⇒
+    identical IEEE results); rank orderings carry the day tiebreaker."""
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    daily = o.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.col("o_orderdate").cast("date").alias("o_day"),
+    ).agg(F.sum(_dec2("o_totalprice")).cast("double").alias("revenue"))
+    w = Window.partitionBy("o_year").orderBy("o_day")
+    wr = Window.partitionBy("o_year").orderBy("revenue", "o_day")
+    return daily.select(
+        "o_year",
+        "o_day",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("delta_prev_day"),
+        (F.lead("revenue").over(w) - F.col("revenue")).alias("delta_next_day"),
+        F.percent_rank().over(wr).alias("revenue_pctile"),
+        F.cume_dist().over(wr).alias("revenue_cume"),
+    )
+
+
+@register(
     "funnel_view_click_purchase",
     """
     WITH fv AS (
