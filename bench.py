@@ -89,6 +89,7 @@ EXTENDED = [
     "funnel_view_click_purchase",
     "weekly_retention_cohorts",
     "daily_revenue_momentum",
+    "incremental_agg_maintenance",
 ]
 
 

@@ -3576,6 +3576,67 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_agg_maintenance",
+    """
+    WITH new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 >= 2
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM new GROUP BY o_orderstatus
+    """,
+    ops=["cdc-incremental-agg", "A3"],
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-status (count, sum)
+    aggregate of snapshot v2 computed by applying the v1→v2 CDC delta
+    to v1's aggregate — O(|delta| + |groups|) work instead of a full
+    recompute. The oracle aggregates v2 directly, so the hash match
+    PROVES retract/insert maintenance is exact (decimal fixed-point —
+    float retraction would drift)."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", "o_orderstatus", _dec2("o_totalprice").alias("o_totalprice")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 10 >= 2).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .cast(DEC2)
+        .alias("o_totalprice"),
+    )
+    prior = v1.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").cast(DEC2).alias("total_price"),
+    )
+    diff = cdc.snapshot_diff(
+        v1, v2, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+    updated = cdc.incremental_agg_update(
+        prior,
+        diff,
+        group_col="o_orderstatus",
+        val_col="o_totalprice",
+        count_col="n_orders",
+        sum_col="total_price",
+    )
+    return updated.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+    )
+
+
+@register(
     "daily_revenue_momentum",
     """
     WITH daily AS (

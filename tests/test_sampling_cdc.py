@@ -207,3 +207,34 @@ def test_training_shuffle_is_seed_stable_permutation(spark):
     c = {(r.doc_id, r.shard, r.shuffle_rank) for r in
          sampling.training_shuffle(df, shards=8, seed="s1").collect()}
     assert c != rows_a
+
+
+def test_incremental_agg_update_handles_group_moves(spark):
+    from decimal import Decimal
+    from data_integration_and_visualization_uc3m_spark.operators import cdc
+    import pyspark.sql.functions as F
+
+    schema = "k long, g string, v decimal(18,2)"
+    v1 = spark.createDataFrame(
+        [(1, "a", Decimal("10.00")), (2, "a", Decimal("5.00")), (3, "b", Decimal("7.00"))],
+        schema,
+    )
+    v2 = spark.createDataFrame(
+        [
+            (2, "b", Decimal("5.00")),   # moved group a→b
+            (3, "b", Decimal("9.00")),   # value changed
+            (4, "c", Decimal("1.00")),   # added
+        ],  # key 1 removed
+        schema,
+    )
+    prior = v1.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").cast("decimal(18,2)").alias("total"),
+    )
+    diff = cdc.snapshot_diff(v1, v2, keys=["k"], compare_cols=["g", "v"])
+    got = {
+        r.g: (r.n_rows, float(r.total))
+        for r in cdc.incremental_agg_update(prior, diff, group_col="g", val_col="v").collect()
+    }
+    # direct recompute of v2: b -> 2 rows 14.00, c -> 1 row 1.00; a empty (dropped)
+    assert got == {"b": (2, 14.0), "c": (1, 1.0)}
