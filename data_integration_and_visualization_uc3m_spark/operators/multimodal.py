@@ -118,3 +118,73 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.select(
         "media_id", F.explode(idx).alias("frame_index")
     )
+
+
+_RESIZE_SCHEMA = (
+    "media_id long, out_width int, out_height int, payload binary"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """Image resize via mapInPandas — the Arrow-batched shape a real
+    PIL/opencv resize would use (one batch in, one batch out, bounded
+    memory per partition regardless of corpus size).
+
+    ``fake=True`` emits a deterministic strided-downsample of the raw
+    payload bytes sized ``width*height`` (no codec in this container);
+    ``fake=False`` raises DecoderUnavailable at the decode site.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise DecoderUnavailable("real resize needs an image codec")
+
+            def shrink(b):
+                if b is None or len(b) == 0:
+                    return b""
+                step = max(len(b) // target, 1)
+                return bytes(b[::step][:target])
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": width,
+                    "out_height": height,
+                    "payload": pdf["payload"].map(shrink),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(op, _RESIZE_SCHEMA)
+
+
+def audio_chunk_plan(
+    media: DataFrame, chunk_ms: int = 1000, bytes_per_ms: int = 16
+) -> DataFrame:
+    """Audio chunking plumbing: expand each payload into fixed-duration
+    chunk rows with byte offsets (duration derived from payload size at
+    a declared byterate — the decode itself is the stubbed step).
+
+    Same explode-then-process shape as frame sampling: chunk work is
+    parallel across the cluster instead of per-file, and each chunk row
+    carries (offset, length) so a real decoder reads its slice only.
+    """
+    chunk_bytes = chunk_ms * bytes_per_ms
+    n_chunks = F.greatest(
+        F.ceil(F.length("payload") / F.lit(chunk_bytes)).cast("int"), F.lit(1)
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return media.select(
+        "media_id", F.length("payload").alias("n_bytes"), F.explode(idx).alias("chunk_index")
+    ).select(
+        "media_id",
+        "chunk_index",
+        (F.col("chunk_index") * chunk_bytes).cast("long").alias("byte_offset"),
+        F.least(
+            F.lit(chunk_bytes).cast("long"),
+            F.col("n_bytes") - F.col("chunk_index") * chunk_bytes,
+        ).alias("byte_length"),
+    )

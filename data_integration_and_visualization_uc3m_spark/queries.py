@@ -3576,6 +3576,36 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_chunks",
+    """
+    WITH media AS (
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(unnest(range(0, greatest(CAST(ceil(n_bytes / 160.0) AS INTEGER), 1)))
+                AS INTEGER) AS chunk_index,
+           CAST(unnest(range(0, greatest(CAST(ceil(n_bytes / 160.0) AS INTEGER), 1)))
+                * 160 AS BIGINT) AS byte_offset,
+           least(160,
+                 n_bytes - unnest(range(0, greatest(CAST(ceil(n_bytes / 160.0)
+                                                         AS INTEGER), 1))) * 160)
+               AS byte_length
+    FROM media
+    """,
+    ops=["multimodal-audio"],
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plumbing over the binary-payload view of
+    documents: each payload expands to fixed-size chunk rows carrying
+    (offset, length) so a real decoder would read only its slice —
+    chunk work parallel across the cluster, not per-file."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d)
+    return multimodal.audio_chunk_plan(media, chunk_ms=10, bytes_per_ms=16)
+
+
+@register(
     "incremental_agg_maintenance",
     """
     WITH new AS (

@@ -80,3 +80,39 @@ def test_frame_sample_plan(spark):
     frames = multimodal.frame_sample_plan(media, every_n=2).collect()
     assert len(frames) == 5  # 10 frames, every 2nd
     assert [f.frame_index for f in frames] == [0, 2, 4, 6, 8]
+
+
+def test_resize_images_bounded_payload(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, bytes(range(256)) * 40), (2, b""), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in multimodal.resize_images(media, 8, 8).collect()}
+    assert out[1].out_width == 8 and out[1].out_height == 8
+    assert len(out[1].payload) <= 64
+    assert out[2].payload == b"" and out[3].payload == b""
+    # deterministic: same input -> same bytes
+    again = {r.media_id: r.payload for r in multimodal.resize_images(media, 8, 8).collect()}
+    assert again[1] == out[1].payload
+
+
+def test_audio_chunks_cover_payload_exactly(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, b"x" * 40000), (2, b"y" * 100)], "media_id long, payload binary"
+    )
+    rows = multimodal.audio_chunk_plan(media, chunk_ms=1000, bytes_per_ms=16).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    # 40000 bytes at 16000 B/chunk -> 3 chunks (16000,16000,8000)
+    c1 = sorted(by_media[1], key=lambda r: r.chunk_index)
+    assert [(r.byte_offset, r.byte_length) for r in c1] == [
+        (0, 16000), (16000, 16000), (32000, 8000)
+    ]
+    assert sum(r.byte_length for r in c1) == 40000
+    c2 = by_media[2]
+    assert len(c2) == 1 and c2[0].byte_length == 100
