@@ -90,6 +90,8 @@ EXTENDED = [
     "weekly_retention_cohorts",
     "daily_revenue_momentum",
     "incremental_agg_maintenance",
+    "pii_redaction_report",
+    "multimodal_audio_chunks",
 ]
 
 

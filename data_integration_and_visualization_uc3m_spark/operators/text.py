@@ -326,3 +326,35 @@ def winnowing_fingerprint(
         ),
         F.count(F.lit(1)).alias("n_kept"),
     )
+
+
+# PII patterns restricted to the Java∩RE2 regex subset (no lookarounds,
+# no \p classes — they diverge between Spark and the DuckDB oracle).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "long_digits": r"[0-9]{6,}",
+}
+PII_ORDER = ["email", "ipv4", "long_digits"]  # most-specific first
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction: replace emails, IPv4 addresses, and long digit
+    runs with typed placeholders, counting each replacement.
+
+    Pure map-side JVM regex (no shuffle, no UDF) — the shape survives
+    any corpus size untouched. Patterns apply most-specific-first, and
+    each count is taken on the text AFTER the earlier redactions (an
+    email's digits are not also counted as a digit run), so the counts
+    are exactly the replacements the rewrite performed.
+    """
+    cur = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name in PII_ORDER:
+        pat = PII_PATTERNS[name]
+        cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, f"<{name}>")
+    cols.append(cur.alias("redacted"))
+    return df.select(*cols)

@@ -3576,6 +3576,45 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_redaction_report",
+    r"""
+    WITH s1 AS (
+        SELECT doc_id, text AS t1,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    AS INTEGER) AS n_email,
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<email>', 'g') AS t2
+        FROM documents
+    ), s2 AS (
+        SELECT doc_id, n_email,
+               CAST(len(regexp_extract_all(t2,
+                   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                    AS INTEGER) AS n_ipv4,
+               regexp_replace(t2,
+                   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                   '<ipv4>', 'g') AS t3
+        FROM s1
+    )
+    SELECT doc_id, n_email, n_ipv4,
+           CAST(len(regexp_extract_all(t3, '[0-9]{6,}')) AS INTEGER)
+               AS n_long_digits,
+           regexp_replace(t3, '[0-9]{6,}', '<long_digits>', 'g') AS redacted
+    FROM s2
+    """,
+    ops=["pii-redaction"],
+)
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: emails, IPv4s, long digit runs →
+    typed placeholders, with per-doc replacement counts. Map-side JVM
+    regex in the Java∩RE2 syntax subset; each count is taken after the
+    earlier redactions so counts ≡ replacements performed."""
+    d = _t(spark, sf_dir, "documents")
+    return text.redact_pii(d)
+
+
+@register(
     "multimodal_audio_chunks",
     """
     WITH media AS (

@@ -131,3 +131,25 @@ def test_decontamination_flags_overlapping_docs(spark):
     assert 2 not in hits
     clean = dedup.decontaminate(corpus, csets, bsets)
     assert [r.doc_id for r in clean.collect()] == [2]
+
+
+def test_pii_redaction_counts_and_order(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com and ip 10.0.0.1 and card 123456789"),
+            (2, "clean text with short 123 digits"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.redact_pii(d).collect()}
+    r1 = got[1]
+    assert (r1.n_email, r1.n_ipv4, r1.n_long_digits) == (1, 1, 1)
+    assert r1.redacted == "mail <email> and ip <ipv4> and card <long_digits>"
+    r2 = got[2]
+    assert (r2.n_email, r2.n_ipv4, r2.n_long_digits) == (0, 0, 0)
+    assert r2.redacted == "clean text with short 123 digits"
+    # an email's digits must not double-count as a digit run
+    d3 = spark.createDataFrame([(3, "x 123456789@example.com y")], "doc_id long, text string")
+    r3 = text.redact_pii(d3).collect()[0]
+    assert (r3.n_email, r3.n_long_digits) == (1, 0)
+    assert r3.redacted == "x <email> y"
