@@ -92,6 +92,7 @@ EXTENDED = [
     "incremental_agg_maintenance",
     "pii_redaction_report",
     "multimodal_audio_chunks",
+    "salted_event_totals",
 ]
 
 

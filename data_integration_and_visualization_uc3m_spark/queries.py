@@ -53,6 +53,7 @@ from .operators import (
     packing,
     sampling,
     similarity,
+    skew,
     slicing,
     text,
     upsert,
@@ -3573,6 +3574,36 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, budget=2048, tokens_col="tokens", shard_col="lang"
     )
     return packing.packing_stats(packed, tokens_col="tokens", shard_col="lang")
+
+
+@register(
+    "salted_event_totals",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    ops=["skew-salted-agg", "A3"],
+)
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation of the 5-hot-key event stream: the
+    salt spreads each hot key over 16 reducers before the combine on
+    the key alone. The oracle is the PLAIN group-by — the hash match
+    proves the salted rewrite is semantics-preserving (algebraic
+    aggregates in exact decimal)."""
+    e = _t(spark, sf_dir, "events")
+    aggs = {
+        "n_events": (F.count(F.lit(1)), "sum"),
+        "total_value": (F.sum(F.col("value").cast(DEC6)), "sum"),
+    }
+    out = skew.salted_agg(e, ["event_type"], aggs, salt_buckets=16)
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
 
 
 @register(
