@@ -3577,6 +3577,45 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_vocabulary_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ), tk AS (
+        SELECT doc_id, term FROM toks WHERE term <> ''
+    )
+    SELECT term,
+           COUNT(*) AS freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tk
+    GROUP BY term
+    ORDER BY freq DESC, term
+    LIMIT 50
+    """,
+    ops=["vocab-topk", "A3", "A-distinct"],
+)
+def corpus_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: the 50 most frequent terms with
+    collection and document frequency — the dataset-card staple. One
+    shuffle on the term; the global top-50 runs as TakeOrdered (no full
+    sort materialization); term tiebreak keeps the cut deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        tk.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.count_distinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(50)
+    )
+
+
+@register(
     "salted_event_totals",
     """
     SELECT event_type,

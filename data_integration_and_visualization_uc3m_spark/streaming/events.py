@@ -151,6 +151,47 @@ def enrich_stream(
     return events.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's preceding view within ``max_gap``.
+
+    Both sides carry watermarks so the state store evicts rows once
+    they can no longer match (state is bounded by watermark + gap, the
+    requirement for an unbounded-stream join to run forever). The join
+    condition is equi on user_id plus an event-time interval — the
+    canonical attribution shape. Works identically on batch frames
+    (no watermark applied), which is how the test asserts parity.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        (v.user_id == p.user_id)
+        & (p.purchase_ts > v.view_ts)
+        & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {max_gap}")),
+    ).select(
+        v.user_id, "view_id", "purchase_id", "view_ts", "purchase_ts", "purchase_value"
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exactly-once event dedup: drop duplicate event_ids
     within the watermark horizon (``dropDuplicatesWithinWatermark`` —

@@ -163,3 +163,36 @@ def test_stream_sessionized_agg_runs(spark, tmp_path):
     rows = result.collect()
     assert len(rows) > 0
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src_dir = _prepare_stream_dir(spark, tmp_path)
+    schema = load_table(spark, SF, "events").schema
+
+    views_s = spark.readStream.schema(schema).parquet(src_dir).filter(
+        F.col("event_type") == "view"
+    )
+    buys_s = spark.readStream.schema(schema).parquet(src_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = se.stream_stream_attribution_join(views_s, buys_s)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(map(tuple, spark.table("t_attrib").collect()))
+
+    batch = spark.read.parquet(src_dir)
+    batch_joined = se.stream_stream_attribution_join(
+        batch.filter(F.col("event_type") == "view"),
+        batch.filter(F.col("event_type") == "purchase"),
+    )
+    batch_rows = sorted(map(tuple, batch_joined.collect()))
+    assert len(batch_rows) > 0
+    assert stream_rows == batch_rows
