@@ -358,3 +358,35 @@ def redact_pii(
         cur = F.regexp_replace(cur, pat, f"<{name}>")
     cols.append(cur.alias("redacted"))
     return df.select(*cols)
+
+
+def chunk_text(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks (the
+    context-window chunking step of a RAG/training pipeline), with
+    optional overlap.
+
+    Pure built-ins — sequence + explode + substring stay inside
+    whole-stage codegen; a UDTF would move this to row-at-a-time
+    Python for no semantic gain. Chunk starts step by
+    ``chunk_chars - overlap``; every document yields at least one
+    chunk (empty text included, as chunk 0).
+    """
+    step = chunk_chars - overlap
+    assert step > 0, "overlap must be smaller than chunk_chars"
+    n_chunks = F.greatest(
+        F.ceil((F.length(text_col) - F.lit(overlap)) / F.lit(step)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.substring(F.col(text_col), i * step + 1, chunk_chars),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_index", "chunk")
+    )

@@ -3577,6 +3577,29 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks_512",
+    """
+    WITH t AS (
+        SELECT doc_id, text,
+               greatest(CAST(ceil(length(text) / 512.0) AS INTEGER), 1) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n)) AS INTEGER) AS chunk_index,
+           substr(text, unnest(range(0, n)) * 512 + 1, 512) AS chunk
+    FROM t
+    """,
+    ops=["text-chunking"],
+)
+def doc_chunks_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 512-char
+    chunks as one codegen'd projection (sequence + transform +
+    posexplode) — the RAG/training chunker without a UDTF."""
+    d = _t(spark, sf_dir, "documents")
+    return text.chunk_text(d, chunk_chars=512)
+
+
+@register(
     "corpus_vocabulary_topk",
     """
     WITH toks AS (

@@ -153,3 +153,18 @@ def test_pii_redaction_counts_and_order(spark):
     r3 = text.redact_pii(d3).collect()[0]
     assert (r3.n_email, r3.n_long_digits) == (1, 0)
     assert r3.redacted == "x <email> y"
+
+
+def test_chunk_text_exact_cover_and_overlap(spark):
+    d = docs(spark, [(1, "abcdefghij"), (2, ""), (3, "xy")])
+    got = {}
+    for r in text.chunk_text(d, chunk_chars=4).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_index, r.chunk))
+    assert sorted(got[1]) == [(0, "abcd"), (1, "efgh"), (2, "ij")]
+    assert sorted(got[2]) == [(0, "")]
+    assert sorted(got[3]) == [(0, "xy")]
+    # overlap: starts step by chunk-overlap
+    ov = {}
+    for r in text.chunk_text(d.filter("doc_id = 1"), chunk_chars=4, overlap=2).collect():
+        ov.setdefault(r.doc_id, []).append((r.chunk_index, r.chunk))
+    assert sorted(ov[1])[:3] == [(0, "abcd"), (1, "cdef"), (2, "efgh")]
