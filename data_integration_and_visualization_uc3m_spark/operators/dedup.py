@@ -365,13 +365,17 @@ def connected_components(
                 "label"
             ),
         )
+        # checkpoint BEFORE the convergence check: the checkpoint action
+        # is the round's single execution of the join+agg, and the
+        # changed-count then scans the checkpointed rows (running the
+        # count on `merged` directly would execute the subtree twice
+        # per round). Also truncates the iterative lineage, whose plan
+        # otherwise doubles per round.
+        merged_ck = merged.localCheckpoint()
         changed = (
-            merged.filter(F.col("label") != F.col("old_label")).limit(1).count()
+            merged_ck.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        # checkpoint per round: truncates the iterative lineage (plan
-        # size otherwise doubles per round) and caches the small label
-        # table for the next round's join
-        labels = merged.select("u", "label").localCheckpoint()
+        labels = merged_ck.select("u", "label")
         if not changed:
             break
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
