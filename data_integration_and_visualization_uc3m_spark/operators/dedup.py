@@ -168,6 +168,68 @@ def decontaminate(
     return corpus_df.join(hits.select(id_col), id_col, "left_anti")
 
 
+def jaccard_pairs_df_capped(
+    sets_df: DataFrame,
+    max_df_frac: float = 0.02,
+    id_col: str = "doc_id",
+    item_col: str = "shingle",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fused df-cap + Jaccard pairs: ``df_capped_sets`` followed by
+    ``jaccard_pairs`` groups the set relation by the item twice (once
+    to measure df, once for pair generation) with a semi-join between.
+    Since the pair generator already holds each item's sorted id list,
+    the df cap is just a LENGTH FILTER on that list — one grouping
+    total, and per-doc capped sizes come from re-exploding the kept
+    lists. Two fewer shuffles and one less scan of the exploded set
+    relation; identical semantics (sets_df is distinct per (id, item),
+    so len(ids) ≡ df). Same output contract as ``jaccard_pairs``.
+    """
+    totals = sets_df.agg(F.count_distinct(F.col(id_col)).alias("_n_docs"))
+    kept = (
+        sets_df.groupBy(item_col)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            F.size("ids") <= F.floor(F.lit(max_df_frac) * F.col("_n_docs"))
+        )
+        .select(item_col, "ids")
+    )
+    sizes = (
+        kept.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("set_size"))
+    )
+    ids = kept.filter(F.size("ids") >= 2)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    inter = (
+        ids.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
 def jaccard_pairs(
     sets_df: DataFrame,
     id_col: str = "doc_id",

@@ -3502,8 +3502,9 @@ def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     moving Jaccard for true near-dups."""
     d = _t(spark, sf_dir, "documents")
     sets = dedup.ngram_set(d, n=3)
-    capped = dedup.df_capped_sets(sets, max_df_frac=0.02, item_col="shingle")
-    return dedup.jaccard_pairs(capped, item_col="shingle", threshold=0.5)
+    return dedup.jaccard_pairs_df_capped(
+        sets, max_df_frac=0.02, item_col="shingle", threshold=0.5
+    )
 
 
 @register(

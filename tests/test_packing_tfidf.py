@@ -145,3 +145,21 @@ class TestPackPayloads:
         }
         # docs 1,2 (offsets 0,600) → seq 0; doc 3 (offset 1200) → seq 1
         assert rows == {("en", 0): ("hello world", 2), ("en", 1): ("again", 1)}
+
+
+def test_fused_df_capped_jaccard_matches_composed(spark):
+    rows = [
+        (1, "boiler"), (2, "boiler"), (3, "boiler"), (4, "boiler"),
+        (1, "alpha"), (2, "beta"),
+        (3, "gamma"), (4, "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    composed = dedup.jaccard_pairs(
+        dedup.df_capped_sets(df, max_df_frac=0.6, item_col="shingle"),
+        item_col="shingle", threshold=0.5,
+    )
+    fused = dedup.jaccard_pairs_df_capped(
+        df, max_df_frac=0.6, item_col="shingle", threshold=0.5
+    )
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, composed.collect()))
+    assert {(r.id_a, r.id_b) for r in fused.collect()} == {(3, 4)}
