@@ -93,6 +93,7 @@ EXTENDED = [
     "pii_redaction_report",
     "multimodal_audio_chunks",
     "salted_event_totals",
+    "curation_pipeline_stats",
 ]
 
 

@@ -3578,6 +3578,69 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_pipeline_stats",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               string_split(lower(text), ' ') AS toks
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, lang, text
+        FROM scored
+        WHERE len(toks) >= 20 AND len(toks) <= 1000
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+    ), survivors AS (
+        SELECT q.doc_id, q.lang, q.text
+        FROM quality q
+        JOIN (
+            SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+            FROM quality GROUP BY md5(text)
+        ) k ON q.doc_id = k.keep_id
+    ), sampled AS (
+        SELECT doc_id, lang, text FROM survivors
+        WHERE CAST(('0x'||substring(md5('cur0:'||CAST(doc_id AS VARCHAR)),1,8))
+                   AS BIGINT) < {1 << 31}
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+               AS total_tokens
+    FROM sampled
+    GROUP BY lang
+    """,
+    ops=["curation-pipeline", "text-quality", "dedup-exact", "sampling-hash", "A3"],
+)
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline in ONE lazy plan: quality filter
+    (length band + type-token ratio) → exact-dedup survivors (keep min
+    id per content hash) → deterministic 50% hash sample → per-language
+    token-budget stats. The composition is the point: every stage is
+    the library operator, Catalyst fuses the map-side stages, and the
+    only shuffles are the dedup hash-group and the final lang rollup."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    quality = d.filter(
+        (F.size(toks) >= 20)
+        & (F.size(toks) <= 1000)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.3)
+    ).select("doc_id", "lang", "text")
+    keep = (
+        quality.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select(F.col("keep_id").alias("doc_id"))
+    )
+    survivors = quality.join(keep, "doc_id", "left_semi")
+    sampled = sampling.hash_sample(survivors, key_col="doc_id", rate=0.5, seed="cur0")
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.ceil(F.length("text") / F.lit(4.0)).cast("long"))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+
+
+@register(
     "doc_chunks_512",
     """
     WITH t AS (
