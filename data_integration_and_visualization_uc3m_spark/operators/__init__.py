@@ -11,6 +11,14 @@ idiomatic, Catalyst-friendly Spark:
     upsert      K2: conflict-ignoring idempotent upsert (anti-join append)
     slicing     F8/C9/§2.8: deterministic slices, top-k, bucketize, windows
     similarity  embedding cosine top-k, LSH bucketing (scale path)
-    text        language-ID, quality score, token counts, fingerprints
-    multimodal  binary-column plumbing (decode stubs, real Spark shape)
+    text        language-ID, quality score, token counts, fingerprints,
+                TF-IDF top terms, PII redaction, context chunking
+    multimodal  binary-column plumbing (decode/resize stubs, frame and
+                audio-chunk expansion — real Spark shape)
+    sampling    deterministic md5 sampling + training-order shuffle
+    packing     contiguous sequence packing + payload materialization
+    cdc         snapshot diff + incremental aggregate maintenance
+    skew        salted aggregation/join, key histograms
+    history     SCD2 content-hash change tracking
+    skyline     Pareto frontier (two-phase local/global)
 """
