@@ -94,6 +94,7 @@ EXTENDED = [
     "multimodal_audio_chunks",
     "salted_event_totals",
     "curation_pipeline_stats",
+    "embedding_int8_quantization",
 ]
 
 

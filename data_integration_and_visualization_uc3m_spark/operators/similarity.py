@@ -264,3 +264,34 @@ def lsh_topk(
     ).select(F.col("bucket").alias("qbucket"))
     cand = bucketed.join(F.broadcast(qdf), F.col("bucket") == F.col("qbucket"))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: codes = floor(v / scale *
+    127) with per-vector max-abs scale — the 4× storage/bandwidth cut
+    every large ANN index takes before distance computation.
+
+    Map-side only; exact IEEE ops (float32→double widening, divide,
+    multiply, floor) so codes are bit-identical across engines.
+    All-zero vectors quantize to all-zero codes (scale 0 guarded).
+
+    Two-stage select: ``scale`` is materialized as a column BEFORE the
+    code transform references it. Referencing the array_max expression
+    directly inside the lambda would re-inline it per element (O(d²)
+    per vector — same Catalyst re-inlining that made the in-row
+    repetition fold 13× slower, see BASELINE.md).
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = df.select(
+        F.col(id_col),
+        vd.alias("_vd"),
+        F.array_max(F.transform(vd, F.abs)).alias("scale"),
+        F.size(F.col(vec_col)).alias("dim"),
+    )
+    scale = F.col("scale")
+    codes = F.when(scale == 0, F.transform(F.col("_vd"), lambda x: F.lit(0))).otherwise(
+        F.transform(F.col("_vd"), lambda x: F.floor(x / scale * 127).cast("int"))
+    )
+    return staged.select(id_col, "scale", codes.alias("codes"), "dim")

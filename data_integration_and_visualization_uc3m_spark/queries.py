@@ -3578,6 +3578,37 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_int8_quantization",
+    """
+    WITH vd AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), staged AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS scale,
+               CAST(len(v) AS INTEGER) AS dim
+        FROM vd
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                ELSE list_transform(v, x -> CAST(floor(x / scale * 127) AS INTEGER))
+           END AS codes,
+           dim
+    FROM staged
+    """,
+    ops=["embedding-quantize"],
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding table (the
+    4× storage cut before ANN): per-vector max-abs scale, exact IEEE
+    widen/divide/floor so the codes are bit-identical cross-engine.
+    Map-side only — the scale column is materialized before the code
+    transform to avoid per-element re-inlining."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(e)
+
+
+@register(
     "curation_pipeline_stats",
     f"""
     WITH scored AS (

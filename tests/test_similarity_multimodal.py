@@ -116,3 +116,21 @@ def test_audio_chunks_cover_payload_exactly(spark):
     assert sum(r.byte_length for r in c1) == 40000
     c2 = by_media[2]
     assert len(c2) == 1 and c2[0].byte_length == 100
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25], 0), (2, [0.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.vec_id: r for r in similarity.quantize_embeddings(df).collect()}
+    r1 = got[1]
+    assert r1.scale == 1.0 and r1.dim == 3
+    assert r1.codes == [63, -127, 31]  # floor(v/scale*127)
+    # dequantized values within one quantization step of the original
+    for orig, code in zip([0.5, -1.0, 0.25], r1.codes):
+        assert abs(code * r1.scale / 127 - orig) <= r1.scale / 127
+    r2 = got[2]
+    assert r2.scale == 0.0 and r2.codes == [0, 0, 0]
