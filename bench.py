@@ -95,6 +95,7 @@ EXTENDED = [
     "salted_event_totals",
     "curation_pipeline_stats",
     "embedding_int8_quantization",
+    "ann_int8_topk",
 ]
 
 

@@ -3609,6 +3609,82 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_int8_topk",
+    """
+    WITH vd AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), staged AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM vd
+    ), quant AS (
+        SELECT vec_id,
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(floor(x / scale * 127) AS INTEGER))
+               END AS codes
+        FROM staged
+    ), q AS (
+        SELECT codes AS qc FROM quant WHERE vec_id = 0
+    ), scored AS (
+        SELECT vec_id,
+               list_dot_product(codes, qc) AS dot,
+               list_dot_product(codes, codes) AS na2,
+               list_dot_product(qc, qc) AS nb2
+        FROM quant CROSS JOIN q
+        WHERE vec_id <> 0
+    )
+    SELECT vec_id, dot,
+           dot / (sqrt(na2) * sqrt(nb2)) AS cos_int8
+    FROM scored
+    WHERE na2 > 0
+    ORDER BY cos_int8 DESC, vec_id
+    LIMIT 10
+    """,
+    ops=["ann-int8", "similarity-topk"],
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest neighbors of vector 0 computed ON the int8 codes:
+    integer dot products (exact — ≤127²·dim ≪ 2^53, so the double cast
+    is lossless and cross-engine identical) scaled into an approximate
+    cosine. The compute path that justifies quantization: 4× less data
+    moved per distance, same broadcast-query/TakeOrdered plan as the
+    float baseline."""
+    quant = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "codes"
+    )
+    q = quant.filter(F.col("vec_id") == 0).select(F.col("codes").alias("qc"))
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+
+    scored = (
+        quant.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            idot(F.col("codes"), F.col("qc")).alias("dot"),
+            idot(F.col("codes"), F.col("codes")).alias("na2"),
+            idot(F.col("qc"), F.col("qc")).alias("nb2"),
+        )
+    )
+    return (
+        scored.filter(F.col("na2") > 0)
+        .select(
+            "vec_id",
+            "dot",
+            (F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))).alias("cos_int8"),
+        )
+        .orderBy(F.col("cos_int8").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
     "curation_pipeline_stats",
     f"""
     WITH scored AS (

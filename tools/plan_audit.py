@@ -41,6 +41,7 @@ SCALAR_OK: set[str] = {
     "dedup_jaccard_df_capped",  # 1-row corpus count broadcast (df threshold)
     "important_parts_share",    # 1-row global total broadcast
     "funnel_view_click_purchase",  # three 1-row stage counts cross-joined
+    "ann_int8_topk",            # 1-row query-vector broadcast
 }
 
 
