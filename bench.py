@@ -96,6 +96,7 @@ EXTENDED = [
     "curation_pipeline_stats",
     "embedding_int8_quantization",
     "ann_int8_topk",
+    "user_journey_prefixes",
 ]
 
 

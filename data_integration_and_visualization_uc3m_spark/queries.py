@@ -3609,6 +3609,58 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_journey_prefixes",
+    """
+    WITH firsts AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM firsts
+        WHERE rn <= 5
+        GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+    ops=["journey-paths", "W1", "A-ordered"],
+)
+def user_journey_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining: each user's first-5-event path (event types
+    joined in time order) and the 20 most common prefixes. Ordered
+    string_agg = array_sort(collect_list(struct)) with the
+    (ts, event_id) tiebreak; the prefix cap keeps state bounded no
+    matter how long user histories grow."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    paths = firsts.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda d: d.event_type,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
     "ann_int8_topk",
     """
     WITH vd AS (
