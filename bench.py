@@ -115,16 +115,24 @@ def main() -> None:
 
     names = [n for n in HEADLINE + EXTENDED if n in qs]
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in names:
-        # best-of-2: first execution pays plan compilation, codegen and
-        # Python-worker spawn (3-10x on this box); the second is the
-        # steady-state number a resident engine would deliver.
-        best = float("inf")
-        for _ in range(2):
+        # Round-1 protocol restored for series comparability: 3 timed
+        # runs per query, headline = MEDIAN of the 3 (the first run pays
+        # plan compilation / codegen / Python-worker spawn — 3-10x on
+        # this box — and lands at the median only if the two repeats
+        # straddle it). Cold (run 1) and warm (best of runs 2-3) are
+        # recorded separately so both the fresh-plan and resident-engine
+        # stories stay visible in the historical series (ADVICE.md).
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             force(qs[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(sorted(runs)[1], 3)
+        cold[name] = round(runs[0], 3)
+        warm[name] = round(min(runs[1:]), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -132,10 +140,12 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "sum of headline query wall times (noop-sink forced, best-of-2)",
+        "metric": "sum of headline query wall times (noop-sink forced, median-of-3)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "queries_cold": cold,
+        "queries_warm": warm,
         "sf": sf_val,
     }
     print(json.dumps(out))

@@ -28,7 +28,11 @@ def _digest(cols: list[str]) -> F.Column:
     # null-safe row digest: null → sentinel (concat_ws drops nulls,
     # which would make ('a', null) collide with ('a',)).
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
-    return F.md5(F.concat_ws("", *parts))
+    # separator spelled as an escape, not a raw control byte, so it is
+    # visible in diffs. Caveat: a value CONTAINING \x01 is ambiguous
+    # with the separator; acceptable for the change-detection digest
+    # (collision needs adjacent values crafted around the separator).
+    return F.md5(F.concat_ws("\x01", *parts))
 
 
 def snapshot_diff(

@@ -526,14 +526,17 @@ def simhash_hamming_pairs(
     assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
     width = bits // n_bands
 
+    # Band extraction in pure INTEGER arithmetic (`div`, not `/`):
+    # double division is exact only while the signature fits in 53
+    # bits — fine at the default bits=32 but silently wrong for 64-bit
+    # signatures, and `bits` is caller-settable (ADVICE r2).
     def band_val(side: str, b: int) -> F.Column:
-        return (F.col(f"{side}.{sim_col}") / F.lit(1 << (b * width))).cast(
-            "long"
-        ) % (1 << width)
+        shifted = F.expr(f"{side}.{sim_col} div {1 << (b * width)}")
+        return shifted % (1 << width)
 
     bands = F.array(
         *[
-            ((F.col(sim_col) / F.lit(1 << (b * width))).cast("long") % (1 << width))
+            F.expr(f"{sim_col} div {1 << (b * width)}") % (1 << width)
             for b in range(n_bands)
         ]
     )

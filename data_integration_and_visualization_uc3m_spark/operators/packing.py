@@ -58,9 +58,14 @@ def packing_stats(
 ) -> DataFrame:
     """Per-shard packing summary: sequences produced, tokens, and the
     mean fill ratio (tokens per sequence / budget is derivable; exact
-    integer sums only, so the summary is oracle-checkable)."""
+    integer sums only, so the summary is oracle-checkable).
+
+    ``n_sequences`` counts DISTINCT bins actually produced: a document
+    longer than the budget spans several bins, making the next doc's
+    bin index skip numbers — max(seq_no)+1 would count those empty
+    bins as sequences (ADVICE r2)."""
     return packed.groupBy(shard_col).agg(
-        (F.max("seq_no") + 1).cast("long").alias("n_sequences"),
+        F.countDistinct("seq_no").cast("long").alias("n_sequences"),
         F.sum(tokens_col).cast("long").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )

@@ -129,13 +129,16 @@ def cosine_pairs_blocked(
     # per-pair recomputation costs two extra 64-dim folds on every pair
     # (measured ~2× wall time on the sf0.1 pair set). Same fold, same
     # floats, so the oracle (which spells norms per pair) still matches.
+    # Zero-norm vectors are dropped BEFORE pairing: 0/0 = NaN, and NaN
+    # sorts above every number in Spark, so a degenerate all-zero
+    # embedding would otherwise pass the threshold filter.
     v = F.col(vec_col)
     with_n = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col),
         v.alias("emb"),
         F.sqrt(_dot(v, v)).alias("norm"),
-    )
+    ).filter(F.col("norm") > 0)
     a = with_n.select(
         "block",
         F.col(id_col).alias("vec_a"),
@@ -217,26 +220,26 @@ def ivf_topk(
         "block", (F.floor(diff * diff * NANO)).cast("long").alias("term_nano")
     ).groupBy("block").agg(F.sum("term_nano").alias("dist_nano"))
 
-    from pyspark.sql import Window
-
+    # nprobe nearest cells via TakeOrdered (global sort-limit on a
+    # codebook-sized input) — not a row_number over an unpartitioned
+    # window, which would force a single-partition WindowExec.
     probed = (
-        dist.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("dist_nano"), F.col("block"))
-            ),
-        )
-        .filter(F.col("rk") <= nprobe)
+        dist.orderBy(F.col("dist_nano"), F.col("block"))
+        .limit(nprobe)
         .select("block")
     )
 
     v = F.col(vec_col)
-    cos = _dot(v, qarr) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qarr, qarr)))
+    norm = F.sqrt(_dot(v, v))
+    cos = _dot(v, qarr) / (norm * F.sqrt(_dot(qarr, qarr)))
     cand = df.join(
         F.broadcast(probed), df[block_col] == F.col("block"), "left_semi"
     )
     return (
-        cand.select(F.col(id_col), F.col(block_col), cos.alias("cosine"))
+        # zero-norm guard: 0/0 = NaN sorts ABOVE every real cosine in a
+        # descending order-by, so degenerate vectors would win the top-k.
+        cand.filter(norm > 0)
+        .select(F.col(id_col), F.col(block_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

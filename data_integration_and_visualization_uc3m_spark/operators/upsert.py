@@ -23,7 +23,10 @@ bucketed key index table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -64,16 +67,68 @@ def upsert_ignore(
     return target.unionByName(fresh.select(*target.columns))
 
 
-def write_upsert_parquet(
-    spark_target_path: str, batch: DataFrame, keys: list[str]
-) -> None:
-    """Materialized form: read existing parquet target (if any), upsert,
-    write back atomically to a new snapshot directory. Kept thin — the
-    relational core above is what the correctness gate exercises."""
-    spark = batch.sparkSession
+# ---------------------------------------------------------------------
+# Materialized form: versioned snapshots + atomic manifest-pointer flip.
+#
+# Table layout under a root directory:
+#     root/
+#       _CURRENT          <- manifest: name of the live snapshot dir
+#       v-<token>/        <- immutable parquet snapshots
+#
+# Commit protocol (the K3 "rollback" analogue without Delta/Iceberg
+# jars): (1) write the merged result to a FRESH snapshot dir — a crash
+# mid-write leaves only an orphan dir the manifest never references,
+# so readers keep seeing the previous snapshot; (2) flip _CURRENT via
+# write-temp + os.rename (atomic on POSIX local/NFS; on an object
+# store the manifest is a single small PUT, equally all-or-nothing).
+# A failed upsert therefore can never leave a half-written path as the
+# only artifact (round-2 gap: the old code wrote to `path + "_new"`).
+# Orphan snapshot dirs are garbage-collectable by comparing dir
+# listings against the manifest.
+# ---------------------------------------------------------------------
+
+_MANIFEST = "_CURRENT"
+
+
+def current_snapshot(root: str) -> str | None:
+    """Name of the live snapshot dir, or None if the table is empty."""
     try:
-        target = spark.read.parquet(spark_target_path)
-        merged = upsert_ignore(target, batch, keys)
-    except Exception:  # target doesn't exist yet → first load
-        merged = dedup_batch_first_wins(batch, keys)
-    merged.write.mode("overwrite").parquet(spark_target_path + "_new")
+        with open(os.path.join(root, _MANIFEST)) as fh:
+            name = fh.read().strip()
+        return name or None
+    except OSError:
+        return None
+
+
+def read_upsert_parquet(spark: SparkSession, root: str) -> DataFrame:
+    """Read the live snapshot of a versioned upsert table."""
+    name = current_snapshot(root)
+    if name is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    return spark.read.parquet(os.path.join(root, name))
+
+
+def write_upsert_parquet(
+    root: str,
+    batch: DataFrame,
+    keys: list[str],
+    order_by: list[str] | None = None,
+) -> str:
+    """ON CONFLICT DO NOTHING against a versioned parquet table, with
+    an atomic snapshot-swap commit (see protocol above). Returns the
+    committed snapshot name. Idempotent: re-running with the same batch
+    commits a snapshot with identical contents."""
+    spark = batch.sparkSession
+    cur = current_snapshot(root)
+    if cur is None:
+        merged = dedup_batch_first_wins(batch, keys, order_by)
+    else:
+        target = spark.read.parquet(os.path.join(root, cur))
+        merged = upsert_ignore(target, batch, keys, order_by)
+    new_name = f"v-{uuid.uuid4().hex[:12]}"
+    merged.write.mode("overwrite").parquet(os.path.join(root, new_name))
+    tmp = os.path.join(root, f"{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(new_name)
+    os.replace(tmp, os.path.join(root, _MANIFEST))  # the atomic commit point
+    return new_name

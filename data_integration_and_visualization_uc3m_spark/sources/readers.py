@@ -21,15 +21,26 @@ from ..schemas import TESTDATA, TESTDATA_TABLES
 # onto one core — measured 3-4x on the shingle/minhash pipelines at
 # sf0.1 on local[32]. Repartitioning such scans costs one shuffle of
 # < _RESPREAD_MAX_BYTES (trivial by construction) and buys full map
-# parallelism. Above the cap, the scan already splits; below the floor
-# the table is a broadcast-bound dimension where an extra stage is pure
-# overhead. At production scale (files >> cores) this never triggers.
+# parallelism — but that extra stage is pure tax (~0.3-0.5 s) on
+# queries whose downstream work per row is trivial (measured 2-3.4x
+# regressions on dedup_exact_docs / deterministic_slice in round 2
+# when the re-spread was unconditional). Hence OPT-IN: only scans
+# feeding genuine fan-out (explode of shingles/tokens/chunks, per-row
+# regex sweeps) pass ``respread=True``. Above the cap the scan already
+# splits; below the floor the table is a broadcast-bound dimension.
+# At production scale (files >> cores) this never triggers.
 _RESPREAD_MIN_BYTES = 256 * 1024
 _RESPREAD_MAX_BYTES = 64 * 1024 * 1024
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, respread: bool = False
+) -> DataFrame:
     """Read one driver-testdata table with its declared schema.
+
+    ``respread=True`` re-spreads a small single-file scan across all
+    cores (see bounds rationale above) — pass it only when the caller
+    fans the rows out (explode-heavy pipelines).
 
     ``events.ts`` is parquet TIMESTAMP(NANOS,false), unreadable by Spark
     natively; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
@@ -42,12 +53,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.schema(TESTDATA[name]).parquet(path)
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    try:
-        nbytes = os.path.getsize(path)
-    except OSError:  # non-local path (directory, object store) — already multi-file
-        nbytes = None
-    if nbytes is not None and _RESPREAD_MIN_BYTES < nbytes < _RESPREAD_MAX_BYTES:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+    if respread:
+        try:
+            nbytes = os.path.getsize(path)
+        except OSError:  # non-local path (dir, object store) — already multi-file
+            nbytes = None
+        if nbytes is not None and _RESPREAD_MIN_BYTES < nbytes < _RESPREAD_MAX_BYTES:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

@@ -217,24 +217,19 @@ def run_stream_foreach_batch_upsert(
 
     The upsert inside foreachBatch makes redelivered batches harmless
     (idempotent), which is the standard at-least-once → effectively-once
-    recipe when the sink itself isn't transactional.
+    recipe when the sink itself isn't transactional. The target is a
+    VERSIONED upsert table (operators.upsert manifest-pointer commit):
+    each micro-batch commits a fresh snapshot and atomically flips the
+    manifest, so a crash mid-batch can never expose a torn table — read
+    it back with ``operators.upsert.read_upsert_parquet``.
     """
-    from ..operators.upsert import dedup_batch_first_wins, upsert_ignore
+    from ..operators.upsert import write_upsert_parquet
     from ..session import tune
 
     tune(spark)
 
     def sink(batch_df, epoch_id: int) -> None:
-        batch = dedup_batch_first_wins(batch_df, ["event_id"])
-        try:
-            target = spark.read.parquet(target_path)
-            merged = upsert_ignore(target, batch, ["event_id"])
-        except Exception:  # first batch: no target yet
-            merged = batch
-        merged.write.mode("overwrite").parquet(target_path + ".tmp")
-        spark.read.parquet(target_path + ".tmp").write.mode("overwrite").parquet(
-            target_path
-        )
+        write_upsert_parquet(target_path, batch_df, ["event_id"])
 
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)

@@ -94,17 +94,21 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
 
 
 def test_foreach_batch_upsert_checkpoint_resume(spark, tmp_path):
+    from data_integration_and_visualization_uc3m_spark.operators.upsert import (
+        read_upsert_parquet,
+    )
+
     src_dir = _prepare_stream_dir(spark, tmp_path)
     target = str(tmp_path / "target")
     ckpt = str(tmp_path / "ckpt")
     se.run_stream_foreach_batch_upsert(spark, src_dir, target, ckpt)
     n_events = spark.read.parquet(src_dir).count()
-    got = spark.read.parquet(target)
+    got = read_upsert_parquet(spark, target)
     assert got.count() == n_events
     # restart with the same checkpoint: no new source files ⇒ no new
     # batches replayed, target unchanged (exactly-once effect)
     se.run_stream_foreach_batch_upsert(spark, src_dir, target, ckpt)
-    assert spark.read.parquet(target).count() == n_events
+    assert read_upsert_parquet(spark, target).count() == n_events
 
 
 def test_stream_sliding_agg_matches_batch(spark, tmp_path):

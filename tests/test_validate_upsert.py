@@ -70,6 +70,57 @@ def test_upsert_idempotent_double_run(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+def test_write_upsert_parquet_double_run_idempotent(spark, tmp_path):
+    # SURVEY §5.4 on the MATERIALIZED path: two commits of the same
+    # batch ⇒ identical live contents (and two distinct snapshots).
+    root = str(tmp_path / "tbl")
+    batch = spark.createDataFrame(
+        [("A", 1, 10), ("A", 1, 11), ("B", 2, 20)], "k string, y int, v long"
+    )
+    s1 = upsert.write_upsert_parquet(root, batch, ["k", "y"], order_by=["v"])
+    first = sorted(map(tuple, upsert.read_upsert_parquet(spark, root).collect()))
+    s2 = upsert.write_upsert_parquet(root, batch, ["k", "y"], order_by=["v"])
+    second = sorted(map(tuple, upsert.read_upsert_parquet(spark, root).collect()))
+    assert s1 != s2
+    assert first == second == [("A", 1, 10), ("B", 2, 20)]
+
+
+def test_write_upsert_parquet_crash_mid_write_leaves_old_snapshot(spark, tmp_path):
+    # A half-written snapshot dir that the manifest never references
+    # must be invisible to readers; the next successful commit flips
+    # past it. Simulates a crash between snapshot write and manifest
+    # flip by planting a garbage dir with no manifest update.
+    root = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([("A", 1)], "k string, v int")
+    upsert.write_upsert_parquet(root, b1, ["k"])
+    live_before = upsert.current_snapshot(root)
+
+    import os
+
+    orphan = os.path.join(root, "v-deadbeef0000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00partial")  # torn write — not valid parquet
+
+    # readers still see the committed snapshot
+    assert upsert.current_snapshot(root) == live_before
+    got = sorted(map(tuple, upsert.read_upsert_parquet(spark, root).collect()))
+    assert got == [("A", 1)]
+
+    # the next commit succeeds and ignores the orphan
+    b2 = spark.createDataFrame([("B", 2)], "k string, v int")
+    upsert.write_upsert_parquet(root, b2, ["k"])
+    got2 = sorted(map(tuple, upsert.read_upsert_parquet(spark, root).collect()))
+    assert got2 == [("A", 1), ("B", 2)]
+
+
+def test_write_upsert_parquet_empty_table_read_raises(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        upsert.read_upsert_parquet(spark, str(tmp_path / "missing"))
+
+
 def test_dedup_first_wins_deterministic(spark):
     df = spark.createDataFrame(
         [("A", 2, "second"), ("A", 1, "first"), ("B", 5, "only")],
