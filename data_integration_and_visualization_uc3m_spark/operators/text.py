@@ -109,6 +109,73 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_stop_hits: int = 2,
+    min_distinct_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, published
+    rule set): word-count bounds, mean-word-length bounds, stopword
+    presence, and distinct-token ratio — per-rule booleans plus the
+    overall ``keep`` flag, so downstream filtering AND rule-level audit
+    reports come from one pass.
+
+    All built-in expressions; the token array is materialized ONCE in a
+    staging select (referencing the split expression repeatedly would
+    re-inline it per use — the Catalyst re-inlining trap). Ratios are
+    single IEEE divisions of exact integers ⇒ oracle-exact.
+    """
+    toks = F.filter(_tokens(text_col), lambda t: F.length(t) > 0)
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    t = F.col("_toks")
+    stop = STOPWORDS["en"]
+    m = staged.select(
+        F.col(id_col),
+        F.size(t).alias("n_words"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+        ).alias("sum_chars"),
+        F.size(F.filter(t, lambda x: x.isin(*stop))).alias("stop_hits"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+    )
+    nw = F.col("n_words")
+    r = m.select(
+        F.col(id_col),
+        nw,
+        F.when(nw > 0, F.col("sum_chars") / nw).alias("mean_word_len"),
+        F.col("stop_hits"),
+        F.when(nw > 0, F.col("n_distinct") / nw).alias("distinct_ratio"),
+    )
+    wc_ok = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    mwl_ok = F.coalesce(
+        (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        F.lit(False),
+    )
+    stop_ok = F.col("stop_hits") >= min_stop_hits
+    distinct_ok = F.coalesce(
+        F.col("distinct_ratio") >= min_distinct_ratio, F.lit(False)
+    )
+    return r.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        "distinct_ratio",
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"),
+        distinct_ok.alias("distinct_ok"),
+        (wc_ok & mwl_ok & stop_ok & distinct_ok).alias("keep"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-hit language-ID with deterministic alphabetical-first
     argmax tiebreak. Adds hit counts per language + the prediction."""
