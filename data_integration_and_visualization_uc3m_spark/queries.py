@@ -4900,6 +4900,85 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "partitioned_warehouse_prune",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    GROUP BY o_orderpriority
+    """,
+    ops=["K6", "partition-pruning"],
+)
+def partitioned_warehouse_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse round-trip with partition pruning UNDER the oracle
+    gate: orders snapshotted partitioned by order year (K6 with
+    partition_by — the at-rest layout for a 100 TB fact table), read
+    back with a partition-key predicate so the scan lists exactly one
+    year directory (PartitionFilters in the plan, zero row-group reads
+    elsewhere), then aggregated. The oracle is the plain SQL over raw
+    orders — layout must not change results."""
+    import tempfile
+
+    from .sinks.writers import write_parquet_snapshot
+
+    o = _t(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="sg_warehouse_")
+    path = f"{work}/orders_by_year"
+    write_parquet_snapshot(
+        o.withColumn("order_year", F.year("o_orderdate")),
+        path,
+        partition_by=["order_year"],
+    )
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec2("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "order_gaps_lead_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS order_seq,
+           date_diff('day',
+                     lag(o_orderdate) OVER w,
+                     o_orderdate) AS gap_days,
+           date_diff('day',
+                     first_value(o_orderdate) OVER w,
+                     o_orderdate) AS days_since_first,
+           cume_dist() OVER w AS order_cume
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    ops=["§2.8", "window-lag-lead"],
+)
+def order_gaps_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth over per-customer order sequences:
+    row_number, lag-based inter-order gap, distance from first order,
+    and cume_dist — the §2.8 surface beyond rank/top-k. The window
+    order carries the unique o_orderkey tiebreaker (convention #4) so
+    every offset function is deterministic."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+        F.datediff(
+            F.col("o_orderdate"), F.first("o_orderdate").over(w)
+        ).alias("days_since_first"),
+        F.cume_dist().over(w).alias("order_cume"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
