@@ -4979,6 +4979,82 @@ def order_gaps_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "int8_recall_report",
+    """
+    WITH fq AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), brute AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   list_sum(list_transform(list_zip(embedding, qv),
+                                           s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+                                                   s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(list_zip(qv, qv),
+                                                     s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
+                     AS cosine
+            FROM embeddings, fq
+            WHERE vec_id <> 0
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10)
+    ), vd AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), staged AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM vd
+    ), quant AS (
+        SELECT vec_id,
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(floor(x / scale * 127) AS INTEGER))
+               END AS codes
+        FROM staged
+    ), q AS (
+        SELECT codes AS qc FROM quant WHERE vec_id = 0
+    ), scored AS (
+        SELECT vec_id,
+               list_dot_product(codes, qc) AS dot,
+               list_dot_product(codes, codes) AS na2,
+               list_dot_product(qc, qc) AS nb2
+        FROM quant CROSS JOIN q
+        WHERE vec_id <> 0
+    ), int8 AS (
+        SELECT vec_id FROM (
+            SELECT vec_id, dot / (sqrt(na2) * sqrt(nb2)) AS cos_int8
+            FROM scored
+            WHERE na2 > 0
+            ORDER BY cos_int8 DESC, vec_id
+            LIMIT 10)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM brute b JOIN int8 i ON b.vec_id = i.vec_id) AS BIGINT)
+               AS n_overlap,
+           CAST((SELECT COUNT(*) FROM brute b JOIN int8 i ON b.vec_id = i.vec_id) AS BIGINT)
+               / 10.0 AS recall_at_10
+    """,
+    ops=["ann-int8", "ann-recall"],
+)
+def int8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization quality quantified under the oracle gate: top-10 by
+    exact float cosine vs top-10 on the int8 codes (both excluding the
+    query vector itself), reporting overlap and recall@10 — the number
+    that justifies (or vetoes) shipping the 4× smaller index."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    brute = similarity.cosine_topk(
+        e.filter(F.col("vec_id") != 0), qv, k=10
+    ).select("vec_id")
+    int8 = ann_int8_topk(spark, sf_dir).select("vec_id")
+    return brute.join(int8, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        (F.count(F.lit(1)).cast("long") / F.lit(10.0)).alias("recall_at_10"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================

@@ -45,6 +45,7 @@ SCALAR_OK: set[str] = {
     "fk_and_null_audit",        # two 1-row audit aggregates cross-joined
     "source_mix_report",        # 1-row corpus-totals broadcast onto per-source rows
     "ivf_recall_report",        # two 1-row recall counters cross-joined
+    "int8_recall_report",       # 1-row query-code broadcast (via ann_int8_topk)
 }
 
 
