@@ -97,6 +97,12 @@ EXTENDED = [
     "embedding_int8_quantization",
     "ann_int8_topk",
     "user_journey_prefixes",
+    "gopher_quality_rules",
+    "source_mix_report",
+    "ivf_recall_report",
+    "int8_recall_report",
+    "partitioned_warehouse_prune",
+    "order_gaps_lead_lag",
 ]
 
 

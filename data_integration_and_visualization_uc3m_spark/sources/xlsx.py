@@ -44,3 +44,35 @@ def read_xlsx(
         pdf = pdf[[f.name for f in schema.fields]]
         return spark.createDataFrame(pdf, schema)
     return spark.createDataFrame(pdf)
+
+
+def read_xlsx_jvm(
+    spark: SparkSession,
+    path: str,
+    header_row: int = 0,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S4 at-scale path: the spark-excel (com.crealytics) JVM data
+    source — executor-side reads, no driver bridge, the right choice
+    when there are many/huge workbooks. The jar does NOT ship in this
+    image, so this raises :class:`XlsxUnavailable` here; with the jar
+    on the classpath (``--packages com.crealytics:spark-excel_2.13``)
+    the same call reads distributed. ``dataAddress`` skips the
+    ``header_row`` leading rows (pandas ``header=N`` parity)."""
+    reader = (
+        spark.read.format("com.crealytics.spark.excel")
+        .option("header", "true")
+        .option("dataAddress", f"'Sheet1'!A{header_row + 1}")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    try:
+        return reader.load(path)
+    except Exception as ex:  # jar absent → ClassNotFound inside analysis
+        raise XlsxUnavailable(
+            "spark-excel data source not on the classpath; add "
+            "com.crealytics:spark-excel to spark.jars.packages or use "
+            "read_xlsx (driver-side pandas bridge)"
+        ) from ex

@@ -152,3 +152,18 @@ def test_write_partitioned_sorted_layout_and_pruning(spark, tmp_path):
     plan = back.filter(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
     assert "lang=fr" not in plan
     assert back.filter(F.col("lang") == "en").count() == 100
+
+
+def test_xlsx_jvm_path_raises_cleanly_without_jar(spark, tmp_path):
+    # the spark-excel jar is not in this image: the JVM path must fail
+    # with the typed error (NOT a raw ClassNotFoundException) so callers
+    # can fall back to the pandas bridge.
+    import pytest
+
+    from data_integration_and_visualization_uc3m_spark.sources.xlsx import (
+        XlsxUnavailable,
+        read_xlsx_jvm,
+    )
+
+    with pytest.raises(XlsxUnavailable):
+        read_xlsx_jvm(spark, str(tmp_path / "t.xlsx"))
