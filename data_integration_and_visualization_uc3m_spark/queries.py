@@ -5055,6 +5055,42 @@ def int8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unpivot_event_matrix",
+    """
+    WITH wide AS (
+        SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+               CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+               CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        FROM events
+        GROUP BY user_bucket
+    )
+    SELECT user_bucket, 'click' AS event_type, click AS n_events FROM wide
+    UNION ALL SELECT user_bucket, 'error', error FROM wide
+    UNION ALL SELECT user_bucket, 'purchase', purchase FROM wide
+    UNION ALL SELECT user_bucket, 'signup', signup FROM wide
+    UNION ALL SELECT user_bucket, 'view', view FROM wide
+    """,
+    ops=["unpivot", "P1"],
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long, melt): the inverse of pivot_event_matrix,
+    via the native ``unpivot`` API (a zero-shuffle projection — each
+    wide row expands in place, no exchange). Round-trips the pivoted
+    matrix back to tidy long form, null-free by construction."""
+    wide = pivot_event_matrix(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return wide.unpivot(
+        ids=["user_bucket"],
+        values=types,
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
