@@ -4413,13 +4413,24 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: the cheapest supplier(s) for each small part —
     the correlated MIN subquery decorrelated into a per-part window
     min (one shuffle on partkey, no second scan), then dimension joins
-    broadcast. Equality on decimal-exact doubles is portable."""
+    broadcast.
+
+    The ``p_size <= 5`` part predicate is pushed BELOW the aggregation
+    as a broadcast semi-join on the fact scan — Catalyst won't move a
+    join filter through an agg+window on its own, and at 100 TB the
+    selective dimension predicate shrinks both shuffles by the part
+    selectivity. Equality on decimal-exact doubles is portable."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
     s = _t(spark, sf_dir, "supplier")
+    lf = l.join(
+        F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+        on="l_partkey",
+        how="left_semi",
+    )
     one = F.lit(1).cast("decimal(3,2)")
     vol = _dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))
-    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+    cost = lf.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(vol).cast("double").alias("supply_value")
     )
     w = Window.partitionBy("l_partkey")
