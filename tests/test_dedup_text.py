@@ -241,3 +241,22 @@ def test_minhash_lsh_pipeline_clusters_true_near_dups(spark):
     assert caught  # non-empty by the recall assertion above
     for a, b in caught:
         assert label[a] == label[b] == min(a, b)
+
+
+def test_gopher_rules_edges(spark):
+    d = docs(
+        spark,
+        [
+            (1, "the cat sat on the mat and looked to the open door in it is a that " * 3),
+            (2, ""),                     # empty: everything null/false
+            (3, "x " * 30),              # no stopwords, degenerate distinct ratio
+            (4, "supercalifragilistic " * 25),  # mean word length out of range
+        ],
+    )
+    got = {r.doc_id: r for r in text.gopher_rules(d, min_words=10).collect()}
+    assert got[1].keep is True
+    assert got[2].n_words == 0 and got[2].keep is False
+    assert got[2].mean_word_len is None and got[2].distinct_ratio is None
+    assert got[3].stop_ok is False and got[3].distinct_ok is False
+    assert got[3].keep is False
+    assert got[4].mwl_ok is False and got[4].keep is False
