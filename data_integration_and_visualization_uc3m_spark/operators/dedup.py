@@ -68,12 +68,19 @@ def tokens(text_col) -> "F.Column":
 
 def token_set(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Explode documents to distinct (id, token) pairs — the base relation
-    for Jaccard and MinHash. One explode + distinct (shuffle on id+token)."""
-    return (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-        .filter(F.col("token") != "")
-        .distinct()
+    for Jaccard and MinHash.
+
+    Dedup happens IN-ROW (``array_distinct`` before the explode), not
+    with a cross-row ``distinct()``: tokens only repeat within one
+    document (``id_col`` is unique), so the set semantics are identical
+    and the full shuffle of the exploded relation disappears — at
+    100 TB that exchange was the largest intermediate in every near-dup
+    pipeline. Zero shuffles here; the first exchange is whatever the
+    consumer aggregates on."""
+    toks = F.array_distinct(
+        F.filter(tokens(text_col), lambda t: t != F.lit(""))
     )
+    return df.select(F.col(id_col), F.explode(toks).alias("token"))
 
 
 def ngram_set(
@@ -89,11 +96,13 @@ def ngram_set(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return (
-        df.select(F.col(id_col), F.explode(ngrams).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
+    # in-row distinct (see token_set): shingles repeat only within a
+    # document, so array_distinct before the explode replaces the
+    # cross-row distinct() and its full shuffle of the shingle relation
+    distinct_ngrams = F.array_distinct(
+        F.filter(ngrams, lambda s: F.length(s) > 0)
     )
+    return df.select(F.col(id_col), F.explode(distinct_ngrams).alias("shingle"))
 
 
 def df_capped_sets(
@@ -477,12 +486,9 @@ def simhash(
     expression assembles the integer.
     """
     assert bits <= 32
-    tok = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-        .filter(F.col("token") != "")
-        .distinct()
-        .withColumn("h", F.md5("token"))
-    )
+    # in-row distinct (see token_set): removes the cross-row distinct()
+    # shuffle — the token relation flows straight into the per-doc sums
+    tok = token_set(df, id_col, text_col).withColumn("h", F.md5("token"))
     odd = ("1", "3", "5", "7", "9", "b", "d", "f")
     sums = [
         F.sum(
