@@ -103,6 +103,10 @@ EXTENDED = [
     "int8_recall_report",
     "partitioned_warehouse_prune",
     "order_gaps_lead_lag",
+    "containment_pairs",
+    "dup_rate_by_source",
+    "dedup_survivors_by_quality",
+    "unpivot_event_matrix",
 ]
 
 

@@ -5102,6 +5102,169 @@ def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "containment_pairs",
+    f"""
+    WITH {_SHINGLES_CTE}, sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
+           CAST(n_common AS DOUBLE) / least(sa.set_size, sb.set_size) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / least(sa.set_size, sb.set_size) >= 0.8
+    """,
+    ops=["dedup-containment"],
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B| / min set size ≥ 0.8) over
+    word-3-gram shingles: catches quote inclusion and page-within-crawl
+    duplication that symmetric Jaccard under-scores when the two
+    documents differ a lot in length."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    sets = dedup.ngram_set(d, n=3)
+    return dedup.containment_pairs(sets, item_col="shingle", threshold=0.8)
+
+
+@register(
+    "dup_rate_by_source",
+    """
+    WITH g AS (
+        SELECT md5(text) AS h, source, COUNT(*) AS n
+        FROM documents GROUP BY h, source
+    ), per AS (
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_exact_dups
+        FROM g GROUP BY source
+    )
+    SELECT source, n_docs, n_exact_dups,
+           n_exact_dups / n_docs AS dup_rate
+    FROM per
+    """,
+    ops=["dedup-analytics", "A3"],
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation analytics: per-source exact-duplicate rate (md5 content
+    groups within a source; n−1 of each group are dups). The report a
+    pipeline uses to decide which crawl sources need dedup attention."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5("text").alias("h"), "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_exact_dups"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_exact_dups",
+        (F.col("n_exact_dups") / F.col("n_docs")).alias("dup_rate"),
+    )
+
+
+@register(
+    "dedup_survivors_by_quality",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE.strip()}, sigs AS (
+        SELECT doc_id,
+               {_MH_MINS}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        {_MH_BANDS}
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), ssizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), verified AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cands c
+        JOIN sh ta ON ta.doc_id = c.id_a
+        JOIN sh tb ON tb.doc_id = c.id_b AND tb.shingle = ta.shingle
+        GROUP BY c.id_a, c.id_b
+    ), pairs AS (
+        SELECT v.id_a, v.id_b FROM verified v
+        JOIN ssizes sa ON sa.doc_id = v.id_a
+        JOIN ssizes sb ON sb.doc_id = v.id_b
+        WHERE CAST(v.n_common AS DOUBLE) / (sa.set_size + sb.set_size - v.n_common) >= 0.5
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(u, label) AS (
+        SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ), clusters AS (
+        SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
+    ), quality AS (
+        SELECT doc_id,
+               0.4 * (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                 + 0.3 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a','that'))) AS DOUBLE)
+                          / len(toks)) AS quality_score
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    ), csize AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    ), ranked AS (
+        SELECT c.doc_id, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality_score DESC, c.doc_id) AS rn
+        FROM clusters c JOIN quality q USING (doc_id)
+    )
+    SELECT r.doc_id, CAST(r.cluster_id AS BIGINT) AS cluster_id, s.cluster_size
+    FROM ranked r JOIN csize s USING (cluster_id) WHERE r.rn = 1
+    UNION ALL
+    SELECT d.doc_id, CAST(d.doc_id AS BIGINT) AS cluster_id,
+           CAST(1 AS BIGINT) AS cluster_size
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM clusters c WHERE c.doc_id = d.doc_id)
+    """,
+    ops=["dedup-survivors", "dedup-clusters", "text-quality"],
+)
+def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's LAST step done right: inside each
+    near-dup cluster keep the HIGHEST-quality document (not the
+    arbitrary min-id), singletons pass through with cluster_size 1.
+    Composes the full chain — shingles → MinHash-LSH candidates →
+    exact verify → connected components → quality-ranked survivor
+    selection — under one oracle hash."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    clusters = dedup_clusters(spark, sf_dir)
+    q = text.quality_score(d).select("doc_id", "quality_score")
+    csize = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    keep = (
+        clusters.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(csize, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+    )
+    singles = (
+        d.select("doc_id")
+        .join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+        )
+    )
+    return keep.unionByName(singles)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================

@@ -260,3 +260,20 @@ def test_gopher_rules_edges(spark):
     assert got[3].stop_ok is False and got[3].distinct_ok is False
     assert got[3].keep is False
     assert got[4].mwl_ok is False and got[4].keep is False
+
+
+def test_containment_pairs_asymmetric(spark):
+    # doc 2 is a strict subset of doc 1 (quote inclusion): containment
+    # = 1.0 while jaccard is only 3/10 — the pair Jaccard misses.
+    sets_df = spark.createDataFrame(
+        [(1, f"s{i}") for i in range(10)] + [(2, f"s{i}") for i in range(3)]
+        + [(3, "zz")],
+        "doc_id long, shingle string",
+    )
+    got = dedup.containment_pairs(sets_df, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in got] == [(1, 2, 1.0)]
+    # jaccard at the same threshold finds nothing
+    assert (
+        dedup.jaccard_pairs(sets_df, item_col="shingle", threshold=0.8).count()
+        == 0
+    )
