@@ -810,6 +810,39 @@ def streaming_batch_parity_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_e2e",
+    """
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY hour_ts, event_type
+    """,
+    ops=["streaming-dedup", "streaming-e2e"],
+)
+def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once under redelivery, proven by the oracle: every event
+    is staged TWICE (two full copies in the stream source), streamed
+    through ``dropDuplicatesWithinWatermark(event_id)`` into an
+    append-mode parquet sink, and the result aggregated. The oracle is
+    the plain hourly SQL over the SINGLE-copy events table — it only
+    hash-matches if the streaming dedup removed every redelivered
+    duplicate and nothing else."""
+    import tempfile
+
+    from .streaming.events import hourly_agg, run_stream_dedup_to_parquet
+
+    e = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="sg_stream_dedup_")
+    src = f"{work}/src"
+    e.repartition(3).write.mode("overwrite").parquet(src)
+    e.repartition(3).write.mode("append").parquet(src)  # redelivery: 2nd copy
+    run_stream_dedup_to_parquet(spark, src, f"{work}/out", f"{work}/ckpt")
+    return hourly_agg(spark.read.parquet(f"{work}/out"))
+
+
+@register(
     "sessionize_events",
     """
     WITH e AS (
@@ -5306,7 +5339,11 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
 
 # Names the current round's verdict explicitly asked for driver
 # evidence on — pinned to the very front of the check window.
-_PRIORITY: tuple[str, ...] = ("approx_sketches", "streaming_batch_parity_e2e")
+_PRIORITY: tuple[str, ...] = (
+    "approx_sketches",
+    "streaming_batch_parity_e2e",
+    "streaming_dedup_e2e",
+)
 
 
 def _rotated() -> list[str]:

@@ -247,6 +247,45 @@ def run_stream_foreach_batch_upsert(
         q.stop()
 
 
+def run_stream_dedup_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 days",
+) -> None:
+    """Streaming exact-dedup end-to-end: file stream →
+    ``dropDuplicatesWithinWatermark(event_id)`` → append parquet sink
+    (exactly-once via checkpoint). Duplicate event deliveries across
+    micro-batches land exactly once in the output.
+
+    The wide default watermark keeps EVERY row inside the horizon for
+    bounded replay tests (nothing is droppable as late, so the result
+    is deterministic regardless of file order). Production narrows it
+    to the real redelivery window so state stays bounded.
+    """
+    from ..session import tune
+
+    tune(spark)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    q = (
+        dedup_stream(stream, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_dir: str,
