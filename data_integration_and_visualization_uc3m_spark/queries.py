@@ -5298,6 +5298,54 @@ def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.unionByName(singles)
 
 
+@register(
+    "lang_confusion_matrix",
+    f"""
+    WITH p AS ({REGISTRY["lang_id_predict"].oracle})
+    SELECT actual_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM p
+    GROUP BY actual_lang, predicted_lang
+    """,
+    ops=["text-langid", "A3"],
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation INSIDE the engine: actual × predicted
+    language counts over the heuristic language-ID — the confusion
+    matrix a curation pipeline reviews before trusting lang filters.
+    Oracle composes the lang_id oracle as a CTE (DRY: one definition
+    of the argmax tiebreak in each engine)."""
+    p = lang_id_predict(spark, sf_dir).select("actual_lang", "predicted_lang")
+    return p.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH c AS ({REGISTRY["dedup_clusters"].oracle})
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM c GROUP BY cluster_id
+    )
+    GROUP BY cluster_size
+    """,
+    ops=["dedup-clusters", "A3"],
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: distribution of near-dup cluster sizes
+    (how much of the corpus collapses, and into how large groups) —
+    the one-glance number for a dedup run review."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
