@@ -5346,6 +5346,45 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "upsert_time_travel",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    """,
+    ops=["K2", "K3", "time-travel"],
+)
+def upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel on the versioned upsert table,
+    proven by the oracle: commit slice A, then upsert slice B (the live
+    table is now A∪B), then read the FIRST snapshot by name and
+    aggregate it. Hash-matches the SQL over slice A only if committed
+    snapshots are immutable and remain readable after later commits —
+    the Delta/Iceberg-style guarantee, no jars."""
+    import os
+    import tempfile
+
+    from .operators.upsert import write_upsert_parquet
+
+    o = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="sg_timetravel_")
+    v1 = write_upsert_parquet(
+        root, o.filter(F.col("o_orderkey") % 3 == 0), ["o_orderkey"]
+    )
+    write_upsert_parquet(
+        root, o.filter(F.col("o_orderkey") % 3 == 1), ["o_orderkey"]
+    )
+    old = spark.read.parquet(os.path.join(root, v1))  # time travel to v1
+    return old.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec2("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
