@@ -480,6 +480,16 @@ def connected_components(
         labels = merged_ck.select("u", "label")
         if not changed:
             break
+    # Block lifetime note: localCheckpoint blocks (edges + per-round
+    # labels) are reclaimed by the ContextCleaner only after the DRIVER
+    # garbage-collects the Dataset references — and the JVM may not run
+    # a full GC for a long time (spark.cleaner.periodicGC.interval is
+    # 30 min). A long session invoking this repeatedly accumulates
+    # orphaned storage blocks and degrades (measured 3.3 s → 11-19 s
+    # over an 83-query bench session); a periodic driver System.gc()
+    # (bench.py does this every 10 queries) returns it to steady state.
+    # DataFrame.unpersist() does NOT free these blocks (they belong to
+    # the internal checkpointed RDD, not the Dataset cache) — measured.
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
