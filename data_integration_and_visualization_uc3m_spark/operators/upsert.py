@@ -67,6 +67,29 @@ def upsert_ignore(
     return target.unionByName(fresh.select(*target.columns))
 
 
+def upsert_replace(
+    target: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """ON CONFLICT DO UPDATE (last-write-wins) as a DataFrame
+    transform — the `MERGE WHEN MATCHED THEN UPDATE SET *` twin of
+    :func:`upsert_ignore`.
+
+    Returns (target rows whose key is absent from the batch) ∪ the
+    deduped batch: batch rows REPLACE conflicting target rows. The
+    within-batch pick is first-wins under ``order_by`` (same
+    determinism contract as upsert_ignore). One anti-join + union —
+    the same shuffle shape as DO NOTHING, just mirrored.
+    """
+    incoming = dedup_batch_first_wins(batch, keys, order_by)
+    kept = target.join(
+        incoming.select(*keys).dropDuplicates(keys), on=keys, how="left_anti"
+    )
+    return kept.unionByName(incoming.select(*target.columns))
+
+
 # ---------------------------------------------------------------------
 # Materialized form: versioned snapshots + atomic manifest-pointer flip.
 #

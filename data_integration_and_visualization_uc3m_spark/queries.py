@@ -5385,6 +5385,52 @@ def upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "upsert_replace_orders",
+    """
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), batch AS (
+        SELECT o_orderkey, 'R' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 6 = 0
+    ), merged AS (
+        SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+        FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM batch
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+    ops=["K2", "merge-update"],
+)
+def upsert_replace_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WHEN MATCHED THEN UPDATE semantics (last-write-wins
+    upsert): a correction batch (every 6th order re-statused 'R' with
+    +1.0 price) replaces its target rows, non-conflicting target rows
+    survive, and the merged table is summarized. The DO-UPDATE twin of
+    upsert_conflict_ignore, same anti-join+union shuffle shape."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    batch = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        F.lit("R").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    )
+    merged = upsert.upsert_replace(target, batch, keys=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec2("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================

@@ -129,3 +129,20 @@ def test_dedup_first_wins_deterministic(spark):
     out = upsert.dedup_batch_first_wins(df, ["k"], order_by=["ord"])
     got = {r.k: r.tag for r in out.collect()}
     assert got == {"A": "first", "B": "only"}
+
+
+def test_upsert_replace_last_write_wins(spark):
+    target = spark.createDataFrame(
+        [("A", 1, 100), ("B", 1, 200)], "k string, y int, v long"
+    )
+    batch = spark.createDataFrame(
+        [
+            ("A", 1, 999),  # conflict → REPLACES old value
+            ("A", 1, 998),  # within-batch dup → first-wins by order_by
+            ("C", 1, 300),  # fresh → appended
+        ],
+        "k string, y int, v long",
+    )
+    out = upsert.upsert_replace(target, batch, keys=["k", "y"], order_by=["v"])
+    got = {(r.k, r.y): r.v for r in out.collect()}
+    assert got == {("A", 1): 998, ("B", 1): 200, ("C", 1): 300}
