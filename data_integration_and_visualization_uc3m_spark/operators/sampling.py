@@ -76,6 +76,30 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(F.col(key_col), seed) < expr)
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    base_rate: float,
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling: keep a row iff
+    ``hash_fraction(key) < base_rate · weight`` — acceptance
+    probability proportional to a per-row weight in [0, 1] (e.g. a
+    quality score), so high-quality documents are preferentially
+    retained at a controlled overall budget.
+
+    Same properties as plain hash sampling: map-side, seed-stable,
+    re-runs select identical rows. The comparison is done in exact
+    integer space (hash < floor(rate · weight · 2^32)) so the oracle
+    reproduces it bit-for-bit.
+    """
+    thr = F.floor(
+        F.lit(float(base_rate)) * F.col(weight_col) * F.lit(float(HASH_SPACE))
+    ).cast("long")
+    return df.filter(hash_bucket(F.col(key_col), seed) < thr)
+
+
 def quota_per_group(
     df: DataFrame,
     group_col: str,

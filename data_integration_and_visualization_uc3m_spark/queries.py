@@ -5431,6 +5431,31 @@ def upsert_replace_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_weighted_sample",
+    f"""
+    WITH q AS ({REGISTRY["doc_quality_score"].oracle})
+    SELECT doc_id, quality_score
+    FROM q
+    WHERE CAST(('0x'||substring(md5('w0:'||CAST(doc_id AS VARCHAR)),1,8))
+               AS BIGINT)
+          < CAST(FLOOR(0.5 * quality_score * 4294967296.0) AS BIGINT)
+    """,
+    ops=["sampling-weighted", "text-quality"],
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic subsampling: acceptance
+    probability = 0.5 · quality_score per document — high-quality docs
+    preferentially retained at a controlled budget, map-side and
+    seed-stable (the standard curation downsampler). Exact integer
+    threshold compare ⇒ oracle-identical selection."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_score(d).select("doc_id", "quality_score")
+    return sampling.weighted_hash_sample(
+        q, key_col="doc_id", weight_col="quality_score", base_rate=0.5, seed="w0"
+    ).select("doc_id", "quality_score")
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================

@@ -238,3 +238,17 @@ def test_incremental_agg_update_handles_group_moves(spark):
     }
     # direct recompute of v2: b -> 2 rows 14.00, c -> 1 row 1.00; a empty (dropped)
     assert got == {"b": (2, 14.0), "c": (1, 1.0)}
+
+
+def test_weighted_hash_sample_scales_with_weight(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import sampling
+
+    rows = [(i, 1.0) for i in range(500)] + [(i, 0.0) for i in range(500, 1000)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    kept = sampling.weighted_hash_sample(df, "k", "w", base_rate=0.5).collect()
+    # zero-weight rows can never be kept; full-weight rows keep ~50%
+    assert all(r.w == 1.0 for r in kept)
+    assert 150 <= len(kept) <= 350
+    # deterministic: identical re-run selects identical rows
+    again = sampling.weighted_hash_sample(df, "k", "w", base_rate=0.5).collect()
+    assert sorted(r.k for r in kept) == sorted(r.k for r in again)
