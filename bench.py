@@ -109,6 +109,8 @@ EXTENDED = [
     "unpivot_event_matrix",
     "lang_confusion_matrix",
     "upsert_time_travel",
+    "upsert_replace_orders",
+    "quality_weighted_sample",
 ]
 
 
