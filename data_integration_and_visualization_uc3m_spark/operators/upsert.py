@@ -136,18 +136,23 @@ def write_upsert_parquet(
     batch: DataFrame,
     keys: list[str],
     order_by: list[str] | None = None,
+    mode: str = "ignore",
 ) -> str:
-    """ON CONFLICT DO NOTHING against a versioned parquet table, with
-    an atomic snapshot-swap commit (see protocol above). Returns the
-    committed snapshot name. Idempotent: re-running with the same batch
-    commits a snapshot with identical contents."""
+    """Versioned-table upsert with an atomic snapshot-swap commit (see
+    protocol above). ``mode="ignore"`` = ON CONFLICT DO NOTHING;
+    ``mode="replace"`` = last-write-wins (MERGE ... THEN UPDATE).
+    Returns the committed snapshot name. Idempotent either way:
+    re-running with the same batch commits identical contents."""
+    if mode not in ("ignore", "replace"):
+        raise ValueError(f"mode must be 'ignore' or 'replace', got {mode!r}")
     spark = batch.sparkSession
     cur = current_snapshot(root)
     if cur is None:
         merged = dedup_batch_first_wins(batch, keys, order_by)
     else:
         target = spark.read.parquet(os.path.join(root, cur))
-        merged = upsert_ignore(target, batch, keys, order_by)
+        merge = upsert_ignore if mode == "ignore" else upsert_replace
+        merged = merge(target, batch, keys, order_by)
     new_name = f"v-{uuid.uuid4().hex[:12]}"
     merged.write.mode("overwrite").parquet(os.path.join(root, new_name))
     tmp = os.path.join(root, f"{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")

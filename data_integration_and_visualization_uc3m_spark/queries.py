@@ -5456,6 +5456,42 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality_score")
 
 
+@register(
+    "streaming_stateful_totals_e2e",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS total_micros
+    FROM events
+    GROUP BY user_id
+    """,
+    ops=["streaming-stateful", "streaming-e2e"],
+)
+def streaming_stateful_totals_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL Python operator under the oracle gate:
+    events stream through ``applyInPandasWithState`` (per-user running
+    count + fixed-point micro total carried across micro-batches), each
+    batch's cumulative rows replace-upsert into a versioned table, and
+    the drained table must hash-match plain batch SQL GROUP BY over the
+    raw events. Fixed-point state (floor(value·1e6) int64) makes the
+    Python accumulation order-independent — the determinism convention
+    applied inside the state store."""
+    import tempfile
+
+    from .operators.upsert import read_upsert_parquet
+    from .streaming.events import run_stream_stateful_totals
+
+    e = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="sg_stream_state_")
+    src = f"{work}/src"
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    run_stream_stateful_totals(spark, src, f"{work}/target", f"{work}/ckpt")
+    return read_upsert_parquet(spark, f"{work}/target").select(
+        "user_id", "n_events", "total_micros"
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -5501,6 +5537,7 @@ _PRIORITY: tuple[str, ...] = (
     "approx_sketches",
     "streaming_batch_parity_e2e",
     "streaming_dedup_e2e",
+    "streaming_stateful_totals_e2e",
 )
 
 

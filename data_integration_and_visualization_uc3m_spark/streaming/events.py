@@ -114,6 +114,89 @@ def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     )
 
 
+def running_user_totals_exact(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Oracle-checkable variant of :func:`running_user_totals`: the
+    per-user running total accumulates FIXED-POINT micros (int64 of
+    ``floor(value * 1e6)``) instead of floats, so the final state is
+    bit-identical to a batch SQL ``SUM(CAST(FLOOR(value*1000000.0) AS
+    BIGINT))`` regardless of batch boundaries or arrival order — the
+    determinism convention (queries.py header rule 7) applied INSIDE a
+    custom stateful Python operator. Emits cumulative totals per user
+    on every batch; a replace-upsert sink keeps the latest.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_micros", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("tot", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        n, tot = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # double*1e6 then floor: same IEEE ops as the SQL twin
+            tot += int(
+                np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum()
+            )
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_micros": [tot]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
+def run_stream_stateful_totals(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drive the exact stateful running-totals operator over a file
+    stream; each micro-batch's cumulative rows REPLACE the per-user row
+    in a versioned atomic table (last write wins), so after the stream
+    drains the table holds the final per-user totals."""
+    from ..operators.upsert import write_upsert_parquet
+    from ..session import tune
+
+    tune(spark)
+
+    def sink(batch_df, epoch_id: int) -> None:
+        write_upsert_parquet(target_path, batch_df, ["user_id"], mode="replace")
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    q = (
+        running_user_totals_exact(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def sliding_agg(
     events: DataFrame,
     size: str = "1 hour",
