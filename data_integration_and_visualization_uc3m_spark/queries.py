@@ -5492,6 +5492,56 @@ def streaming_stateful_totals_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "streaming_attribution_e2e",
+    """
+    WITH v AS (
+        SELECT user_id, ts AS view_ts, event_id AS view_id
+        FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id,
+           COUNT(*) AS n_attributions,
+           CAST(SUM(CAST(p.purchase_value AS DECIMAL(18,6))) AS DOUBLE)
+               AS attributed_value
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.purchase_ts > v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
+    """,
+    ops=["streaming-join", "streaming-e2e"],
+)
+def streaming_attribution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the oracle gate: the events
+    stream is split into view and purchase streams, inner-joined on
+    user within a 30-minute attribution window with BOTH sides
+    watermarked (real state-store join, matches found across
+    micro-batches), matches appended to parquet, then aggregated.
+    Hash-matches the batch SQL interval self-join exactly."""
+    import tempfile
+
+    from .streaming.events import run_stream_attribution_to_parquet
+
+    e = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="sg_stream_attr_")
+    src = f"{work}/src"
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    run_stream_attribution_to_parquet(
+        spark, src, f"{work}/out", f"{work}/ckpt"
+    )
+    matched = spark.read.parquet(f"{work}/out")
+    return matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_attributions"),
+        F.sum(F.col("purchase_value").cast(DEC6)).cast("double").alias(
+            "attributed_value"
+        ),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================

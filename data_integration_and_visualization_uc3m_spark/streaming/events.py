@@ -369,6 +369,49 @@ def run_stream_dedup_to_parquet(
         q.stop()
 
 
+def run_stream_attribution_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_gap: str = "30 minutes",
+    watermark: str = "30 days",
+) -> None:
+    """Stream-stream interval join end-to-end: one file stream split
+    into views and purchases, inner-joined on user within ``max_gap``,
+    matches appended to parquet (exactly-once via checkpoint).
+
+    The wide default watermark keeps both sides' state for the whole
+    bounded replay, so every cross-micro-batch match is found no matter
+    the file order — deterministic ≡ the batch interval join.
+    Production narrows it to the real attribution horizon so state
+    stays bounded (the join itself requires watermarks to evict)."""
+    from ..session import tune
+
+    tune(spark)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_attribution_join(
+        views, purchases, max_gap=max_gap, watermark=watermark
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_dir: str,
