@@ -5588,6 +5588,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_batch_parity_e2e",
     "streaming_dedup_e2e",
     "streaming_stateful_totals_e2e",
+    "streaming_attribution_e2e",
 )
 
 
