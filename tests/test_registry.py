@@ -43,3 +43,22 @@ def test_oracle_columns_match_spark(name, spark, duck):
     assert sorted(sdf.columns) == sorted(duck_cols), (
         f"{name}: spark={sorted(sdf.columns)} oracle={sorted(duck_cols)}"
     )
+
+
+def test_rotation_lists_reference_real_queries():
+    # a typo in the rotation bookkeeping would silently waste a slot of
+    # the driver's bounded correctness window
+    from data_integration_and_visualization_uc3m_spark.queries import (
+        _PRIOR_VERIFIED,
+        _PRIORITY,
+        all_queries,
+    )
+
+    assert set(_PRIOR_VERIFIED) <= set(REGISTRY)
+    assert set(_PRIORITY) <= set(REGISTRY)
+    assert not set(_PRIORITY) & set(_PRIOR_VERIFIED)
+    rotated = list(all_queries())
+    assert sorted(rotated) == sorted(REGISTRY)  # permutation, no loss
+    # the check window leads with priority then unverified queries
+    assert rotated[: len(_PRIORITY)] == list(_PRIORITY)
+    assert all(n in _PRIOR_VERIFIED for n in rotated[-len(_PRIOR_VERIFIED):])
