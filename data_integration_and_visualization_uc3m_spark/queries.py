@@ -5542,6 +5542,66 @@ def streaming_attribution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "column_profile_lineitem",
+    """
+    WITH stacked AS (
+        SELECT 'l_returnflag' AS col, CAST(l_returnflag AS VARCHAR) AS val FROM lineitem
+        UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+    )
+    SELECT col,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM stacked
+    GROUP BY col
+    """,
+    ops=["profiling", "A3"],
+)
+def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (null count, exact distinct,
+    min/max) for a column set, computed in ONE scan: the columns are
+    stacked in-row (explode of structs, no extra table passes) and
+    profiled with a single aggregation — the engine's equivalent of
+    the stats pass a warehouse runs before planning. Columns are
+    profiled through their string form, restricted to string/integer
+    columns whose rendering is engine-identical (doubles are not —
+    shortest-roundtrip formats differ)."""
+    cols = [
+        "l_returnflag",
+        "l_linestatus",
+        "l_suppkey",
+        "l_linenumber",
+        "l_orderkey",
+    ]
+    l = _t(spark, sf_dir, "lineitem")
+    stacked = l.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.val")
+    return stacked.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_nulls"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
