@@ -5602,6 +5602,145 @@ def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_anomaly_mad",
+    """
+    WITH ranked AS (
+        SELECT event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events
+    ), med AS (
+        SELECT event_type, value AS med_val
+        FROM ranked WHERE rn = CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT)
+    ), dev AS (
+        SELECT e.event_type, e.event_id, e.value,
+               ABS(e.value - m.med_val) AS abs_dev, m.med_val
+        FROM events e JOIN med m USING (event_type)
+    ), dev_ranked AS (
+        SELECT event_type, abs_dev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY abs_dev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM dev
+    ), mad AS (
+        SELECT event_type, abs_dev AS mad_val
+        FROM dev_ranked WHERE rn = CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT)
+    )
+    SELECT d.event_type, d.event_id, d.value, d.med_val, m.mad_val
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.abs_dev > 5.0 * m.mad_val
+    """,
+    ops=["robust-stats", "W2"],
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-type median + median absolute
+    deviation (both as lower discrete medians — real data elements,
+    engine-identical), flagging values beyond 5 MADs. The robust twin
+    of the z-score detector: immune to the outliers polluting their
+    own threshold. Two window passes + broadcast of the tiny per-type
+    stats — no driver math."""
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    med = (
+        e.withColumn("rn", F.row_number().over(wr))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2.0).cast("long"))
+        .select("event_type", F.col("value").alias("med_val"))
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med_val"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("abs_dev", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2.0).cast("long"))
+        .select("event_type", F.col("abs_dev").alias("mad_val"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("abs_dev") > 5.0 * F.col("mad_val"))
+        .select("event_type", "event_id", "value", "med_val", "mad_val")
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT o_custkey,
+               NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
+               NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f_quartile,
+               NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+        FROM per_cust
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           COUNT(*) AS n_customers,
+           CASE WHEN r_quartile = 1 AND f_quartile = 1 AND m_quartile = 1
+                THEN 'champion'
+                WHEN r_quartile >= 3 AND f_quartile >= 3 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    GROUP BY r_quartile, f_quartile, m_quartile
+    """,
+    ops=["rfm", "window-ntile", "A3"],
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartiles (ntile with unique tiebreakers ⇒ deterministic), rolled
+    into a segment census — the standard customer-analytics shape on
+    top of the warehouse. The global ntile orders run over the
+    per-customer AGGREGATE (|customers| rows), not the fact table —
+    declared report-scale here; at billions of customers swap the
+    exact ntile for approx-quantile boundary computation (mergeable
+    sketch) + map-side bucketing, trading oracle-exactness for a
+    partitionable plan."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec2("o_totalprice")).cast("double").alias("monetary"),
+    )
+    scored = per.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("n_orders").desc(), "o_custkey"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_quartile"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_quartile") == 1)
+            & (F.col("f_quartile") == 1)
+            & (F.col("m_quartile") == 1),
+            F.lit("champion"),
+        )
+        .when(
+            (F.col("r_quartile") >= 3) & (F.col("f_quartile") >= 3),
+            F.lit("at_risk"),
+        )
+        .otherwise(F.lit("regular"))
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.max(seg).alias("segment"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================

@@ -25,7 +25,13 @@ sys.path.insert(0, "/root/repo")
 
 # Queries with a DELIBERATE global window (documented single-partition
 # top-of-report slices — SURVEY §7.4.6).
-GLOBAL_WINDOW_OK = {"deterministic_slice", "viz_hover_points"}
+GLOBAL_WINDOW_OK = {
+    "deterministic_slice",
+    "viz_hover_points",
+    # global ntile over the per-customer AGGREGATE (declared
+    # report-scale; docstring records the approx-quantile scale path)
+    "customer_rfm_segments",
+}
 # Queries whose nested-loop join is DELIBERATE over a provably-small
 # input: the skyline global phase runs a quadratic dominance check over
 # the per-partition survivors only (frontier-sized, ≤ tens of rows).
