@@ -111,6 +111,9 @@ EXTENDED = [
     "upsert_time_travel",
     "upsert_replace_orders",
     "quality_weighted_sample",
+    "column_profile_lineitem",
+    "events_anomaly_mad",
+    "customer_rfm_segments",
 ]
 
 
