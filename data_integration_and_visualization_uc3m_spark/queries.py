@@ -5741,6 +5741,75 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hot_key_share_report",
+    """
+    WITH per AS (
+        SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM per
+    ), top AS (
+        SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows
+        FROM per ORDER BY n_rows DESC, user_id LIMIT 20
+    )
+    SELECT user_id, n_rows, n_rows / total AS share
+    FROM top, tot
+    """,
+    ops=["skew-diagnosis", "A3"],
+)
+def hot_key_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis as a first-class query: the 20 heaviest join/agg
+    keys with their share of total rows — the report that decides
+    whether a key needs salting (operators/skew.py) before AQE's
+    skew-join can't help (hot-key AGGREGATION). One aggregation +
+    TakeOrdered + a 1-row total broadcast."""
+    e = _t(spark, sf_dir, "events")
+    top = skew.key_histogram(e, ["user_id"], top_n=20).withColumn(
+        "n_rows", F.col("n_rows").cast("long")
+    )
+    tot = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").cast("long").alias("total"))
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "user_id", "n_rows", (F.col("n_rows") / F.col("total")).alias("share")
+    )
+
+
+@register(
+    "top_orders_with_ties",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    ops=["window-rank", "§2.8"],
+)
+def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per priority WITH tie inclusion: rank() (gaps on ties)
+    instead of row_number, so equal-priced orders all surface — the
+    tie-aware twin of top3_orders_per_priority. Ranking on the DECIMAL
+    cast keeps tie groups engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        _dec2("o_totalprice").desc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================

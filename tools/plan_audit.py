@@ -52,6 +52,7 @@ SCALAR_OK: set[str] = {
     "source_mix_report",        # 1-row corpus-totals broadcast onto per-source rows
     "ivf_recall_report",        # two 1-row recall counters cross-joined
     "int8_recall_report",       # 1-row query-code broadcast (via ann_int8_topk)
+    "hot_key_share_report",     # 1-row total broadcast onto the top-20 keys
 }
 
 
