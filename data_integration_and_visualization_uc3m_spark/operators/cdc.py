@@ -130,3 +130,28 @@ def incremental_agg_update(
         ).alias(sum_col),
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def incremental_join_insert_only(
+    old_a: DataFrame,
+    delta_a: DataFrame,
+    old_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an INNER equi-join under
+    insert-only deltas: the new matches are exactly
+
+        (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    so a materialized join result is maintained by appending this
+    delta instead of re-joining the full tables — O(|Δ|·selectivity)
+    work instead of O(|A|+|B|) per refresh. (Updates/deletes need the
+    retraction form; the aggregate twin lives in
+    :func:`incremental_agg_update`.)
+    """
+    return (
+        delta_a.join(old_b, on)
+        .unionByName(old_a.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )

@@ -5810,6 +5810,44 @@ def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_join_maintenance",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    ops=["ivm-join", "cdc-snapshot-diff"],
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN view maintenance, algebra proven by the
+    oracle: orders and lineitem are each split into an old snapshot
+    and an insert-only delta; the maintained result = old⋈old appended
+    with (ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB). Aggregating the maintained
+    rows must hash-match the plain full join — the refresh that costs
+    O(|Δ|) instead of re-joining 100 TB."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    old_o = o.filter(F.col("o_orderkey") % 5 != 0)
+    delta_o = o.filter(F.col("o_orderkey") % 5 == 0)
+    old_l = l.filter(F.col("o_orderkey") % 7 != 0)
+    delta_l = l.filter(F.col("o_orderkey") % 7 == 0)
+    base = old_o.join(old_l, "o_orderkey")
+    delta = cdc.incremental_join_insert_only(
+        old_o, delta_o, old_l, delta_l, on=["o_orderkey"]
+    )
+    maintained = base.unionByName(delta)
+    return maintained.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_dec2("l_extendedprice")).cast("double").alias("revenue"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================

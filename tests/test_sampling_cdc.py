@@ -252,3 +252,19 @@ def test_weighted_hash_sample_scales_with_weight(spark):
     # deterministic: identical re-run selects identical rows
     again = sampling.weighted_hash_sample(df, "k", "w", base_rate=0.5).collect()
     assert sorted(r.k for r in kept) == sorted(r.k for r in again)
+
+
+def test_incremental_join_insert_only_algebra(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import cdc
+
+    a = spark.createDataFrame([(1, "a1"), (2, "a2"), (3, "a3")], "k long, av string")
+    b = spark.createDataFrame([(1, "b1"), (2, "b2"), (3, "b3")], "k long, bv string")
+    old_a, delta_a = a.filter("k <= 2"), a.filter("k > 2")
+    old_b, delta_b = b.filter("k != 2"), b.filter("k = 2")
+    full = a.join(b, "k")
+    maintained = old_a.join(old_b, "k").unionByName(
+        cdc.incremental_join_insert_only(old_a, delta_a, old_b, delta_b, ["k"])
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, maintained.collect())
+    )
