@@ -114,6 +114,9 @@ EXTENDED = [
     "column_profile_lineitem",
     "events_anomaly_mad",
     "customer_rfm_segments",
+    "hot_key_share_report",
+    "top_orders_with_ties",
+    "incremental_join_maintenance",
 ]
 
 
