@@ -73,6 +73,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: ``mergeSchema`` unions
+    the schemas of all files, so rows written before a column existed
+    surface it as NULL instead of failing the read — the contract a
+    long-lived warehouse table needs when the pipeline adds columns.
+    Costs a footer read per file (why it is not the default reader);
+    at scale, prefer an explicit evolved StructType once the schema
+    settles."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: T.StructType, header: bool = True
 ) -> DataFrame:

@@ -167,3 +167,24 @@ def test_xlsx_jvm_path_raises_cleanly_without_jar(spark, tmp_path):
 
     with pytest.raises(XlsxUnavailable):
         read_xlsx_jvm(spark, str(tmp_path / "t.xlsx"))
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    # files written before a column existed must read back with NULLs,
+    # not fail — the long-lived-table contract
+    from data_integration_and_visualization_uc3m_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    got = read_parquet_evolved(spark, path)
+    assert sorted(got.columns) == ["id", "name", "score"]
+    rows = {r.id: (r.name, r.score) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
