@@ -5848,6 +5848,53 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_seasonality_yoy",
+    """
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mon,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY yr, mon
+    )
+    SELECT yr, mon, n_orders, revenue,
+           lag(revenue) OVER (PARTITION BY mon ORDER BY yr) AS revenue_prev_year,
+           CASE WHEN lag(revenue) OVER (PARTITION BY mon ORDER BY yr) IS NOT NULL
+                THEN revenue / lag(revenue) OVER (PARTITION BY mon ORDER BY yr) - 1.0
+           END AS yoy_growth
+    FROM m
+    """,
+    ops=["time-series", "window-lag-lead", "A3"],
+)
+def orders_seasonality_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality with year-over-year growth. The YoY lag is
+    PARTITIONED BY calendar month (12 partitions, lag 1 year within
+    each) instead of an unpartitioned lag-12 over the month series —
+    same numbers, no single-partition window, scales to any history
+    length."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec2("o_totalprice")).cast("double").alias("revenue"),
+    )
+    w = Window.partitionBy("mon").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "yr",
+        "mon",
+        "n_orders",
+        "revenue",
+        prev.alias("revenue_prev_year"),
+        F.when(prev.isNotNull(), F.col("revenue") / prev - 1.0).alias(
+            "yoy_growth"
+        ),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
