@@ -5895,6 +5895,121 @@ def orders_seasonality_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shipping_delay_profile",
+    """
+    WITH d AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), ranked AS (
+        SELECT o_orderpriority, delay_days,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY delay_days, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        FROM d
+    ), med AS (
+        SELECT o_orderpriority, delay_days AS median_delay
+        FROM ranked WHERE rn = CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT)
+    ), agg AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lines,
+               CAST(MIN(delay_days) AS BIGINT) AS min_delay,
+               CAST(MAX(delay_days) AS BIGINT) AS max_delay,
+               CAST(SUM(delay_days) AS BIGINT) AS total_delay_days
+        FROM d GROUP BY o_orderpriority
+    )
+    SELECT a.o_orderpriority, a.n_lines, a.min_delay, a.max_delay,
+           a.total_delay_days,
+           CAST(m.median_delay AS BIGINT) AS median_delay
+    FROM agg a JOIN med m USING (o_orderpriority)
+    """,
+    ops=["time-series", "J1", "robust-stats"],
+)
+def shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per priority: min/max/total plus
+    the discrete median delay (a real data element — engine-identical).
+    The logistics SLA report: one broadcast-dim join, one agg, one
+    partitioned median window."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"
+    )
+    d = l.join(o, "l_orderkey").select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "delay_days", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    med = (
+        d.withColumn("rn", F.row_number().over(wr))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2.0).cast("long"))
+        .select(
+            "o_orderpriority",
+            F.col("delay_days").cast("long").alias("median_delay"),
+        )
+    )
+    agg = d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("delay_days").cast("long").alias("min_delay"),
+        F.max("delay_days").cast("long").alias("max_delay"),
+        F.sum("delay_days").cast("long").alias("total_delay_days"),
+    )
+    return agg.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_lines",
+        "min_delay",
+        "max_delay",
+        "total_delay_days",
+        "median_delay",
+    )
+
+
+@register(
+    "user_inactivity_gaps",
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    ops=["time-series", "window-lag-lead"],
+)
+def user_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap profile (count / max / total in exact
+    epoch micros): the churn-risk signal behind sessionization — one
+    partitioned lag window + one aggregation, integer time arithmetic
+    end to end."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.sum("gap_us").cast("long").alias("total_gap_us"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
