@@ -117,6 +117,9 @@ EXTENDED = [
     "hot_key_share_report",
     "top_orders_with_ties",
     "incremental_join_maintenance",
+    "orders_seasonality_yoy",
+    "shipping_delay_profile",
+    "user_inactivity_gaps",
 ]
 
 
