@@ -5579,7 +5579,9 @@ def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_orderkey",
     ]
-    l = _t(spark, sf_dir, "lineitem")
+    # fanout: the profile explodes every row 5x — a single-file scan
+    # would serialize that on one core
+    l = _t(spark, sf_dir, "lineitem", fanout=True)
     stacked = l.select(
         F.explode(
             F.array(
