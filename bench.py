@@ -7,6 +7,14 @@ Prints ONE JSON line:
 Each query is forced with the noop sink (full materialization, no
 driver-side collect cost). One untimed warmup executes first so JVM/
 codegen startup isn't attributed to the first query.
+
+The driver records only the LAST 2000 bytes of stdout (rounds 2-3 both
+produced an unparseable truncated tail once the roster outgrew that),
+so the printed line keeps `queries` to a comparison subset (the
+BASELINE.md 20-query series + the heaviest queries this run) and is
+hard-capped under 2000 bytes; the full per-query median/cold/warm
+detail for the whole roster goes to BENCH_DETAIL.json next to this
+file, which is committed with the repo.
 """
 
 from __future__ import annotations
@@ -20,107 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the scan→agg, join, window, sessionize, and text/dedup
-# paths — the shapes that dominate at 100 TB.
-HEADLINE = [
-    "pricing_summary",
-    "flagship_nation_year_rate",
-    "validated_m2o_join",
-    "region_revenue",
-    "shipping_priority",
-    "small_quantity_orders",
-    "rollup_region_nation",
-    "keyed_dedup_first_wins",
-    "deterministic_slice",
-    "events_hourly",
-    "sessionize_events",
-    "upsert_conflict_ignore",
-]
-# Extended set (text/dedup/similarity/analytics) — included when registered.
-EXTENDED = [
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "simhash_signatures",
-    "doc_winnowing",
-    "token_count_profile",
-    "doc_quality_score",
-    "lang_id_predict",
-    "embedding_cosine_topk",
-    "embedding_lsh_buckets",
-    "label_centroids",
-    "events_zscore_outliers",
-    "interval_bucket_join",
-    "scd2_price_history",
-    "skyline_customers",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "ivf_topk",
-    "bpe_token_estimate",
-    "outer_join_order_counts",
-    "exists_late_shipments",
-    "priority_lines_matrix",
-    "having_large_volume_orders",
-    "hash_sample_docs",
-    "stratified_lang_sample",
-    "quota_sample_per_lang",
-    "train_holdout_split",
-    "cdc_order_changes",
-    "doc_repetition_stats",
-    "simhash_near_pairs",
-    "nation_pair_volume",
-    "nation_market_share",
-    "returned_item_customers",
-    "top_revenue_supplier",
-    "min_cost_supplier_per_part",
-    "nation_year_profit",
-    "important_parts_share",
-    "customer_order_count_histogram",
-    "parts_supplier_breadth",
-    "dominant_part_suppliers",
-    "suppliers_kept_orders_waiting",
-    "tfidf_top_terms",
-    "dedup_jaccard_df_capped",
-    "pack_sequences",
-    "pack_stats_per_lang",
-    "decontaminate_docs",
-    "training_shuffle_order",
-    "pack_payloads_per_seq",
-    "funnel_view_click_purchase",
-    "weekly_retention_cohorts",
-    "daily_revenue_momentum",
-    "incremental_agg_maintenance",
-    "pii_redaction_report",
-    "multimodal_audio_chunks",
-    "salted_event_totals",
-    "curation_pipeline_stats",
-    "embedding_int8_quantization",
-    "ann_int8_topk",
-    "user_journey_prefixes",
-    "gopher_quality_rules",
-    "source_mix_report",
-    "ivf_recall_report",
-    "int8_recall_report",
-    "partitioned_warehouse_prune",
-    "order_gaps_lead_lag",
-    "containment_pairs",
-    "dup_rate_by_source",
-    "dedup_survivors_by_quality",
-    "unpivot_event_matrix",
-    "lang_confusion_matrix",
-    "upsert_time_travel",
-    "upsert_replace_orders",
-    "quality_weighted_sample",
-    "column_profile_lineitem",
-    "events_anomaly_mad",
-    "customer_rfm_segments",
-    "hot_key_share_report",
-    "top_orders_with_ties",
-    "incremental_join_maintenance",
-    "orders_seasonality_yoy",
-    "shipping_delay_profile",
-    "user_inactivity_gaps",
-]
+# Roster: every registered query except the streaming e2e suite, which
+# drives real Structured Streaming jobs (temp checkpoint dirs, stream
+# scheduling latency) and would measure stream-trigger waits rather
+# than engine throughput. Deriving from the registry keeps the roster
+# complete as queries are added; BENCH_EXCLUDE lists the opt-outs.
+BENCH_EXCLUDE = frozenset({
+    "streaming_batch_parity_e2e",
+    "streaming_dedup_e2e",
+    "streaming_stateful_totals_e2e",
+    "streaming_attribution_e2e",
+})
 
 
 def main() -> None:
@@ -136,7 +54,7 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     force(qs["pricing_summary"](spark, SF_DIR))
 
-    names = [n for n in HEADLINE + EXTENDED if n in qs]
+    names = [n for n in qs if n not in BENCH_EXCLUDE]
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -173,15 +91,54 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    out = {
-        "metric": "sum of headline query wall times (noop-sink forced, median-of-3)",
-        "value": round(sum(times.values()), 3),
-        "unit": "sec",
+
+    detail = {
+        "metric": "per-query wall seconds (noop-sink forced), full roster",
+        "n_queries": len(times),
+        "total_median": round(sum(times.values()), 3),
+        "total_warm": round(sum(warm.values()), 3),
         "queries": times,
         "queries_cold": cold,
         "queries_warm": warm,
         "sf": sf_val,
     }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # Printed subset: the BASELINE.md round-1 20-query series (the 2x
+    # gate's comparison points) plus the heaviest queries this run.
+    baseline_series = [
+        "pricing_summary", "flagship_nation_year_rate", "validated_m2o_join",
+        "region_revenue", "shipping_priority", "small_quantity_orders",
+        "rollup_region_nation", "keyed_dedup_first_wins",
+        "deterministic_slice", "events_hourly", "sessionize_events",
+        "upsert_conflict_ignore", "dedup_exact_docs", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "simhash_signatures", "token_count_profile",
+        "doc_quality_score", "lang_id_predict", "embedding_cosine_topk",
+    ]
+    shown = {n: times[n] for n in baseline_series if n in times}
+    for n, _ in sorted(times.items(), key=lambda kv: -kv[1]):
+        if n not in shown:
+            shown[n] = times[n]
+    out = {
+        "metric": "sum of FULL %d-query roster wall times (noop-sink forced,"
+                  " median-of-3); per-query subset=baseline series + heaviest;"
+                  " full detail in BENCH_DETAIL.json" % len(times),
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": shown,
+        "sf": sf_val,
+    }
+    # Hard cap: the driver keeps only the last 2000 stdout bytes; drop
+    # the lightest non-baseline entries until the line fits with slack.
+    while len(json.dumps(out)) > 1900 and len(shown) > len(baseline_series):
+        for n in sorted(shown, key=lambda k: shown[k]):
+            if n not in baseline_series:
+                del shown[n]
+                break
+        else:
+            break
     print(json.dumps(out))
 
 

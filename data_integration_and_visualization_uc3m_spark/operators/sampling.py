@@ -93,9 +93,18 @@ def weighted_hash_sample(
     re-runs select identical rows. The comparison is done in exact
     integer space (hash < floor(rate · weight · 2^32)) so the oracle
     reproduces it bit-for-bit.
+
+    Weight domain: weights are clamped to [0, 1] before use — a weight
+    above 1 cannot silently raise acceptance past ``base_rate`` and a
+    negative weight cannot produce a negative threshold. A NULL weight
+    is treated as 0 (the row is deterministically dropped): an unscored
+    row has no claim on the sampling budget, and making that explicit
+    beats the NULL-comparison silently filtering it.
     """
+    w = F.least(F.greatest(F.coalesce(F.col(weight_col), F.lit(0.0)),
+                           F.lit(0.0)), F.lit(1.0))
     thr = F.floor(
-        F.lit(float(base_rate)) * F.col(weight_col) * F.lit(float(HASH_SPACE))
+        F.lit(float(base_rate)) * w * F.lit(float(HASH_SPACE))
     ).cast("long")
     return df.filter(hash_bucket(F.col(key_col), seed) < thr)
 

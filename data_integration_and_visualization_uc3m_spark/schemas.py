@@ -200,10 +200,11 @@ TESTDATA = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType(), True),
-            # at rest: parquet TIMESTAMP(NANOS,false) — illegal for Spark's
-            # reader; read as int64 nanos (legacy.parquet.nanosAsLong) and
-            # convert to TimestampType in sources.readers.load_table.
-            T.StructField("ts", T.LongType(), True),
+            # ENGINE CONTRACT type. The at-rest parquet unit has varied
+            # across testdata generations (NANOS int64 vs MICROS ntz);
+            # sources.readers.load_table normalizes whatever is on disk
+            # to this microsecond TimestampType.
+            T.StructField("ts", T.TimestampType(), True),
             T.StructField("user_id", T.LongType(), True),
             T.StructField("event_type", T.StringType(), True),
             T.StructField("value", T.DoubleType(), True),

@@ -42,17 +42,41 @@ def load_table(
     cores (see bounds rationale above) — pass it only when the caller
     fans the rows out (explode-heavy pipelines).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS,false), unreadable by Spark
-    natively; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
-    int64 nanos and is converted here via exact integer division (``div``,
-    not ``/`` — float division loses precision above 2^53 ns) to the
-    microsecond TimestampType, matching DuckDB's nanos→micros truncation.
+    ``events.ts``'s at-rest representation has varied across driver
+    testdata generations — TIMESTAMP(NANOS,false) (unreadable by Spark
+    natively; arrives as int64 nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``) vs TIMESTAMP(MICROS,false)
+    (arrives as TimestampNTZType). Assuming one fixed unit corrupts the
+    other by exactly 1000× (a round-4 regression: every event landed in
+    1970), so the events read is footer-driven: Spark reads the
+    parquet's own schema (a metadata lookup it performs anyway — NOT
+    row-level inference) and normalizes whatever arrived to the
+    engine-contract microsecond TimestampType. int64 nanos convert via
+    exact integer division (``div``, not ``/`` — float division loses
+    precision above 2^53 ns), matching DuckDB's nanos→micros
+    truncation; NTZ casts under the session's pinned UTC zone
+    (session.tune), which is value-preserving. All non-ts columns are
+    cast to the declared contract types so downstream plans see one
+    stable schema regardless of the file generation.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.schema(TESTDATA[name]).parquet(path)
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw = spark.read.parquet(path)
+        at_rest = {f.name: f.dataType for f in raw.schema.fields}["ts"]
+        if isinstance(at_rest, T.LongType):  # TIMESTAMP(NANOS) as int64
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+        else:  # TimestampNTZType / TimestampType
+            ts = F.col("ts").cast(T.TimestampType())
+        df = raw.select(
+            *[
+                ts.alias("ts") if f.name == "ts"
+                else F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in TESTDATA[name].fields
+            ]
+        )
+    else:
+        df = spark.read.schema(TESTDATA[name]).parquet(path)
     if respread:
         try:
             nbytes = os.path.getsize(path)

@@ -344,7 +344,12 @@ def run_stream_dedup_to_parquet(
 
     The wide default watermark keeps EVERY row inside the horizon for
     bounded replay tests (nothing is droppable as late, so the result
-    is deterministic regardless of file order). Production narrows it
+    is deterministic regardless of file order). PRECONDITION: that
+    determinism holds only while the staged data's event-time span is
+    <= the watermark — a wider span with out-of-order file replay can
+    evict dedup state and re-emit old duplicates. Callers replaying a
+    known slice should pass ``watermark = span + slack`` derived from
+    the data (as `streaming_dedup_e2e` does). Production narrows it
     to the real redelivery window so state stays bounded.
     """
     from ..session import tune

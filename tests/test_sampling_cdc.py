@@ -254,6 +254,26 @@ def test_weighted_hash_sample_scales_with_weight(spark):
     assert sorted(r.k for r in kept) == sorted(r.k for r in again)
 
 
+def test_weighted_hash_sample_clamps_and_drops_null(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import sampling
+
+    rows = (
+        [(i, 1.0) for i in range(500)]          # in-domain reference
+        + [(i, 5.0) for i in range(500, 1000)]  # over-weight: clamp to 1
+        + [(i, -2.0) for i in range(1000, 1100)]  # negative: clamp to 0
+        + [(i, None) for i in range(1100, 1200)]  # NULL: explicit drop
+    )
+    df = spark.createDataFrame(rows, "k long, w double")
+    kept = sampling.weighted_hash_sample(df, "k", "w", base_rate=0.5).collect()
+    # negative- and NULL-weight rows are never kept
+    assert all(r.k < 1000 for r in kept)
+    # weight>1 clamps to exactly 1.0 ⇒ same threshold as w=1.0, so the
+    # two blocks accept at the same rate (same hash on distinct keys)
+    n_ref = sum(1 for r in kept if r.k < 500)
+    n_over = sum(1 for r in kept if 500 <= r.k < 1000)
+    assert 150 <= n_ref <= 350 and 150 <= n_over <= 350
+
+
 def test_incremental_join_insert_only_algebra(spark):
     from data_integration_and_visualization_uc3m_spark.operators import cdc
 
