@@ -438,7 +438,29 @@ def connected_components(
 
     Output: (doc_id, cluster_id = min node id in the component), one
     row per node that appears in any pair.
+
+    Storage hygiene: every round's ``localCheckpoint`` materializes
+    storage blocks that ``DataFrame.unpersist()`` can NOT free (they
+    belong to the internal checkpointed RDD, not the Dataset cache —
+    measured), and the ContextCleaner only reclaims them after a driver
+    full GC, which the JVM may defer for many minutes. Left alone, a
+    session invoking this repeatedly degrades 3-5× (measured 3.3 s →
+    11-19 s over a long bench session). So superseded rounds' blocks
+    are freed eagerly through the JVM persistent-RDD registry: after
+    the loop, every RDD this call persisted is unpersisted EXCEPT the
+    final round's checkpoint, which backs the returned DataFrame.
     """
+    sc = pairs.sparkSession.sparkContext
+    jsc = sc._jsc.sc()
+
+    def _persistent_ids() -> set[int]:
+        it = jsc.getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    pre_existing = _persistent_ids()
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
@@ -480,16 +502,17 @@ def connected_components(
         labels = merged_ck.select("u", "label")
         if not changed:
             break
-    # Block lifetime note: localCheckpoint blocks (edges + per-round
-    # labels) are reclaimed by the ContextCleaner only after the DRIVER
-    # garbage-collects the Dataset references — and the JVM may not run
-    # a full GC for a long time (spark.cleaner.periodicGC.interval is
-    # 30 min). A long session invoking this repeatedly accumulates
-    # orphaned storage blocks and degrades (measured 3.3 s → 11-19 s
-    # over an 83-query bench session); a periodic driver System.gc()
-    # (bench.py does this every 10 queries) returns it to steady state.
-    # DataFrame.unpersist() does NOT free these blocks (they belong to
-    # the internal checkpointed RDD, not the Dataset cache) — measured.
+    # Free every block this call created except the final checkpoint
+    # (which backs the returned DataFrame — RDD ids are monotonically
+    # increasing, so the newest id among ours is the live one). Blocking
+    # unpersist is unnecessary; async removal is fine.
+    ours = _persistent_ids() - pre_existing
+    if ours:
+        live = max(ours)
+        jmap = jsc.getPersistentRDDs()
+        for rid in ours:
+            if rid != live and jmap.contains(rid):
+                jmap.apply(rid).unpersist(False)
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -1227,12 +1227,23 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2.0).cast("long"))
         .select("o_orderpriority", F.col("o_totalprice").alias("exact_median_price"))
     )
-    sk = o.groupBy("o_orderpriority").agg(
+    # The exact distinct count runs in its OWN aggregation: mixing a
+    # DISTINCT aggregate with TypedImperativeAggregate sketches in one
+    # agg makes Spark pre-group by (priority, custkey) and build a
+    # percentile/HLL sketch PER DISTINCT KEY (~1 sketch per customer,
+    # then a million-way merge) — measured 15.5 s vs 1.1 s at sf0.1.
+    # Two scans + a 5-row broadcast join is the 100 TB-sane plan.
+    exact = o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").cast("long").alias("exact_customers"),
+    )
+    sk = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers_raw"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_raw"),
     )
-    joined = sk.join(F.broadcast(med), "o_orderpriority")
+    joined = (
+        sk.join(F.broadcast(exact), "o_orderpriority")
+        .join(F.broadcast(med), "o_orderpriority")
+    )
     return joined.select(
         "o_orderpriority",
         "exact_customers",

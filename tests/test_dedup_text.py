@@ -70,6 +70,25 @@ def test_connected_components_and_survivors(spark):
     assert kept == [1, 4, 10]  # one survivor per cluster + untouched doc
 
 
+def test_connected_components_frees_superseded_blocks(spark):
+    # each round's localCheckpoint blocks must be freed once superseded
+    # (only the final checkpoint backing the result may remain) — left
+    # alone they accumulate across a session and degrade later queries
+    # 3-5x until a driver full GC happens to run
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    # a 4-chain needs >1 propagation round => >1 superseded checkpoint
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(pairs)
+    assert {r.cluster_id for r in out.collect()} == {1}
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, f"leaked {after - before} persistent RDDs"
+    # the survivor checkpoint still serves reads
+    assert out.count() == 5
+
+
 def test_ngram_set_shingles(spark):
     d = docs(spark, [(1, "a b c d")])
     got = sorted(r.shingle for r in dedup.ngram_set(d, n=3).collect())
