@@ -1886,7 +1886,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector component stats via array folds — stays entirely
     map-side (no explode-shuffle: the fold runs inside the row).
     Fixed-point quantization keeps sums oracle-exact (convention #7)."""
-    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    e = _t(spark, sf_dir, "embeddings")
     nano = lambda x: F.floor(x.cast("double") * 1000000000).cast("long")
     sum_nano = F.aggregate(
         F.col("embedding"), F.lit(0).cast("long"), lambda acc, x: acc + nano(x)
@@ -2399,7 +2399,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dyadic ties — observed on this very dataset at scales 10 and
     12. Fixed-point accumulation is also the standard trick for
     order-independent float aggregation at cluster scale."""
-    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    e = _t(spark, sf_dir, "embeddings")
     ex = e.select(
         "label", F.posexplode("embedding").alias("dim", "xf")
     ).select(
@@ -2856,7 +2856,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     them. Fully deterministic (nano-quantized centroid + distance sums)
     so even the approximate index path is oracle-checked — the scale
     story is partition-by-cell + partition pruning at the scan."""
-    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    e = _t(spark, sf_dir, "embeddings")
     qv = [
         float(x)
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -3787,7 +3787,7 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round-3 `TypeError: unhashable type: 'numpy.ndarray'`), so every
     registered query keeps its output schema array-free. ANN consumers
     (`ann_int8_topk`) use the operator's native array form directly."""
-    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    e = _t(spark, sf_dir, "embeddings")
     q = similarity.quantize_embeddings(e)
     return q.withColumn("codes", F.array_join(F.col("codes").cast("array<string>"), ","))
 
@@ -3886,11 +3886,9 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine. The compute path that justifies quantization: 4× less data
     moved per distance, same broadcast-query/TakeOrdered plan as the
     float baseline."""
-    quant = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings", fanout=True)).select(
+    quant = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "codes"
     )
-    q = quant.filter(F.col("vec_id") == 0).select(F.col("codes").alias("qc"))
-
     def idot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x.cast("long") * y),
@@ -3898,6 +3896,17 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).cast("double")
 
+    # The query self-dot is computed ONCE on the 1-row broadcast side —
+    # evaluating it per data row (3 fold-aggregates/row) was one third
+    # of the query's per-row cost for a constant answer. A driver-side
+    # probe fetch (.first() + literal array) was measured SLOWER here:
+    # the extra probe job re-runs quantization, costing more than the
+    # fold it saves.
+    q = (
+        quant.filter(F.col("vec_id") == 0)
+        .select(F.col("codes").alias("qc"))
+        .select("qc", idot(F.col("qc"), F.col("qc")).alias("nb2"))
+    )
     scored = (
         quant.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
@@ -3905,7 +3914,7 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             idot(F.col("codes"), F.col("qc")).alias("dot"),
             idot(F.col("codes"), F.col("codes")).alias("na2"),
-            idot(F.col("qc"), F.col("qc")).alias("nb2"),
+            "nb2",
         )
     )
     return (
@@ -4959,7 +4968,7 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rare for ANN — the whole measurement is deterministic (fixed-point
     centroids, ordered tiebreaks), so the recall number itself is
     hash-checked, not just eyeballed."""
-    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    e = _t(spark, sf_dir, "embeddings")
     qv = [
         float(x)
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -5117,7 +5126,7 @@ def int8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact float cosine vs top-10 on the int8 codes (both excluding the
     query vector itself), reporting overlap and recall@10 — the number
     that justifies (or vetoes) shipping the 4× smaller index."""
-    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    e = _t(spark, sf_dir, "embeddings")
     qv = [
         float(x)
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
