@@ -38,6 +38,7 @@ BENCH_EXCLUDE = frozenset({
     "streaming_dedup_e2e",
     "streaming_stateful_totals_e2e",
     "streaming_attribution_e2e",
+    "streaming_lsh_dedup_e2e",
 })
 
 

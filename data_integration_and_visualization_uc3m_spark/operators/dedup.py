@@ -360,6 +360,31 @@ def minhash_signatures(
     return sets_df.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-form LSH band buckets: one (id, band, bucket) row per band,
+    bucket = md5 of the band's ``rows_per_band`` signature columns in
+    seed order (identical construction to ``lsh_candidate_pairs`` and
+    the SQL oracle). This is the shape a persistent dedup INDEX stores:
+    new documents probe it with an equi-join on (band, bucket)."""
+    band_exprs = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    wide = signatures.select(F.col(id_col), *band_exprs)
+    stack = ", ".join(f"{b}, band_{b}" for b in range(bands))
+    return wide.selectExpr(id_col, f"stack({bands}, {stack}) AS (band, bucket)")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,

@@ -1587,6 +1587,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_lsh_dedup_e2e",
+    f"""
+    WITH {_SHINGLES_CTE}, sigs AS (
+        SELECT doc_id,
+               {_MH_MINS}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        {_MH_BANDS}
+    ), dropped AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND (b.doc_id % 3 < a.doc_id % 3
+              OR (b.doc_id % 3 = a.doc_id % 3 AND b.doc_id < a.doc_id))
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY lang
+    """,
+    ops=["streaming-lsh-dedup", "dedup-minhash-lsh", "streaming-e2e"],
+)
+def streaming_lsh_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed streaming NEAR-dup filtering, proven end-to-end:
+    documents staged as 3 mtime-ordered chunk files (chunk =
+    doc_id % 3), streamed one file per micro-batch through the
+    MinHash-LSH novelty filter (streaming.docs.run_stream_lsh_dedup —
+    every batch probes a persistent band-bucket index of all earlier
+    batches), survivors aggregated per lang. The oracle recomputes the
+    same keep/drop decision in one non-recursive SQL query (a document
+    is dropped iff it shares an LSH band bucket with an earlier-chunk
+    document or a smaller-id document of its own chunk) — it
+    hash-matches only if the streaming index filter dropped exactly
+    the candidate set, across batch boundaries, and nothing else."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .streaming.docs import run_stream_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="sg_stream_lsh_")
+    src = f"{work}/src"
+    os.makedirs(src)
+    base = _time.time()
+    for c in range(3):
+        tmp = f"{work}/tmp{c}"
+        d.filter(F.col("doc_id") % 3 == c).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        dst = f"{src}/chunk{c}.parquet"
+        shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        # distinct ascending mtimes pin FileStreamSource's arrival order
+        os.utime(dst, (base + c, base + c))
+    run_stream_lsh_dedup(
+        spark, src, f"{work}/out", f"{work}/idx", f"{work}/ckpt"
+    )
+    return (
+        spark.read.parquet(f"{work}/out")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
     "dedup_clusters",
     f"""
     WITH {_SHINGLES_CTE}, sigs AS (
@@ -6129,11 +6201,27 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
+# Queries ADDED this round. They carry construction parity evidence
+# and queue BEHIND the pending-verdict block so they can't push a
+# longer-waiting query out of the window; they fill any spare window
+# slots (round 4: 5 priority + 44 pending + 1 new = exactly 50),
+# otherwise they rotate forward next round.
+_NEW_PARITY_ONLY: tuple[str, ...] = (
+    "streaming_lsh_dedup_e2e",
+)
+
+
 def _rotated() -> list[str]:
     names = list(REGISTRY)
-    front = [n for n in names if n not in _PRIOR_VERIFIED and n not in _PRIORITY]
-    back = [n for n in names if n in _PRIOR_VERIFIED and n not in _PRIORITY]
-    return [n for n in _PRIORITY if n in REGISTRY] + front + back
+    skip = set(_PRIORITY) | set(_NEW_PARITY_ONLY)
+    front = [n for n in names if n not in _PRIOR_VERIFIED and n not in skip]
+    back = [n for n in names if n in _PRIOR_VERIFIED and n not in skip]
+    return (
+        [n for n in _PRIORITY if n in REGISTRY]
+        + front
+        + [n for n in _NEW_PARITY_ONLY if n in REGISTRY]
+        + back
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

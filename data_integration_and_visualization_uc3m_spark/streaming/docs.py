@@ -1,0 +1,123 @@
+"""Streaming document ingestion with index-backed near-dup filtering.
+
+The production shape of corpus ingestion at 100 TB: documents arrive in
+micro-batches; each batch is MinHash-banded and probed against a
+PERSISTENT band-bucket index holding every previously seen document.
+Colliding documents (≥1 shared LSH band bucket ⇒ near-dup candidate at
+the S-curve's operating point) are dropped; the whole batch's buckets —
+survivors AND dropped docs — are appended to the index so later
+re-deliveries of a near-dup family keep matching it.
+
+Indexing every incoming document (not only survivors) is deliberate:
+it makes the keep/drop decision a pure function of arrival order with
+no cascade through earlier drops, so the result is reproducible by one
+non-recursive SQL query (the oracle) and is insensitive to exactly
+which member of a near-dup family arrived first.
+
+Scale: the per-batch probe is an equi-join on (band, bucket) — at
+1000-executor scale the index lives partitioned/bucketed by a hash of
+(band, bucket) so the probe co-locates without a full shuffle of the
+index side; the append stays partition-aligned. The local form uses a
+plain parquet directory (appends are new files; no rewrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA
+
+DOCS_STREAM_SCHEMA = TESTDATA["documents"]
+
+LSH_BANDS = 4
+LSH_ROWS_PER_BAND = 4
+MINHASHES = LSH_BANDS * LSH_ROWS_PER_BAND
+
+
+def batch_band_buckets(batch_df: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) for one micro-batch: word-3-gram shingles
+    → 16 seeded-md5 minhashes (wide single-pass) → 4×4 banding. Same
+    constructions as the batch dedup pipeline (operators.dedup), so the
+    streaming filter and the batch oracle agree bit-for-bit."""
+    from ..operators import dedup
+
+    sets = dedup.ngram_set(batch_df, n=3)
+    sigs = dedup.minhash_signatures(sets, num_hashes=MINHASHES, item_col="shingle")
+    return dedup.band_buckets(
+        sigs, bands=LSH_BANDS, rows_per_band=LSH_ROWS_PER_BAND
+    )
+
+
+def run_stream_lsh_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """File stream → per-batch MinHash-LSH novelty filter → append sink.
+
+    Per micro-batch (one staged file):
+      1. band-bucket the batch's documents,
+      2. drop any document sharing a bucket with the index (earlier
+         batches) or with a smaller-doc_id document in its own batch,
+      3. append survivors to ``out_dir``; append ALL batch buckets to
+         ``index_dir`` (see module docstring for why all).
+
+    The keep rule is deterministic given file arrival order (the stager
+    pins mtimes so FileStreamSource's timestamp ordering is the chunk
+    order) — proven end-to-end by the ``streaming_lsh_dedup_e2e``
+    oracle, which recomputes the same decision in one SQL query.
+    """
+    from ..session import tune
+
+    tune(spark)
+
+    from pyspark.errors import AnalysisException
+
+    def sink(batch_df, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        # one batch feeds three consumers (index probe, in-batch probe,
+        # index append) — persist so the shingle+minhash pass runs once
+        buckets = batch_band_buckets(batch_df).persist()
+        try:
+            index = spark.read.parquet(index_dir).select("band", "bucket")
+            hit_index = (
+                buckets.join(index, ["band", "bucket"], "left_semi")
+                .select("doc_id")
+            )
+        except AnalysisException:  # first batch — no index yet
+            hit_index = batch_df.select("doc_id").limit(0)
+        a, b = buckets.alias("a"), buckets.alias("b")
+        hit_batch = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("b.doc_id") < F.col("a.doc_id")),
+                "left_semi",
+            )
+            .select(F.col("doc_id"))
+        )
+        dropped = hit_index.unionByName(hit_batch).distinct()
+        survivors = batch_df.join(dropped, "doc_id", "left_anti")
+        survivors.write.mode("append").parquet(out_dir)
+        buckets.write.mode("append").parquet(index_dir)
+        buckets.unpersist()
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -200,3 +200,58 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
     batch_rows = sorted(map(tuple, batch_joined.collect()))
     assert len(batch_rows) > 0
     assert stream_rows == batch_rows
+
+
+def test_stream_lsh_dedup_index_semantics(spark, tmp_path):
+    """Cross-batch near-dup filtering with index-all semantics: a doc
+    colliding with ANY earlier doc's bands is dropped, even when that
+    earlier doc was itself dropped; novel docs pass through."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_integration_and_visualization_uc3m_spark.streaming.docs import (
+        run_stream_lsh_dedup,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    near = base_text + " extra"          # near-dup of base (shares shingles)
+    novel = "completely different words about spark structured streaming state"
+    rows = {
+        0: [(1, base_text), (2, novel)],            # batch 0: both survive
+        1: [(3, near)],                              # dropped vs doc 1
+        2: [(4, near + " tail"), (5, "yet another unrelated document body")],
+    }                                                # 4 dropped (hits 1 AND 3's
+    #                                                  indexed bands), 5 survives
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    now = time.time()
+    for c, docs in rows.items():
+        df = spark.createDataFrame(
+            [(i, t, "en", "unit", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).repartition(1)
+        tmp = str(tmp_path / f"stage{c}")
+        df.write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil
+
+        dst = f"{src}/chunk{c}.parquet"
+        shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        os.utime(dst, (now + c, now + c))
+    run_stream_lsh_dedup(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert kept == [1, 2, 5]
+    # the index holds every incoming doc's bands (4 bands x 5 docs)
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert idx.select("doc_id").distinct().count() == 5
+    assert idx.count() == 20
