@@ -76,6 +76,43 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(F.col(key_col), seed) < expr)
 
 
+def balance_to_min_stratum(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    seed: str = "s0",
+) -> DataFrame:
+    """Target-mix rebalancing with DATA-DERIVED rates: downsample every
+    stratum to (approximately) the size of the smallest one — the
+    balanced-corpus operator (e.g. equalize languages before training).
+    Unlike ``stratified_hash_sample`` the per-stratum rates are not
+    given by the caller; they are computed from the data in one tiny
+    aggregation, so the same call rebalances any corpus.
+
+    The per-stratum threshold is exact integer math,
+    ``(n_min · 2^32) div n_stratum`` (no float rounding — the oracle
+    reproduces it bit-for-bit; fits in a BIGINT while n_min < 2^21,
+    i.e. up to ~2M rows in the smallest stratum — beyond that scale
+    the threshold computation should move to DECIMAL). The smallest
+    stratum's threshold is exactly 2^32: it is kept whole.
+
+    Scale: one count aggregation over the strata (tiny result), a
+    1-row min, a broadcast join of the per-stratum thresholds, then a
+    pure map-side filter — no shuffle of the data rows at any scale.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    thresholds = counts.crossJoin(F.broadcast(nmin)).select(
+        strata_col,
+        F.expr(f"(_nmin * {HASH_SPACE}L) div _n").alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(hash_bucket(F.col(key_col), seed) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def weighted_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -3194,6 +3194,42 @@ def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "balanced_lang_mix",
+    """
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), thr AS (
+        SELECT lang,
+               ((SELECT MIN(n) FROM counts) * 4294967296) // n AS t
+        FROM counts
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+    FROM documents d JOIN thr ON thr.lang = d.lang
+    WHERE CAST(('0x'||substring(md5('mix0:'||CAST(d.doc_id AS VARCHAR)),1,8))
+               AS BIGINT) < thr.t
+    GROUP BY d.lang
+    """,
+    ops=["sampling-balanced-mix", "sampling-stratified"],
+)
+def balanced_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mix rebalancing with DATA-DERIVED rates: every language
+    downsampled to ~the smallest language's size via deterministic
+    hash sampling — the balanced-corpus step of a curation pipeline.
+    Thresholds are exact integer math ((n_min·2^32) div n), so both
+    engines select the identical row set."""
+    d = _t(spark, sf_dir, "documents")
+    kept = sampling.balance_to_min_stratum(
+        d, strata_col="lang", key_col="doc_id", seed="mix0"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
+@register(
     "stratified_lang_sample",
     f"""
     SELECT lang,
@@ -6208,6 +6244,7 @@ _PRIORITY: tuple[str, ...] = (
 # otherwise they rotate forward next round.
 _NEW_PARITY_ONLY: tuple[str, ...] = (
     "streaming_lsh_dedup_e2e",
+    "balanced_lang_mix",
 )
 
 

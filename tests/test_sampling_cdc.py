@@ -288,3 +288,29 @@ def test_incremental_join_insert_only_algebra(spark):
     assert sorted(map(tuple, full.collect())) == sorted(
         map(tuple, maintained.collect())
     )
+
+
+def test_balance_to_min_stratum(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import sampling
+
+    # skewed strata: 800 'en', 150 'de', 50 'fr' -> everything targets ~50
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(i, "de") for i in range(800, 950)]
+        + [(i, "fr") for i in range(950, 1000)]
+    )
+    df = spark.createDataFrame(rows, "k long, lang string")
+    kept = sampling.balance_to_min_stratum(df, "lang", "k").collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r.lang, []).append(r.k)
+    # the smallest stratum is kept WHOLE (threshold is exactly 2^32)
+    assert len(by["fr"]) == 50
+    # larger strata land near the target with hash-sampling tolerance
+    assert 25 <= len(by["en"]) <= 85
+    assert 25 <= len(by["de"]) <= 85
+    # deterministic re-run selects identical rows
+    again = sampling.balance_to_min_stratum(df, "lang", "k").collect()
+    assert sorted((r.lang, r.k) for r in kept) == sorted(
+        (r.lang, r.k) for r in again
+    )
