@@ -160,3 +160,45 @@ def write_upsert_parquet(
         fh.write(new_name)
     os.replace(tmp, os.path.join(root, _MANIFEST))  # the atomic commit point
     return new_name
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> str:
+    """Small-files compaction as a new snapshot version.
+
+    Micro-batch upserts (e.g. the streaming foreachBatch sink) commit
+    many small snapshots whose SUCCESSOR tables inherit ever more
+    small parquet files; at scale, scan cost becomes dominated by file
+    OPEN overhead (footer reads, task scheduling) rather than bytes.
+    Compaction rewrites the live snapshot into ``ceil(bytes /
+    target_bytes)`` files and commits it through the SAME atomic
+    manifest flip as an upsert — a crash mid-compaction leaves the
+    previous snapshot live, and earlier snapshot versions stay
+    readable (time travel is unaffected).
+
+    The file count derives from the snapshot's actual on-disk bytes
+    (driver-side dir listing — metadata only, no data read). coalesce()
+    avoids a shuffle: compaction only narrows partitioning.
+    """
+    cur = current_snapshot(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    src = os.path.join(root, cur)
+    nbytes = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-nbytes // target_bytes))  # ceil
+    df = spark.read.parquet(src).coalesce(n_files)
+    new_name = f"v-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(os.path.join(root, new_name))
+    tmp = os.path.join(root, f"{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(new_name)
+    os.replace(tmp, os.path.join(root, _MANIFEST))
+    return new_name

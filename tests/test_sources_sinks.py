@@ -188,3 +188,30 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert sorted(got.columns) == ["id", "name", "score"]
     rows = {r.id: (r.name, r.score) for r in got.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_audited_write_single_pass_metrics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_integration_and_visualization_uc3m_spark.sinks.writers import (
+        audited_write_parquet,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, None)],
+        "k long, v double, s string",
+    )
+    out = str(tmp_path / "audited")
+    got = audited_write_parquet(
+        df,
+        out,
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.sum(F.col("v").isNull().cast("long")),
+            "sum_v": F.sum("v"),
+            "max_k": F.max("k"),
+        },
+    )
+    assert got == {"n_rows": 3, "n_null_v": 1, "sum_v": 40.0, "max_k": 3}
+    # the metrics observed exactly the rows the writer consumed
+    assert spark.read.parquet(out).count() == 3

@@ -146,3 +146,35 @@ def test_upsert_replace_last_write_wins(spark):
     out = upsert.upsert_replace(target, batch, keys=["k", "y"], order_by=["v"])
     got = {(r.k, r.y): r.v for r in out.collect()}
     assert got == {("A", 1): 998, ("B", 1): 200, ("C", 1): 300}
+
+
+def test_compact_snapshot_preserves_data_and_history(spark, tmp_path):
+    import glob
+    import os
+
+    from data_integration_and_visualization_uc3m_spark.operators import upsert
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.createDataFrame([(i, i * 1.0) for i in range(1000)], "k long, v double")
+    # stage a fragmented snapshot by hand (what many tiny foreachBatch
+    # commits produce; a single upsert write would be AQE-coalesced)
+    v1 = "v-fragmented0001"
+    for part in range(16):
+        df.filter((F.col("k") % 16) == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{root}/{v1}")
+    with open(f"{root}/_CURRENT", "w") as fh:
+        fh.write(v1)
+    n_before = len(glob.glob(f"{root}/{v1}/*.parquet"))
+    assert n_before >= 16
+    v2 = upsert.compact_snapshot(spark, root, target_bytes=1 << 30)
+    # live snapshot: same rows, one file
+    live = upsert.read_upsert_parquet(spark, root)
+    assert live.count() == 1000
+    assert len(glob.glob(f"{root}/{v2}/*.parquet")) == 1
+    assert upsert.current_snapshot(root) == v2
+    # time travel: the pre-compaction snapshot is untouched
+    old = spark.read.parquet(f"{root}/{v1}")
+    assert old.count() == 1000
+    assert len(glob.glob(f"{root}/{v1}/*.parquet")) == n_before
