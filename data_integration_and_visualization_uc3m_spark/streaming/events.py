@@ -293,6 +293,7 @@ def run_stream_foreach_batch_upsert(
     source_dir: str,
     target_path: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
 ) -> None:
     """Exactly-once-style sink: foreachBatch applies the K2 upsert per
     micro-batch into a parquet target, with a checkpoint so a restarted
@@ -305,14 +306,22 @@ def run_stream_foreach_batch_upsert(
     each micro-batch commits a fresh snapshot and atomically flips the
     manifest, so a crash mid-batch can never expose a torn table — read
     it back with ``operators.upsert.read_upsert_parquet``.
+
+    ``compact_every=N`` folds snapshot compaction into the sink cadence
+    (every N-th epoch, after the upsert): micro-batch commits are the
+    canonical producer of small-files accumulation, and compaction
+    rides the same atomic manifest flip, so a crash mid-compaction
+    still leaves the just-upserted snapshot live.
     """
-    from ..operators.upsert import write_upsert_parquet
+    from ..operators.upsert import compact_snapshot, write_upsert_parquet
     from ..session import tune
 
     tune(spark)
 
     def sink(batch_df, epoch_id: int) -> None:
         write_upsert_parquet(target_path, batch_df, ["event_id"])
+        if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+            compact_snapshot(spark, target_path)
 
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)

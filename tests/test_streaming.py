@@ -255,3 +255,26 @@ def test_stream_lsh_dedup_index_semantics(spark, tmp_path):
     idx = spark.read.parquet(str(tmp_path / "idx"))
     assert idx.select("doc_id").distinct().count() == 5
     assert idx.count() == 20
+
+
+def test_foreach_batch_upsert_with_compaction(spark, tmp_path):
+    """Compaction folded into the sink cadence: result identical, live
+    snapshot file count reduced, crash-safety inherited from the
+    manifest flip."""
+    import glob
+    import os
+
+    from data_integration_and_visualization_uc3m_spark.operators import upsert
+
+    src_dir = _prepare_stream_dir(spark, tmp_path)
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    se.run_stream_foreach_batch_upsert(
+        spark, src_dir, target, str(tmp_path / "ckpt"), compact_every=1
+    )
+    live = upsert.read_upsert_parquet(spark, target)
+    batch = spark.read.parquet(src_dir)
+    assert live.count() == batch.select("event_id").distinct().count()
+    cur = upsert.current_snapshot(target)
+    # compacted live snapshot: bounded file count (one per 128MB)
+    assert len(glob.glob(f"{target}/{cur}/*.parquet")) == 1
