@@ -3194,6 +3194,35 @@ def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "consistent_user_sample",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE CAST(('0x'||substring(md5('u0:'||CAST(user_id AS VARCHAR)),1,8))
+               AS BIGINT) < {int(0.2 * (1 << 32))}
+    GROUP BY event_type
+    """,
+    ops=["sampling-consistent", "sampling-hash"],
+)
+def consistent_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-CLOSED sampling: hash-sample 20% of USERS and keep ALL of
+    each kept user's events — the property that makes hash sampling
+    the scale tool for holdouts (a user's whole history lands on one
+    side of the split; row-level sampling would shear histories apart
+    and leak across train/eval). The sampling key is user_id while the
+    row grain is events: one map-side predicate, no user-table join,
+    consistent across every table keyed by the same id."""
+    e = _t(spark, sf_dir, "events")
+    kept = sampling.hash_sample(e, key_col="user_id", rate=0.2, seed="u0")
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@register(
     "balanced_lang_mix",
     """
     WITH counts AS (
@@ -6245,6 +6274,7 @@ _PRIORITY: tuple[str, ...] = (
 _NEW_PARITY_ONLY: tuple[str, ...] = (
     "streaming_lsh_dedup_e2e",
     "balanced_lang_mix",
+    "consistent_user_sample",
 )
 
 
