@@ -1,0 +1,75 @@
+"""Scaling probe: time representative queries across the three testdata
+scale factors and report the 0.01→0.1 ratio (10× data).
+
+Interpretation: a ratio near 1 means the query is scheduling-floor
+bound at these sizes (fixed cost dominates); near 10 means linear in
+data; well ABOVE 10 means superlinear — a plan that will not survive a
+100× scale-up and needs attention. This is the measured form of the
+"would this plan hold at 1000 executors / 100 TB" review question.
+
+Usage: python tools/scaling_probe.py [q1 q2 ...]
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+# One representative per plan family (scan-agg, broadcast join, window,
+# sessionize, shingle explode + band join, iterative CC, self-join
+# output-bound, HOF vector math, text explode-agg, packing).
+DEFAULT = [
+    "pricing_summary",
+    "validated_m2o_join",
+    "events_hourly",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "simhash_near_pairs",
+    "embedding_cosine_topk",
+    "tfidf_top_terms",
+    "pack_sequences",
+    "balanced_lang_mix",
+]
+
+
+def main() -> None:
+    from data_integration_and_visualization_uc3m_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    force(qs["pricing_summary"](spark, SFS[0]))  # warm the JVM
+    rows = []
+    for name in names:
+        med = {}
+        for sf in SFS:
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                force(qs[name](spark, sf))
+                runs.append(time.perf_counter() - t0)
+            med[sf] = statistics.median(runs)
+        ratio = med[SFS[2]] / med[SFS[1]] if med[SFS[1]] > 0 else float("inf")
+        rows.append((name, med[SFS[0]], med[SFS[1]], med[SFS[2]], ratio))
+
+    print(f"\n| query | sf0.001 s | sf0.01 s | sf0.1 s | 10x-data ratio |")
+    print("|---|---|---|---|---|")
+    for name, a, b, c, r in rows:
+        flag = "" if r <= 12 else " ⚠ superlinear"
+        print(f"| {name} | {a:.2f} | {b:.2f} | {c:.2f} | {r:.1f}×{flag} |")
+
+
+if __name__ == "__main__":
+    main()
