@@ -3194,6 +3194,84 @@ def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_distinct_users",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM pairs
+    )
+    SELECT d.day,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS exact_users_7d,
+           TRUE AS sketch_within_5pct
+    FROM days d JOIN pairs p
+      ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+    ops=["approx-distinct-mergeable", "window-rolling"],
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users — the query shape where MERGEABLE
+    sketches earn their keep at 100 TB: distinct counts don't sum
+    across days, so the scalable plan materializes one HLL sketch PER
+    DAY (tiny, mergeable, computed map-side in one pass) and unions 7
+    sketches per output row, instead of re-scanning 7 days of raw
+    events per day. Computed BOTH ways here: the exact twin via a
+    day-range join over distinct (day, user) pairs (engine-identical,
+    hashable), and the sketch path via hll_sketch_agg → hll_union_agg
+    (Apache DataSketches). The oracle carries the exact counts plus a
+    TRUE literal per row; the Spark side emits its own
+    |estimate − exact| ≤ 5% flag — the hash matches only if every
+    daily union-estimate lands inside the documented HLL error bound.
+    (DuckDB cannot reproduce the sketch merge — its HLL is a different
+    implementation — which is exactly why the exact-twin + bound-flag
+    pattern is the oracle strategy, same as approx_sketches.)"""
+    e = _t(spark, sf_dir, "events")
+    pairs = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    in_window = F.col("p.day").between(
+        F.date_sub(F.col("d.day"), 6), F.col("d.day")
+    )
+    exact = (
+        days.alias("d")
+        .join(pairs.alias("p"), in_window)
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("p.user_id").cast("long").alias("exact_users_7d"))
+    )
+    daily_sk = pairs.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = (
+        days.alias("d")
+        .join(
+            daily_sk.select(
+                F.col("day").alias("p_day"), "sk"
+            ).alias("p"),
+            F.col("p.p_day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_7d")
+        )
+    )
+    return (
+        exact.join(rolled, "day")
+        .select(
+            "day",
+            "exact_users_7d",
+            (
+                F.abs(F.col("est_7d") - F.col("exact_users_7d"))
+                <= 0.05 * F.col("exact_users_7d")
+            ).alias("sketch_within_5pct"),
+        )
+    )
+
+
+@register(
     "consistent_user_sample",
     f"""
     SELECT event_type,
@@ -6275,6 +6353,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "streaming_lsh_dedup_e2e",
     "balanced_lang_mix",
     "consistent_user_sample",
+    "rolling_distinct_users",
 )
 
 
