@@ -6347,8 +6347,9 @@ _PRIORITY: tuple[str, ...] = (
 # Queries ADDED this round. They carry construction parity evidence
 # and queue BEHIND the pending-verdict block so they can't push a
 # longer-waiting query out of the window; they fill any spare window
-# slots (round 4: 5 priority + 44 pending + 1 new = exactly 50),
-# otherwise they rotate forward next round.
+# slots in listed order (round 4: 5 priority + 44 pending leaves ONE
+# spare slot, taken by streaming_lsh_dedup_e2e; the other three rotate
+# into the front of the round-5 window).
 _NEW_PARITY_ONLY: tuple[str, ...] = (
     "streaming_lsh_dedup_e2e",
     "balanced_lang_mix",
