@@ -47,3 +47,66 @@ def test_upsert_output_keys_unique_property(spark, rows):
     out = upsert.upsert_ignore(target, df, keys=["k"], order_by=["v"])
     keys = [r.k for r in out.collect()]
     assert len(keys) == len(set(keys))
+
+
+# small word pool => high collision probability => real near-dup pairs
+WORDS = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+DOC = st.lists(WORDS, min_size=3, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(DOC, min_size=2, max_size=10))
+def test_prefix_filter_equals_plain_jaccard_property(spark, texts):
+    """Prefix filtering (All-Pairs lemma) must reproduce the plain
+    shared-item join's pair set EXACTLY on any corpus — zero false
+    negatives from the prefix, zero false positives after verify."""
+    from data_integration_and_visualization_uc3m_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sets = dedup.token_set(df)
+    plain = {
+        (r.id_a, r.id_b, r.n_common)
+        for r in dedup.jaccard_pairs(sets, threshold=0.5).collect()
+    }
+    pf = {
+        (r.id_a, r.id_b, r.n_common)
+        for r in dedup.prefix_filter_jaccard_pairs(
+            sets, item_col="token", threshold=0.5
+        ).collect()
+    }
+    assert pf == plain
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_balance_to_min_stratum_properties(spark, rows):
+    """Invariants: the smallest stratum survives whole; no stratum ever
+    keeps more rows than it had; the selection is deterministic."""
+    from data_integration_and_visualization_uc3m_spark.operators import sampling
+
+    df = spark.createDataFrame(rows, "k long, g string")
+    before = {}
+    for _, g in rows:
+        before[g] = before.get(g, 0) + 1
+    n_min = min(before.values())
+    kept = sampling.balance_to_min_stratum(df, "g", "k").collect()
+    after = {}
+    for r in kept:
+        after[r.g] = after.get(r.g, 0) + 1
+    for g, n in after.items():
+        assert n <= before[g]
+    # smallest stratum's threshold is exactly 2^32 => kept whole
+    smallest = min(before, key=lambda g: (before[g], g))
+    if before[smallest] == n_min:
+        assert after.get(smallest, 0) == n_min
+    again = sampling.balance_to_min_stratum(df, "g", "k").collect()
+    assert sorted((r.g, r.k) for r in kept) == sorted((r.g, r.k) for r in again)
