@@ -438,18 +438,14 @@ def minhash_signatures(
     return sets_df.groupBy(id_col).agg(*aggs)
 
 
-def band_buckets(
-    signatures: DataFrame,
-    bands: int = 4,
-    rows_per_band: int = 4,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Long-form LSH band buckets: one (id, band, bucket) row per band,
-    bucket = md5 of the band's ``rows_per_band`` signature columns in
-    seed order (identical construction to ``lsh_candidate_pairs`` and
-    the SQL oracle). This is the shape a persistent dedup INDEX stores:
-    new documents probe it with an equi-join on (band, bucket)."""
-    band_exprs = [
+def _band_exprs(bands: int, rows_per_band: int) -> list:
+    """THE band-bucket construction, in one place: band b's bucket is
+    md5 of its ``rows_per_band`` signature columns concat-joined with
+    '|' in seed order. ``band_buckets``, ``lsh_candidate_pairs`` and
+    the SQL oracle (_MH_BANDS in queries.py) must all stay
+    bit-identical — a drift in separator or seed order desynchronizes
+    the streaming index from the batch pipeline silently."""
+    return [
         F.md5(
             F.concat_ws(
                 "|",
@@ -458,7 +454,19 @@ def band_buckets(
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
-    wide = signatures.select(F.col(id_col), *band_exprs)
+
+
+def band_buckets(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-form LSH band buckets: one (id, band, bucket) row per band
+    (construction: ``_band_exprs``). This is the shape a persistent
+    dedup INDEX stores: new documents probe it with an equi-join on
+    (band, bucket)."""
+    wide = signatures.select(F.col(id_col), *_band_exprs(bands, rows_per_band))
     stack = ", ".join(f"{b}, band_{b}" for b in range(bands))
     return wide.selectExpr(id_col, f"stack({bands}, {stack}) AS (band, bucket)")
 
@@ -479,15 +487,9 @@ def lsh_candidate_pairs(
     are bounded by true near-dup cluster sizes because random md5
     buckets don't collide meaningfully at 128 bits.
     """
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded_wide = signatures.select(F.col(id_col), *band_cols)
+    banded_wide = signatures.select(
+        F.col(id_col), *_band_exprs(bands, rows_per_band)
+    )
     stack = ", ".join(f"{b}, band_{b}" for b in range(bands))
     # carry every band hash alongside the exploded (band, bucket) so the
     # join can test earlier bands without a second lookup
@@ -548,22 +550,27 @@ def connected_components(
     measured), and the ContextCleaner only reclaims them after a driver
     full GC, which the JVM may defer for many minutes. Left alone, a
     session invoking this repeatedly degrades 3-5× (measured 3.3 s →
-    11-19 s over a long bench session). So superseded rounds' blocks
-    are freed eagerly through the JVM persistent-RDD registry: after
-    the loop, every RDD this call persisted is unpersisted EXCEPT the
-    final round's checkpoint, which backs the returned DataFrame.
+    11-19 s over a long bench session). So superseded checkpoints are
+    freed eagerly and EXACTLY: each checkpointed DataFrame's backing
+    RDD id is read from its LogicalRDD plan node and unpersisted the
+    moment the next round's checkpoint replaces it (the final round's
+    stays — it serves the returned DataFrame). Tracking exact ids, not
+    a diff of the global persistent-RDD registry, keeps this safe under
+    concurrent persists elsewhere in the session (e.g. a streaming
+    foreachBatch caching its micro-batch on another thread).
     """
-    sc = pairs.sparkSession.sparkContext
-    jsc = sc._jsc.sc()
+    jsc = pairs.sparkSession.sparkContext._jsc.sc()
 
-    def _persistent_ids() -> set[int]:
-        it = jsc.getPersistentRDDs().keysIterator()
-        ids = set()
-        while it.hasNext():
-            ids.add(it.next())
-        return ids
+    def _ck_rdd_id(df: DataFrame) -> int:
+        # after localCheckpoint the analyzed plan is a LogicalRDD
+        # holding the materialized RDD
+        return df._jdf.queryExecution().analyzed().rdd().id()
 
-    pre_existing = _persistent_ids()
+    def _unpersist(rdd_id: int) -> None:
+        jmap = jsc.getPersistentRDDs()
+        if jmap.contains(rdd_id):
+            jmap.apply(rdd_id).unpersist(False)
+
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
@@ -574,6 +581,8 @@ def connected_components(
         # chain) re-executes per round (measured 24 s vs 6 s at sf0.1)
         .localCheckpoint()
     )
+    edges_id = _ck_rdd_id(edges)
+    prev_round_id: int | None = None
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_iter):
         # disjoint column names per step — labels derives from edges, so
@@ -599,23 +608,18 @@ def connected_components(
         # per round). Also truncates the iterative lineage, whose plan
         # otherwise doubles per round.
         merged_ck = merged.localCheckpoint()
+        if prev_round_id is not None:
+            _unpersist(prev_round_id)  # superseded by this checkpoint
+        prev_round_id = _ck_rdd_id(merged_ck)
         changed = (
             merged_ck.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
         labels = merged_ck.select("u", "label")
         if not changed:
             break
-    # Free every block this call created except the final checkpoint
-    # (which backs the returned DataFrame — RDD ids are monotonically
-    # increasing, so the newest id among ours is the live one). Blocking
-    # unpersist is unnecessary; async removal is fine.
-    ours = _persistent_ids() - pre_existing
-    if ours:
-        live = max(ours)
-        jmap = jsc.getPersistentRDDs()
-        for rid in ours:
-            if rid != live and jmap.contains(rid):
-                jmap.apply(rid).unpersist(False)
+    # edges are not needed once the loop is done; the final round's
+    # checkpoint (prev_round_id) stays — it backs the returned frame.
+    _unpersist(edges_id)
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -91,15 +91,23 @@ def balance_to_min_stratum(
 
     The per-stratum threshold is exact integer math,
     ``(n_min · 2^32) div n_stratum`` (no float rounding — the oracle
-    reproduces it bit-for-bit; fits in a BIGINT while n_min < 2^21,
-    i.e. up to ~2M rows in the smallest stratum — beyond that scale
-    the threshold computation should move to DECIMAL). The smallest
-    stratum's threshold is exactly 2^32: it is kept whole.
+    reproduces it bit-for-bit; n_min · 2^32 fits in a signed BIGINT
+    while n_min < 2^31 — beyond ~2 billion rows in the SMALLEST
+    stratum the threshold computation should move to DECIMAL). The
+    smallest stratum's threshold is exactly 2^32: it is kept whole.
+
+    NULL strata are EXCLUDED up front: an unlabeled row cannot claim a
+    stratum budget, and without the explicit filter a NULL group would
+    drive ``n_min`` (shrinking every real stratum) while its own rows
+    silently vanished in the non-null-safe equi-join — the worst of
+    both. Callers wanting NULL as a real category should coalesce it
+    to a sentinel first.
 
     Scale: one count aggregation over the strata (tiny result), a
     1-row min, a broadcast join of the per-stratum thresholds, then a
     pure map-side filter — no shuffle of the data rows at any scale.
     """
+    df = df.filter(F.col(strata_col).isNotNull())
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
     nmin = counts.agg(F.min("_n").alias("_nmin"))
     thresholds = counts.crossJoin(F.broadcast(nmin)).select(

@@ -113,6 +113,30 @@ def upsert_replace(
 _MANIFEST = "_CURRENT"
 
 
+def _commit_manifest(root: str, new_name: str, expect: str | None = ...) -> str:
+    """Atomically point the manifest at ``new_name`` (write-temp +
+    ``os.replace``). With ``expect`` set (a snapshot name or None for
+    "empty table"), the flip is OPTIMISTICALLY GUARDED: if another
+    writer committed since the caller read ``expect``, raise instead of
+    silently overwriting their snapshot (the new dir is left as an
+    orphan for GC). The check-then-replace window is not a true CAS —
+    single-writer-per-table remains the concurrency contract (as for
+    any filesystem table format without a lock service) — but the
+    guard shrinks the lost-update window from the full rewrite
+    duration to microseconds."""
+    if expect is not ... and current_snapshot(root) != expect:
+        raise RuntimeError(
+            f"concurrent commit detected under {root}: expected manifest "
+            f"{expect!r}, found {current_snapshot(root)!r}; aborting flip "
+            f"(orphan snapshot {new_name} left for GC)"
+        )
+    tmp = os.path.join(root, f"{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(new_name)
+    os.replace(tmp, os.path.join(root, _MANIFEST))  # the atomic commit point
+    return new_name
+
+
 def current_snapshot(root: str) -> str | None:
     """Name of the live snapshot dir, or None if the table is empty."""
     try:
@@ -155,11 +179,7 @@ def write_upsert_parquet(
         merged = merge(target, batch, keys, order_by)
     new_name = f"v-{uuid.uuid4().hex[:12]}"
     merged.write.mode("overwrite").parquet(os.path.join(root, new_name))
-    tmp = os.path.join(root, f"{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        fh.write(new_name)
-    os.replace(tmp, os.path.join(root, _MANIFEST))  # the atomic commit point
-    return new_name
+    return _commit_manifest(root, new_name, expect=cur)
 
 
 def compact_snapshot(
@@ -197,8 +217,6 @@ def compact_snapshot(
     df = spark.read.parquet(src).coalesce(n_files)
     new_name = f"v-{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(os.path.join(root, new_name))
-    tmp = os.path.join(root, f"{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        fh.write(new_name)
-    os.replace(tmp, os.path.join(root, _MANIFEST))
-    return new_name
+    # expect=cur: if an upsert committed while we rewrote, abort the
+    # flip instead of silently dropping its rows from the live table
+    return _commit_manifest(root, new_name, expect=cur)

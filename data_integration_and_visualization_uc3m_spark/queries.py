@@ -3240,8 +3240,12 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d.day").alias("day"))
         .agg(F.countDistinct("p.user_id").cast("long").alias("exact_users_7d"))
     )
+    # lgConfigK=14 => RSE 1.04/sqrt(2^14) ~ 0.8%, putting the 5% gate
+    # at ~6 sigma. The default lgK=12 (~1.6% RSE) leaves 5% at ~3
+    # sigma — with 30 output days that is a real per-run flake
+    # probability for the correctness gate, not a code bug.
     daily_sk = pairs.groupBy("day").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id", 14).alias("sk")
     )
     rolled = (
         days.alias("d")

@@ -57,7 +57,11 @@ def load_table(
     truncation; NTZ casts under the session's pinned UTC zone
     (session.tune), which is value-preserving. All non-ts columns are
     cast to the declared contract types so downstream plans see one
-    stable schema regardless of the file generation.
+    stable schema regardless of the file generation. Failure modes are
+    LOUD either way: a column missing from a future file generation
+    throws UNRESOLVED_COLUMN at the select, and an incompatible value
+    drift throws at runtime because Spark 4 runs ANSI casts (this
+    engine never uses try_cast on the contract path).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"

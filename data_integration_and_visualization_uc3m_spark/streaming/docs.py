@@ -83,29 +83,44 @@ def run_stream_lsh_dedup(
         # index append) — persist so the shingle+minhash pass runs once
         buckets = batch_band_buckets(batch_df).persist()
         try:
-            index = spark.read.parquet(index_dir).select("band", "bucket")
-            hit_index = (
-                buckets.join(index, ["band", "bucket"], "left_semi")
-                .select("doc_id")
+            try:
+                index = spark.read.parquet(index_dir).select("band", "bucket")
+                hit_index = (
+                    buckets.join(index, ["band", "bucket"], "left_semi")
+                    .select("doc_id")
+                )
+            except AnalysisException:  # first batch — no index yet
+                hit_index = batch_df.select("doc_id").limit(0)
+            a, b = buckets.alias("a"), buckets.alias("b")
+            hit_batch = (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("b.doc_id") < F.col("a.doc_id")),
+                    "left_semi",
+                )
+                .select(F.col("doc_id"))
             )
-        except AnalysisException:  # first batch — no index yet
-            hit_index = batch_df.select("doc_id").limit(0)
-        a, b = buckets.alias("a"), buckets.alias("b")
-        hit_batch = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("b.doc_id") < F.col("a.doc_id")),
-                "left_semi",
+            dropped = hit_index.unionByName(hit_batch).distinct()
+            survivors = batch_df.join(dropped, "doc_id", "left_anti")
+            # EPOCH-SCOPED OVERWRITE, not append: foreachBatch is
+            # at-least-once — a crash after the write but before the
+            # epoch commits to the checkpoint replays the same epoch on
+            # restart, and an append would then double-count the batch.
+            # Writing each epoch to its own subdirectory with overwrite
+            # makes the replay idempotent; readers see the union via
+            # ordinary partition discovery. (Note: the epoch dirs read
+            # back as partitioned data, so `epoch` appears as a column —
+            # downstream reads select the payload columns explicitly.)
+            survivors.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={epoch_id}"
             )
-            .select(F.col("doc_id"))
-        )
-        dropped = hit_index.unionByName(hit_batch).distinct()
-        survivors = batch_df.join(dropped, "doc_id", "left_anti")
-        survivors.write.mode("append").parquet(out_dir)
-        buckets.write.mode("append").parquet(index_dir)
-        buckets.unpersist()
+            buckets.write.mode("overwrite").parquet(
+                f"{index_dir}/epoch={epoch_id}"
+            )
+        finally:
+            buckets.unpersist()
 
     stream = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)

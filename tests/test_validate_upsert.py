@@ -178,3 +178,21 @@ def test_compact_snapshot_preserves_data_and_history(spark, tmp_path):
     old = spark.read.parquet(f"{root}/{v1}")
     assert old.count() == 1000
     assert len(glob.glob(f"{root}/{v1}/*.parquet")) == n_before
+
+
+def test_commit_manifest_detects_concurrent_flip(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from data_integration_and_visualization_uc3m_spark.operators import upsert
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    v1 = upsert.write_upsert_parquet(root, df, ["k"])
+    # simulate a concurrent writer flipping the manifest mid-compaction
+    v_stale = upsert._commit_manifest(root, "v-concurrent", expect=v1)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        upsert._commit_manifest(root, "v-late", expect=v1)
+    assert upsert.current_snapshot(root) == v_stale
