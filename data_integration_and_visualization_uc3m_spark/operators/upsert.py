@@ -220,3 +220,42 @@ def compact_snapshot(
     # expect=cur: if an upsert committed while we rewrote, abort the
     # flip instead of silently dropping its rows from the live table
     return _commit_manifest(root, new_name, expect=cur)
+
+
+def vacuum(root: str, keep_last: int = 3) -> list[str]:
+    """Snapshot GC — the retention side of the versioned-table
+    lifecycle (write → read → time-travel → compact → VACUUM). Deletes
+    snapshot directories that are (a) not the manifest's live snapshot
+    and (b) not among the ``keep_last`` most recent by commit order
+    (snapshot dirs sort by mtime; the live one always counts toward
+    the kept set). Also removes stranded manifest temp files from
+    crashed flips. Returns the names of the deleted snapshots.
+
+    Retention is the time-travel contract: readers holding a snapshot
+    NAME older than ``keep_last`` versions lose it — exactly the
+    Delta/Iceberg VACUUM trade-off, where retention bounds storage
+    growth and defines how far back time travel reaches. Orphan dirs
+    from aborted commits (crash mid-write, or a flip aborted by the
+    concurrency guard) are reclaimed the same way once they age out of
+    the keep window.
+    """
+    import shutil
+
+    live = current_snapshot(root)
+    entries = []
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        if name.startswith("v-") and os.path.isdir(path):
+            entries.append((os.path.getmtime(path), name))
+        elif name.startswith(f"{_MANIFEST}.tmp-") and os.path.isfile(path):
+            os.unlink(path)  # stranded temp from a crashed flip
+    entries.sort(reverse=True)  # newest first
+    keep = {name for _, name in entries[:keep_last]}
+    if live is not None:
+        keep.add(live)
+    deleted = []
+    for _, name in entries:
+        if name not in keep:
+            shutil.rmtree(os.path.join(root, name))
+            deleted.append(name)
+    return deleted

@@ -196,3 +196,32 @@ def test_commit_manifest_detects_concurrent_flip(spark, tmp_path):
     with pytest.raises(RuntimeError, match="concurrent commit"):
         upsert._commit_manifest(root, "v-late", expect=v1)
     assert upsert.current_snapshot(root) == v_stale
+
+
+def test_vacuum_keeps_live_and_recent_snapshots(spark, tmp_path):
+    import os
+    import time
+
+    from data_integration_and_visualization_uc3m_spark.operators import upsert
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    versions = []
+    for i in range(5):
+        v = upsert.write_upsert_parquet(
+            root, df.withColumn("v", df.v + i), ["k"], mode="replace"
+        )
+        os.utime(os.path.join(root, v), (time.time() + i, time.time() + i))
+        versions.append(v)
+    # stranded manifest temp from a "crashed" flip
+    open(os.path.join(root, "_CURRENT.tmp-dead1234"), "w").write("x")
+    deleted = upsert.vacuum(root, keep_last=2)
+    assert set(deleted) == set(versions[:3])  # three oldest reclaimed
+    assert not os.path.exists(os.path.join(root, "_CURRENT.tmp-dead1234"))
+    # live snapshot still reads
+    assert upsert.read_upsert_parquet(spark, root).count() == 1
+    # recent history still time-travels
+    assert spark.read.parquet(os.path.join(root, versions[-2])).count() == 1
+    # aged-out history is gone
+    assert not os.path.exists(os.path.join(root, versions[0]))
