@@ -307,13 +307,16 @@ def run_stream_foreach_batch_upsert(
     manifest, so a crash mid-batch can never expose a torn table — read
     it back with ``operators.upsert.read_upsert_parquet``.
 
-    ``compact_every=N`` folds snapshot compaction into the sink cadence
-    (every N-th epoch, after the upsert): micro-batch commits are the
-    canonical producer of small-files accumulation, and compaction
-    rides the same atomic manifest flip, so a crash mid-compaction
-    still leaves the just-upserted snapshot live.
+    ``compact_every=N`` folds snapshot MAINTENANCE into the sink
+    cadence (every N-th epoch, after the upsert): compaction rewrites
+    the small files that micro-batch commits accumulate, riding the
+    same atomic manifest flip (a crash mid-compaction leaves the
+    just-upserted snapshot live), and a retention-bounded vacuum
+    reclaims snapshots older than the keep window — without it a
+    long-running stream's version history grows one snapshot per
+    epoch, unbounded.
     """
-    from ..operators.upsert import compact_snapshot, write_upsert_parquet
+    from ..operators.upsert import compact_snapshot, vacuum, write_upsert_parquet
     from ..session import tune
 
     tune(spark)
@@ -322,6 +325,7 @@ def run_stream_foreach_batch_upsert(
         write_upsert_parquet(target_path, batch_df, ["event_id"])
         if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
             compact_snapshot(spark, target_path)
+            vacuum(target_path, keep_last=max(3, compact_every))
 
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)

@@ -278,3 +278,8 @@ def test_foreach_batch_upsert_with_compaction(spark, tmp_path):
     cur = upsert.current_snapshot(target)
     # compacted live snapshot: bounded file count (one per 128MB)
     assert len(glob.glob(f"{target}/{cur}/*.parquet")) == 1
+    # maintenance cadence also vacuums: version history stays bounded
+    n_versions = len(
+        [d for d in os.listdir(target) if d.startswith("v-")]
+    )
+    assert n_versions <= 4  # keep_last=max(3, compact_every=1) + live
