@@ -1629,7 +1629,7 @@ def streaming_lsh_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time as _time
 
-    from .streaming.docs import run_stream_lsh_dedup
+    from .streaming.docs import read_survivors, run_stream_lsh_dedup
 
     d = _t(spark, sf_dir, "documents")
     work = tempfile.mkdtemp(prefix="sg_stream_lsh_")
@@ -1649,7 +1649,7 @@ def streaming_lsh_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, f"{work}/out", f"{work}/idx", f"{work}/ckpt"
     )
     return (
-        spark.read.parquet(f"{work}/out")
+        read_survivors(spark, f"{work}/out")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

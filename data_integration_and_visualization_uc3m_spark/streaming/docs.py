@@ -49,6 +49,31 @@ def batch_band_buckets(batch_df: DataFrame) -> DataFrame:
     )
 
 
+def _index_exists(spark: SparkSession, index_dir: str) -> bool:
+    """True iff the band-bucket index directory exists with ≥1 epoch.
+
+    An explicit filesystem probe (Hadoop FS, so it works on object
+    stores too), not a broad ``except AnalysisException`` around the
+    read: a genuinely corrupt or unreadable index must raise, not
+    silently degrade to "no dedup"."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    it = fs.listStatus(path)
+    return any(s.getPath().getName().startswith("epoch=") for s in it)
+
+
+def read_survivors(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the deduplicated document stream output with the internal
+    ``epoch`` partition column dropped — the schema downstream readers
+    should see (identical to the source document schema)."""
+    return spark.read.parquet(out_dir).select(
+        *[f.name for f in DOCS_STREAM_SCHEMA.fields]
+    )
+
+
 def run_stream_lsh_dedup(
     spark: SparkSession,
     source_dir: str,
@@ -74,8 +99,6 @@ def run_stream_lsh_dedup(
 
     tune(spark)
 
-    from pyspark.errors import AnalysisException
-
     def sink(batch_df, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
@@ -83,13 +106,25 @@ def run_stream_lsh_dedup(
         # index append) — persist so the shingle+minhash pass runs once
         buckets = batch_band_buckets(batch_df).persist()
         try:
-            try:
-                index = spark.read.parquet(index_dir).select("band", "bucket")
+            if _index_exists(spark, index_dir):
+                # STRICTLY-EARLIER epochs only: foreachBatch is
+                # at-least-once, so a crash after the index write below
+                # but before the checkpoint commit replays this epoch —
+                # an unfiltered probe would then see epoch N's own
+                # buckets, collide every document with itself, and the
+                # epoch-scoped overwrite would persist an EMPTY survivor
+                # set. The epoch partition column makes the filter a
+                # partition prune, not a data scan.
+                index = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("epoch") < F.lit(epoch_id))
+                    .select("band", "bucket")
+                )
                 hit_index = (
                     buckets.join(index, ["band", "bucket"], "left_semi")
                     .select("doc_id")
                 )
-            except AnalysisException:  # first batch — no index yet
+            else:  # first batch — no index yet
                 hit_index = batch_df.select("doc_id").limit(0)
             a, b = buckets.alias("a"), buckets.alias("b")
             hit_batch = (
@@ -112,7 +147,8 @@ def run_stream_lsh_dedup(
             # makes the replay idempotent; readers see the union via
             # ordinary partition discovery. (Note: the epoch dirs read
             # back as partitioned data, so `epoch` appears as a column —
-            # downstream reads select the payload columns explicitly.)
+            # downstream reads go through read_survivors(), which drops
+            # it.)
             survivors.write.mode("overwrite").parquet(
                 f"{out_dir}/epoch={epoch_id}"
             )

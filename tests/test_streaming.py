@@ -257,6 +257,75 @@ def test_stream_lsh_dedup_index_semantics(spark, tmp_path):
     assert idx.count() == 20
 
 
+def test_stream_lsh_dedup_crash_replay_idempotent(spark, tmp_path):
+    """At-least-once replay safety: crash AFTER an epoch's index write
+    but BEFORE its checkpoint commit (simulated by deleting the last
+    commit file) must reproduce the same survivor set on restart. The
+    failure mode guarded against: an unfiltered index probe would see
+    the replayed epoch's own buckets, collide every doc with itself,
+    and overwrite that epoch's survivors with an empty set."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from data_integration_and_visualization_uc3m_spark.streaming.docs import (
+        read_survivors,
+        run_stream_lsh_dedup,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    near = base_text + " extra"
+    novel = "completely different words about spark structured streaming state"
+    rows = {
+        0: [(1, base_text), (2, novel)],
+        1: [(3, near)],
+        2: [(4, near + " tail"), (5, "yet another unrelated document body")],
+    }
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    now = time.time()
+    for c, docs in rows.items():
+        df = spark.createDataFrame(
+            [(i, t, "en", "unit", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).repartition(1)
+        tmp = str(tmp_path / f"stage{c}")
+        df.write.mode("overwrite").parquet(tmp)
+        dst = f"{src}/chunk{c}.parquet"
+        shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        os.utime(dst, (now + c, now + c))
+    out, idx, ckpt = (str(tmp_path / d) for d in ("out", "idx", "ckpt"))
+    run_stream_lsh_dedup(spark, src, out, idx, ckpt)
+    kept_before = sorted(r.doc_id for r in read_survivors(spark, out).collect())
+    assert kept_before == [1, 2, 5]
+
+    # simulate the crash window: the sink's writes for the final epoch
+    # are on disk, but the epoch never committed to the checkpoint
+    commits = sorted(
+        f
+        for f in glob.glob(f"{ckpt}/commits/*")
+        if os.path.basename(f).isdigit()
+    )
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):  # local ChecksumFileSystem sidecar
+        os.remove(crc)
+
+    run_stream_lsh_dedup(spark, src, out, idx, ckpt)  # restart → replay
+    survivors = read_survivors(spark, out)
+    kept_after = sorted(r.doc_id for r in survivors.collect())
+    assert kept_after == [1, 2, 5]
+    # schema seen by downstream readers: payload only, no epoch column
+    assert survivors.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    # index re-written idempotently: still 4 bands x 5 docs, no dupes
+    idx_df = spark.read.parquet(idx)
+    assert idx_df.count() == 20
+    assert idx_df.select("doc_id").distinct().count() == 5
+
+
 def test_foreach_batch_upsert_with_compaction(spark, tmp_path):
     """Compaction folded into the sink cadence: result identical, live
     snapshot file count reduced, crash-safety inherited from the
