@@ -140,6 +140,18 @@ def main() -> None:
                 break
         else:
             break
+    # The eviction loop can only remove non-baseline entries; if the
+    # baseline subset itself ever outgrows the cap (longer names,
+    # larger values), fall back to totals-only rather than printing a
+    # line the driver would truncate into unparseable JSON.
+    if len(json.dumps(out)) > 1900:
+        out["queries"] = {}
+        out["metric"] = (
+            "sum of FULL %d-query roster wall times (noop-sink forced,"
+            " median-of-3); per-query detail omitted (stdout cap),"
+            " see BENCH_DETAIL.json" % len(times)
+        )
+    assert len(json.dumps(out)) <= 1900, "bench stdout line exceeds driver cap"
     print(json.dumps(out))
 
 

@@ -3200,12 +3200,15 @@ def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
     ), days AS (
         SELECT DISTINCT day FROM pairs
+    ), expanded AS (
+        SELECT p.day + CAST(g.i AS INTEGER) AS anchor, p.user_id
+        FROM pairs p CROSS JOIN generate_series(0, 6) AS g(i)
     )
     SELECT d.day,
-           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS exact_users_7d,
-           TRUE AS sketch_within_5pct
-    FROM days d JOIN pairs p
-      ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users_7d,
+           TRUE AS sketch_within_5pct,
+           CAST(0 AS BIGINT) AS err_permille_over_bound
+    FROM days d JOIN expanded e ON e.anchor = d.day
     GROUP BY d.day
     """,
     ops=["approx-distinct-mergeable", "window-rolling"],
@@ -3225,20 +3228,29 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily union-estimate lands inside the documented HLL error bound.
     (DuckDB cannot reproduce the sketch merge — its HLL is a different
     implementation — which is exactly why the exact-twin + bound-flag
-    pattern is the oracle strategy, same as approx_sketches.)"""
+    pattern is the oracle strategy, same as approx_sketches.)
+
+    Plan note: the rolling window is an EQUI-join via bounded
+    expansion — each day-row explodes to the exactly-7 window anchors
+    it contributes to (explode(sequence(day, day+6))), and both the
+    exact and sketch paths hash-join the expansion to the anchor-day
+    set. The naive `p.day BETWEEN d.day-6 AND d.day` range join is a
+    BroadcastNestedLoopJoin evaluating |days|x|rows| predicates —
+    harmless at sf0.1, a scale-killer on a multi-year event table."""
     e = _t(spark, sf_dir, "events")
     pairs = e.select(
         F.to_date("ts").alias("day"), "user_id"
     ).distinct()
     days = pairs.select("day").distinct()
-    in_window = F.col("p.day").between(
-        F.date_sub(F.col("d.day"), 6), F.col("d.day")
-    )
+    anchors = days.select(F.col("day").alias("anchor"))
+    win7 = F.explode(
+        F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+    ).alias("anchor")
     exact = (
-        days.alias("d")
-        .join(pairs.alias("p"), in_window)
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(F.countDistinct("p.user_id").cast("long").alias("exact_users_7d"))
+        pairs.select(win7, "user_id")
+        .join(anchors, "anchor", "left_semi")
+        .groupBy(F.col("anchor").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users_7d"))
     )
     # lgConfigK=14 => RSE 1.04/sqrt(2^14) ~ 0.8%, putting the 5% gate
     # at ~6 sigma. The default lgK=12 (~1.6% RSE) leaves 5% at ~3
@@ -3248,29 +3260,29 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id", 14).alias("sk")
     )
     rolled = (
-        days.alias("d")
-        .join(
-            daily_sk.select(
-                F.col("day").alias("p_day"), "sk"
-            ).alias("p"),
-            F.col("p.p_day").between(
-                F.date_sub(F.col("d.day"), 6), F.col("d.day")
-            ),
-        )
-        .groupBy(F.col("d.day").alias("day"))
+        daily_sk.select(win7, "sk")
+        .join(anchors, "anchor", "left_semi")
+        .groupBy(F.col("anchor").alias("day"))
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_7d")
         )
+    )
+    rel_err = F.abs(F.col("est_7d") - F.col("exact_users_7d")) / F.col(
+        "exact_users_7d"
     )
     return (
         exact.join(rolled, "day")
         .select(
             "day",
             "exact_users_7d",
-            (
-                F.abs(F.col("est_7d") - F.col("exact_users_7d"))
-                <= 0.05 * F.col("exact_users_7d")
-            ).alias("sketch_within_5pct"),
+            (rel_err <= F.lit(0.05)).alias("sketch_within_5pct"),
+            # 0 whenever the flag holds (hash-stable vs the oracle's 0);
+            # on a flake it quantifies the overshoot in permille so a
+            # ~6-sigma estimator excursion (value 1-5) is readable in
+            # the mismatch diff, distinct from a logic bug (large).
+            F.greatest(
+                F.lit(0), F.ceil((rel_err - 0.05) * 1000)
+            ).cast("long").alias("err_permille_over_bound"),
         )
     )
 
@@ -6329,37 +6341,63 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "returned_item_customers", "top_revenue_supplier", "tfidf_top_terms",
     "dedup_jaccard_df_capped", "pack_sequences", "pack_stats_per_lang",
     "user_journey_prefixes", "ann_int8_topk",
+    # CORRECTNESS_r04.json green rows (46)
+    "embedding_int8_quantization", "curation_pipeline_stats",
+    "doc_chunks_512", "corpus_vocabulary_topk", "salted_event_totals",
+    "pii_redaction_report", "multimodal_audio_chunks",
+    "incremental_agg_maintenance", "daily_revenue_momentum",
+    "funnel_view_click_purchase", "weekly_retention_cohorts",
+    "training_shuffle_order", "pack_payloads_per_seq",
+    "decontaminate_docs", "min_cost_supplier_per_part",
+    "nation_year_profit", "important_parts_share",
+    "customer_order_count_histogram", "parts_supplier_breadth",
+    "suppliers_kept_orders_waiting", "dominant_part_suppliers",
+    "gopher_quality_rules", "source_mix_report", "ivf_recall_report",
+    "partitioned_warehouse_prune", "order_gaps_lead_lag",
+    "int8_recall_report", "unpivot_event_matrix", "containment_pairs",
+    "dup_rate_by_source", "dedup_survivors_by_quality",
+    "lang_confusion_matrix", "dedup_cluster_size_histogram",
+    "upsert_time_travel", "upsert_replace_orders",
+    "quality_weighted_sample", "column_profile_lineitem",
+    "events_anomaly_mad", "customer_rfm_segments",
+    "hot_key_share_report", "top_orders_with_ties",
+    "incremental_join_maintenance", "orders_seasonality_yoy",
+    "shipping_delay_profile", "user_inactivity_gaps",
+    "streaming_lsh_dedup_e2e",
 })
 
 
 # Names the current round's verdict/advice explicitly asked for driver
-# evidence on — pinned to the very front of the check window. Round 4:
-# the round-3 canonicalizer casualty (now emitting a hashable schema)
-# plus the four prior-verified queries whose shared operators
-# (dedup.token_set/ngram_set in-row array_distinct, simhash band math,
-# jaccard pair refactor) changed in round 3 after their last driver
-# verdict (ADVICE.md item 2).
+# evidence on — pinned to the very front of the check window. Round 5:
+# the final three never-driver-checked queries (added late in round 4,
+# queued behind its full window; parity-verified twice since), then
+# re-pins for queries whose implementation changed after their last
+# driver verdict — `rolling_distinct_users` (range join → explode-
+# expansion equi-join, new err_permille_over_bound column),
+# `streaming_lsh_dedup_e2e` (replay-idempotency fix in streaming/docs),
+# the three upsert queries (vacuum/commit-ordering rework in
+# operators/upsert), and the round-4-refactor-touched trio VERDICT item
+# 4 asked to re-pin (sinks/writers, sources/readers timestamp-unit
+# normalization, streaming/events).
 _PRIORITY: tuple[str, ...] = (
-    "embedding_int8_quantization",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "simhash_signatures",
-    "doc_fingerprint",
+    "balanced_lang_mix",
+    "consistent_user_sample",
+    "rolling_distinct_users",
+    "streaming_lsh_dedup_e2e",
+    "upsert_time_travel",
+    "upsert_replace_orders",
+    "upsert_conflict_ignore",
+    "events_hourly",
+    "streaming_batch_parity_e2e",
+    "partitioned_warehouse_prune",
 )
 
 
 # Queries ADDED this round. They carry construction parity evidence
 # and queue BEHIND the pending-verdict block so they can't push a
 # longer-waiting query out of the window; they fill any spare window
-# slots in listed order (round 4: 5 priority + 44 pending leaves ONE
-# spare slot, taken by streaming_lsh_dedup_e2e; the other three rotate
-# into the front of the round-5 window).
-_NEW_PARITY_ONLY: tuple[str, ...] = (
-    "streaming_lsh_dedup_e2e",
-    "balanced_lang_mix",
-    "consistent_user_sample",
-    "rolling_distinct_users",
-)
+# slots in listed order.
+_NEW_PARITY_ONLY: tuple[str, ...] = ()
 
 
 def _rotated() -> list[str]:
