@@ -95,8 +95,10 @@ def upsert_replace(
 #
 # Table layout under a root directory:
 #     root/
-#       _CURRENT          <- manifest: name of the live snapshot dir
-#       v-<token>/        <- immutable parquet snapshots
+#       _CURRENT          <- manifest: committed snapshot names, one
+#                            per line, oldest first; LAST line is live
+#       v-<seq>-<token>/  <- immutable parquet snapshots (seq = zero-
+#                            padded monotonic commit counter)
 #
 # Commit protocol (the K3 "rollback" analogue without Delta/Iceberg
 # jars): (1) write the merged result to a FRESH snapshot dir — a crash
@@ -106,45 +108,80 @@ def upsert_replace(
 # store the manifest is a single small PUT, equally all-or-nothing).
 # A failed upsert therefore can never leave a half-written path as the
 # only artifact (round-2 gap: the old code wrote to `path + "_new"`).
-# Orphan snapshot dirs are garbage-collectable by comparing dir
-# listings against the manifest.
+#
+# The manifest doubles as the COMMIT HISTORY: because each flip
+# rewrites the whole file atomically, "which snapshots committed, in
+# what order" and "which is live" commit together — so vacuum's
+# retention ordering never depends on directory mtimes (object stores
+# and restores don't preserve them) and orphan dirs from aborted
+# commits are exactly the v-* dirs absent from the manifest.
 # ---------------------------------------------------------------------
 
 _MANIFEST = "_CURRENT"
 
 
+def _read_history(root: str) -> list[str]:
+    """Committed snapshot names, oldest → newest (last = live).
+    Empty list if the table has no committed snapshot. Pre-history
+    single-line manifests read back as a one-entry history."""
+    try:
+        with open(os.path.join(root, _MANIFEST)) as fh:
+            return [ln.strip() for ln in fh if ln.strip()]
+    except OSError:
+        return []
+
+
+def _snapshot_seq(name: str) -> int | None:
+    """Monotonic commit counter embedded in a snapshot name
+    (``v-<seq>-<token>``), or None for pre-counter legacy names."""
+    parts = name.split("-")
+    if len(parts) == 3 and parts[1].isdigit():
+        return int(parts[1])
+    return None
+
+
+def _next_snapshot_name(root: str) -> str:
+    """Fresh snapshot name carrying the next commit counter. The seq
+    continues from the LIVE snapshot's (falling back to the history
+    length for legacy names), so ordering is total under the
+    single-writer contract; the uuid token keeps names collision-free
+    even when a crashed attempt already burned the same seq."""
+    history = _read_history(root)
+    last_seq = _snapshot_seq(history[-1]) if history else None
+    seq = (last_seq + 1) if last_seq is not None else len(history)
+    return f"v-{seq:08d}-{uuid.uuid4().hex[:12]}"
+
+
 def _commit_manifest(root: str, new_name: str, expect: str | None = ...) -> str:
-    """Atomically point the manifest at ``new_name`` (write-temp +
-    ``os.replace``). With ``expect`` set (a snapshot name or None for
-    "empty table"), the flip is OPTIMISTICALLY GUARDED: if another
-    writer committed since the caller read ``expect``, raise instead of
-    silently overwriting their snapshot (the new dir is left as an
-    orphan for GC). The check-then-replace window is not a true CAS —
-    single-writer-per-table remains the concurrency contract (as for
-    any filesystem table format without a lock service) — but the
-    guard shrinks the lost-update window from the full rewrite
-    duration to microseconds."""
-    if expect is not ... and current_snapshot(root) != expect:
+    """Atomically append ``new_name`` to the commit history and make it
+    live (write-temp + ``os.replace`` of the whole manifest). With
+    ``expect`` set (a snapshot name or None for "empty table"), the
+    flip is OPTIMISTICALLY GUARDED: if another writer committed since
+    the caller read ``expect``, raise instead of silently overwriting
+    their snapshot (the new dir is left as an orphan for GC). The
+    check-then-replace window is not a true CAS — single-writer-per-
+    table remains the concurrency contract (as for any filesystem
+    table format without a lock service) — but the guard shrinks the
+    lost-update window from the full rewrite duration to microseconds."""
+    history = _read_history(root)
+    cur = history[-1] if history else None
+    if expect is not ... and cur != expect:
         raise RuntimeError(
             f"concurrent commit detected under {root}: expected manifest "
-            f"{expect!r}, found {current_snapshot(root)!r}; aborting flip "
+            f"{expect!r}, found {cur!r}; aborting flip "
             f"(orphan snapshot {new_name} left for GC)"
         )
     tmp = os.path.join(root, f"{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
-        fh.write(new_name)
+        fh.write("\n".join([*history, new_name]) + "\n")
     os.replace(tmp, os.path.join(root, _MANIFEST))  # the atomic commit point
     return new_name
 
 
 def current_snapshot(root: str) -> str | None:
     """Name of the live snapshot dir, or None if the table is empty."""
-    try:
-        with open(os.path.join(root, _MANIFEST)) as fh:
-            name = fh.read().strip()
-        return name or None
-    except OSError:
-        return None
+    history = _read_history(root)
+    return history[-1] if history else None
 
 
 def read_upsert_parquet(spark: SparkSession, root: str) -> DataFrame:
@@ -177,7 +214,7 @@ def write_upsert_parquet(
         target = spark.read.parquet(os.path.join(root, cur))
         merge = upsert_ignore if mode == "ignore" else upsert_replace
         merged = merge(target, batch, keys, order_by)
-    new_name = f"v-{uuid.uuid4().hex[:12]}"
+    new_name = _next_snapshot_name(root)
     merged.write.mode("overwrite").parquet(os.path.join(root, new_name))
     return _commit_manifest(root, new_name, expect=cur)
 
@@ -215,7 +252,7 @@ def compact_snapshot(
     )
     n_files = max(1, -(-nbytes // target_bytes))  # ceil
     df = spark.read.parquet(src).coalesce(n_files)
-    new_name = f"v-{uuid.uuid4().hex[:12]}"
+    new_name = _next_snapshot_name(root)
     df.write.mode("overwrite").parquet(os.path.join(root, new_name))
     # expect=cur: if an upsert committed while we rewrote, abort the
     # flip instead of silently dropping its rows from the live table
@@ -224,38 +261,58 @@ def compact_snapshot(
 
 def vacuum(root: str, keep_last: int = 3) -> list[str]:
     """Snapshot GC — the retention side of the versioned-table
-    lifecycle (write → read → time-travel → compact → VACUUM). Deletes
-    snapshot directories that are (a) not the manifest's live snapshot
-    and (b) not among the ``keep_last`` most recent by commit order
-    (snapshot dirs sort by mtime; the live one always counts toward
-    the kept set). Also removes stranded manifest temp files from
-    crashed flips. Returns the names of the deleted snapshots.
+    lifecycle (write → read → time-travel → compact → VACUUM).
+    Returns the names of the deleted snapshots.
 
-    Retention is the time-travel contract: readers holding a snapshot
-    NAME older than ``keep_last`` versions lose it — exactly the
+    Retention is decided from the manifest's commit HISTORY, never
+    from directory mtimes (object stores and restores don't preserve
+    them): the ``keep_last`` newest COMMITTED versions (the live one
+    always counts) stay readable for time travel; older committed
+    versions are deleted and pruned from the history. Orphan dirs —
+    v-* dirs absent from the history, left by crashes mid-write or
+    flips aborted by the concurrency guard — can never displace a
+    committed version from retention and are reclaimed unconditionally,
+    EXCEPT an orphan whose commit counter is ahead of the live
+    snapshot's, which is indistinguishable from a write in flight and
+    is left for the next vacuum after that write commits or is
+    superseded. Also removes stranded manifest temp files from crashed
+    flips.
+
+    Time-travel contract: readers holding a snapshot NAME older than
+    ``keep_last`` committed versions lose it — exactly the
     Delta/Iceberg VACUUM trade-off, where retention bounds storage
-    growth and defines how far back time travel reaches. Orphan dirs
-    from aborted commits (crash mid-write, or a flip aborted by the
-    concurrency guard) are reclaimed the same way once they age out of
-    the keep window.
+    growth and defines how far back time travel reaches.
     """
     import shutil
 
-    live = current_snapshot(root)
-    entries = []
+    history = _read_history(root)
+    committed = set(history)
+    keep = set(history[-keep_last:]) if keep_last > 0 else set()
+    if history:
+        keep.add(history[-1])  # live, even with keep_last=0
+    live_seq = _snapshot_seq(history[-1]) if history else None
+    deleted = []
     for name in os.listdir(root):
         path = os.path.join(root, name)
-        if name.startswith("v-") and os.path.isdir(path):
-            entries.append((os.path.getmtime(path), name))
-        elif name.startswith(f"{_MANIFEST}.tmp-") and os.path.isfile(path):
+        if name.startswith(f"{_MANIFEST}.tmp-") and os.path.isfile(path):
             os.unlink(path)  # stranded temp from a crashed flip
-    entries.sort(reverse=True)  # newest first
-    keep = {name for _, name in entries[:keep_last]}
-    if live is not None:
-        keep.add(live)
-    deleted = []
-    for _, name in entries:
-        if name not in keep:
-            shutil.rmtree(os.path.join(root, name))
-            deleted.append(name)
+            continue
+        if not (name.startswith("v-") and os.path.isdir(path)):
+            continue
+        if name in keep:
+            continue
+        if name not in committed:
+            seq = _snapshot_seq(name)
+            if seq is not None and (live_seq is None or seq > live_seq):
+                continue  # possibly a write in flight — skip this pass
+        shutil.rmtree(path)
+        deleted.append(name)
+    if any(name in committed for name in deleted):
+        # prune reclaimed versions from the history (atomic rewrite,
+        # live last — same commit point as a flip)
+        survivors = [n for n in history if n not in set(deleted)]
+        tmp = os.path.join(root, f"{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(survivors) + "\n")
+        os.replace(tmp, os.path.join(root, _MANIFEST))
     return deleted

@@ -225,3 +225,81 @@ def test_vacuum_keeps_live_and_recent_snapshots(spark, tmp_path):
     assert spark.read.parquet(os.path.join(root, versions[-2])).count() == 1
     # aged-out history is gone
     assert not os.path.exists(os.path.join(root, versions[0]))
+
+
+def test_vacuum_commit_order_survives_shuffled_mtimes(spark, tmp_path):
+    # Retention must follow the manifest's commit history, not directory
+    # mtimes — object stores and restores don't preserve them. Scramble
+    # every snapshot's mtime and assert vacuum still keeps exactly the
+    # newest committed versions.
+    import os
+    import random
+
+    from data_integration_and_visualization_uc3m_spark.operators import upsert
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    versions = [
+        upsert.write_upsert_parquet(
+            root, df.withColumn("v", df.v + i), ["k"], mode="replace"
+        )
+        for i in range(6)
+    ]
+    rng = random.Random(7)
+    times = [1_000_000_000 + 86400 * i for i in range(6)]
+    rng.shuffle(times)  # oldest commit can look newest on disk
+    for v, t in zip(versions, times):
+        os.utime(os.path.join(root, v), (t, t))
+    deleted = upsert.vacuum(root, keep_last=3)
+    assert set(deleted) == set(versions[:3])
+    for v in versions[3:]:
+        assert spark.read.parquet(os.path.join(root, v)).count() == 1
+    assert upsert.current_snapshot(root) == versions[-1]
+    # history pruned to the survivors, order preserved
+    assert upsert._read_history(root) == versions[3:]
+
+
+def test_vacuum_orphans_cannot_displace_committed_versions(spark, tmp_path):
+    # The ADVICE round-4 scenario: freshly-aborted commits leave orphan
+    # dirs that LOOK newest; they must be reclaimed without consuming
+    # keep_last slots that belong to committed versions.
+    import os
+
+    from data_integration_and_visualization_uc3m_spark.operators import upsert
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    versions = [
+        upsert.write_upsert_parquet(
+            root, df.withColumn("v", df.v + i), ["k"], mode="replace"
+        )
+        for i in range(4)
+    ]
+    # three orphans from "aborted commits", committed-counter or older
+    # (reclaimable), plus one legacy-named torn dir
+    live_seq = upsert._snapshot_seq(versions[-1])
+    orphans = [
+        f"v-{live_seq:08d}-aaaaaaaaaaaa",
+        f"v-{max(0, live_seq - 1):08d}-bbbbbbbbbbbb",
+        "v-deadbeef0000",
+    ]
+    for o in orphans:
+        os.makedirs(os.path.join(root, o))
+    # and one counter-AHEAD orphan: indistinguishable from an in-flight
+    # write, must survive this vacuum pass
+    inflight = f"v-{live_seq + 1:08d}-cccccccccccc"
+    os.makedirs(os.path.join(root, inflight))
+
+    deleted = upsert.vacuum(root, keep_last=3)
+    # all three committed-retention versions survive (orphans consumed
+    # no slots); only the oldest committed version + the orphans go
+    assert set(deleted) == {versions[0], *orphans}
+    for v in versions[1:]:
+        assert spark.read.parquet(os.path.join(root, v)).count() == 1
+    assert os.path.isdir(os.path.join(root, inflight))
+    # a later commit supersedes the in-flight counter; next pass reaps it
+    upsert.write_upsert_parquet(root, df, ["k"], mode="replace")
+    deleted2 = upsert.vacuum(root, keep_last=3)
+    assert inflight in deleted2
