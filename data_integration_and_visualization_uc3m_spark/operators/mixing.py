@@ -1,0 +1,103 @@
+"""Corpus mixing — composing a training set from sources at target
+proportions.
+
+Pretraining corpora are MIXED, not concatenated: each source (web,
+code, books, ...) gets a target share of the final corpus, and the
+pipeline must derive per-source sampling rates that (a) hit the target
+composition and (b) waste no data — the achievable corpus size is
+limited by the scarcest source relative to its share,
+``n_feasible = min_s(count_s / weight_s)``.
+
+Scale shape: the plan is a per-source aggregate (tiny — one row per
+source) crossed back as a broadcast scalar; the apply step joins the
+broadcast plan onto the corpus and keeps a deterministic md5-hash
+fraction per source (see operators.sampling) — a pure map-side filter,
+no shuffle of the corpus at any scale, reproducible across re-runs
+(epoch-stable mixing).
+
+No counterpart in the reference (single-source ingest:
+crime_immigration_etl.py:88-150); north-star extension, SURVEY §7
+phase E.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import HASH_SPACE, hash_bucket
+
+
+def _weight_expr(weights: dict[str, float], source_col: str) -> F.Column:
+    expr: F.Column = F.lit(None).cast("double")
+    for src, wgt in sorted(weights.items()):
+        expr = F.when(F.col(source_col) == src, F.lit(float(wgt))).otherwise(
+            expr
+        )
+    return expr
+
+
+def mix_plan(
+    docs: DataFrame, weights: dict[str, float], source_col: str = "source"
+) -> DataFrame:
+    """Per-source sampling plan for a target mix.
+
+    Output per source: ``n_docs``, ``weight``, ``n_target`` (docs to
+    keep), ``rate`` (n_target / n_docs). Sources absent from
+    ``weights`` get weight NULL and are excluded from the plan (rate
+    would be 0). All arithmetic is IEEE-double on exact integer
+    operands, so a SQL oracle reproduces it bit-for-bit.
+    """
+    counts = (
+        docs.filter(_weight_expr(weights, source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("weight", _weight_expr(weights, source_col))
+    )
+    feasible = counts.select(
+        F.min(F.col("n_docs").cast("double") / F.col("weight")).alias(
+            "__feasible"
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(feasible))
+        .select(
+            source_col,
+            "n_docs",
+            "weight",
+            F.floor(F.col("weight") * F.col("__feasible"))
+            .cast("long")
+            .alias("n_target"),
+            (
+                F.floor(F.col("weight") * F.col("__feasible"))
+                / F.col("n_docs")
+            ).alias("rate"),
+        )
+    )
+
+
+def mix_apply(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix0",
+) -> DataFrame:
+    """Materialize the mix: keep a deterministic hash fraction of each
+    source at its planned rate. Returns the kept rows.
+
+    The integer keep-threshold ``floor(rate * 2^32)`` makes the filter
+    exact and portable; the plan side is a handful of rows, broadcast —
+    the corpus never shuffles.
+    """
+    plan = mix_plan(docs, weights, source_col).select(
+        source_col,
+        F.floor(F.col("rate") * F.lit(HASH_SPACE))
+        .cast("long")
+        .alias("__threshold"),
+    )
+    return (
+        docs.join(F.broadcast(plan), source_col, "inner")
+        .filter(hash_bucket(F.col(id_col), seed) < F.col("__threshold"))
+        .drop("__threshold")
+    )

@@ -100,3 +100,54 @@ def pack_payloads(
             F.size("docs").alias("n_docs"),
         )
     )
+
+
+def pow2_length_bucket(tokens_col: str) -> F.Column:
+    """Smallest power of two >= token count — the standard
+    length-bucketed batching key (batch docs of similar length so the
+    pad-to-longest waste is bounded by 2x, instead of padding every
+    batch to the global max).
+
+    Exact integer construction, portable to SQL: the bucket exponent is
+    the bit length of (n - 1), read as ``length(bin(n - 1))`` — no
+    float log2, whose boundary behavior at exact powers of two would be
+    engine-dependent.
+    """
+    n = F.col(tokens_col)
+    # SQL-expr form: pyspark's F.shiftleft only accepts a literal bit
+    # count, but the bucket exponent is per-row
+    pow2 = F.expr(f"shiftleft(1L, length(bin({tokens_col} - 1)))")
+    return F.when(n <= 1, F.lit(1)).otherwise(pow2).cast("long")
+
+
+def length_bucket_stats(
+    df: DataFrame, tokens_col: str = "n_tokens"
+) -> DataFrame:
+    """Padding-waste report per power-of-two length bucket: how much of
+    each batch bucket is real tokens vs pad-to-bucket waste. The
+    decision input for choosing bucket boundaries in a batching plan —
+    one hash aggregation, exact integer sums.
+    """
+    bucket = pow2_length_bucket(tokens_col)
+    n = F.col(tokens_col)
+    return (
+        df.select(bucket.alias("bucket"), n.alias("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("__n"))
+            .cast("long")
+            .alias("pad_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            "pad_tokens",
+            (
+                F.col("pad_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket")).cast("double")
+            ).alias("waste_frac"),
+        )
+    )

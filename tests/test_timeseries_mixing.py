@@ -1,0 +1,118 @@
+"""Round-5 extension operators: time-series resample/ffill, corpus
+mixing, length-bucketed batching."""
+
+from pyspark.sql import functions as F
+
+from data_integration_and_visualization_uc3m_spark.operators import (
+    mixing,
+    packing,
+    timeseries,
+)
+
+
+def test_resample_ffill_fills_gaps_and_flags_observed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (1, "2024-01-01 12:00:00", 7.0),   # same day, aggregates to 12
+            (1, "2024-01-04 09:00:00", 3.0),   # two-day gap before this
+            (2, "2024-02-10 00:00:00", 1.0),   # single-day span
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = timeseries.resample_ffill_daily(df, "user_id", "ts", "value")
+    rows = {
+        (r.user_id, str(r.day)): (r.value_ffill, r.is_observed)
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "2024-01-01"): (12.0, True),
+        (1, "2024-01-02"): (12.0, False),   # carried forward
+        (1, "2024-01-03"): (12.0, False),
+        (1, "2024-01-04"): (3.0, True),
+        (2, "2024-02-10"): (1.0, True),
+    }
+    # grid day one is always observed => no NULL fill anywhere
+    assert out.filter(F.col("value_ffill").isNull()).count() == 0
+
+
+def test_mix_plan_scarcest_source_bounds_corpus(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", 10) for i in range(30)]      # s0:15, s1:15
+        + [(100 + i, "s2", 10) for i in range(4)],     # s2: 4 (scarce)
+        "doc_id long, source string, n_chars long",
+    )
+    # target 50/25/25: feasible = min(15/.5, 15/.25, 4/.25) = 16
+    plan = {
+        r.source: r
+        for r in mixing.mix_plan(
+            docs, {"s0": 0.5, "s1": 0.25, "s2": 0.25}
+        ).collect()
+    }
+    assert plan["s0"].n_target == 8
+    assert plan["s1"].n_target == 4
+    assert plan["s2"].n_target == 4          # scarce source fully used
+    assert plan["s2"].rate == 1.0
+    # unknown sources are excluded from the plan entirely
+    docs2 = docs.union(
+        spark.createDataFrame([(999, "sX", 1)], docs.schema)
+    )
+    assert "sX" not in {
+        r.source
+        for r in mixing.mix_plan(
+            docs2, {"s0": 0.5, "s1": 0.25, "s2": 0.25}
+        ).collect()
+    }
+
+
+def test_mix_apply_deterministic_and_rate_bounded(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", 10) for i in range(200)],
+        "doc_id long, source string, n_chars long",
+    )
+    weights = {"s0": 0.7, "s1": 0.3}
+    kept1 = sorted(r.doc_id for r in mixing.mix_apply(docs, weights).collect())
+    kept2 = sorted(r.doc_id for r in mixing.mix_apply(docs, weights).collect())
+    assert kept1 == kept2                       # reproducible, no RNG state
+    per_src = (
+        mixing.mix_apply(docs, weights)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    plan = {
+        r.source: r.n_target
+        for r in mixing.mix_plan(docs, weights).collect()
+    }
+    for r in per_src:
+        # hash sampling is rate-accurate in expectation, not exact-n;
+        # sanity-bound it around the planned target
+        assert abs(r["count"] - plan[r.source]) <= 0.25 * plan[r.source] + 5
+
+
+def test_pow2_length_bucket_boundaries(spark):
+    df = spark.createDataFrame(
+        [(n,) for n in [1, 2, 3, 4, 5, 63, 64, 65, 1000]], "n_tokens long"
+    )
+    got = {
+        r.n_tokens: r.bucket
+        for r in df.select(
+            "n_tokens", packing.pow2_length_bucket("n_tokens").alias("bucket")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 63: 64, 64: 64, 65: 128, 1000: 1024}
+
+
+def test_length_bucket_stats_waste_math(spark):
+    df = spark.createDataFrame([(3,), (4,), (5,)], "n_tokens long")
+    rows = {
+        r.bucket: r for r in packing.length_bucket_stats(df).collect()
+    }
+    # bucket 4: docs {3,4} -> pad 1+0 = 1, capacity 8
+    assert rows[4].n_docs == 2
+    assert rows[4].total_tokens == 7
+    assert rows[4].pad_tokens == 1
+    assert rows[4].waste_frac == 1 / 8
+    # bucket 8: doc {5} -> pad 3 of 8
+    assert rows[8].pad_tokens == 3
+    assert rows[8].waste_frac == 3 / 8

@@ -53,6 +53,9 @@ SCALAR_OK: set[str] = {
     "ivf_recall_report",        # two 1-row recall counters cross-joined
     "int8_recall_report",       # 1-row query-code broadcast (via ann_int8_topk)
     "hot_key_share_report",     # 1-row total broadcast onto the top-20 keys
+    "balanced_lang_mix",        # 1-row min-stratum count broadcast (r4 adjudicated)
+    "corpus_mix_plan",          # 1-row feasible-corpus scalar broadcast
+    "corpus_mix_apply",         # same scalar via mix_plan
 }
 
 
