@@ -6556,6 +6556,82 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "winsorized_event_stats",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events
+    ), bounds AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = GREATEST(CAST(CEIL(0.01 * cnt) AS BIGINT), 1)
+                        THEN value END) AS p01,
+               MIN(CASE WHEN rn = GREATEST(CAST(CEIL(0.99 * cnt) AS BIGINT), 1)
+                        THEN value END) AS p99
+        FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type, b.p01, b.p99,
+           CAST(COUNT(CASE WHEN e.value < b.p01 THEN 1 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(COUNT(CASE WHEN e.value > b.p99 THEN 1 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(SUM(CAST(FLOOR(LEAST(GREATEST(e.value, b.p01), b.p99)
+                                * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_clipped_fp6,
+           COUNT(*) AS n_events
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type, b.p01, b.p99
+    """,
+    ops=["robust-stats", "cleaning-winsorize"],
+)
+def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier capping (winsorization) for training-data cleaning:
+    per-type p01/p99 as NEAREST-RANK order statistics (real data
+    elements with a unique tiebreaker — engine-identical, no
+    interpolation semantics), values clamped into [p01, p99], clipped
+    counts and the clamped sum reported. Same discrete-order-statistic
+    discipline as events_anomaly_mad; clamped-sum in fixed-point
+    BIGINT (convention 7). One window pass + a broadcast of the tiny
+    per-type bounds — the fact table never shuffles twice."""
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = e.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wc)
+    )
+    rank_at = lambda p: F.greatest(  # noqa: E731
+        F.ceil(F.lit(p) * F.col("cnt")).cast("long"), F.lit(1)
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == rank_at(0.01), F.col("value"))).alias(
+            "p01"
+        ),
+        F.min(F.when(F.col("rn") == rank_at(0.99), F.col("value"))).alias(
+            "p99"
+        ),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("p01"), 1))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.count(F.when(F.col("value") > F.col("p99"), 1))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.sum(F.floor(clipped * 1000000).cast("long"))
+            .cast("long")
+            .alias("sum_clipped_fp6"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -6675,6 +6751,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "length_bucketed_batching",
     "cross_source_ngram_overlap",
     "schema_evolution_union",
+    "winsorized_event_stats",
 )
 
 
