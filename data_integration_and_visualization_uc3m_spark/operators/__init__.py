@@ -21,4 +21,7 @@ idiomatic, Catalyst-friendly Spark:
     skew        salted aggregation/join, key histograms
     history     SCD2 content-hash change tracking
     skyline     Pareto frontier (two-phase local/global)
+    timeseries  daily-grid resample + forward-fill (no range join)
+    mixing      corpus composition plan + md5-threshold materialization
+    graph       fixed-point weighted PageRank (iterative, bit-exact)
 """

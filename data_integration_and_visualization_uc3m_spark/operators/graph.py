@@ -1,0 +1,108 @@
+"""Iterative graph analytics — weighted PageRank in exact integer
+arithmetic.
+
+Complements the connected-components operator (operators.dedup:531):
+CC answers "which nodes form one group"; PageRank ranks nodes by
+recursive link mass — the standard importance measure for entity
+graphs distilled from a warehouse (trade flows, citation edges,
+user-interaction graphs).
+
+Scale shape: one iteration = one hash join (ranks ⋈ edges on src) +
+one aggregation (sum by dst) — both shuffle-aligned on the node key,
+so successive iterations reuse the same partitioning. O(diameter-free)
+fixed iteration count; every few rounds a ``localCheckpoint`` cuts the
+growing lineage, with superseded checkpoint blocks freed eagerly and
+exactly (same storage-hygiene discipline as connected_components —
+see dedup.py:547-572 for the measured rationale).
+
+Determinism: ranks are fixed-point BIGINTs (1.0 ≡ 10^12); every
+update is integer multiply / integer division (``div``), so the
+result is bit-identical on any engine and any partitioning — float
+summation order never enters. Rank mass from dangling nodes (no
+out-edges) is dropped, not redistributed; with the fixed damping base
+this is the simplest portable convention, and the oracle mirrors it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 1.0 in fixed point
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Weighted PageRank over (src, dst, w) edges; returns
+    (node, rank_fp) with rank_fp in units of 10^-12.
+
+    ``damping_pct`` is an integer percentage so the damping step stays
+    in exact integer arithmetic: ``new = base + damping*contrib div
+    100`` with ``base = (100-damping) * (SCALE div N) div 100``.
+    """
+    spark = edges.sparkSession
+    jsc = spark.sparkContext._jsc.sc()
+
+    def _ck_rdd_id(df: DataFrame) -> int:
+        return df._jdf.queryExecution().analyzed().rdd().id()
+
+    def _unpersist(rdd_id: int) -> None:
+        jmap = jsc.getPersistentRDDs()
+        if jmap.contains(rdd_id):
+            jmap.apply(rdd_id).unpersist(False)
+
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = e.join(outw, "src").localCheckpoint()
+    edges_id = _ck_rdd_id(e)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes_id = _ck_rdd_id(nodes)
+    n = nodes.count()
+    init = SCALE // n
+    base = (100 - damping_pct) * init // 100
+
+    ranks = nodes.withColumn("r", F.lit(init).cast("long"))
+    prev_ck: int | None = None
+    for i in range(iterations):
+        contrib = (
+            ranks.join(e, ranks.node == e.src)
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("(r * w) div ow")).alias("c")
+            )
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_pct} * coalesce(c, 0L)) div 100"
+                )
+            ).cast("long").alias("r"),
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
+            if prev_ck is not None:
+                _unpersist(prev_ck)
+            prev_ck = _ck_rdd_id(ranks)
+    _unpersist(edges_id)
+    _unpersist(nodes_id)
+    return ranks.select("node", F.col("r").alias("rank_fp"))

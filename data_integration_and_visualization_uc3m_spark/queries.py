@@ -48,6 +48,7 @@ from .operators import (
     cleaning,
     dedup,
     filters,
+    graph,
     joins,
     mixing,
     multimodal,
@@ -6632,6 +6633,144 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """Unrolled fixed-point PageRank as pure SQL: one (contrib, rank)
+    CTE pair per iteration, all-integer arithmetic (DuckDB ``//`` ≡
+    Spark ``div`` on positives), mirroring operators.graph exactly."""
+    init = "(1000000000000 // (SELECT COUNT(*) FROM nodes))"
+    ctes = [
+        f"""
+    edges AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY src, dst
+    ), outw AS (
+        SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+    ), ew AS (
+        SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o ON e.src = o.src
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), it0 AS (
+        SELECT node, {init} AS r FROM nodes
+    )"""
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""
+    c{k} AS (
+        SELECT e.dst, SUM((p.r * e.w) // e.ow) AS c
+        FROM it{k - 1} p JOIN ew e ON e.src = p.node GROUP BY e.dst
+    ), it{k} AS (
+        SELECT n.node,
+               (15 * {init}) // 100 + (85 * COALESCE(c.c, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN c{k} c ON c.dst = n.node
+    )""")
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT n_name, CAST(r AS BIGINT) AS rank_fp
+    FROM it{iterations} JOIN nation ON node = n_nationkey
+    """
+
+
+@register(
+    "nation_trade_pagerank",
+    _pagerank_oracle(10),
+    ops=["graph-pagerank", "iterative"],
+)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (supplier nation →
+    customer nation, edge weight = lineitem count), 10 iterations of
+    EXACT fixed-point integer arithmetic (operators.graph) — ranks are
+    bit-identical on any engine and any partitioning because float
+    summation order never enters. The iterative-join shape that
+    complements connected components: per iteration one hash join +
+    one aggregation, shuffle-aligned on the node key, lineage cut by
+    checkpoint every 4 rounds with exact storage freeing."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = graph.pagerank_fixed_point(edges, iterations=10)
+    return pr.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        pr.node == F.col("n_nationkey"),
+    ).select("n_name", "rank_fp")
+
+
+@register(
+    "rolling_median_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        FROM orders GROUP BY day
+    ), expanded AS (
+        SELECT d.day + CAST(g.i AS INTEGER) AS anchor, d.day, d.v
+        FROM daily d CROSS JOIN generate_series(0, 6) AS g(i)
+    ), valid AS (
+        SELECT e.anchor, e.day, e.v
+        FROM expanded e JOIN daily a ON a.day = e.anchor
+    ), ranked AS (
+        SELECT anchor, v,
+               ROW_NUMBER() OVER (PARTITION BY anchor
+                                  ORDER BY v, day) AS rn,
+               COUNT(*) OVER (PARTITION BY anchor) AS cnt
+        FROM valid
+    )
+    SELECT anchor AS day, CAST(v AS DOUBLE) AS median_rev_7d, cnt AS n_days
+    FROM ranked WHERE rn = CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT)
+    """,
+    ops=["window-rolling", "robust-stats"],
+)
+def rolling_median_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day discrete median of daily revenue — a rolling
+    NON-algebraic aggregate done scale-right: the window is the same
+    bounded explode(sequence(day, day+6)) expansion as
+    rolling_distinct_users (equi-join, no BroadcastNestedLoopJoin),
+    and the median is a nearest-rank order statistic with a unique
+    tiebreaker (engine-identical, no interpolation). Exact DECIMAL
+    daily sums; the per-anchor sort touches ≤7 rows."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_dec2("o_totalprice")).alias("v")
+    )
+    anchors = daily.select(F.col("day").alias("anchor"))
+    expanded = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("anchor"),
+        "day",
+        "v",
+    ).join(anchors, "anchor", "left_semi")
+    wr = Window.partitionBy("anchor").orderBy("v", "day")
+    wc = Window.partitionBy("anchor")
+    return (
+        expanded.withColumn("rn", F.row_number().over(wr))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2.0).cast("long"))
+        .select(
+            F.col("anchor").alias("day"),
+            F.col("v").cast("double").alias("median_rev_7d"),
+            F.col("cnt").alias("n_days"),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -6752,6 +6891,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "cross_source_ngram_overlap",
     "schema_evolution_union",
     "winsorized_event_stats",
+    "nation_trade_pagerank",
+    "rolling_median_daily_revenue",
 )
 
 

@@ -1,0 +1,58 @@
+"""operators.graph — fixed-point PageRank."""
+
+from data_integration_and_visualization_uc3m_spark.operators import graph
+
+
+def _reference_pagerank(edges, iterations, damping_pct=85):
+    """Plain-Python-int mirror of the operator (exact arithmetic)."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    ow = {}
+    for s, _, w in edges:
+        ow[s] = ow.get(s, 0) + w
+    n = len(nodes)
+    init = graph.SCALE // n
+    base = (100 - damping_pct) * init // 100
+    r = {u: init for u in nodes}
+    for _ in range(iterations):
+        contrib = {u: 0 for u in nodes}
+        for s, d, w in edges:
+            contrib[d] += (r[s] * w) // ow[s]
+        r = {u: base + (damping_pct * contrib[u]) // 100 for u in nodes}
+    return r
+
+
+def test_pagerank_symmetric_two_cycle_is_stationary(spark):
+    e = spark.createDataFrame([(1, 2, 1), (2, 1, 1)], "src long, dst long, w long")
+    got = {r.node: r.rank_fp for r in graph.pagerank_fixed_point(e, iterations=5).collect()}
+    # the uniform distribution is the exact fixed point here
+    assert got == {1: graph.SCALE // 2, 2: graph.SCALE // 2}
+
+
+def test_pagerank_matches_integer_reference(spark):
+    edges = [
+        (1, 2, 3), (1, 3, 1),      # 1 splits mass 3:1
+        (2, 3, 1),                 # chain into 3
+        (3, 1, 2),                 # cycle back
+        (4, 3, 5),                 # 4 is a source (gets base only)
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    for iters in (1, 2, 7):
+        got = {
+            r.node: r.rank_fp
+            for r in graph.pagerank_fixed_point(e, iterations=iters).collect()
+        }
+        assert got == _reference_pagerank(edges, iters), f"iterations={iters}"
+
+
+def test_pagerank_weighted_split_respects_weights(spark):
+    # 1 -> 2 with w=9 and 1 -> 3 with w=1: node 2 receives 9x node 3's
+    # contribution share
+    e = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1)], "src long, dst long, w long"
+    )
+    got = {r.node: r.rank_fp for r in graph.pagerank_fixed_point(e, iterations=1).collect()}
+    init = graph.SCALE // 3
+    base = 15 * init // 100
+    assert got[2] == base + 85 * ((init * 9) // 10) // 100
+    assert got[3] == base + 85 * ((init * 1) // 10) // 100
+    assert got[1] == base
