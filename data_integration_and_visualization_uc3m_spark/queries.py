@@ -6771,6 +6771,54 @@ def rolling_median_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_build_e2e",
+    f"""
+    WITH {_MIX_PLAN_CTE}, mixed AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN plan p USING (source)
+        WHERE CAST(('0x'||substring(md5('mix0:'||CAST(d.doc_id AS VARCHAR)),1,8))
+                   AS BIGINT)
+              < CAST(FLOOR(p.rate * 4294967296.0) AS BIGINT)
+    ), surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM mixed GROUP BY md5(text)
+    ), kept AS (
+        SELECT m.source, len(string_split(lower(m.text), ' ')) AS n_tokens
+        FROM mixed m JOIN surv s ON s.doc_id = m.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept WHERE n_tokens >= 5
+    GROUP BY source
+    """,
+    ops=["sampling-mix", "dedup-exact", "text-tokens", "pipeline"],
+)
+def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 operators composed as ONE lazy plan — the minimal
+    real corpus build: target-composition mix (exact md5 thresholds)
+    → exact dedup (first-wins by content hash) → token-count quality
+    floor → per-source budget stats. No intermediate materialization;
+    Catalyst sees the whole chain and the corpus shuffles once (for
+    the dedup hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    mixed = mixing.mix_apply(d, _MIX_WEIGHTS).select(
+        "doc_id", "source", "text"
+    )
+    surv = dedup.exact_dedup(mixed).select(F.col("keep_id").alias("doc_id"))
+    kept = mixed.join(surv, "doc_id", "left_semi").select(
+        "source", F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens")
+    )
+    return (
+        kept.filter(F.col("n_tokens") >= 5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -6893,6 +6941,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "winsorized_event_stats",
     "nation_trade_pagerank",
     "rolling_median_daily_revenue",
+    "corpus_build_e2e",
 )
 
 
