@@ -74,6 +74,10 @@ def pagerank_fixed_point(
     )
     nodes_id = _ck_rdd_id(nodes)
     n = nodes.count()
+    if n == 0:  # empty edge relation — empty result, same schema
+        return nodes.select(
+            "node", F.lit(None).cast("long").alias("rank_fp")
+        )
     init = SCALE // n
     base = (100 - damping_pct) * init // 100
 

@@ -28,6 +28,17 @@ from pyspark.sql import functions as F
 from .sampling import HASH_SPACE, hash_bucket
 
 
+def _check_weights(weights: dict[str, float]) -> None:
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    bad = {k: v for k, v in weights.items() if not v > 0}
+    if bad:
+        raise ValueError(
+            f"weights must be > 0 (a zero/negative share makes the "
+            f"feasible corpus size undefined): {bad}"
+        )
+
+
 def _weight_expr(weights: dict[str, float], source_col: str) -> F.Column:
     expr: F.Column = F.lit(None).cast("double")
     for src, wgt in sorted(weights.items()):
@@ -48,6 +59,7 @@ def mix_plan(
     would be 0). All arithmetic is IEEE-double on exact integer
     operands, so a SQL oracle reproduces it bit-for-bit.
     """
+    _check_weights(weights)
     counts = (
         docs.filter(_weight_expr(weights, source_col).isNotNull())
         .groupBy(source_col)

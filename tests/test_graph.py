@@ -56,3 +56,10 @@ def test_pagerank_weighted_split_respects_weights(spark):
     assert got[2] == base + 85 * ((init * 9) // 10) // 100
     assert got[3] == base + 85 * ((init * 1) // 10) // 100
     assert got[1] == base
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    e = spark.createDataFrame([], "src long, dst long, w long")
+    out = graph.pagerank_fixed_point(e, iterations=3)
+    assert out.columns == ["node", "rank_fp"]
+    assert out.count() == 0

@@ -116,3 +116,17 @@ def test_length_bucket_stats_waste_math(spark):
     # bucket 8: doc {5} -> pad 3 of 8
     assert rows[8].pad_tokens == 3
     assert rows[8].waste_frac == 3 / 8
+
+
+def test_mix_plan_rejects_degenerate_weights(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "s0", 1)], "doc_id long, source string, n_chars long"
+    )
+    with pytest.raises(ValueError, match="at least one source"):
+        mixing.mix_plan(docs, {})
+    with pytest.raises(ValueError, match="must be > 0"):
+        mixing.mix_plan(docs, {"s0": 0.0})
+    with pytest.raises(ValueError, match="must be > 0"):
+        mixing.mix_plan(docs, {"s0": -0.5})
