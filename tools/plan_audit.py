@@ -56,6 +56,7 @@ SCALAR_OK: set[str] = {
     "balanced_lang_mix",        # 1-row min-stratum count broadcast (r4 adjudicated)
     "corpus_mix_plan",          # 1-row feasible-corpus scalar broadcast
     "corpus_mix_apply",         # same scalar via mix_plan
+    "corpus_build_e2e",         # same scalar via mix_apply
 }
 
 

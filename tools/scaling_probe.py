@@ -35,6 +35,17 @@ DEFAULT = [
     "tfidf_top_terms",
     "pack_sequences",
     "balanced_lang_mix",
+    # round-5 families: grid expansion + ffill window, broadcast-plan
+    # mix filter, shingle self-join across sources, iterative
+    # fixed-point PageRank, expansion-join rolling median, nearest-rank
+    # winsorize, end-to-end mix→dedup→stats chain
+    "events_resample_ffill",
+    "corpus_mix_apply",
+    "cross_source_ngram_overlap",
+    "nation_trade_pagerank",
+    "rolling_median_daily_revenue",
+    "winsorized_event_stats",
+    "corpus_build_e2e",
 ]
 
 
