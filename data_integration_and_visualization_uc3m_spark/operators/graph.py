@@ -47,6 +47,8 @@ def pagerank_fixed_point(
     in exact integer arithmetic: ``new = base + damping*contrib div
     100`` with ``base = (100-damping) * (SCALE div N) div 100``.
     """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     spark = edges.sparkSession
     jsc = spark.sparkContext._jsc.sc()
 

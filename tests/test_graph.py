@@ -63,3 +63,11 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = graph.pagerank_fixed_point(e, iterations=3)
     assert out.columns == ["node", "rank_fp"]
     assert out.count() == 0
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    import pytest
+
+    e = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="iterations"):
+        graph.pagerank_fixed_point(e, iterations=0)
