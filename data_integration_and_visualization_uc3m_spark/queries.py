@@ -6819,6 +6819,58 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bucketed_colocated_revenue",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    ops=["bucketing", "J1", "A3"],
+)
+def bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over BUCKETED warehouse tables — the repeated-join
+    100 TB layout: both sides bucketed (and sorted) on the join key at
+    write time, so the sort-merge join reads co-located buckets with NO
+    shuffle exchange on either side (the property the bucketing unit
+    tests assert from the physical plan; here it flows through the
+    correctness gate end-to-end). Written as external tables under a
+    temp path with run-unique names; the merge hint keeps the tiny test
+    scale from broadcasting away the thing being demonstrated."""
+    import tempfile
+    import uuid as _uuid
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    wh = tempfile.mkdtemp(prefix="sg_bucketed_")
+    sfx = _uuid.uuid4().hex[:8]
+    t_l, t_o = f"sg_bkt_lineitem_{sfx}", f"sg_bkt_orders_{sfx}"
+    (
+        l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{wh}/lineitem").saveAsTable(t_l)
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{wh}/orders").saveAsTable(t_o)
+    )
+    return (
+        spark.table(t_l)
+        .hint("merge")
+        .join(
+            spark.table(t_o),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec2("l_extendedprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -6942,6 +6994,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "nation_trade_pagerank",
     "rolling_median_daily_revenue",
     "corpus_build_e2e",
+    "bucketed_colocated_revenue",
 )
 
 

@@ -130,3 +130,21 @@ def test_mix_plan_rejects_degenerate_weights(spark):
         mixing.mix_plan(docs, {"s0": 0.0})
     with pytest.raises(ValueError, match="must be > 0"):
         mixing.mix_plan(docs, {"s0": -0.5})
+
+
+def test_pow2_length_bucket_invariant_exhaustive(spark):
+    # bucket is the SMALLEST power of two >= n: bucket/2 < n <= bucket
+    # (n=1 -> 1). Checked for every n in [1, 4200] in one job.
+    df = spark.range(1, 4201).withColumnRenamed("id", "n_tokens")
+    bad = (
+        df.select("n_tokens", packing.pow2_length_bucket("n_tokens").alias("b"))
+        .filter(
+            ~(
+                (F.col("b") >= F.col("n_tokens"))
+                & ((F.col("b") == 1) | (F.col("b") / 2 < F.col("n_tokens")))
+                & (F.log2("b") == F.floor(F.log2("b")))
+            )
+        )
+        .count()
+    )
+    assert bad == 0
