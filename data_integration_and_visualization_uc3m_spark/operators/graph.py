@@ -21,6 +21,10 @@ result is bit-identical on any engine and any partitioning — float
 summation order never enters. Rank mass from dangling nodes (no
 out-edges) is dropped, not redistributed; with the fixed damping base
 this is the simplest portable convention, and the oracle mirrors it.
+
+No counterpart in the reference (its joins are flat dimension lookups,
+``crime_immigration_etl.py:268-303``; no iterative computation
+anywhere in its surface) — north-star extension, SURVEY §7 phase E.
 """
 
 from __future__ import annotations
