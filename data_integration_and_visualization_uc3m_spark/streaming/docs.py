@@ -94,6 +94,13 @@ def run_stream_lsh_dedup(
     pins mtimes so FileStreamSource's timestamp ordering is the chunk
     order) — proven end-to-end by the ``streaming_lsh_dedup_e2e``
     oracle, which recomputes the same decision in one SQL query.
+
+    Lifecycle contract: ``checkpoint_dir``, ``index_dir`` and
+    ``out_dir`` live and die together. Epoch ids come from the
+    checkpoint, and the replay-safe probe reads only strictly-earlier
+    epochs — starting a FRESH checkpoint against surviving index/out
+    dirs would restart epoch numbering and shadow the old epochs from
+    the probe. Wipe all three to restart a corpus.
     """
     from ..session import tune
 
