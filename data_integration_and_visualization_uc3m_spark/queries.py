@@ -6871,6 +6871,130 @@ def bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH snap1 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ), snap2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    + CASE WHEN o_orderkey % 10 = 0 THEN 5 ELSE 0 END
+                    AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ), v1 AS (
+        SELECT *, md5(o_orderstatus || chr(31) || CAST(price AS VARCHAR)) AS row_hash,
+               1 AS valid_from, CAST(NULL AS INTEGER) AS valid_to
+        FROM snap1
+    ), v2 AS (
+        SELECT *, md5(o_orderstatus || chr(31) || CAST(price AS VARCHAR)) AS row_hash
+        FROM snap2
+    ), changed AS (
+        SELECT c.o_orderkey FROM v1 c
+        LEFT JOIN v2 i ON c.o_orderkey = i.o_orderkey
+        WHERE i.row_hash IS NULL OR i.row_hash != c.row_hash
+    ), closed AS (
+        SELECT o_orderkey, price, valid_from, 2 AS valid_to
+        FROM v1 WHERE o_orderkey IN (SELECT o_orderkey FROM changed)
+    ), still_open AS (
+        SELECT o_orderkey, price, valid_from, valid_to FROM v1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)
+    ), new_rows AS (
+        SELECT i.o_orderkey, i.price, 2 AS valid_from,
+               CAST(NULL AS INTEGER) AS valid_to
+        FROM v2 i
+        WHERE NOT EXISTS (SELECT 1 FROM v1 c
+                          WHERE c.o_orderkey = i.o_orderkey
+                            AND c.row_hash = i.row_hash)
+    ), hist AS (
+        SELECT * FROM closed UNION ALL SELECT * FROM still_open
+        UNION ALL SELECT * FROM new_rows
+    ), as_of AS (
+        SELECT o_orderkey, price,
+               unnest(generate_series(valid_from,
+                                      COALESCE(valid_to - 1, 2))) AS version
+        FROM hist
+    ), facts AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 2 END AS version
+        FROM lineitem
+    )
+    SELECT f.version,
+           COUNT(*) AS n_lines,
+           CAST(SUM(a.price) AS DOUBLE) AS total_asof_price
+    FROM facts f JOIN as_of a
+      ON a.o_orderkey = f.l_orderkey AND a.version = f.version
+    GROUP BY f.version
+    """,
+    ops=["scd2", "point-in-time-join", "J1"],
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact joined to an SCD2 dimension AS OF the fact's transaction
+    version — the canonical warehouse point-in-time lookup, done as a
+    pure EQUI-join: each history row explodes to the (bounded, ≤
+    n_versions) versions it covers, so facts hash-join on (key,
+    version) instead of probing a BETWEEN range predicate (which Spark
+    would execute as a nested loop). Every lineitem (odd line numbers
+    stamped version 1, even ones version 2) picks up its order's price
+    as of that version; version-2 facts see the perturbed prices.
+    History built by the same operators/history.py merge as
+    scd2_price_history."""
+    from .operators import history as H
+
+    o = _t(spark, sf_dir, "orders")
+    snap1 = o.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_orderstatus", _dec2("o_totalprice").alias("price"))
+    snap2 = o.filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            _dec2("o_totalprice")
+            + F.when(F.col("o_orderkey") % 10 == 0, 5).otherwise(0)
+        )
+        .cast(DEC2)
+        .alias("price"),
+    )
+    hist = H.apply_changes(
+        H.snapshot_to_scd2(snap1, ["o_orderkey"], ["o_orderstatus", "price"], 1),
+        snap2,
+        ["o_orderkey"],
+        ["o_orderstatus", "price"],
+        2,
+    )
+    asof = hist.select(
+        "o_orderkey",
+        "price",
+        F.explode(
+            F.sequence(
+                F.col("valid_from"),
+                F.coalesce(F.col("valid_to") - 1, F.lit(2)),
+            )
+        ).alias("version"),
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    facts = l.select(
+        F.col("l_orderkey"),
+        F.when(F.col("l_linenumber") % 2 == 1, 1).otherwise(2).alias("version"),
+    )
+    return (
+        facts.join(
+            asof,
+            (facts.l_orderkey == asof.o_orderkey)
+            & (facts.version == asof.version),
+        )
+        .groupBy(facts.version)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("price").cast("double").alias("total_asof_price"),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -6995,6 +7119,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "rolling_median_daily_revenue",
     "corpus_build_e2e",
     "bucketed_colocated_revenue",
+    "scd2_point_in_time_join",
 )
 
 
