@@ -116,3 +116,48 @@ def pagerank_fixed_point(
     _unpersist(edges_id)
     _unpersist(nodes_id)
     return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected simple graph.
+
+    Canonicalizes to distinct ``lo < hi`` edges (direction and
+    self-loops dropped), enumerates each triangle exactly once in
+    canonical orientation ``a < b < c`` — wedges from the edge
+    self-join ``(a,b) ⋈ (b,c)`` closed by a LEFT SEMI probe on the
+    ``(a,c)`` edge — then explodes each triangle's three corners and
+    counts per node.
+
+    Scale shape: two hash joins on node keys, no cartesian anywhere.
+    Wedge fan-out is Σ deg(v)² on canonical ids; the standard
+    degree-ordering refinement (rank nodes by degree before
+    canonicalizing, so high-degree hubs sit on the closing side)
+    bounds it to O(m^1.5) and drops in here by swapping the
+    canonical comparator — unnecessary for dimension-sized entity
+    graphs, documented for the 100 TB path.
+
+    Returns (node, n_triangles); nodes in no triangle are absent.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"], "left_semi")
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

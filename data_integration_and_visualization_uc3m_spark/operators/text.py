@@ -457,3 +457,129 @@ def chunk_text(
     return df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_index", "chunk")
     )
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    chunk_words: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus duplicated-chunk profile (the RefinedWeb/C4-style
+    "duplicated line fraction" quality signal, with fixed word-window
+    chunks standing in for lines on corpora without line structure).
+
+    Each document is split into consecutive ``chunk_words``-word
+    chunks; a chunk is *duplicated* if its exact text occurs more than
+    once across the whole corpus. Output per document: ``n_chunks``,
+    ``n_dup_chunks``, and ``dup_chunk_fraction`` (one exact integer
+    division surfaced as DOUBLE — oracle bit-exact).
+
+    Scale shape: chunking is map-side (split + transform + explode
+    inside codegen); the corpus frequency table is one hash shuffle on
+    the chunk text, and the per-doc rollup re-aggregates on the id key.
+    No pairwise comparisons anywhere — cost is O(total words), the
+    same discipline as the exact-dedup hash-groupBy (dedup.py).
+    """
+    cw = chunk_words
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    chunks = (
+        df.select(F.col(id_col), words.alias("__w"))
+        .filter(F.size("__w") > 0)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.expr(f"(size(__w) - 1) div {cw}")
+                    ),
+                    lambda j: F.array_join(
+                        F.slice(F.col("__w"), j * cw + 1, F.lit(cw)), " "
+                    ),
+                )
+            ).alias("chunk"),
+        )
+    )
+    freq = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("__n"))
+    dup = F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).cast("long")
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            (dup.cast("double") / F.count(F.lit(1))).alias(
+                "dup_chunk_fraction"
+            ),
+        )
+    )
+
+
+def bigram_lift(
+    df: DataFrame,
+    min_pair_count: int = 3,
+    k: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by lift — the PMI ranking in exactly-rounded
+    IEEE arithmetic: lift(a,b) = p(ab) / (p(a)·p(b)) computed as one
+    left-associated chain of double multiplies/divides over exact
+    integer counts, so the score (and therefore the ranking) is
+    bit-identical on any engine. ln(lift) IS pointwise mutual
+    information; ranking by lift ≡ ranking by PMI (ln is monotonic)
+    without cross-engine libm drift (same trick as the linear-idf
+    ranking in top_terms_tfidf).
+
+    Adjacent word pairs within each document, corpus-wide counts, a
+    frequency floor (``min_pair_count``) to suppress noise pairs, and
+    a deterministic total order (lift DESC, then words) for the top-k.
+    Scale: two hash aggregations (pair key, unigram key) plus two
+    broadcast-scalar corpus totals; the ranked candidate set is
+    vocabulary-sized, never corpus-sized.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    w = df.select(F.col(id_col), words.alias("__w"))
+    uni = w.select(F.explode("__w").alias("tok"))
+    bg = (
+        w.filter(F.size("__w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - 2),
+                    lambda i: F.struct(
+                        F.element_at("__w", i + 1).alias("w1"),
+                        F.element_at("__w", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    n_bi = bg.agg(F.count(F.lit(1)).alias("n_bi"))
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    scored = (
+        bc.join(F.broadcast(uc.select(F.col("tok").alias("w1"),
+                                      F.col("c").alias("n_w1"))), "w1")
+        .join(F.broadcast(uc.select(F.col("tok").alias("w2"),
+                                    F.col("c").alias("n_w2"))), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1", "w2", "n_pair", "n_w1", "n_w2",
+            (
+                F.col("n_pair").cast("double")
+                * F.col("n_uni") * F.col("n_uni")
+                / F.col("n_bi") / F.col("n_w1") / F.col("n_w2")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)

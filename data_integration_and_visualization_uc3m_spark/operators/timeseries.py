@@ -77,3 +77,45 @@ def resample_ffill_daily(
             F.col("__v").isNotNull().alias("is_observed"),
         )
     )
+
+
+def ewma_lag_chain(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    span: int = 7,
+) -> DataFrame:
+    """EWMA over the ``span`` most recent observations per key with
+    decay 1/2 — weights 2^-j, renormalized over the observations
+    actually present near a series head.
+
+    Determinism contract (queries.py conventions): 2^-j weights are
+    exact binary fractions, every product is therefore exact, and the
+    numerator/denominator are FIXED-ORDER left-associated addition
+    chains over lag() columns — not a SUM() whose accumulation order
+    floats with partitioning — so the result is bit-identical on any
+    engine and any parallelism. One window per key (span-1 lags share
+    a single sort), no self-join, no range join.
+
+    Input must be one row per (key, order) with ``value_col`` already
+    DOUBLE; output adds ``ewma`` (DOUBLE) and ``n_obs`` (INT, number
+    of observations the renormalized weight mass covers).
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    lags = [
+        F.lag(F.col(value_col), j).over(w) for j in range(1, span)
+    ]
+    num = F.col(value_col)
+    den = F.lit(1.0)
+    n_obs = F.lit(1)
+    for j, lj in enumerate(lags, start=1):
+        wt = F.lit(2.0 ** -j)
+        num = num + F.coalesce(lj, F.lit(0.0)) * wt
+        den = den + F.when(lj.isNotNull(), wt).otherwise(F.lit(0.0))
+        n_obs = n_obs + F.when(lj.isNotNull(), 1).otherwise(0)
+    return df.select(
+        "*",
+        (num / den).alias("ewma"),
+        n_obs.cast("int").alias("n_obs"),
+    )

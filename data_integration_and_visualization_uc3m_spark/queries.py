@@ -6995,6 +6995,209 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chunk_dup_profile",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS words
+        FROM documents
+    ), ch AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(words) / 5.0) AS BIGINT)),
+                   j -> array_to_string(words[(j*5+1):(j*5+5)], ' ')
+               )) AS chunk
+        FROM w WHERE len(words) > 0
+    ), freq AS (
+        SELECT chunk, COUNT(*) AS n FROM ch GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_chunk_fraction
+    FROM ch c JOIN freq f USING (chunk)
+    GROUP BY c.doc_id
+    """,
+    ops=["text-chunk-dup", "dedup-exact", "A3"],
+)
+def chunk_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-chunk fraction (RefinedWeb/C4 "dup line
+    fraction" quality signal over 5-word chunks): map-side chunking,
+    one hash shuffle on chunk text for corpus frequencies, one rollup
+    on doc_id. No pairwise comparison — O(total words) at any corpus
+    size (operators.text.chunk_dup_stats)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return text.chunk_dup_stats(d, chunk_words=5)
+
+
+@register(
+    "corpus_bigram_lift",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS words
+        FROM documents
+    ), uni AS (
+        SELECT unnest(words) AS tok FROM w
+    ), bge AS (
+        SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT unnest(list_transform(
+                       range(0, len(words) - 1),
+                       i -> struct_pack(w1 := words[i+1], w2 := words[i+2])
+                   )) AS p
+            FROM w WHERE len(words) >= 2)
+    ), uc AS (
+        SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok
+    ), nu AS (SELECT COUNT(*) AS n_uni FROM uni),
+       nb AS (SELECT COUNT(*) AS n_bi FROM bge),
+       bc AS (
+        SELECT w1, w2, COUNT(*) AS n_pair FROM bge
+        GROUP BY w1, w2 HAVING COUNT(*) >= 3
+    )
+    SELECT bc.w1, bc.w2, bc.n_pair, ua.c AS n_w1, ub.c AS n_w2,
+           CAST(bc.n_pair AS DOUBLE) * nu.n_uni * nu.n_uni
+               / nb.n_bi / ua.c / ub.c AS lift
+    FROM bc
+    JOIN uc ua ON ua.tok = bc.w1
+    JOIN uc ub ON ub.tok = bc.w2
+    CROSS JOIN nu CROSS JOIN nb
+    ORDER BY lift DESC, w1, w2 LIMIT 25
+    """,
+    ops=["text-collocation", "A3", "W2"],
+)
+def corpus_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 collocations by lift (= exp(PMI), same ranking, but
+    exactly-rounded IEEE arithmetic only — no cross-engine libm ln
+    drift; see operators.text.bigram_lift). Two hash aggregations plus
+    two broadcast scalar totals; the ranked set is vocabulary-sized."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return text.bigram_lift(d, min_pair_count=3, k=25)
+
+
+@register(
+    "nation_trade_triangles",
+    """
+    WITH raw AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ), e AS (
+        SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM raw WHERE src <> dst
+    ), tri AS (
+        SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+        FROM e ab JOIN e bc ON bc.lo = ab.hi
+        WHERE EXISTS (SELECT 1 FROM e ac
+                      WHERE ac.lo = ab.lo AND ac.hi = bc.hi)
+    ), corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT n_name, COUNT(*) AS n_triangles
+    FROM corners JOIN nation ON node = n_nationkey
+    GROUP BY n_name
+    """,
+    ops=["graph-triangles", "J1", "A3"],
+)
+def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation in the undirected nation
+    trade graph (an edge = any lineitem shipped between the two
+    nations). Canonical a<b<c enumeration — wedge self-join closed by
+    a LEFT SEMI probe — so each triangle counts exactly once; two hash
+    joins, no cartesian (operators.graph.triangle_counts)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"))
+    )
+    tc = graph.triangle_counts(edges)
+    return tc.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        tc.node == F.col("n_nationkey"),
+    ).select("n_name", "n_triangles")
+
+
+@register(
+    "ewma_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS daily_rev
+        FROM orders GROUP BY day
+    ), lagged AS (
+        SELECT day, daily_rev,
+               lag(daily_rev, 1) OVER w AS l1,
+               lag(daily_rev, 2) OVER w AS l2,
+               lag(daily_rev, 3) OVER w AS l3,
+               lag(daily_rev, 4) OVER w AS l4,
+               lag(daily_rev, 5) OVER w AS l5,
+               lag(daily_rev, 6) OVER w AS l6
+        FROM daily
+        WINDOW w AS (PARTITION BY year(day) ORDER BY day)
+    )
+    SELECT day, daily_rev,
+           (daily_rev
+            + COALESCE(l1, CAST(0.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+            + COALESCE(l2, CAST(0.0 AS DOUBLE)) * CAST(0.25 AS DOUBLE)
+            + COALESCE(l3, CAST(0.0 AS DOUBLE)) * CAST(0.125 AS DOUBLE)
+            + COALESCE(l4, CAST(0.0 AS DOUBLE)) * CAST(0.0625 AS DOUBLE)
+            + COALESCE(l5, CAST(0.0 AS DOUBLE)) * CAST(0.03125 AS DOUBLE)
+            + COALESCE(l6, CAST(0.0 AS DOUBLE)) * CAST(0.015625 AS DOUBLE))
+           / (CAST(1.0 AS DOUBLE)
+            + CASE WHEN l1 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+            + CASE WHEN l2 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END
+            + CASE WHEN l3 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.125 AS DOUBLE) END
+            + CASE WHEN l4 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.0625 AS DOUBLE) END
+            + CASE WHEN l5 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.03125 AS DOUBLE) END
+            + CASE WHEN l6 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.015625 AS DOUBLE) END)
+               AS ewma_7,
+           CAST(1 + CASE WHEN l1 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN l4 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN l5 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN l6 IS NULL THEN 0 ELSE 1 END AS INTEGER)
+               AS n_obs
+    FROM lagged
+    """,
+    ops=["window-ewma", "timeseries", "A3"],
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily revenue (decay 1/2 over the 7 most
+    recent trading days, yearly reset so the window parallelizes by
+    calendar-year partition). The weights are exact binary fractions
+    and the numerator/denominator are fixed-order lag-chain sums, so
+    the smoothed series is bit-identical on any engine — the float-
+    determinism discipline of operators.timeseries.ewma_lag_chain."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_dec2("o_totalprice")).cast("double").alias("daily_rev")
+    )
+    daily = daily.withColumn("__yr", F.year("day"))
+    out = timeseries.ewma_lag_chain(
+        daily, "__yr", "day", "daily_rev", span=7
+    )
+    return out.select(
+        "day", "daily_rev", F.col("ewma").alias("ewma_7"), "n_obs"
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -7120,6 +7323,10 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "corpus_build_e2e",
     "bucketed_colocated_revenue",
     "scd2_point_in_time_join",
+    "chunk_dup_profile",
+    "corpus_bigram_lift",
+    "nation_trade_triangles",
+    "ewma_daily_revenue",
 )
 
 

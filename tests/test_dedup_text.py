@@ -325,3 +325,66 @@ def test_prefix_filter_matches_plain_jaccard(spark):
     }
     assert pf == plain
     assert len(pf) == 2  # (1,2) and (3,4)
+
+
+# ------------------------------------------------------- chunk dup profile
+
+
+def test_chunk_dup_stats_shared_chunk(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import text as T
+
+    shared = "a b c d e"  # one exact 5-word chunk shared by docs 1 and 2
+    rows = [
+        (1, shared + " x y z"),     # chunks: "a b c d e", "x y z"
+        (2, shared),                 # chunk:  "a b c d e"
+        (3, "p q r s t u v w"),      # chunks: "p q r s t", "u v w" — unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_chunk_fraction)
+        for r in T.chunk_dup_stats(df, chunk_words=5).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (1, 1, 1.0)
+    assert got[3] == (2, 0, 0.0)
+
+
+def test_chunk_dup_stats_short_doc_single_chunk(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "only three words"), (2, "")], "doc_id long, text string"
+    )
+    rows = T.chunk_dup_stats(df, chunk_words=5).collect()
+    got = {r.doc_id: r.n_chunks for r in rows}
+    assert got == {1: 1}  # empty doc contributes no chunks at all
+
+
+# ----------------------------------------------------------- bigram lift
+
+
+def test_bigram_lift_counts_and_score(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import text as T
+
+    # corpus: "x y" always adjacent (3 times), fillers break other pairs
+    rows = [(1, "x y q x y"), (2, "x y q q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.bigram_lift(df, min_pair_count=3, k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.w1, r.w2, r.n_pair) == ("x", "y", 3)
+    # unigrams: doc1 has x2 y2 q1, doc2 has x1 y1 q2 -> x=3 y=3 q=3, n_uni=9
+    # bigrams: doc1 yields 4, doc2 yields 3 -> n_bi=7
+    assert (r.n_w1, r.n_w2) == (3, 3)
+    expected = (3.0 * 9 * 9) / 7 / 3 / 3
+    assert r.lift == expected
+
+
+def test_bigram_lift_respects_floor_and_k(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "a b a b c d")], "doc_id long, text string")
+    # all pairs occur < 3 times -> empty under the default floor
+    assert T.bigram_lift(df, min_pair_count=3, k=5).count() == 0
+    all_pairs = T.bigram_lift(df, min_pair_count=1, k=2).collect()
+    assert len(all_pairs) == 2  # k caps the output

@@ -71,3 +71,32 @@ def test_pagerank_rejects_zero_iterations(spark):
     e = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
     with pytest.raises(ValueError, match="iterations"):
         graph.pagerank_fixed_point(e, iterations=0)
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def test_triangle_counts_k4(spark):
+    # K4: every node sits in C(3,2)=3 triangles
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in graph.triangle_counts(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_square_has_none(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert graph.triangle_counts(e).count() == 0
+
+
+def test_triangle_counts_direction_and_duplicates_invariant(spark):
+    # one triangle 1-2-3 plus a pendant edge; edges arrive in both
+    # directions, duplicated, and with a self-loop — all must collapse
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 3), (3, 3), (3, 4)],
+        "src long, dst long",
+    )
+    got = {r.node: r.n_triangles for r in graph.triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

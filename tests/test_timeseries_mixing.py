@@ -148,3 +148,33 @@ def test_pow2_length_bucket_invariant_exhaustive(spark):
         .count()
     )
     assert bad == 0
+
+
+# ---------------------------------------------------------- ewma lag chain
+
+
+def test_ewma_lag_chain_exact_values(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import timeseries
+
+    rows = [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 40.0)]
+    df = spark.createDataFrame(rows, "key string, t int, v double")
+    out = {
+        r.t: (r.ewma, r.n_obs)
+        for r in timeseries.ewma_lag_chain(df, "key", "t", "v", span=3).collect()
+    }
+    assert out[1] == (10.0, 1)
+    assert out[2] == ((20.0 + 10.0 * 0.5) / 1.5, 2)
+    assert out[3] == ((40.0 + 20.0 * 0.5 + 10.0 * 0.25) / 1.75, 3)
+
+
+def test_ewma_lag_chain_resets_per_key(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import timeseries
+
+    rows = [("a", 1, 5.0), ("a", 2, 5.0), ("b", 1, 7.0)]
+    df = spark.createDataFrame(rows, "key string, t int, v double")
+    out = {
+        (r.key, r.t): (r.ewma, r.n_obs)
+        for r in timeseries.ewma_lag_chain(df, "key", "t", "v", span=4).collect()
+    }
+    assert out[("b", 1)] == (7.0, 1)  # no bleed from key a
+    assert out[("a", 2)] == (5.0, 2)  # constant series stays constant

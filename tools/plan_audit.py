@@ -57,6 +57,7 @@ SCALAR_OK: set[str] = {
     "corpus_mix_plan",          # 1-row feasible-corpus scalar broadcast
     "corpus_mix_apply",         # same scalar via mix_plan
     "corpus_build_e2e",         # same scalar via mix_apply
+    "corpus_bigram_lift",       # two 1-row corpus totals (n_uni, n_bi) cross-joined
 }
 
 
