@@ -583,3 +583,41 @@ def bigram_lift(
     return scored.orderBy(
         F.col("lift").desc(), F.col("w1"), F.col("w2")
     ).limit(k)
+
+
+def inverted_index(
+    df: DataFrame,
+    postings_cap: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Search-index build: per term, collection frequency, document
+    frequency, and the head of the sorted posting list (first
+    ``postings_cap`` doc ids, comma-joined — a bounded, deterministic
+    sample of the postings; full lists are unbounded per term, so real
+    indexes shard them by (term, bucket) rather than materializing one
+    row — that sharding is a groupBy key change here, not a redesign).
+
+    One hash aggregation on the term key; posting assembly
+    (collect_set → sort → slice → join) is bounded by the DISTINCT doc
+    count per term and capped before stringification.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    return toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.size(F.collect_set(id_col)).cast("long").alias("df"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_set(id_col)), 1, postings_cap
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )

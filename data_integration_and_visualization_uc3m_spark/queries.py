@@ -7198,6 +7198,189 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "inverted_index_postings",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+        FROM documents
+    )
+    SELECT tok, COUNT(*) AS cf,
+           COUNT(DISTINCT doc_id) AS df,
+           array_to_string(list_sort(list(DISTINCT doc_id))[1:20], ',')
+               AS postings_head
+    FROM toks GROUP BY tok
+    """,
+    ops=["text-index", "A3"],
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (term → cf, df, sorted postings head):
+    one hash aggregation on the term key, posting lists capped at 20
+    ids before stringification so the row stays bounded
+    (operators.text.inverted_index)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return text.inverted_index(d, postings_cap=20)
+
+
+@register(
+    "nation_price_qty_corr",
+    """
+    WITH sums AS (
+        SELECT s.s_nationkey,
+               COUNT(*) AS n_lines,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sxx,
+               SUM(CAST(l.l_quantity AS DECIMAL(18,2))
+                   * CAST(l.l_quantity AS DECIMAL(18,2))) AS syy,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l.l_quantity AS DECIMAL(18,2))) AS sxy
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey
+    )
+    SELECT n_name, n_lines,
+           CAST(FLOOR(
+               (CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n_lines AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS corr_fp6
+    FROM sums JOIN nation ON s_nationkey = n_nationkey
+    """,
+    ops=["A3", "stats-corr", "J1"],
+)
+def nation_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Pearson correlation of line price vs quantity — NOT
+    F.corr, whose double accumulation order floats with partitioning:
+    the five moment sums are exact DECIMAL aggregates (order-free),
+    and the correlation is one fixed-order double expression over
+    them. The big decimal sums exceed double's 53-bit mantissa, and
+    engines legitimately differ in how they round decimal→double
+    (single vs two-step rounding, ~1e-17 relative), so the score is
+    emitted as floor(corr·10^6) — the repo's fixed-point convention
+    for inherently conversion-lossy floats."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    x = _dec2("l_extendedprice")
+    y = _dec2("l_quantity")
+    sums = (
+        l.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    n_d = F.col("n_lines").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return (
+        sums.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name", "n_lines",
+            F.floor(
+                (n_d * sxy - sx * sy)
+                / (F.sqrt(n_d * sxx - sx * sx)
+                   * F.sqrt(n_d * syy - sy * sy))
+                * 1000000.0
+            ).cast("long").alias("corr_fp6"),
+        )
+    )
+
+
+@register(
+    "nation_revenue_trend",
+    """
+    WITH yearly AS (
+        SELECT c.c_nationkey,
+               CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, yr
+    ), sums AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n_years,
+               SUM(yr) AS sx,
+               SUM(yr * yr) AS sxx,
+               SUM(rev) AS sy,
+               SUM(CAST(yr AS DECIMAL(18,2)) * rev) AS sxy
+        FROM yearly GROUP BY c_nationkey
+    )
+    SELECT n_name, n_years,
+           CAST(FLOOR(
+               (CAST(n_years AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_years AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * 100.0) AS BIGINT) AS slope_cents_per_year
+    FROM sums JOIN nation ON c_nationkey = n_nationkey
+    """,
+    ops=["A3", "stats-ols", "J1"],
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS slope of yearly revenue vs year — the trend line
+    a dashboard fits, under the same exact-moment-sum discipline as
+    nation_price_qty_corr: integer/decimal sums (order-free), one
+    fixed-order double expression at the end, emitted as fixed-point
+    cents/year so decimal→double conversion rounding at large scale
+    factors can never surface."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    yearly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_nationkey",
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(F.sum(_dec2("o_totalprice")).alias("rev"))
+    )
+    sums = yearly.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_years"),
+        F.sum("yr").alias("sx"),
+        F.sum(F.col("yr") * F.col("yr")).alias("sxx"),
+        F.sum("rev").alias("sy"),
+        F.sum(F.col("yr").cast(DEC2) * F.col("rev")).alias("sxy"),
+    )
+    n_d = F.col("n_years").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return (
+        sums.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name", "n_years",
+            F.floor(
+                (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx) * 100.0
+            ).cast("long").alias("slope_cents_per_year"),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -7327,6 +7510,9 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "corpus_bigram_lift",
     "nation_trade_triangles",
     "ewma_daily_revenue",
+    "inverted_index_postings",
+    "nation_price_qty_corr",
+    "nation_revenue_trend",
 )
 
 

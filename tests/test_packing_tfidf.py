@@ -163,3 +163,33 @@ def test_fused_df_capped_jaccard_matches_composed(spark):
     )
     assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, composed.collect()))
     assert {(r.id_a, r.id_b) for r in fused.collect()} == {(3, 4)}
+
+
+# --------------------------------------------------------- inverted index
+
+
+def test_inverted_index_postings_and_counts(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import text as T
+
+    rows = [(1, "a b a"), (2, "b c"), (3, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.tok: (r.cf, r.df, r.postings_head)
+        for r in T.inverted_index(df, postings_cap=20).collect()
+    }
+    assert got == {
+        "a": (3, 2, "1,3"),
+        "b": (2, 2, "1,2"),
+        "c": (1, 1, "2"),
+    }
+
+
+def test_inverted_index_caps_postings(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(30)], "doc_id long, text string"
+    )
+    r = T.inverted_index(df, postings_cap=5).collect()[0]
+    assert (r.cf, r.df) == (30, 30)
+    assert r.postings_head == "0,1,2,3,4"  # sorted head, capped

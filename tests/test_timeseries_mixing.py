@@ -178,3 +178,56 @@ def test_ewma_lag_chain_resets_per_key(spark):
     }
     assert out[("b", 1)] == (7.0, 1)  # no bleed from key a
     assert out[("a", 2)] == (5.0, 2)  # constant series stays constant
+
+
+# ------------------------------------------------- exact-moment statistics
+
+
+def test_nation_corr_perfectly_linear_is_one(spark, tmp_path):
+    """y = 2x exactly -> corr_fp6 == 1_000_000 for the synthetic nation."""
+    import pyspark.sql.functions as F
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, 1, float(i + 1), float(2 * (i + 1))) for i in range(10)],
+        "l_orderkey long, l_suppkey long, l_quantity double, l_extendedprice double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 7)], "s_suppkey long, s_nationkey int"
+    ).write.parquet(f"{sf}/supplier.parquet")
+    spark.createDataFrame(
+        [(7, "LINEARIA")], "n_nationkey int, n_name string"
+    ).write.parquet(f"{sf}/nation.parquet")
+    out = Q.REGISTRY["nation_price_qty_corr"].fn(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0].n_lines == 10
+    assert out[0].corr_fp6 == 1_000_000
+
+
+def test_nation_trend_exact_slope(spark, tmp_path):
+    """Revenue rises exactly 100.00/customer-year -> slope 10000 cents."""
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    sf = str(tmp_path)
+    rows = [
+        (y * 10 + 1, 1, f"{1000 + 100 * (y - 2018)}.00", f"{y}-06-01 00:00:00")
+        for y in (2018, 2019, 2020, 2021)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice string, o_orderdate string"
+    ).selectExpr(
+        "o_orderkey", "o_custkey",
+        "CAST(o_totalprice AS DOUBLE) AS o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 3)], "c_custkey long, c_nationkey int"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(3, "TRENDLAND")], "n_nationkey int, n_name string"
+    ).write.parquet(f"{sf}/nation.parquet")
+    out = Q.REGISTRY["nation_revenue_trend"].fn(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0].n_years == 4
+    assert out[0].slope_cents_per_year == 10_000
