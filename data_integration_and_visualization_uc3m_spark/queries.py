@@ -7381,6 +7381,201 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "revenue_gini_by_nation",
+    """
+    WITH x AS (
+        SELECT c.c_nationkey,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+               ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                                  ORDER BY CAST(o.o_totalprice AS DECIMAL(18,2)),
+                                           o.o_orderkey) AS r
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), sums AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n_orders,
+               SUM(price) AS sx,
+               SUM(CAST(r AS DECIMAL(18,2)) * price) AS srx
+        FROM x GROUP BY c_nationkey
+    )
+    SELECT n_name, n_orders,
+           CAST(FLOOR(
+               ((CAST(2 AS DOUBLE) * CAST(srx AS DOUBLE))
+                  / (CAST(n_orders AS DOUBLE) * CAST(sx AS DOUBLE))
+                - (CAST(n_orders AS DOUBLE) + CAST(1 AS DOUBLE))
+                  / CAST(n_orders AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS gini_fp6
+    FROM sums JOIN nation ON c_nationkey = n_nationkey
+    """,
+    ops=["A3", "stats-gini", "W2"],
+)
+def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order value per customer nation, via the
+    rank formula G = 2·Σr·x / (n·Σx) − (n+1)/n: ranks come from a
+    per-nation window (partition-parallel, never global), Σr·x and Σx
+    are exact DECIMAL sums (the sum is invariant under tie ordering,
+    so the deterministic tiebreak only pins the plan, not the value),
+    and the score surfaces as floor(G·10^6) under the fixed-point
+    convention for decimal→double-rounding-sensitive outputs."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    price = _dec2("o_totalprice")
+    x = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_nationkey",
+            price.alias("price"),
+            F.row_number()
+            .over(
+                Window.partitionBy("c_nationkey")
+                .orderBy(price, F.col("o_orderkey"))
+            )
+            .alias("r"),
+        )
+    )
+    sums = x.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").alias("sx"),
+        F.sum(F.col("r").cast(DEC2) * F.col("price")).alias("srx"),
+    )
+    n_d = F.col("n_orders").cast("double")
+    sx = F.col("sx").cast("double")
+    srx = F.col("srx").cast("double")
+    two = F.lit(2).cast("double")
+    one = F.lit(1).cast("double")
+    gini_fp6 = F.floor(
+        ((two * srx) / (n_d * sx) - (n_d + one) / n_d) * 1000000.0
+    ).cast("long")
+    return (
+        sums.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "n_orders", gini_fp6.alias("gini_fp6"))
+    )
+
+
+@register(
+    "lang_source_chisq_cells",
+    """
+    WITH o AS (
+        SELECT lang, source, COUNT(*) AS n_obs
+        FROM documents GROUP BY lang, source
+    ), rt AS (SELECT lang, SUM(n_obs) AS row_tot FROM o GROUP BY lang),
+       ct AS (SELECT source, SUM(n_obs) AS col_tot FROM o GROUP BY source),
+       tot AS (SELECT SUM(n_obs) AS n FROM o)
+    SELECT o.lang, o.source, o.n_obs,
+           CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(tot.n AS DOUBLE)
+               AS expected,
+           (CAST(o.n_obs AS DOUBLE)
+              - CAST(rt.row_tot * ct.col_tot AS DOUBLE)
+                / CAST(tot.n AS DOUBLE))
+           * (CAST(o.n_obs AS DOUBLE)
+              - CAST(rt.row_tot * ct.col_tot AS DOUBLE)
+                / CAST(tot.n AS DOUBLE))
+           / (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               AS chisq_contribution
+    FROM o
+    JOIN rt ON rt.lang = o.lang
+    JOIN ct ON ct.source = o.source
+    CROSS JOIN tot
+    """,
+    ops=["A3", "stats-chisq"],
+)
+def lang_source_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for the lang × source
+    contingency table: observed count, expected under independence,
+    and the per-cell (O−E)²/E contribution. Per-cell expressions are
+    fixed-order exactly-rounded doubles over exact integer marginals —
+    no cross-cell float sum, so no accumulation-order hazard; the
+    statistic itself is the (exact) integer-weighted sum a consumer
+    takes over these cells."""
+    d = _t(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_obs"))
+    rt = o.groupBy("lang").agg(F.sum("n_obs").alias("row_tot"))
+    ct = o.groupBy("source").agg(F.sum("n_obs").alias("col_tot"))
+    tot = o.agg(F.sum("n_obs").alias("n"))
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    diff = F.col("n_obs").cast("double") - e
+    return (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "source", "n_obs",
+            e.alias("expected"),
+            (diff * diff / e).alias("chisq_contribution"),
+        )
+    )
+
+
+@register(
+    "quality_quantile_align",
+    """
+    WITH per_source AS (
+        SELECT source,
+               quantile_cont(n_chars,
+                   [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY source
+    ), src AS (
+        SELECT source, n_docs, u.decile AS decile, u.val AS source_q FROM (
+            SELECT source, n_docs,
+                   unnest(list_transform(range(0, 9),
+                       i -> struct_pack(decile := CAST(i + 1 AS INTEGER),
+                                        val := qs[i+1]))) AS u
+            FROM per_source)
+    ), gq AS (
+        SELECT u.decile AS decile, u.val AS global_q FROM (
+            SELECT unnest(list_transform(range(0, 9),
+                       i -> struct_pack(decile := CAST(i + 1 AS INTEGER),
+                                        val := qs[i+1]))) AS u
+            FROM (SELECT quantile_cont(n_chars,
+                      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+                  FROM documents))
+    )
+    SELECT s.source, s.n_docs, s.decile AS decile, s.source_q, gl.global_q,
+           s.source_q / gl.global_q AS align_ratio
+    FROM src s JOIN gq gl ON s.decile = gl.decile
+    """,
+    ops=["percentile", "A3", "stats-quantile-align"],
+)
+def quality_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile alignment of document length per source against the
+    global corpus (the diagnostic behind quantile normalization: the
+    ratio tells how to rescale a source's distribution onto the
+    corpus). Exact interpolated percentiles (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` on the same doubles, the proven
+    quantiles_order_value equivalence); the global decile row is a
+    9-value broadcast join."""
+    d = _t(spark, sf_dir, "documents")
+    qs = [i / 10.0 for i in range(1, 10)]
+    nc = F.col("n_chars").cast("double")
+    per_source = d.groupBy("source").agg(
+        F.percentile(nc, qs).alias("qs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    glob = d.agg(F.percentile(nc, qs).alias("qs"))
+    src = per_source.select(
+        "source", "n_docs",
+        F.posexplode("qs").alias("pos", "source_q"),
+    )
+    g = glob.select(F.posexplode("qs").alias("pos", "global_q"))
+    return (
+        src.join(F.broadcast(g), "pos")
+        .select(
+            "source", "n_docs",
+            (F.col("pos") + 1).cast("int").alias("decile"),
+            "source_q", "global_q",
+            (F.col("source_q") / F.col("global_q")).alias("align_ratio"),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -7513,6 +7708,9 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "inverted_index_postings",
     "nation_price_qty_corr",
     "nation_revenue_trend",
+    "revenue_gini_by_nation",
+    "lang_source_chisq_cells",
+    "quality_quantile_align",
 )
 
 

@@ -231,3 +231,58 @@ def test_nation_trend_exact_slope(spark, tmp_path):
     assert len(out) == 1
     assert out[0].n_years == 4
     assert out[0].slope_cents_per_year == 10_000
+
+
+def test_gini_equal_values_is_zero(spark, tmp_path):
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, 1, 100.0, "2020-01-01 00:00:00") for i in range(8)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 3)], "c_custkey long, c_nationkey int"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(3, "EQUALIA")], "n_nationkey int, n_name string"
+    ).write.parquet(f"{sf}/nation.parquet")
+    out = Q.REGISTRY["revenue_gini_by_nation"].fn(spark, sf).collect()
+    assert len(out) == 1 and out[0].gini_fp6 == 0
+
+
+def test_chisq_cells_zero_under_independence(spark, tmp_path):
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    sf = str(tmp_path)
+    # perfectly independent 2x2 layout: every (lang, source) cell = 5
+    rows = [
+        (100 * li + 10 * si + k, "t", lang, src, 1)
+        for li, lang in enumerate(["en", "de"])
+        for si, src in enumerate(["a", "b"])
+        for k in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = Q.REGISTRY["lang_source_chisq_cells"].fn(spark, sf).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.n_obs == 5 and r.expected == 5.0 and r.chisq_contribution == 0.0
+
+
+def test_quantile_align_single_source_ratio_one(spark, tmp_path):
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, "t", "en", "only", 10 * (i + 1)) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = Q.REGISTRY["quality_quantile_align"].fn(spark, sf).collect()
+    assert len(out) == 9  # 9 deciles, one source
+    for r in out:
+        assert r.source_q == r.global_q and r.align_ratio == 1.0

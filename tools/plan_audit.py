@@ -58,6 +58,7 @@ SCALAR_OK: set[str] = {
     "corpus_mix_apply",         # same scalar via mix_plan
     "corpus_build_e2e",         # same scalar via mix_apply
     "corpus_bigram_lift",       # two 1-row corpus totals (n_uni, n_bi) cross-joined
+    "lang_source_chisq_cells",  # 1-row grand-total broadcast onto the cell grid
 }
 
 
