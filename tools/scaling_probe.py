@@ -46,6 +46,17 @@ DEFAULT = [
     "rolling_median_daily_revenue",
     "winsorized_event_stats",
     "corpus_build_e2e",
+    # late round-5 families: chunk-frequency shuffle, bigram explode +
+    # scalar-broadcast scoring, wedge-join triangles, per-key lag-chain
+    # window, posting-list aggregation, exact-moment stats (corr twin
+    # covers gini/trend/chisq shapes), per-group+global percentiles
+    "chunk_dup_profile",
+    "corpus_bigram_lift",
+    "nation_trade_triangles",
+    "ewma_daily_revenue",
+    "inverted_index_postings",
+    "nation_price_qty_corr",
+    "quality_quantile_align",
 ]
 
 
