@@ -1,0 +1,248 @@
+"""Corpus-level distributional statistics for training-data curation.
+
+Four dataset-card measurements a 100 TB pipeline reports per shard and
+per source (extension surface beyond the reference's aggregate ops,
+crime_immigration_etl.py:255-275, which stop at per-group sums):
+
+* n-gram diversity (distinct-1 / distinct-2) — the collapse detector
+  for synthetic or templated text;
+* Zipf rank-frequency slope — natural corpora fit ≈ −1; heavy
+  boilerplate or deduplication failures bend it;
+* per-document character entropy — flags binary junk / mojibake /
+  single-character spam at the document level;
+* corpus-bigram-LM log-probability — a perplexity proxy scoring each
+  document against the corpus's own bigram statistics (the classic
+  CCNet-style quality signal, here self-trained in the same pass).
+
+Determinism discipline (convention #7 of this repo): every
+cross-row float accumulation is fixed-pointed to BIGINT *per term*
+before summation, so the sum is exact-integer and order-free; the
+only floating-point left is a final fixed-order scalar expression,
+emitted as floor(x * 10^k). libm calls (`ln`) take only integer
+arguments, where Java's and DuckDB's correctly-rounded results agree.
+
+Scale notes: everything here is one token/char explode (linear in
+corpus bytes — the same cost as tokenization itself) followed by hash
+aggregations on bounded keys (vocabulary, (doc, char), (doc, bigram)).
+No windows over the full corpus, no cross-document joins; the bigram
+LM join is vocabulary-sized on the build side and pre-combined
+map-side on the probe side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FP9 = 1_000_000_000  # fixed-point scale for per-term ln() values
+FP6 = 1_000_000  # fixed-point scale for reported scores
+
+DEC38 = "decimal(38,0)"
+
+
+def _tokens(text_col: str = "text") -> F.Column:
+    return F.filter(F.split(F.lower(text_col), " "), lambda x: x != "")
+
+
+def _doc_bigrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair per document."""
+    w = df.select(F.col(id_col), _tokens(text_col).alias("__w"))
+    return (
+        w.filter(F.size("__w") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - 2),
+                    lambda i: F.struct(
+                        F.element_at("__w", i + 1).alias("w1"),
+                        F.element_at("__w", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.w2")
+    )
+
+
+def ngram_diversity(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Distinct-1 / distinct-2 per group: distinct n-grams over total
+    n-gram instances, the standard text-diversity ratio. Two hash
+    aggregations (token key, bigram key) + per-group distinct counts;
+    ratios are exact-integer inputs to one final double expression."""
+    toks = df.select(F.col(group_col), F.explode(_tokens(text_col)).alias("tok"))
+    uni = toks.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").cast("long").alias("n_distinct_uni"),
+    )
+    bg = _doc_bigrams(
+        df.select(F.col(group_col).alias("__g"), F.col(text_col)),
+        id_col="__g",
+        text_col=text_col,
+    )
+    bi = bg.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count_distinct("w1", "w2").cast("long").alias("n_distinct_bi"),
+    )
+    return uni.join(bi, group_col).select(
+        group_col,
+        "n_tokens",
+        "n_distinct_uni",
+        "n_bigrams",
+        "n_distinct_bi",
+        F.floor(
+            F.col("n_distinct_uni").cast("double")
+            / F.col("n_tokens")
+            * FP6
+        )
+        .cast("long")
+        .alias("distinct1_fp6"),
+        F.floor(
+            F.col("n_distinct_bi").cast("double")
+            / F.col("n_bigrams")
+            * FP6
+        )
+        .cast("long")
+        .alias("distinct2_fp6"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Per-group OLS slope of ln(freq) on ln(rank) over the top-n
+    terms — the Zipf exponent (≈ −1 for natural text). Ranks come from
+    a per-group window over the vocabulary aggregate (vocabulary-sized,
+    never corpus-sized); ln(rank)/ln(freq) are integer-argument libm
+    calls fixed-pointed to BIGINT, the OLS moments are exact
+    DECIMAL(38,0) sums, and the slope is one final double ratio."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(group_col), F.explode(_tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy(group_col).orderBy(F.col("freq").desc(), F.col("tok"))
+    ranked = vocab.select(
+        group_col, "freq", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= top_n)
+    x = F.floor(F.log(F.col("rank").cast("double")) * FP9).cast("long")
+    y = F.floor(F.log(F.col("freq").cast("double")) * FP9).cast("long")
+    pts = ranked.select(group_col, x.alias("x"), y.alias("y"))
+    sums = pts.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("x").cast(DEC38)).alias("sx"),
+        F.sum(F.col("y").cast(DEC38)).alias("sy"),
+        F.sum(F.col("x").cast(DEC38) * F.col("x").cast(DEC38)).alias("sxx"),
+        F.sum(F.col("x").cast(DEC38) * F.col("y").cast(DEC38)).alias("sxy"),
+    )
+    n_d = F.col("n_terms").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return sums.select(
+        group_col,
+        "n_terms",
+        F.floor((n_d * sxy - sx * sy) / (n_d * sxx - sx * sx) * FP6)
+        .cast("long")
+        .alias("zipf_slope_fp6"),
+    )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon character entropy (nats), via the exact
+    decomposition H = ln(n) − (Σ c·ln c)/n over per-character counts
+    c. The only cross-row sum is Σ c·floor(ln(c)·10⁹) — exact BIGINT.
+    The char explode is linear in corpus bytes (one substring per
+    position — same asymptotics as tokenization); counts collapse to
+    ≤ |alphabet| rows per document before anything else happens."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col)),
+                lambda i: F.col(text_col).substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    term = (
+        F.floor(F.log(F.col("c").cast("double")) * FP9).cast("long")
+        * F.col("c")
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_chars_counted"),
+        F.sum(term).alias("s_clnc_fp9"),
+    )
+    n_d = F.col("n_chars_counted").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_chars_counted",
+        F.floor(
+            (F.log(n_d) - F.col("s_clnc_fp9").cast("double") / FP9 / n_d)
+            * FP6
+        )
+        .cast("long")
+        .alias("entropy_fp6"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Score every document against the corpus's own bigram LM:
+    per-doc Σ ln P(w2|w1) with P = c(w1,w2)/c(w1,·), both counts from
+    the corpus itself (so no smoothing is needed — every observed
+    bigram has corpus support). The CCNet-style quality signal, with
+    the LM training and the scoring fused into one lazy plan.
+
+    Plan: doc-level bigram multiplicities pre-combine map-side on
+    (doc, w1, w2); the corpus LM is a vocabulary-sized aggregate
+    joined back on the bigram key (shuffle join — the LM side is
+    vocabulary-scaled, NOT broadcast: real corpora have billions of
+    distinct bigrams). Per-pair ln terms are fixed-pointed before the
+    per-doc sum, keeping the score exact-integer."""
+    bg = _doc_bigrams(df, id_col=id_col, text_col=text_col)
+    per_doc_pair = bg.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    pair_counts = per_doc_pair.groupBy("w1", "w2").agg(
+        F.sum("m").alias("c2")
+    )
+    w1_counts = pair_counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    term = F.floor(
+        (
+            F.log(F.col("c2").cast("double"))
+            - F.log(F.col("c1").cast("double"))
+        )
+        * FP9
+    ).cast("long")
+    scored = (
+        per_doc_pair.join(pair_counts, ["w1", "w2"])
+        .join(w1_counts, "w1")
+        .select(F.col(id_col), F.col("m"), term.alias("t"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("t")).alias("sum_logp_fp9"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "sum_logp_fp9",
+        F.floor(
+            F.col("sum_logp_fp9").cast("double")
+            / F.col("n_bigrams")
+            / 1000.0
+        )
+        .cast("long")
+        .alias("avg_logp_fp6"),
+    )

@@ -46,10 +46,12 @@ from pyspark.sql import functions as F
 from .operators import (
     cdc,
     cleaning,
+    corpus_stats,
     dedup,
     filters,
     graph,
     joins,
+    linalg,
     mixing,
     multimodal,
     packing,
@@ -7577,7 +7579,268 @@ def quality_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# Public API used by __spark_entry__.py
+# Round-5 continuation: corpus distributional statistics (diversity,
+# Zipf, entropy, self-trained bigram-LM scoring) and exact-integer
+# distributed linear algebra (Gram/power-iteration, Lloyd step).
+# =====================================================================
+
+
+@register(
+    "corpus_ngram_diversity",
+    """
+    WITH w AS (
+        SELECT source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        FROM documents
+    ), uni AS (
+        SELECT source, unnest(words) AS tok FROM w
+    ), u AS (
+        SELECT source, COUNT(*) AS n_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_uni
+        FROM uni GROUP BY source
+    ), bge AS (
+        SELECT source, p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT source, unnest(list_transform(
+                       range(0, len(words) - 1),
+                       i -> struct_pack(w1 := words[i+1], w2 := words[i+2])
+                   )) AS p
+            FROM w WHERE len(words) >= 2)
+    ), b AS (
+        SELECT source, COUNT(*) AS n_bigrams,
+               CAST(COUNT(DISTINCT w1 || ' ' || w2) AS BIGINT) AS n_distinct_bi
+        FROM bge GROUP BY source
+    )
+    SELECT u.source, n_tokens, n_distinct_uni, n_bigrams, n_distinct_bi,
+           CAST(FLOOR(CAST(n_distinct_uni AS DOUBLE) / n_tokens * 1000000)
+                AS BIGINT) AS distinct1_fp6,
+           CAST(FLOOR(CAST(n_distinct_bi AS DOUBLE) / n_bigrams * 1000000)
+                AS BIGINT) AS distinct2_fp6
+    FROM u JOIN b ON b.source = u.source
+    """,
+    ops=["text-diversity", "A3", "A-distinct"],
+)
+def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/distinct-2 per source (operators.corpus_stats) — the
+    templated-text collapse detector. Two token/bigram hash aggs with
+    per-source distincts; ratios are integer-exact inputs to one final
+    double each."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return corpus_stats.ngram_diversity(d)
+
+
+@register(
+    "corpus_zipf_slope",
+    """
+    WITH toks AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), tk AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    vocab AS (
+        SELECT source, tok, COUNT(*) AS freq FROM tk GROUP BY source, tok
+    ), ranked AS (
+        SELECT source, freq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY freq DESC, tok) AS rank
+        FROM vocab QUALIFY rank <= 100
+    ), pts AS (
+        SELECT source,
+               CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1000000000) AS BIGINT) AS x,
+               CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 1000000000) AS BIGINT) AS y
+        FROM ranked
+    ), s AS (
+        SELECT source, COUNT(*) AS n_terms,
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM pts GROUP BY source
+    )
+    SELECT source, n_terms,
+           CAST(FLOOR(
+               (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * 1000000) AS BIGINT) AS zipf_slope_fp6
+    FROM s
+    """,
+    ops=["text-zipf", "stats-ols", "W2"],
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency exponent per source (top-100 terms): OLS of
+    ln(freq) on ln(rank) under the exact-moment discipline — libm only
+    on integer args, fixed-point BIGINT terms, DECIMAL(38,0) moments,
+    one final double ratio. The window runs over the vocabulary
+    aggregate, never the corpus."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return corpus_stats.zipf_slope(d, top_n=100)
+
+
+@register(
+    "doc_char_entropy",
+    """
+    WITH ch AS (
+        SELECT doc_id,
+               substr(text, CAST(unnest(range(1, length(text) + 1)) AS INTEGER), 1) AS ch
+        FROM documents WHERE length(text) > 0
+    ), cc AS (
+        SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+    ), agg AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+               SUM(CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000000) AS BIGINT) * c)
+                   AS s
+        FROM cc GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_counted,
+           CAST(FLOOR(
+               (ln(CAST(n_chars_counted AS DOUBLE))
+                  - CAST(s AS DOUBLE) / 1000000000 / n_chars_counted)
+               * 1000000) AS BIGINT) AS entropy_fp6
+    FROM agg
+    """,
+    ops=["text-entropy", "A3"],
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy via the exact
+    decomposition H = ln(n) − (Σ c·ln c)/n (operators.corpus_stats) —
+    the binary-junk/mojibake detector. Char explode is linear in
+    corpus bytes; counts collapse to ≤|alphabet| rows per doc before
+    any shuffle."""
+    d = _t(spark, sf_dir, "documents", fanout=True).filter(
+        F.length("text") > 0
+    )
+    return corpus_stats.char_entropy(d)
+
+
+@register(
+    "doc_bigram_logprob",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        FROM documents
+    ), bge AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT doc_id, unnest(list_transform(
+                       range(0, len(words) - 1),
+                       i -> struct_pack(w1 := words[i+1], w2 := words[i+2])
+                   )) AS p
+            FROM w WHERE len(words) >= 2)
+    ), pd AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS m FROM bge GROUP BY doc_id, w1, w2
+    ), pc AS (
+        SELECT w1, w2, SUM(m) AS c2 FROM pd GROUP BY w1, w2
+    ), wc AS (
+        SELECT w1, SUM(c2) AS c1 FROM pc GROUP BY w1
+    ), sc AS (
+        SELECT pd.doc_id, pd.m,
+               CAST(FLOOR((ln(CAST(pc.c2 AS DOUBLE)) - ln(CAST(wc.c1 AS DOUBLE)))
+                          * 1000000000) AS BIGINT) AS t
+        FROM pd
+        JOIN pc ON pc.w1 = pd.w1 AND pc.w2 = pd.w2
+        JOIN wc ON wc.w1 = pd.w1
+    ), agg AS (
+        SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+               CAST(SUM(m * t) AS BIGINT) AS sum_logp_fp9
+        FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_logp_fp9,
+           CAST(FLOOR(CAST(sum_logp_fp9 AS DOUBLE) / n_bigrams / 1000.0)
+                AS BIGINT) AS avg_logp_fp6
+    FROM agg
+    """,
+    ops=["text-lm-score", "A3", "J1-adjacent"],
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring: each document's mean ln P(w2|w1)
+    under the corpus's own bigram LM, training and scoring fused in
+    one lazy plan (operators.corpus_stats.bigram_logprob). LM join is
+    vocabulary-scaled and NOT broadcast (billions of bigrams at 100
+    TB); probe side pre-combines map-side on (doc, bigram)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return corpus_stats.bigram_logprob(d)
+
+
+@register(
+    "embedding_gram_power",
+    """
+    WITH dims AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+    fx AS (
+        SELECT e.vec_id, d.i, CAST(e.embedding[d.i + 1] AS DOUBLE) AS v
+        FROM embeddings e, dims d
+    ), g AS (
+        SELECT a.i AS i, b.i AS j,
+               SUM(CAST(FLOOR(a.v * b.v * 10000) AS BIGINT)) AS g
+        FROM fx a JOIN fx b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ), v1 AS (
+        SELECT i, CAST(SUM(g) AS BIGINT) AS v FROM g GROUP BY i
+    ), w AS (
+        SELECT g.i, SUM(CAST(g.g AS HUGEINT) * v.v) AS w
+        FROM g JOIN v1 v ON v.i = g.j GROUP BY g.i
+    ), nd AS (
+        SELECT SUM(CAST(v.v AS HUGEINT) * w.w) AS num,
+               SUM(CAST(v.v AS HUGEINT) * v.v) AS den
+        FROM v1 v JOIN w ON w.i = v.i
+    )
+    SELECT v.i, v.v AS v1,
+           CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000)
+                AS BIGINT) AS rayleigh_fp6
+    FROM v1 v CROSS JOIN nd
+    """,
+    ops=["linalg-gram", "linalg-power-iteration", "mapInPandas"],
+)
+def embedding_gram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA diagnostic (operators.linalg): fixed-point Gram
+    matrix accumulated per partition via Arrow `mapInPandas` (each
+    task emits ≤ d² rows — the shuffle is O(partitions·d²), never
+    O(rows)), then one power-iteration step from the ones vector with
+    DECIMAL(38,0) moments. Returns the dominant-direction profile
+    (i, v1_i) plus the Rayleigh dominant-eigenvalue estimate."""
+    e = _t(spark, sf_dir, "embeddings")
+    gram = linalg.gram_fixed_point(e)
+    return linalg.power_iteration_once(gram)
+
+
+@register(
+    "embedding_lloyd_step",
+    """
+    WITH dims AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+    fx AS (
+        SELECT e.vec_id, e.label, d.i, CAST(e.embedding[d.i + 1] AS DOUBLE) AS v
+        FROM embeddings e, dims d
+    ), cent AS (
+        SELECT label AS lbl, i,
+               SUM(CAST(FLOOR(v * 1000000) AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM fx GROUP BY lbl, i
+    ), cv AS (
+        SELECT lbl, i, CAST(s AS DOUBLE) / (n * 1000000.0) AS c FROM cent
+    ), dist AS (
+        SELECT f.vec_id, c.lbl,
+               SUM(CAST(FLOOR((f.v - c.c) * (f.v - c.c) * 100000000) AS BIGINT))
+                   AS d2
+        FROM fx f JOIN cv c ON c.i = f.i
+        GROUP BY f.vec_id, c.lbl
+    ), best AS (
+        SELECT vec_id, lbl, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, lbl) AS rn
+        FROM dist
+    )
+    SELECT lbl AS new_label, COUNT(*) AS n_points,
+           CAST(SUM(d2) AS BIGINT) AS inertia_fp8
+    FROM best WHERE rn = 1 GROUP BY new_label
+    """,
+    ops=["ml-kmeans-step", "A3", "broadcast-dim"],
+)
+def embedding_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) reassignment seeded from stored labels
+    (operators.linalg.lloyd_step): exact fixed-point centroid means ⇒
+    bit-identical centroid doubles, integer fp8 squared distances ⇒
+    tie-safe argmin, k·d centroid table broadcast, assignment fully
+    map-side. The cluster-drift/IVF-training inner loop."""
+    e = _t(spark, sf_dir, "embeddings")
+    return linalg.lloyd_step(e)
 # =====================================================================
 
 # Rotation schedule for the driver's bounded correctness window.
@@ -7711,6 +7974,12 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "revenue_gini_by_nation",
     "lang_source_chisq_cells",
     "quality_quantile_align",
+    "corpus_ngram_diversity",
+    "corpus_zipf_slope",
+    "doc_char_entropy",
+    "doc_bigram_logprob",
+    "embedding_gram_power",
+    "embedding_lloyd_step",
 )
 
 
