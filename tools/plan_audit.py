@@ -59,6 +59,10 @@ SCALAR_OK: set[str] = {
     "corpus_build_e2e",         # same scalar via mix_apply
     "corpus_bigram_lift",       # two 1-row corpus totals (n_uni, n_bi) cross-joined
     "lang_source_chisq_cells",  # 1-row grand-total broadcast onto the cell grid
+    "embedding_gram_power",     # 1-row Rayleigh num/den broadcast onto d rows
+    "embedding_lloyd_step",     # k-row centroid table broadcast (every point
+                                # scores all k centroids — the intended plan;
+                                # k is small by construction)
 }
 
 
