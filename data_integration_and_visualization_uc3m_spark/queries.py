@@ -57,6 +57,7 @@ from .operators import (
     packing,
     sampling,
     similarity,
+    sketches,
     skew,
     slicing,
     text,
@@ -7841,6 +7842,234 @@ def embedding_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side. The cluster-drift/IVF-training inner loop."""
     e = _t(spark, sf_dir, "embeddings")
     return linalg.lloyd_step(e)
+
+
+@register(
+    "heavy_hitters_cms",
+    """
+    WITH rs AS (SELECT unnest(range(4)) AS r),
+    cells AS (
+        SELECT rs.r,
+               CAST(('0x'||substr(md5('cms' || rs.r || ':' || CAST(user_id AS VARCHAR)),1,8))
+                    AS BIGINT) % 256 AS col
+        FROM events, rs
+    ), sk AS (
+        SELECT r, col, COUNT(*) AS c FROM cells GROUP BY r, col
+    ), top AS (
+        SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id LIMIT 20
+    ), probes AS (
+        SELECT t.user_id, t.exact_n, rs.r,
+               CAST(('0x'||substr(md5('cms' || rs.r || ':' || CAST(t.user_id AS VARCHAR)),1,8))
+                    AS BIGINT) % 256 AS col
+        FROM top t, rs
+    )
+    SELECT user_id, exact_n,
+           CAST(MIN(c) AS BIGINT) AS cms_est,
+           CAST(MIN(c) - exact_n AS BIGINT) AS overcount
+    FROM probes JOIN sk USING (r, col)
+    GROUP BY user_id, exact_n
+    """,
+    ops=["sketch-countmin", "A3", "topk"],
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter verification (operators.sketches): a
+    depth-4 × width-256 CMS over event user_ids, point-estimating the
+    exact top-20 users. CMS never undercounts, so `overcount` ≥ 0 row
+    by row — and because the sketch is seeded-md5 deterministic, the
+    oracle reproduces every cell and estimate EXACTLY (no error-bound
+    booleans needed, unlike library sketches). The sketch is
+    depth·width cells at any input size: mergeable map-side, broadcast
+    on the probe side."""
+    e = _t(spark, sf_dir, "events")
+    sketch = sketches.cms_build(e, "user_id", depth=4, width=256)
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+    )
+    est = sketches.cms_estimate(
+        sketch, top.select("user_id"), "user_id", depth=4, width=256
+    )
+    return top.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
+@register(
+    "bloom_prefilter_orders",
+    """
+    WITH ks AS (SELECT unnest(range(3)) AS kk),
+    members AS (
+        SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal >= 9000
+    ), bits AS (
+        SELECT DISTINCT
+               CAST(('0x'||substr(md5('bloom' || ks.kk || ':' || CAST(c_custkey AS VARCHAR)),1,8))
+                    AS BIGINT) % 4096 AS bit
+        FROM members, ks
+    ), probe_keys AS (
+        SELECT DISTINCT o_custkey FROM orders
+    ), hits AS (
+        SELECT p.o_custkey, COUNT(*) AS nhit
+        FROM (
+            SELECT pk.o_custkey,
+                   CAST(('0x'||substr(md5('bloom' || ks.kk || ':' || CAST(pk.o_custkey AS VARCHAR)),1,8))
+                        AS BIGINT) % 4096 AS bit
+            FROM probe_keys pk, ks
+        ) p JOIN bits USING (bit)
+        GROUP BY p.o_custkey
+    ), flags AS (
+        SELECT pk.o_custkey,
+               COALESCE(h.nhit, 0) = 3 AS pass_bloom,
+               m.c_custkey IS NOT NULL AS is_member
+        FROM probe_keys pk
+        LEFT JOIN hits h ON h.o_custkey = pk.o_custkey
+        LEFT JOIN members m ON m.c_custkey = pk.o_custkey
+    ), agg AS (
+        SELECT COUNT(*) AS n_probe_keys,
+               CAST(SUM(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+               CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+               CAST(SUM(CASE WHEN pass_bloom AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        FROM flags
+    )
+    SELECT n_probe_keys, n_pass_bloom, n_true_members, n_false_pos,
+           CAST(FLOOR(CAST(n_false_pos AS DOUBLE)
+                      / (n_probe_keys - n_true_members) * 1000000) AS BIGINT)
+               AS fp_rate_fp6
+    FROM agg
+    """,
+    ops=["sketch-bloom", "join-prefilter"],
+)
+def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join audit (operators.sketches): a 4096-bit /
+    k=3 filter over rich customers (c_acctbal ≥ 9000) probes the
+    distinct order custkeys, counting passes, true members, and false
+    positives — the exact numbers that justify (or veto) shipping a
+    build-side Bloom filter before a 100 TB probe shuffle. One-sided
+    by construction: every true member passes, so n_pass ≥ n_true and
+    the oracle checks the FP count bit-exactly."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    members = c.filter(F.col("c_acctbal") >= 9000).select("c_custkey").distinct()
+    bits = sketches.bloom_build(members, "c_custkey", n_bits=4096, k=3)
+    probe_keys = o.select("o_custkey").distinct()
+    passing = sketches.bloom_pass_keys(
+        o, "o_custkey", bits, n_bits=4096, k=3
+    ).withColumn("pass_bloom", F.lit(True))
+    flags = (
+        probe_keys.join(F.broadcast(passing), "o_custkey", "left")
+        .join(
+            F.broadcast(
+                members.withColumn("is_member", F.lit(True)).withColumnRenamed(
+                    "c_custkey", "o_custkey"
+                )
+            ),
+            "o_custkey",
+            "left",
+        )
+        .select(
+            F.coalesce("pass_bloom", F.lit(False)).alias("pass_bloom"),
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.when(F.col("pass_bloom"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass_bloom"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_members"),
+        F.sum(F.when(F.col("pass_bloom") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    return agg.select(
+        "n_probe_keys",
+        "n_pass_bloom",
+        "n_true_members",
+        "n_false_pos",
+        F.floor(
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_probe_keys") - F.col("n_true_members"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("fp_rate_fp6"),
+    )
+
+
+@register(
+    "upsert_version_diff",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), batch AS (
+        SELECT o_orderkey, 'R' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 6 = 0
+    ), v2 AS (
+        SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+        FROM v1 t
+        WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM batch
+    )
+    SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                WHEN v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+                     OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                THEN 'changed' ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n_keys,
+           CAST(SUM(COALESCE(v1.o_orderkey, v2.o_orderkey)) AS BIGINT)
+               AS key_checksum
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    GROUP BY 1
+    """,
+    ops=["K2", "time-travel", "cdc-snapshot-diff"],
+)
+def upsert_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two committed versions of the
+    versioned upsert table (Delta CDF semantics, no jars): commit v1,
+    apply a replace-mode correction batch (→ v2), time-travel-read
+    BOTH snapshots by name, and run cdc.snapshot_diff between them.
+    Proves commits are immutable AND the version history supports
+    O(|delta|) incremental downstream consumption. The oracle
+    recomputes both versions' contents relationally from the base
+    table. (No 'removed' rows by construction: upsert never deletes.)"""
+    import os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="sg_vdiff_")
+    v1 = upsert.write_upsert_parquet(
+        root, o.filter(F.col("o_orderkey") % 2 == 0), ["o_orderkey"]
+    )
+    batch = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        F.lit("R").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    )
+    v2 = upsert.write_upsert_parquet(root, batch, ["o_orderkey"], mode="replace")
+    old = spark.read.parquet(os.path.join(root, v1))
+    new = spark.read.parquet(os.path.join(root, v2))
+    diff = cdc.snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )
+
+
+# =====================================================================
+# Public API used by __spark_entry__.py
 # =====================================================================
 
 # Rotation schedule for the driver's bounded correctness window.
@@ -7980,6 +8209,9 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "doc_bigram_logprob",
     "embedding_gram_power",
     "embedding_lloyd_step",
+    "heavy_hitters_cms",
+    "bloom_prefilter_orders",
+    "upsert_version_diff",
 )
 
 

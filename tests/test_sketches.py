@@ -1,0 +1,72 @@
+"""Unit tests for operators.sketches (Count-Min + Bloom).
+
+Oracle coverage for the same paths lives in `heavy_hitters_cms` and
+`bloom_prefilter_orders`; these pin the structural guarantees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_and_visualization_uc3m_spark.operators import sketches
+
+
+def _keys(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "k long")
+
+
+def test_cms_never_undercounts_and_is_exact_without_collisions(spark):
+    # few distinct keys ≪ width ⇒ estimates usually exact; always ≥ exact
+    data = [1] * 10 + [2] * 5 + [3] * 1
+    df = _keys(spark, data)
+    sk = sketches.cms_build(df, "k", depth=4, width=256)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    est = sketches.cms_estimate(sk, exact.select("k"), "k", depth=4, width=256)
+    rows = {r.k: (r.n, r.cms_est) for r in exact.join(est, "k").collect()}
+    for k, (n, e) in rows.items():
+        assert e >= n, (k, n, e)
+    assert rows[1][0] == 10 and rows[2][0] == 5 and rows[3][0] == 1
+
+
+def test_cms_total_mass_per_row(spark):
+    # every depth row holds the full input mass
+    df = _keys(spark, list(range(50)) * 2)
+    sk = sketches.cms_build(df, "k", depth=4, width=16)
+    per_row = {r.r: r.s for r in sk.groupBy("r").agg(F.sum("c").alias("s")).collect()}
+    assert set(per_row) == {0, 1, 2, 3}
+    assert all(v == 100 for v in per_row.values())
+
+
+def test_cms_partition_invariance(spark):
+    df = _keys(spark, [i % 7 for i in range(200)])
+    one = {(r.r, r.col): r.c for r in sketches.cms_build(df.coalesce(1), "k").collect()}
+    many = {(r.r, r.col): r.c for r in sketches.cms_build(df.repartition(8), "k").collect()}
+    assert one == many
+
+
+def test_bloom_no_false_negatives(spark):
+    members = _keys(spark, list(range(0, 100, 3)))
+    bits = sketches.bloom_build(members, "k", n_bits=512, k=3)
+    passed = {
+        r.k
+        for r in sketches.bloom_pass_keys(members, "k", bits, n_bits=512, k=3).collect()
+    }
+    assert passed == set(range(0, 100, 3))  # every member passes
+
+
+def test_bloom_prefilter_is_superset_of_true_join(spark):
+    members = _keys(spark, list(range(0, 1000, 17)))
+    probe = _keys(spark, list(range(500)))
+    bits = sketches.bloom_build(members, "k", n_bits=2048, k=3)
+    kept = {r.k for r in sketches.bloom_prefilter(probe, "k", bits, n_bits=2048, k=3).collect()}
+    true = {r.k for r in probe.join(members, "k", "left_semi").collect()}
+    assert true <= kept  # one-sided error
+    # and the filter actually prunes something at this density
+    assert len(kept) < 500
+
+
+def test_bloom_bits_bounded(spark):
+    members = _keys(spark, list(range(10_000)))
+    bits = sketches.bloom_build(members, "k", n_bits=128, k=3)
+    n = bits.count()
+    assert n <= 128
