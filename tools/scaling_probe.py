@@ -57,6 +57,18 @@ DEFAULT = [
     "inverted_index_postings",
     "nation_price_qty_corr",
     "quality_quantile_align",
+    # this session's families: token/bigram distinct-count stats, char
+    # explode entropy, LM-score shuffle join, mapInPandas Gram + tiny
+    # dim-axis joins, broadcast centroid argmin, bounded CMS explode,
+    # Bloom bounded bit join, snapshot write+full-outer-diff
+    "corpus_ngram_diversity",
+    "doc_char_entropy",
+    "doc_bigram_logprob",
+    "embedding_gram_power",
+    "embedding_lloyd_step",
+    "heavy_hitters_cms",
+    "bloom_prefilter_orders",
+    "upsert_version_diff",
 ]
 
 
