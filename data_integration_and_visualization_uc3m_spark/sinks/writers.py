@@ -31,6 +31,17 @@ def write_parquet_snapshot(
     w.parquet(path)
 
 
+def write_orc_snapshot(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """K6 twin in ORC — for consumers whose warehouse reads ORC.
+    Same partition-pruning contract as the parquet snapshot."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_viz_csv(df: DataFrame, path: str) -> None:
     """K5 — query-results-to-CSV egress for the map layer
     (map-making/data.csv shape). coalesce(1): one output file; only for

@@ -130,6 +130,14 @@ def read_json(
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar-format breadth: ORC scan (same pushdown/pruning
+    machinery as parquet — predicate pushdown and column pruning reach
+    the ORC reader identically). Interop surface for warehouses whose
+    at-rest format is ORC (Hive lineage) rather than parquet."""
+    return spark.read.orc(path)
+
+
 def empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """S3 — the all-or-nothing ingest fallback: an empty DataFrame with
     the declared schema (reference resets accumulated rows to [] on any

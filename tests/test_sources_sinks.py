@@ -11,6 +11,8 @@ from data_integration_and_visualization_uc3m_spark.sinks import writers
 from data_integration_and_visualization_uc3m_spark.sources import api
 from data_integration_and_visualization_uc3m_spark.sources.readers import year_dim
 
+SF = "/root/testdata/sf0.001"
+
 
 def wb_row(iso3, name, value):
     return {
@@ -215,3 +217,55 @@ def test_audited_write_single_pass_metrics(spark, tmp_path):
     assert got == {"n_rows": 3, "n_null_v": 1, "sum_v": 40.0, "max_k": 3}
     # the metrics observed exactly the rows the writer consumed
     assert spark.read.parquet(out).count() == 3
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from data_integration_and_visualization_uc3m_spark.sinks.writers import write_orc_snapshot
+    from data_integration_and_visualization_uc3m_spark.sources.readers import load_table, read_orc
+
+    src = load_table(spark, SF, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc_snapshot(src, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_python_datasource_paginated_rest(spark):
+    """Spark 4 custom Python DataSource: pages become InputPartitions,
+    rows materialize executor-side, year injected per partition."""
+    from data_integration_and_visualization_uc3m_spark.sources.pyds import PaginatedRestDataSource
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    df = (
+        spark.read.format("paginated_rest")
+        .schema("indicator string, value double, year_id int")
+        .option("url_template", "https://api.example/{year}?fmt=json")
+        .option("years", "2018,2019,2020")
+        .option("fetcher", "synthetic:5")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 15  # 3 years x 5 synthetic rows
+    assert {r.year_id for r in rows} == {2018, 2019, 2020}
+    # one input partition per year → parallel executor-side fetch
+    assert df.rdd.getNumPartitions() == 3
+    # deterministic synthetic content ties rows to their page URL
+    assert all(r.indicator.startswith("2") and "-r" in r.indicator for r in rows)
+
+
+def test_python_datasource_bad_fetcher_spec(spark):
+    from data_integration_and_visualization_uc3m_spark.sources.pyds import PaginatedRestDataSource
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    df = (
+        spark.read.format("paginated_rest")
+        .schema("indicator string, value double")
+        .option("url_template", "x/{page}")
+        .option("pages", "1,2")
+        .option("fetcher", "nonsense")
+        .load()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="fetcher must be"):
+        df.collect()

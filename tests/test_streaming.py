@@ -352,3 +352,88 @@ def test_foreach_batch_upsert_with_compaction(spark, tmp_path):
         [d for d in os.listdir(target) if d.startswith("v-")]
     )
     assert n_versions <= 4  # keep_last=max(3, compact_every=1) + live
+
+
+def test_watermark_drops_late_data_e2e(spark, tmp_path):
+    """Watermark semantics proven end-to-end, not just API presence:
+    a 30-minute watermark must (a) close and emit a window only once
+    the watermark passes its end, and (b) silently DROP an event that
+    arrives behind the watermark — the late row must not reopen or
+    revise the closed window.
+
+    Micro-batch nuance this test pins (measured, Spark 4.x): eviction
+    happens at END of a batch, after that batch's input merges — so a
+    late row arriving in the SAME batch where the watermark first
+    crosses its window end still counts. Only a row arriving after its
+    window's state was evicted in a PRIOR batch is dropped
+    (numRowsDroppedByWatermark). Hence the spacer batch below."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    def ev(eid, hhmm, value):
+        return (eid, f"2024-03-01 {hhmm}:00", 1, "view", float(value), "{}")
+
+    batches = {
+        0: [ev(1, "10:00", 5.0), ev(2, "10:10", 7.0)],   # window [10,11)
+        1: [ev(3, "13:00", 1.0)],   # → watermark 12:30 from next batch on
+        2: [ev(4, "13:01", 2.0)],   # spacer: [10,11) evicted+emitted here
+        3: [ev(5, "10:20", 100.0)],  # LATE (10:20 < 12:30, state gone) → dropped
+    }
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    now = time.time()
+    for c, rows in batches.items():
+        df = (
+            spark.createDataFrame(
+                rows, "event_id long, ts_s string, user_id long, "
+                      "event_type string, value double, props string"
+            )
+            .select(
+                "event_id",
+                F.to_timestamp("ts_s").alias("ts"),
+                "user_id", "event_type", "value", "props",
+            )
+            .repartition(1)
+        )
+        tmp = str(tmp_path / f"late_stage{c}")
+        df.write.mode("overwrite").parquet(tmp)
+        dst = f"{src}/chunk{c}.parquet"
+        shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        os.utime(dst, (now + c, now + c))
+
+    stream = (
+        spark.readStream.schema(se.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "late_out")
+    q = (
+        se.hourly_agg(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    # only the closed [10:00, 11:00) window is emitted; the 13:00 window
+    # stays open (watermark never passes 14:00) and the late event is
+    # gone — it neither revised the closed window nor re-opened it as a
+    # fresh (wrong) second output row for the same window
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.hour_ts.hour == 10 and r.n_events == 2
+    assert abs(r.total_value - 12.0) < 1e-9  # late 100.0 NOT included
+    prog = [p for p in q.recentProgress if p["stateOperators"]]
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) for p in prog
+    )
+    assert dropped == 1  # the late row was dropped BY THE WATERMARK
