@@ -119,3 +119,88 @@ def ewma_lag_chain(
         (num / den).alias("ewma"),
         n_obs.cast("int").alias("n_obs"),
     )
+
+
+def holt_linear_pandas(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear (level+trend) exponential smoothing per key — the
+    grouped-map `applyInPandas` operator: a genuine sequential
+    recursion over each key's ordered series, which no finite window
+    expansion expresses (the EWMA lag-chain trick above stops at
+    single-recursion weights; Holt's two COUPLED recursions do not
+    unroll into a bounded window).
+
+    Per key, over observations y_1..y_n in ``order_col`` order:
+
+        level_1 = y_1, trend_1 = 0
+        level_t = α·y_t + (1−α)·(level_{t−1} + trend_{t−1})
+        trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+
+    Returns one row per key: (key, n_obs, level_fp6, trend_fp6,
+    forecast_fp6) with forecast = level_n + horizon·trend_n.
+
+    Determinism contract: α, β default to exact binary fractions and
+    every step is a FIXED sequence of IEEE-double operations replayed
+    identically by the DuckDB oracle's recursive CTE — so even this
+    iterative operator stays bit-exact under the fp6 convention.
+    Scale: one shuffle on the key; each pandas group holds one key's
+    series (bounded by series length, not corpus size). Arrow moves
+    the batches; the Python loop is O(series length) per key.
+
+    Input contract (same as ewma_lag_chain): exactly one row per
+    (key, order) — with duplicate order values the within-tie sequence
+    depends on physical partitioning and the recursion is undefined.
+    Pre-aggregate to the grid first.
+    """
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    key_field = df.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType),
+            T.StructField("n_obs", T.LongType()),
+            T.StructField("level_fp6", T.LongType()),
+            T.StructField("trend_fp6", T.LongType()),
+            T.StructField("forecast_fp6", T.LongType()),
+        ]
+    )
+    one_minus_a = 1.0 - alpha
+    one_minus_b = 1.0 - beta
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        ys = [float(v) for v in pdf[value_col]]
+        level = ys[0]
+        trend = 0.0
+        for y in ys[1:]:
+            new_level = alpha * y + one_minus_a * (level + trend)
+            trend = beta * (new_level - level) + one_minus_b * trend
+            level = new_level
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_obs": [len(ys)],
+                "level_fp6": [math.floor(level * 1000000)],
+                "trend_fp6": [math.floor(trend * 1000000)],
+                "forecast_fp6": [
+                    math.floor((level + horizon * trend) * 1000000)
+                ],
+            }
+        )
+
+    return (
+        df.select(key_col, order_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(smooth, out_schema)
+    )

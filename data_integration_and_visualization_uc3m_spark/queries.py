@@ -8068,6 +8068,67 @@ def upsert_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "holt_forecast_region_revenue",
+    """
+    WITH RECURSIVE m AS (
+        SELECT r.r_name, date_trunc('month', o.o_orderdate) AS mon,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, mon
+    ), s AS (
+        SELECT r_name, y,
+               ROW_NUMBER() OVER (PARTITION BY r_name ORDER BY mon) AS t,
+               COUNT(*) OVER (PARTITION BY r_name) AS n
+        FROM m
+    ), rec AS (
+        SELECT r_name, t, n, y, y AS level, CAST(0 AS DOUBLE) AS trend
+        FROM s WHERE t = 1
+        UNION ALL
+        SELECT s.r_name, s.t, s.n, s.y,
+               0.5 * s.y + 0.5 * (rec.level + rec.trend) AS level,
+               0.25 * ((0.5 * s.y + 0.5 * (rec.level + rec.trend)) - rec.level)
+                   + 0.75 * rec.trend AS trend
+        FROM rec JOIN s ON s.r_name = rec.r_name AND s.t = rec.t + 1
+    )
+    SELECT r_name, CAST(n AS BIGINT) AS n_obs,
+           CAST(FLOOR(level * 1000000) AS BIGINT) AS level_fp6,
+           CAST(FLOOR(trend * 1000000) AS BIGINT) AS trend_fp6,
+           CAST(FLOOR((level + 7 * trend) * 1000000) AS BIGINT) AS forecast_fp6
+    FROM rec WHERE t = n
+    """,
+    ops=["timeseries-holt", "applyInPandas-grouped-map", "J1"],
+)
+def holt_forecast_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing of monthly regional revenue with a
+    7-month-ahead forecast (operators.timeseries.holt_linear_pandas)
+    — the grouped-map `applyInPandas` exemplar: two COUPLED
+    recursions that no bounded window unrolls, run as an Arrow-batched
+    Python loop per key. Still bit-exact under the oracle gate: the
+    DuckDB twin replays the identical IEEE operation sequence as a
+    recursive CTE (α=1/2, β=1/4 are exact binary fractions)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(F.sum(_dec2("o_totalprice")).cast("double").alias("y"))
+    )
+    return timeseries.holt_linear_pandas(
+        monthly, "r_name", "mon", "y", alpha=0.5, beta=0.25, horizon=7
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8212,6 +8273,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "heavy_hitters_cms",
     "bloom_prefilter_orders",
     "upsert_version_diff",
+    "holt_forecast_region_revenue",
 )
 
 

@@ -286,3 +286,37 @@ def test_quantile_align_single_source_ratio_one(spark, tmp_path):
     assert len(out) == 9  # 9 deciles, one source
     for r in out:
         assert r.source_q == r.global_q and r.align_ratio == 1.0
+
+
+def test_holt_linear_hand_computed(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import timeseries
+
+    # y = 10, 14, 18 with alpha=0.5, beta=0.25:
+    # t1: L=10, T=0
+    # t2: L=.5*14+.5*10=12,   T=.25*2+0=0.5
+    # t3: L=.5*18+.5*12.5=15.25, T=.25*3.25+.75*.5=1.1875
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 14.0), ("a", 3, 18.0)],
+        "k string, t int, y double",
+    )
+    row = timeseries.holt_linear_pandas(
+        df, "k", "t", "y", alpha=0.5, beta=0.25, horizon=2
+    ).collect()[0]
+    assert row.n_obs == 3
+    assert row.level_fp6 == 15_250_000
+    assert row.trend_fp6 == 1_187_500
+    assert row.forecast_fp6 == int((15.25 + 2 * 1.1875) * 1e6)
+
+
+def test_holt_linear_single_obs_and_partitioning(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import timeseries
+
+    # one row per (key, t) — the operator's input contract
+    rows = [("g%d" % g, t, float((g * 7 + t * 3) % 11)) for g in range(3) for t in range(15)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    a = sorted(map(tuple, timeseries.holt_linear_pandas(df.coalesce(1), "k", "t", "y").collect()))
+    b = sorted(map(tuple, timeseries.holt_linear_pandas(df.repartition(6), "k", "t", "y").collect()))
+    assert a == b
+    single = spark.createDataFrame([("s", 1, 4.0)], "k string, t int, y double")
+    r = timeseries.holt_linear_pandas(single, "k", "t", "y").collect()[0]
+    assert (r.n_obs, r.level_fp6, r.trend_fp6) == (1, 4_000_000, 0)
