@@ -110,3 +110,59 @@ def test_balance_to_min_stratum_properties(spark, rows):
         assert after.get(smallest, 0) == n_min
     again = sampling.balance_to_min_stratum(df, "g", "k").collect()
     assert sorted((r.g, r.k) for r in kept) == sorted((r.g, r.k) for r in again)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="abc ", min_size=1, max_size=40), min_size=1, max_size=6))
+def test_char_entropy_bounds_property(spark, texts):
+    """0 ≤ H ≤ ln(#distinct chars), with equality iff uniform/constant."""
+    import math
+
+    from data_integration_and_visualization_uc3m_spark.operators import corpus_stats
+
+    rows = [(i, "s", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in corpus_stats.char_entropy(df).collect()}
+    for i, t in enumerate(rows):
+        text = t[2]
+        if len(text) == 0:
+            continue
+        r = out[i]
+        distinct = len(set(text))
+        assert -1 <= r.entropy_fp6  # fp6 floor can dip epsilon under 0
+        assert r.entropy_fp6 <= math.log(max(distinct, 1)) * 1e6 + 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=60))
+def test_cms_dominates_exact_property(spark, keys):
+    """CMS point estimate ≥ exact count, for every key, any data."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_visualization_uc3m_spark.operators import sketches
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sk = sketches.cms_build(df, "k", depth=3, width=8)  # narrow → collisions
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    est = sketches.cms_estimate(sk, exact.select("k"), "k", depth=3, width=8)
+    for r in exact.join(est, "k").collect():
+        assert r.cms_est >= r.n
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    st.lists(st.integers(0, 500), min_size=1, max_size=40),
+)
+def test_bloom_one_sided_property(spark, members, probes):
+    """No false negatives, for any member/probe sets."""
+    from data_integration_and_visualization_uc3m_spark.operators import sketches
+
+    m = spark.createDataFrame([(v,) for v in set(members)], "k long")
+    p = spark.createDataFrame([(v,) for v in set(probes)], "k long")
+    bits = sketches.bloom_build(m, "k", n_bits=64, k=2)  # tiny → many FPs
+    passed = {
+        r.k for r in sketches.bloom_pass_keys(p, "k", bits, n_bits=64, k=2).collect()
+    }
+    true_members = set(members) & set(probes)
+    assert true_members <= passed
