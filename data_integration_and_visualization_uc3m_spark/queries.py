@@ -8173,6 +8173,87 @@ def props_variant_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_join_user_enrichment",
+    """
+    WITH prof AS (
+        SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id
+    )
+    SELECT e.event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(p.user_total) AS BIGINT) AS sum_user_total
+    FROM events e JOIN prof p USING (user_id)
+    GROUP BY e.event_type
+    """,
+    ops=["skew-salted-join", "A3"],
+)
+def salted_join_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-JOIN twin of salted_event_totals, through the oracle
+    gate: enrich events with a per-user profile via
+    operators.skew.salted_join (probe side salted, build side
+    replicated per salt, join on (key, salt)) — the hand-rolled remedy
+    for the middle regime where one hot user key would pin a reducer
+    but the build side is too big to broadcast. The salt column is
+    internal; the joined ROW SET is identical to the plain join, which
+    is exactly what the oracle asserts."""
+    e = _t(spark, sf_dir, "events")
+    prof = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+    joined = skew.salted_join(
+        e.select("user_id", "event_type", "value"), prof, on=["user_id"],
+        salt_buckets=8,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        F.sum("user_total").cast("long").alias("sum_user_total"),
+    )
+
+
+@register(
+    "events_range_frame_sum",
+    """
+    SELECT event_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS hour_back_sum,
+           CAST(COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS hour_back_n
+    FROM events
+    WHERE event_id % 20 = 0
+    """,
+    ops=["window-range-frame", "time-series"],
+)
+def events_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame on event TIME (not row position): per event,
+    the sum/count of same-type events in the trailing hour — the
+    time-based sliding metric ROWS frames cannot express when events
+    are irregular. Ordered on exact epoch microseconds (integer
+    range arithmetic, no timestamp-interval float), value summed as
+    DECIMAL before one double cast. Partition-parallel per event_type;
+    the 5%-slice keeps the checked output bounded while the window
+    still computes over real irregular spacing.
+
+    RANGE frames allow exactly ONE sort key (both engines) — no
+    tiebreak needed anyway, because RANGE peers (equal timestamps)
+    share the same frame and therefore the same sum by definition."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.sum(F.col("value").cast(DEC6)).over(w).cast("double").alias("hour_back_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("hour_back_n"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8319,6 +8400,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "upsert_version_diff",
     "holt_forecast_region_revenue",
     "props_variant_histogram",
+    "salted_join_user_enrichment",
+    "events_range_frame_sum",
 )
 
 
