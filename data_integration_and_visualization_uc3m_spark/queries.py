@@ -64,6 +64,7 @@ from .operators import (
     timeseries,
     upsert,
     validate,
+    zorder,
 )
 from .sources.readers import load_table
 from .session import tune
@@ -8254,6 +8255,64 @@ def events_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zorder_clustering_report",
+    """
+    WITH base AS (
+        SELECT CAST(o_custkey % 65536 AS BIGINT) AS a,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate) % 65536
+                    AS BIGINT) AS b
+        FROM orders
+    ), st1 AS (
+        SELECT a, b,
+               (a | (a << 8)) & 71777214294589695 AS a1,
+               (b | (b << 8)) & 71777214294589695 AS b1
+        FROM base
+    ), st2 AS (
+        SELECT *, (a1 | (a1 << 4)) & 1085102592571150095 AS a2,
+                  (b1 | (b1 << 4)) & 1085102592571150095 AS b2 FROM st1
+    ), st3 AS (
+        SELECT *, (a2 | (a2 << 2)) & 3689348814741910323 AS a3,
+                  (b2 | (b2 << 2)) & 3689348814741910323 AS b3 FROM st2
+    ), st4 AS (
+        SELECT *, (a3 | (a3 << 1)) & 6148914691236517205 AS a4,
+                  (b3 | (b3 << 1)) & 6148914691236517205 AS b4 FROM st3
+    ), z AS (
+        SELECT a, b, a4 | (b4 << 1) AS zkey FROM st4
+    )
+    SELECT zkey >> 24 AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(a) AS min_a, MAX(a) AS max_a,
+           MIN(b) AS min_b, MAX(b) AS max_b,
+           MAX(a) - MIN(a) AS span_a,
+           MAX(b) - MIN(b) AS span_b
+    FROM z GROUP BY z_bucket
+    """,
+    ops=["zorder-clustering", "data-skipping", "A3"],
+)
+def zorder_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit over orders keyed by
+    (custkey, order-day): interleave the low 16 bits of both
+    dimensions (operators.zorder — 5-step parallel-prefix spread,
+    whole-stage codegen, no UDF), bucket by the top z-key bits (each
+    bucket ≈ one file under an OPTIMIZE-ZORDER-style rewrite), and
+    report per-bucket min/max/span of BOTH dimensions — the exact
+    file statistics a reader's skipping logic would prune with.
+    Tight spans on both axes = 2-D pruning works; a linear sort
+    would show one tight span and one table-wide span."""
+    o = _t(spark, sf_dir, "orders")
+    proj = o.select(
+        (F.col("o_custkey") % 65536).cast("long").alias("a"),
+        (
+            F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+            % 65536
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    return zorder.zorder_bucket_stats(proj, "a", "b", bucket_shift=24)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8402,6 +8461,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "props_variant_histogram",
     "salted_join_user_enrichment",
     "events_range_frame_sum",
+    "zorder_clustering_report",
 )
 
 
