@@ -8313,6 +8313,54 @@ def zorder_clustering_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder.zorder_bucket_stats(proj, "a", "b", bucket_shift=24)
 
 
+@register(
+    "user_cooccurrence_pairs",
+    """
+    WITH uh AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr FROM events
+    ), sized AS (
+        SELECT hr FROM uh GROUP BY hr HAVING COUNT(*) <= 100
+    ), ok AS (
+        SELECT u.user_id, u.hr FROM uh u JOIN sized s ON s.hr = u.hr
+    )
+    SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS n_shared_hours
+    FROM ok a JOIN ok b ON a.hr = b.hr AND a.user_id < b.user_id
+    GROUP BY u1, u2
+    ORDER BY n_shared_hours DESC, u1, u2
+    LIMIT 25
+    """,
+    ops=["graph-bipartite-projection", "A3", "self-join-bucketed"],
+)
+def user_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection user×hour → user-user co-activity edges
+    (the 'who is online together' graph): distinct (user, hour)
+    incidences, per-hour self-join with a canonical u1 < u2 edge, top
+    25 pairs by shared hours. The self-join is quadratic IN THE
+    BUCKET, so hot buckets are dropped by a size threshold first
+    (≤ 100 active users/hour here) — the same frequency-cap discipline
+    as dedup_jaccard_df_capped: at 100 TB an uncapped hot hour is the
+    whole job's runtime, and the cap is a documented, deterministic
+    part of the operator's semantics, not a sampling shortcut."""
+    e = _t(spark, sf_dir, "events")
+    uh = e.select(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).distinct()
+    sized = uh.groupBy("hr").agg(F.count(F.lit(1)).alias("hn")).filter(
+        F.col("hn") <= 100
+    )
+    ok = uh.join(sized.select("hr"), "hr")
+    a = ok.select(F.col("hr"), F.col("user_id").alias("u1"))
+    b = ok.select(F.col("hr"), F.col("user_id").alias("u2"))
+    return (
+        a.join(b, ["hr"])
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("n_shared_hours"))
+        .orderBy(F.col("n_shared_hours").desc(), "u1", "u2")
+        .limit(25)
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8462,6 +8510,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "salted_join_user_enrichment",
     "events_range_frame_sum",
     "zorder_clustering_report",
+    "user_cooccurrence_pairs",
 )
 
 
