@@ -80,3 +80,47 @@ def check_all(
     for i, pred in enumerate(ranges or []):
         out[f"range_{i}"] = range_violations(df, pred)
     return out
+
+
+def expectation_report(
+    df: DataFrame,
+    row_rules: dict[str, Column],
+    unique: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Expectation-suite report: evaluate EVERY row-local rule in ONE
+    scan (conditional sums in a single aggregation — at 100 TB this is
+    one pass over the table, not one pass per rule), plus one
+    aggregation per uniqueness rule (count vs count_distinct on the
+    key set). Returns (rule, n_rows, n_violations, passed) per rule —
+    the dashboard/circuit-breaker shape data-quality suites emit,
+    complementing the per-violation row sets above (those say WHICH
+    rows; this says HOW HEALTHY, cheaply).
+
+    ``row_rules`` maps rule name → VIOLATION predicate (true = bad).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names = list(row_rules)
+    for name in names:
+        aggs.append(
+            F.sum(F.when(row_rules[name], 1).otherwise(0))
+            .cast("long")
+            .alias(name)
+        )
+    one = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{n}', {n}" for n in names)
+    report = one.selectExpr(
+        f"stack({len(names)}, {stack_expr}) as (rule, n_violations)",
+        "__n as n_rows",
+    ).select("rule", "n_rows", "n_violations")
+    for uname, keys in (unique or {}).items():
+        urow = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(*[F.col(k) for k in keys])
+            )
+            .cast("long")
+            .alias("n_violations"),
+        ).select(F.lit(uname).alias("rule"), "n_rows", "n_violations")
+        report = report.unionByName(urow)
+    return report.withColumn("passed", F.col("n_violations") == 0)

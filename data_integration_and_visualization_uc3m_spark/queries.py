@@ -8361,6 +8361,62 @@ def user_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "expectations_orders_report",
+    """
+    WITH rows AS (SELECT COUNT(*) AS n_rows FROM orders)
+    SELECT r.rule, rows.n_rows, r.n_violations,
+           r.n_violations = 0 AS passed
+    FROM rows, (
+        SELECT 'orderkey_not_null' AS rule,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'totalprice_in_range',
+               CAST(SUM(CASE WHEN NOT (o_totalprice >= 0 AND o_totalprice <= 600000)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'status_accepted_values',
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orderdate_not_null',
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orderkey_unique',
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+    ) r
+    """,
+    ops=["V1", "V2", "V4", "expectation-suite"],
+)
+def expectations_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over orders in ONE table scan
+    (operators.validate.expectation_report): every row-local rule is a
+    conditional sum inside a single aggregation, unpivoted to one
+    report row per rule; uniqueness adds its own count-distinct pass.
+    The HOW-HEALTHY dashboard/circuit-breaker complement to the
+    WHICH-ROWS violation sets (V1-V5) — at 100 TB the difference
+    between one pass and one pass per rule is the nightly bill."""
+    o = _t(spark, sf_dir, "orders")
+    return validate.expectation_report(
+        o,
+        row_rules={
+            "orderkey_not_null": F.col("o_orderkey").isNull(),
+            "totalprice_in_range": ~(
+                (F.col("o_totalprice") >= 0) & (F.col("o_totalprice") <= 600000)
+            ),
+            "status_accepted_values": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "orderdate_not_null": F.col("o_orderdate").isNull(),
+        },
+        unique={"orderkey_unique": ["o_orderkey"]},
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8511,6 +8567,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "events_range_frame_sum",
     "zorder_clustering_report",
     "user_cooccurrence_pairs",
+    "expectations_orders_report",
 )
 
 

@@ -303,3 +303,32 @@ def test_vacuum_orphans_cannot_displace_committed_versions(spark, tmp_path):
     upsert.write_upsert_parquet(root, df, ["k"], mode="replace")
     deleted2 = upsert.vacuum(root, keep_last=3)
     assert inflight in deleted2
+
+
+def test_expectation_report_single_pass_rules(spark):
+    from pyspark.sql import functions as F
+
+    from data_integration_and_visualization_uc3m_spark.operators import validate
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (2, 20.0, "A"), (None, 7.0, "C")],
+        "k int, v double, s string",
+    )
+    rep = {
+        r.rule: r
+        for r in validate.expectation_report(
+            df,
+            row_rules={
+                "k_not_null": F.col("k").isNull(),
+                "v_non_negative": F.col("v") < 0,
+                "s_accepted": ~F.col("s").isin("A", "B"),
+            },
+            unique={"k_unique": ["k"]},
+        ).collect()
+    }
+    assert rep["k_not_null"].n_violations == 1 and not rep["k_not_null"].passed
+    assert rep["v_non_negative"].n_violations == 1
+    assert rep["s_accepted"].n_violations == 1
+    # count_distinct ignores NULL keys: 4 rows - 2 distinct non-null = 2
+    assert rep["k_unique"].n_violations == 2
+    assert all(r.n_rows == 4 for r in rep.values())
