@@ -42,6 +42,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators import (
     cdc,
@@ -8417,6 +8418,59 @@ def expectations_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multiformat_join_report",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderkey % 4 = 0
+    GROUP BY n.n_name
+    """,
+    ops=["S5", "format-orc", "format-parquet", "J1", "A3"],
+)
+def multiformat_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logical join across THREE at-rest formats: orders stays
+    parquet, customer is round-tripped through ORC, nation through
+    headered CSV (sinks.write_orc_snapshot / readers.read_orc /
+    readers.read_csv) — the federated-warehouse reality where
+    ingestion history left tables in different formats. The oracle
+    recomputes from the base tables, so the hash-match proves the ORC
+    and CSV read paths are value-faithful end to end (including CSV's
+    schema-declared typed re-read), not just non-crashing."""
+    import tempfile
+
+    from .sinks.writers import write_orc_snapshot
+    from .sources.readers import read_csv, read_orc
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    root = tempfile.mkdtemp(prefix="sg_multifmt_")
+    write_orc_snapshot(c, f"{root}/customer_orc")
+    n.write.mode("overwrite").csv(f"{root}/nation_csv", header=True)
+    c_orc = read_orc(spark, f"{root}/customer_orc")
+    n_csv = read_csv(
+        spark, f"{root}/nation_csv",
+        T.StructType([
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+        ]),
+    )
+    return (
+        o.join(F.broadcast(c_orc), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_csv), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec2("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8568,6 +8622,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "zorder_clustering_report",
     "user_cooccurrence_pairs",
     "expectations_orders_report",
+    "multiformat_join_report",
 )
 
 
