@@ -134,6 +134,8 @@ def zipf_slope(
     x = F.floor(F.log(F.col("rank").cast("double")) * FP9).cast("long")
     y = F.floor(F.log(F.col("freq").cast("double")) * FP9).cast("long")
     pts = ranked.select(group_col, x.alias("x"), y.alias("y"))
+    # a 1-term vocabulary has no rank spread — the OLS denominator is
+    # zero; such degenerate groups are excluded, not NaN-propagated
     sums = pts.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.sum(F.col("x").cast(DEC38)).alias("sx"),
@@ -146,7 +148,7 @@ def zipf_slope(
     sy = F.col("sy").cast("double")
     sxx = F.col("sxx").cast("double")
     sxy = F.col("sxy").cast("double")
-    return sums.select(
+    return sums.filter(F.col("n_terms") >= 2).select(
         group_col,
         "n_terms",
         F.floor((n_d * sxy - sx * sy) / (n_d * sxx - sx * sx) * FP6)
@@ -163,7 +165,10 @@ def char_entropy(
     c. The only cross-row sum is Σ c·floor(ln(c)·10⁹) — exact BIGINT.
     The char explode is linear in corpus bytes (one substring per
     position — same asymptotics as tokenization); counts collapse to
-    ≤ |alphabet| rows per document before anything else happens."""
+    ≤ |alphabet| rows per document before anything else happens.
+    Empty documents are excluded (a descending sequence(1, 0) would
+    otherwise fabricate two empty-string positions)."""
+    df = df.filter(F.length(text_col) > 0)
     chars = df.select(
         F.col(id_col),
         F.explode(

@@ -47,9 +47,12 @@ def gram_fixed_point(
     yields ≤ d² rows; the only shuffle is the final (i, j) sum over
     n_partitions·d² rows. Per-row flooring (not floor-after-sum) is
     what makes the result independent of partitioning AND expressible
-    as one SQL aggregation for the oracle."""
+    as one SQL aggregation for the oracle. NULL vectors contribute
+    nothing (dropped before the Arrow pass — the same semantics as the
+    oracle's unnest, which emits no rows for a NULL list)."""
     import numpy as np
 
+    df = df.na.drop(subset=[vec_col])
     out_schema = "i int, j int, g long"
 
     def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

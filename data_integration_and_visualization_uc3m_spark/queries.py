@@ -7664,7 +7664,7 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                * 1000000) AS BIGINT) AS zipf_slope_fp6
-    FROM s
+    FROM s WHERE n_terms >= 2
     """,
     ops=["text-zipf", "stats-ols", "W2"],
 )

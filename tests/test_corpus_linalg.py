@@ -141,3 +141,26 @@ def test_lloyd_step_reassigns_mislabelled_point(spark):
     labels = [0, 0, 1, 1, 0]  # last point mislabelled
     out = {r.new_label: r for r in linalg.lloyd_step(_embs(spark, vecs, labels)).collect()}
     assert out[1].n_points == 3 and out[0].n_points == 2
+
+
+def test_char_entropy_skips_empty_docs(spark):
+    d = _docs(spark, [(1, "a", ""), (2, "a", "xy")])
+    out = corpus_stats.char_entropy(d).collect()
+    assert [r.doc_id for r in out] == [2]
+
+
+def test_zipf_slope_excludes_single_term_vocab(spark):
+    d = _docs(spark, [(1, "solo", "w w w w"), (2, "multi", "a a b")])
+    rows = {r.source: r for r in corpus_stats.zipf_slope(d).collect()}
+    assert "solo" not in rows and "multi" in rows
+
+
+def test_gram_skips_null_vectors(spark):
+    rows = [(0, [1.0, 2.0], 0), (1, None, 0), (2, [0.5, -1.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    g = {(r.i, r.j): r.g for r in linalg.gram_fixed_point(df, scale=100).collect()}
+    import numpy as np
+
+    m = np.array([[1.0, 2.0], [0.5, -1.0]])
+    want = sum(np.floor(np.outer(r, r) * 100).astype(int) for r in m)
+    assert g[(0, 0)] == want[0][0] and g[(1, 0)] == want[1][0]
