@@ -39,6 +39,7 @@ BENCH_EXCLUDE = frozenset({
     "streaming_stateful_totals_e2e",
     "streaming_attribution_e2e",
     "streaming_lsh_dedup_e2e",
+    "streaming_enrich_e2e",
 })
 
 

@@ -8471,6 +8471,56 @@ def multiformat_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_enrich_e2e",
+    """
+    WITH dim AS (
+        SELECT user_id, user_id % 10 AS user_bucket FROM events
+        GROUP BY user_id
+    )
+    SELECT d.user_bucket, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN dim d ON d.user_id = e.user_id
+    GROUP BY d.user_bucket, e.event_type
+    """,
+    ops=["streaming-e2e", "streaming-static-join", "J2"],
+)
+def streaming_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join under the oracle gate, completing the
+    streaming operator family's e2e evidence (window agg, session,
+    stateful totals, dedup, stream-stream attribution, LSH index
+    filter — and now dimension enrichment): events re-staged as a
+    file stream, joined per micro-batch against a broadcast static
+    user dimension (stateless — no state store, no watermark), landed
+    via the exactly-once parquet file sink, and aggregated. The
+    oracle is the plain batch join: stream delivery must be
+    contents-preserving."""
+    import tempfile
+
+    from .streaming.events import run_stream_enrich_to_parquet
+
+    e = _t(spark, sf_dir, "events")
+    dim = (
+        e.groupBy("user_id")
+        .agg(F.lit(1))
+        .select("user_id", (F.col("user_id") % 10).alias("user_bucket"))
+    )
+    work = tempfile.mkdtemp(prefix="sg_enrich_e2e_")
+    src = f"{work}/src"
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    run_stream_enrich_to_parquet(
+        spark, src, dim, f"{work}/out", f"{work}/ckpt"
+    )
+    enriched = spark.read.parquet(f"{work}/out")
+    return enriched.groupBy("user_bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8623,6 +8673,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "user_cooccurrence_pairs",
     "expectations_orders_report",
     "multiformat_join_report",
+    "streaming_enrich_e2e",
 )
 
 

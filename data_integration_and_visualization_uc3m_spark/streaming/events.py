@@ -459,3 +459,34 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_enrich_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    dim: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Stream-static enrichment e2e: file-source event stream joined
+    per micro-batch against the broadcast static dimension
+    (enrich_stream — stateless, no state store), appended to parquet
+    through the exactly-once file-sink commit log. Output contents
+    equal the batch join's, which is what the oracle asserts."""
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(source_dir)
+    )
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
