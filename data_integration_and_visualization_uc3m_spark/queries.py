@@ -8521,6 +8521,71 @@ def streaming_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "k_anonymity_report",
+    """
+    WITH qi AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+               c_custkey
+        FROM customer
+    ), grp AS (
+        SELECT c_nationkey, c_mktsegment, acctbal_band,
+               COUNT(*) AS group_size,
+               CAST(COUNT(DISTINCT c_custkey % 7) AS BIGINT) AS l_distinct
+        FROM qi
+        GROUP BY c_nationkey, c_mktsegment, acctbal_band
+    )
+    SELECT CAST(MIN(group_size) AS BIGINT) AS k_anonymity,
+           CAST(MIN(l_distinct) AS BIGINT) AS l_diversity,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_k5,
+           CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk
+    FROM grp
+    """,
+    ops=["privacy-k-anonymity", "privacy-l-diversity", "A3"],
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy re-identification audit over the customer table: treat
+    (nation, market segment, banded balance) as the quasi-identifier,
+    report the dataset's k-anonymity (smallest QI group), l-diversity
+    (fewest distinct sensitive values in any group — a synthetic
+    7-class sensitive attribute here), and the groups/rows below the
+    k=5 release threshold. The go/no-go census a training-data release
+    pipeline runs before shipping user-derived records; one hash
+    aggregation on the QI key + a 1-row rollup."""
+    c = _t(spark, sf_dir, "customer")
+    grp = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("acctbal_band"),
+            "c_custkey",
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "acctbal_band")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct(F.col("c_custkey") % 7)
+            .cast("long")
+            .alias("l_distinct"),
+        )
+    )
+    return grp.agg(
+        F.min("group_size").cast("long").alias("k_anonymity"),
+        F.min("l_distinct").cast("long").alias("l_diversity"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("group_size") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_k5"),
+        F.sum(F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8674,6 +8739,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "expectations_orders_report",
     "multiformat_join_report",
     "streaming_enrich_e2e",
+    "k_anonymity_report",
 )
 
 
