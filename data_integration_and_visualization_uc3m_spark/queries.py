@@ -72,6 +72,7 @@ from .session import tune
 
 DEC2 = "decimal(18,2)"
 DEC6 = "decimal(18,6)"
+DEC38 = "decimal(38,0)"
 
 
 def _dec2(col: str) -> F.Column:
@@ -8586,6 +8587,58 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "table_fingerprint_orders",
+    """
+    WITH h AS (
+        SELECT CAST(('0x'||substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   COALESCE(o_orderstatus, '') || '|' ||
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                   CAST(o_orderdate AS VARCHAR)
+               ),1,15)) AS BIGINT) AS rh,
+               o_orderkey % 16 AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(rh) % 4611686018427387904 AS BIGINT) AS checksum
+    FROM h GROUP BY bucket
+    """,
+    ops=["anti-entropy", "table-fingerprint", "A3"],
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bucketed table fingerprint — the anti-entropy
+    primitive for reconciling replicas/migrations of a 100 TB table
+    without moving it: md5 row digests (canonicalized column
+    rendering, DECIMAL-normalized price, 60-bit slices) accumulated
+    in a 38-digit decimal sum and reduced mod 2^62 — overflow-proof
+    at any row count on both engines (DuckDB's HUGEINT sum, Spark's
+    DECIMAL(38,0)) — per key bucket. Two sides compare 16 rows; a mismatched bucket localizes
+    the diff to keys % 16 — then only that bucket's rows need the
+    expensive row-level comparison (cdc.snapshot_diff). Entirely
+    map-side until a 16-group aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("")),
+        _dec2("o_totalprice").cast("string"),
+        F.col("o_orderdate").cast("string"),
+    )
+    rh = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("long")
+    return (
+        o.select(rh.alias("rh"), (F.col("o_orderkey") % 16).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("rh").cast(DEC38)) % F.lit(4611686018427387904))
+            .cast("long")
+            .alias("checksum"),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8740,6 +8793,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "multiformat_join_report",
     "streaming_enrich_e2e",
     "k_anonymity_report",
+    "table_fingerprint_orders",
 )
 
 
