@@ -8639,6 +8639,83 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_drift_report",
+    """
+    WITH dims AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+    fx AS (
+        SELECT e.vec_id, e.label,
+               CAST(('0x'||substr(md5('drift:'||CAST(e.vec_id AS VARCHAR)),1,8))
+                    AS BIGINT) % 2 AS half,
+               d.i,
+               CAST(FLOOR(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS vfp
+        FROM embeddings e, dims d
+    ), cent AS (
+        SELECT label, half, i, SUM(vfp) AS s, COUNT(*) AS n
+        FROM fx GROUP BY label, half, i
+    ), pairs AS (
+        SELECT a.label, a.i,
+               CAST(a.s AS DOUBLE) / (a.n * 1000000.0) AS ca,
+               CAST(b.s AS DOUBLE) / (b.n * 1000000.0) AS cb,
+               a.n AS n_a, b.n AS n_b
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.i = b.i AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(MIN(n_a) AS BIGINT) AS n_half_a,
+           CAST(MIN(n_b) AS BIGINT) AS n_half_b,
+           CAST(SUM(CAST(FLOOR((ca - cb) * (ca - cb) * 100000000) AS BIGINT))
+                AS BIGINT) AS shift_sq_fp8
+    FROM pairs GROUP BY label
+    """,
+    ops=["ml-drift", "embedding-stats", "A3"],
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift detector: split each label's vectors into two
+    deterministic md5 halves (a stand-in for yesterday/today
+    snapshots), compute both halves' centroids under the exact
+    fixed-point discipline (same math as the Lloyd step — centroid
+    doubles are bit-identical on any engine), and report the squared
+    centroid shift per label as an fp8 integer sum. In production the
+    halves are two pipeline runs; a shift above threshold pages the
+    embedding-model owner before bad vectors poison the ANN index.
+    One explode-aggregation (label·half·d rows) + a d-sized join —
+    nothing row-scaled ever shuffles twice."""
+    from .operators.sampling import hash_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    fx = e.select(
+        "label",
+        (hash_bucket(F.col("vec_id"), seed="drift") % 2).alias("half"),
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "label",
+        "half",
+        "i",
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("vfp"),
+    )
+    cent = fx.groupBy("label", "half", "i").agg(
+        F.sum("vfp").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    c = F.col("s").cast("double") / (F.col("n") * 1000000.0)
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "i", c.alias("c"), F.col("n").alias("n_a")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "i", c.alias("cb"), F.col("n").alias("n_b")
+    )
+    pairs = a.join(b, ["label", "i"])
+    term = F.floor(
+        (F.col("c") - F.col("cb")) * (F.col("c") - F.col("cb")) * 100000000
+    ).cast("long")
+    return pairs.groupBy("label").agg(
+        F.min("n_a").cast("long").alias("n_half_a"),
+        F.min("n_b").cast("long").alias("n_half_b"),
+        F.sum(term).cast("long").alias("shift_sq_fp8"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8794,6 +8871,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "streaming_enrich_e2e",
     "k_anonymity_report",
     "table_fingerprint_orders",
+    "embedding_drift_report",
 )
 
 
