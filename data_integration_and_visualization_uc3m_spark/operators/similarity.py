@@ -298,3 +298,44 @@ def quantize_embeddings(
         F.transform(F.col("_vd"), lambda x: F.floor(x / scale * 127).cast("int"))
     )
     return staged.select(id_col, "scale", codes.alias("codes"), "dim")
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k nearest vectors of a DIFFERENT label by cosine — the
+    near-miss examples that teach a metric model its decision
+    boundary. The anchor set broadcasts (it is a bounded sample by
+    contract — mining with a corpus-sized anchor set is an ANN-join
+    problem, see ivf_topk); scoring is map-side left-fold dot
+    products (bit-identical cross-engine), and the top-k runs per
+    anchor with a deterministic id tiebreak."""
+    from pyspark.sql import Window
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    v = F.col(vec_col)
+    q = F.col("qv")
+    cos = _dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q)))
+    scored = (
+        df.crossJoin(F.broadcast(a))
+        .filter(F.col(label_col) != F.col("anchor_label"))
+        .select("anchor_id", F.col(id_col), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("anchor_id", id_col, "cosine")
+    )

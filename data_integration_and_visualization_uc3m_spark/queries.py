@@ -8716,6 +8716,46 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hard_negative_mining",
+    """
+    WITH a AS (
+        SELECT vec_id AS anchor_id, embedding AS qv, label AS anchor_label
+        FROM embeddings WHERE vec_id % 97 = 0
+    ), scored AS (
+        SELECT a.anchor_id, e.vec_id,
+               list_sum(list_transform(list_zip(e.embedding, a.qv),
+                        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+                        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(list_zip(a.qv, a.qv),
+                        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
+                 AS cosine
+        FROM embeddings e, a
+        WHERE e.label <> a.anchor_label
+    ), r AS (
+        SELECT anchor_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT anchor_id, vec_id, cosine FROM r WHERE rn <= 3
+    """,
+    ops=["similarity-hard-negatives", "contrastive-training", "W2"],
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators.similarity.hard_negatives): for each anchor in a
+    deterministic sample, the 3 most cosine-similar vectors with a
+    DIFFERENT label — the near-misses that carve a metric model's
+    decision boundary. Anchors broadcast (bounded by contract —
+    corpus-sized anchor sets are an ANN-join, see ivf_topk); scoring
+    is map-side left-fold dot products, bit-identical cross-engine."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    anchors = e.filter(F.col("vec_id") % 97 == 0)
+    return similarity.hard_negatives(e, anchors, k=3)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8872,6 +8912,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "k_anonymity_report",
     "table_fingerprint_orders",
     "embedding_drift_report",
+    "hard_negative_mining",
 )
 
 

@@ -63,6 +63,8 @@ SCALAR_OK: set[str] = {
     "embedding_lloyd_step",     # k-row centroid table broadcast (every point
                                 # scores all k centroids — the intended plan;
                                 # k is small by construction)
+    "hard_negative_mining",     # bounded anchor-sample broadcast: every vector
+                                # scores every anchor (the mining contract)
 }
 
 
