@@ -8756,6 +8756,70 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(e, anchors, k=3)
 
 
+@register(
+    "vocab_coverage_report",
+    """
+    WITH toks AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), tk AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS freq FROM tk GROUP BY tok
+            ORDER BY freq DESC, tok LIMIT 30
+        )
+    )
+    SELECT tk.source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(FLOOR(SUM(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END)
+                      / COUNT(*) * 1000000) AS BIGINT) AS oov_rate_fp6
+    FROM tk LEFT JOIN vocab v ON v.tok = tk.tok
+    GROUP BY tk.source
+    """,
+    ops=["text-oov-coverage", "A3", "topk"],
+)
+def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: freeze the corpus's top-30 terms
+    as the 'vocabulary' and report each source's out-of-vocabulary
+    token count and rate — the OOV dashboard run before committing a
+    tokenizer to a corpus mix (a source with a high OOV rate wastes
+    context window on fragmented tokens). The vocabulary is a bounded
+    broadcast (top-k with deterministic tiebreak); the probe is one
+    map-side left join + per-source aggregation."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    tk = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        tk.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(30)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tk.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.floor(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)
+                )
+                / F.count(F.lit(1))
+                * 1000000
+            )
+            .cast("long")
+            .alias("oov_rate_fp6"),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8913,6 +8977,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "table_fingerprint_orders",
     "embedding_drift_report",
     "hard_negative_mining",
+    "vocab_coverage_report",
 )
 
 
