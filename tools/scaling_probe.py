@@ -69,6 +69,23 @@ DEFAULT = [
     "heavy_hitters_cms",
     "bloom_prefilter_orders",
     "upsert_version_diff",
+    # final round-5 families: recursive-CTE-twin pandas recursion,
+    # variant parse-once, salted join, RANGE frame, Morton bucketing,
+    # bucketed self-join projection, single-scan expectations, 3-format
+    # federation, privacy census, bucketed checksum, drift, mining, OOV
+    "holt_forecast_region_revenue",
+    "props_variant_histogram",
+    "salted_join_user_enrichment",
+    "events_range_frame_sum",
+    "zorder_clustering_report",
+    "user_cooccurrence_pairs",
+    "expectations_orders_report",
+    "multiformat_join_report",
+    "k_anonymity_report",
+    "table_fingerprint_orders",
+    "embedding_drift_report",
+    "hard_negative_mining",
+    "vocab_coverage_report",
 ]
 
 
