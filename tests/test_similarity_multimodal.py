@@ -134,3 +134,23 @@ def test_quantize_embeddings_roundtrip_bound(spark):
         assert abs(code * r1.scale / 127 - orig) <= r1.scale / 127
     r2 = got[2]
     assert r2.scale == 0.0 and r2.codes == [0, 0, 0]
+
+
+def test_hard_negatives_label_and_k_contract(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import similarity
+
+    # two tight clusters; anchors in label 0 must mine only label-1 vecs
+    vecs = [
+        (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.95, 0.05], 0),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1), (5, [0.8, 0.6], 1),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    anchors = e.filter("vec_id = 0")
+    out = similarity.hard_negatives(e, anchors, k=2).collect()
+    assert len(out) == 2
+    assert all(r.anchor_id == 0 for r in out)
+    mined = {r.vec_id for r in out}
+    assert mined <= {3, 4, 5}  # never same-label
+    # vec 5 ([0.8, 0.6]) is the hardest negative for [1, 0] — must rank first
+    best = max(out, key=lambda r: r.cosine)
+    assert best.vec_id == 5
