@@ -7941,8 +7941,8 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_probe_keys, n_pass_bloom, n_true_members, n_false_pos,
            CAST(FLOOR(CAST(n_false_pos AS DOUBLE)
-                      / (n_probe_keys - n_true_members) * 1000000) AS BIGINT)
-               AS fp_rate_fp6
+                      / GREATEST(n_probe_keys - n_true_members, 1) * 1000000)
+                AS BIGINT) AS fp_rate_fp6
     FROM agg
     """,
     ops=["sketch-bloom", "join-prefilter"],
@@ -7998,7 +7998,9 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_pos",
         F.floor(
             F.col("n_false_pos").cast("double")
-            / (F.col("n_probe_keys") - F.col("n_true_members"))
+            / F.greatest(
+                F.col("n_probe_keys") - F.col("n_true_members"), F.lit(1)
+            )
             * 1000000
         )
         .cast("long")
