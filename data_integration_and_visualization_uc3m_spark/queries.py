@@ -8822,6 +8822,88 @@ def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "markov_event_stationary",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_t
+        FROM events
+    ), trans AS (
+        SELECT prev_t AS from_t, event_type AS to_t, COUNT(*) AS c
+        FROM ordered WHERE prev_t IS NOT NULL GROUP BY from_t, to_t
+    ), r AS (
+        SELECT from_t, SUM(c) AS r FROM trans GROUP BY from_t
+    ), nt AS (
+        SELECT COUNT(DISTINCT from_t) AS n FROM trans
+    ), v1 AS (
+        SELECT r.from_t, 1000000000000 // nt.n AS w FROM r, nt
+    ), v2 AS (
+        SELECT t.to_t, SUM((v1.w * t.c) // r.r) AS w
+        FROM trans t
+        JOIN v1 ON v1.from_t = t.from_t
+        JOIN r ON r.from_t = t.from_t
+        GROUP BY t.to_t
+    ), v3 AS (
+        SELECT t.to_t, SUM((v2.w * t.c) // r.r) AS w
+        FROM trans t
+        JOIN v2 ON v2.to_t = t.from_t
+        JOIN r ON r.from_t = t.from_t
+        GROUP BY t.to_t
+    )
+    SELECT v2.to_t AS event_type,
+           CAST(v2.w AS BIGINT) AS v2_fp12,
+           CAST(v3.w AS BIGINT) AS v3_fp12
+    FROM v2 JOIN v3 ON v3.to_t = v2.to_t
+    """,
+    ops=["markov-chain", "linalg-power-iteration", "window-lag-lead"],
+)
+def markov_event_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain behavior model over user journeys: per-user
+    lag-window transitions → event-type transition matrix → TWO power
+    iterations toward the stationary distribution, in EXACT INTEGER
+    arithmetic (fp12 weights, `DIV` floor division per term, integer
+    sums) so the iterative result hash-matches like everything else —
+    the same discipline that made the Gram/Holt recursions
+    oracle-exact. The matrix is k² rows (k = event types), so every
+    iteration is a k-row broadcast join; only the transition count
+    aggregation ever touches row-scaled data."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_t")
+    ).filter(F.col("prev_t").isNotNull())
+    trans = ordered.groupBy(
+        F.col("prev_t").alias("from_t"), F.col("event_type").alias("to_t")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    r = trans.groupBy("from_t").agg(F.sum("c").alias("r"))
+    nt = trans.agg(F.count_distinct("from_t").alias("n"))
+    v1 = r.crossJoin(F.broadcast(nt)).select(
+        "from_t", F.expr("1000000000000 DIV n").alias("w")
+    )
+
+    def step(v: DataFrame) -> DataFrame:
+        return (
+            trans.join(F.broadcast(v), "from_t")
+            .join(F.broadcast(r), "from_t")
+            .select("to_t", F.expr("(w * c) DIV r").alias("t"))
+            .groupBy("to_t")
+            .agg(F.sum("t").alias("w"))
+        )
+
+    v2 = step(v1)
+    v3 = step(v2.withColumnRenamed("to_t", "from_t"))
+    return (
+        v2.join(v3.withColumnRenamed("w", "w3"), "to_t")
+        .select(
+            F.col("to_t").alias("event_type"),
+            F.col("w").cast("long").alias("v2_fp12"),
+            F.col("w3").cast("long").alias("v3_fp12"),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -8980,6 +9062,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "embedding_drift_report",
     "hard_negative_mining",
     "vocab_coverage_report",
+    "markov_event_stationary",
 )
 
 

@@ -65,6 +65,8 @@ SCALAR_OK: set[str] = {
                                 # k is small by construction)
     "hard_negative_mining",     # bounded anchor-sample broadcast: every vector
                                 # scores every anchor (the mining contract)
+    "markov_event_stationary",  # 1-row n-types scalar broadcast onto the
+                                # k-row transition-state axis
 }
 
 
