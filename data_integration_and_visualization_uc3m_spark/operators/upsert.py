@@ -219,6 +219,32 @@ def write_upsert_parquet(
     return _commit_manifest(root, new_name, expect=cur)
 
 
+def delete_keys_parquet(
+    root: str,
+    tombstones: DataFrame,
+    keys: list[str],
+) -> str:
+    """DELETE on the versioned table (the right-to-be-forgotten path,
+    completing CRUD next to ignore/replace upserts): the new snapshot
+    is the live table anti-joined against the tombstone key set,
+    committed through the SAME atomic manifest flip — so the deletion
+    is all-or-nothing, time travel still reads the pre-delete
+    versions (until `vacuum` ages them out, which is what actually
+    forgets), and a crash mid-delete cannot tear the table. Idempotent:
+    re-deleting the same keys commits an identical snapshot."""
+    spark = tombstones.sparkSession
+    cur = current_snapshot(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    target = spark.read.parquet(os.path.join(root, cur))
+    remaining = target.join(
+        F.broadcast(tombstones.select(*keys).distinct()), keys, "left_anti"
+    )
+    new_name = _next_snapshot_name(root)
+    remaining.write.mode("overwrite").parquet(os.path.join(root, new_name))
+    return _commit_manifest(root, new_name, expect=cur)
+
+
 def compact_snapshot(
     spark: SparkSession,
     root: str,

@@ -8904,6 +8904,63 @@ def markov_event_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "upsert_delete_keys",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), live AS (
+        SELECT * FROM v1 WHERE o_orderkey % 10 <> 4
+    )
+    SELECT
+        (SELECT COUNT(*) FROM v1) AS n_before,
+        (SELECT COUNT(*) FROM live) AS n_after,
+        (SELECT COUNT(*) FROM v1) - (SELECT COUNT(*) FROM live) AS n_deleted,
+        (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM live) AS key_checksum
+    """,
+    ops=["K2", "K3", "crud-delete", "time-travel"],
+)
+def upsert_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE on the versioned table (operators.upsert.delete_keys_parquet)
+    — the right-to-be-forgotten path completing CRUD: commit v1,
+    delete the tombstone key set (keys %10==4) as a new atomic
+    snapshot, and verify BOTH that the live table dropped exactly the
+    tombstoned rows AND that time travel still reads the pre-delete
+    version intact (its count feeds n_before — deletion must not
+    mutate history; `vacuum` is what eventually forgets)."""
+    import os as _os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="sg_delete_")
+    v1 = upsert.write_upsert_parquet(
+        root, o.filter(F.col("o_orderkey") % 2 == 0), ["o_orderkey"]
+    )
+    tombstones = o.filter(
+        (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") % 10 == 4)
+    ).select("o_orderkey")
+    upsert.delete_keys_parquet(root, tombstones, ["o_orderkey"])
+    live = upsert.read_upsert_parquet(spark, root)
+    before = spark.read.parquet(_os.path.join(root, v1))  # time travel
+    n_before = before.agg(F.count(F.lit(1)).alias("n_before"))
+    stats = live.agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )
+    return (
+        n_before.crossJoin(stats)
+        .select(
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after")).alias("n_deleted"),
+            "key_checksum",
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -9063,6 +9120,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "hard_negative_mining",
     "vocab_coverage_report",
     "markov_event_stationary",
+    "upsert_delete_keys",
 )
 
 

@@ -332,3 +332,27 @@ def test_expectation_report_single_pass_rules(spark):
     # count_distinct ignores NULL keys: 4 rows - 2 distinct non-null = 2
     assert rep["k_unique"].n_violations == 2
     assert all(r.n_rows == 4 for r in rep.values())
+
+
+def test_delete_keys_idempotent_and_history_preserving(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_integration_and_visualization_uc3m_spark.operators import upsert
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.createDataFrame([(i, i * 10) for i in range(10)], "k int, v int")
+    v1 = upsert.write_upsert_parquet(root, df, ["k"])
+    tomb = spark.createDataFrame([(2,), (5,), (7,)], "k int")
+    v2 = upsert.delete_keys_parquet(root, tomb, ["k"])
+    live = upsert.read_upsert_parquet(spark, root)
+    assert sorted(r.k for r in live.collect()) == [0, 1, 3, 4, 6, 8, 9]
+    # time travel: pre-delete snapshot unchanged
+    old = spark.read.parquet(os.path.join(root, v1))
+    assert old.count() == 10
+    # idempotent: re-deleting the same keys commits identical contents
+    upsert.delete_keys_parquet(root, tomb, ["k"])
+    again = upsert.read_upsert_parquet(spark, root)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, live.collect()))

@@ -67,6 +67,7 @@ SCALAR_OK: set[str] = {
                                 # scores every anchor (the mining contract)
     "markov_event_stationary",  # 1-row n-types scalar broadcast onto the
                                 # k-row transition-state axis
+    "upsert_delete_keys",       # two 1-row audit aggregates cross-joined
 }
 
 
