@@ -8961,6 +8961,101 @@ def upsert_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_term_kl",
+    """
+    WITH toks AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), tk AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    support AS (
+        SELECT tok, freq FROM (
+            SELECT tok, COUNT(*) AS freq FROM tk GROUP BY tok
+            ORDER BY freq DESC, tok LIMIT 50
+        )
+    ), nsupp AS (
+        SELECT SUM(freq) AS n_corpus FROM support
+    ), sc AS (
+        SELECT tk.source, tk.tok, COUNT(*) AS c
+        FROM tk JOIN support s ON s.tok = tk.tok
+        GROUP BY tk.source, tk.tok
+    ), ns AS (
+        SELECT source, SUM(c) AS n_src FROM sc GROUP BY source
+    ), terms AS (
+        SELECT sc.source,
+               sc.c * CAST(FLOOR(
+                   (ln(CAST(sc.c AS DOUBLE)) + ln(CAST(nsupp.n_corpus AS DOUBLE))
+                    - ln(CAST(ns.n_src AS DOUBLE)) - ln(CAST(s.freq AS DOUBLE)))
+                   * 1000000000) AS BIGINT) AS t
+        FROM sc
+        JOIN ns ON ns.source = sc.source
+        JOIN support s ON s.tok = sc.tok
+        CROSS JOIN nsupp
+    ), agg AS (
+        SELECT source, CAST(SUM(t) AS BIGINT) AS s_fp9 FROM terms GROUP BY source
+    )
+    SELECT agg.source, CAST(ns.n_src AS BIGINT) AS n_support_tokens,
+           CAST(FLOOR(CAST(s_fp9 AS DOUBLE) / 1000000000 / ns.n_src * 1000000)
+                AS BIGINT) AS kl_fp6
+    FROM agg JOIN ns ON ns.source = agg.source
+    """,
+    ops=["text-kl-divergence", "stats-distribution-shift", "A3"],
+)
+def source_term_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift detector for text: per-source KL divergence of the
+    term distribution from the corpus distribution, restricted to the
+    corpus's top-50 head vocabulary (bounded support ⇒ broadcast; a
+    source missing a support term contributes 0 by the p·ln p
+    convention, and q>0 is guaranteed on the support, so no smoothing
+    is needed). Same exact-moment discipline as the Zipf/entropy
+    queries: libm only on integer counts, per-term fp9 flooring
+    before the integer sum, one final fixed-order double."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    tk = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    support = (
+        tk.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(50)
+    )
+    nsupp = support.agg(F.sum("freq").alias("n_corpus"))
+    sc = (
+        tk.join(F.broadcast(support.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ns = sc.groupBy("source").agg(F.sum("c").alias("n_src"))
+    ln = lambda c: F.log(c.cast("double"))
+    term = F.col("c") * F.floor(
+        (
+            ln(F.col("c"))
+            + ln(F.col("n_corpus"))
+            - ln(F.col("n_src"))
+            - ln(F.col("freq"))
+        )
+        * 1000000000
+    ).cast("long")
+    agg = (
+        sc.join(F.broadcast(ns), "source")
+        .join(F.broadcast(support), "tok")
+        .crossJoin(F.broadcast(nsupp))
+        .select("source", term.alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").alias("s_fp9"))
+    )
+    return agg.join(ns, "source").select(
+        "source",
+        F.col("n_src").cast("long").alias("n_support_tokens"),
+        F.floor(
+            F.col("s_fp9").cast("double") / 1000000000 / F.col("n_src") * 1000000
+        )
+        .cast("long")
+        .alias("kl_fp6"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -9121,6 +9216,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "vocab_coverage_report",
     "markov_event_stationary",
     "upsert_delete_keys",
+    "source_term_kl",
 )
 
 
