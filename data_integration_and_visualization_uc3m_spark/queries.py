@@ -9056,6 +9056,130 @@ def source_term_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fd_discovery_audit",
+    """
+    SELECT fd, n_lhs_values, n_violating_lhs, n_violating_lhs = 0 AS holds
+    FROM (
+        SELECT 'p_partkey->p_brand' AS fd,
+               COUNT(*) AS n_lhs_values,
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_lhs
+        FROM (SELECT p_partkey, COUNT(DISTINCT p_brand) AS n_rhs
+              FROM part GROUP BY p_partkey)
+        UNION ALL
+        SELECT 'p_type->p_size',
+               COUNT(*),
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT p_type, COUNT(DISTINCT p_size) AS n_rhs
+              FROM part GROUP BY p_type)
+        UNION ALL
+        SELECT 'c_nationkey->region(n_regionkey)',
+               COUNT(*),
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT c.c_nationkey, COUNT(DISTINCT n.n_regionkey) AS n_rhs
+              FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+              GROUP BY c.c_nationkey)
+    )
+    """,
+    ops=["profiling-fd-discovery", "A-distinct", "A3"],
+)
+def fd_discovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit — the schema-inference
+    step of data profiling: for candidate FDs A→B, count the LHS
+    values determining more than one RHS value. One count-distinct
+    aggregation per candidate (each a single hash shuffle on A), a
+    per-FD verdict row. Here: partkey→brand HOLDS (key discovery —
+    an FD from a candidate key always holds), type→size does not in
+    this synthetic data, and the join-induced nation→region
+    dependency holds via the FK."""
+    p = _t(spark, sf_dir, "part")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def audit(df, lhs, rhs, name):
+        g = df.groupBy(lhs).agg(
+            F.count_distinct(rhs).alias("n_rhs")
+        )
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs_values"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_lhs"),
+        )
+    joined = c.join(
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    out = (
+        audit(p, "p_partkey", "p_brand", "p_partkey->p_brand")
+        .unionByName(audit(p, "p_type", "p_size", "p_type->p_size"))
+        .unionByName(
+            audit(joined, "c_nationkey", "n_regionkey",
+                  "c_nationkey->region(n_regionkey)")
+        )
+    )
+    return out.withColumn("holds", F.col("n_violating_lhs") == 0)
+
+
+@register(
+    "session_gap_sensitivity",
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ), per_user AS (
+        SELECT user_id,
+               1 + SUM(CASE WHEN gap_us > 900000000 THEN 1 ELSE 0 END) AS s15,
+               1 + SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS s30,
+               1 + SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS s60
+        FROM g GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(s15) AS BIGINT) AS sessions_15m,
+           CAST(SUM(s30) AS BIGINT) AS sessions_30m,
+           CAST(SUM(s60) AS BIGINT) AS sessions_60m
+    FROM per_user
+    """,
+    ops=["sessionize-sweep", "window-lag-lead", "A3"],
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization parameter sweep in ONE pass: total session
+    counts under 15/30/60-minute inactivity gaps, from a single
+    per-user lag window (each threshold is one more conditional sum
+    over the same gap column — no re-scan, no re-shuffle per
+    candidate). The tuning table that picks the session gap before
+    committing the real sessionizer; exact epoch-microsecond integer
+    arithmetic end to end."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    per_user = g.groupBy("user_id").agg(
+        *[
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(F.col("gap_us") > F.lit(t * 60 * 1_000_000), 1)
+                    .otherwise(0)
+                )
+            ).alias(f"s{t}")
+            for t in (15, 30, 60)
+        ]
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("s15").cast("long").alias("sessions_15m"),
+        F.sum("s30").cast("long").alias("sessions_30m"),
+        F.sum("s60").cast("long").alias("sessions_60m"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -9217,6 +9341,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "markov_event_stationary",
     "upsert_delete_keys",
     "source_term_kl",
+    "fd_discovery_audit",
+    "session_gap_sensitivity",
 )
 
 
