@@ -16,6 +16,11 @@ identical shift/mask SQL.
 Scale: computing the key is map-side; clustering a table is then
 ``df.repartitionByRange(F.col("zkey")).sortWithinPartitions("zkey")``
 followed by the normal parquet write — each task covers one z-range.
+
+No counterpart in the reference (its Postgres tables are a few
+thousand rows with btree PKs, schema.sql:20-40 — physical layout is
+irrelevant at that size); this is a SURVEY §7 phase-E extension for
+the 100 TB warehouse the engine targets.
 """
 
 from __future__ import annotations
