@@ -342,3 +342,23 @@ def vacuum(root: str, keep_last: int = 3) -> list[str]:
             fh.write("\n".join(survivors) + "\n")
         os.replace(tmp, os.path.join(root, _MANIFEST))
     return deleted
+
+
+def table_history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE-HISTORY analogue: one row per committed version
+    (ordinal + live row count), built from the manifest's commit log.
+    The version list is metadata (driver-side, tiny by contract); the
+    counts are lazy per-snapshot aggregates unioned into one plan, so
+    nothing materializes until the caller acts. Time-travel reads of
+    any listed version remain valid until `vacuum` retires it."""
+    names = _read_history(root)
+    if not names:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    out = None
+    for i, n in enumerate(names):
+        d = spark.read.parquet(os.path.join(root, n)).agg(
+            F.lit(i).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        out = d if out is None else out.unionByName(d)
+    return out

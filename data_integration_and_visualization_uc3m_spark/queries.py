@@ -9180,6 +9180,57 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "upsert_history_report",
+    """
+    WITH v0 AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+    ), adds AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+    ), v1 AS (
+        SELECT * FROM v0 UNION ALL SELECT * FROM adds
+    ), v2 AS (
+        SELECT * FROM v1 WHERE o_orderkey % 10 <> 4
+    )
+    SELECT 0 AS version, COUNT(*) AS n_rows FROM v0
+    UNION ALL SELECT 1, COUNT(*) FROM v1
+    UNION ALL SELECT 2, COUNT(*) FROM v2
+    """,
+    ops=["K2", "table-history", "time-travel"],
+)
+def upsert_history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the versioned table
+    (operators.upsert.table_history): commit three versions — initial
+    insert, an ignore-mode batch adding new keys, a tombstone delete —
+    and report every version's ordinal and row count straight from the
+    manifest commit log. The oracle recomputes the three states
+    relationally, proving the history is faithful (each listed version
+    remains time-travel-readable until vacuum retires it)."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="sg_hist_")
+    upsert.write_upsert_parquet(
+        root, o.filter(F.col("o_orderkey") % 2 == 0), ["o_orderkey"]
+    )
+    upsert.write_upsert_parquet(
+        root,
+        o.filter(
+            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 == 0)
+        ),
+        ["o_orderkey"],
+    )
+    upsert.delete_keys_parquet(
+        root,
+        o.filter(F.col("o_orderkey") % 10 == 4).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    return upsert.table_history(spark, root)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -9343,6 +9394,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "source_term_kl",
     "fd_discovery_audit",
     "session_gap_sensitivity",
+    "upsert_history_report",
 )
 
 

@@ -33,3 +33,24 @@ def test_scd2_idempotent_reapply(spark):
     again = H.apply_changes(hist, snap, ["k"], ["v"], version=2)
     # same snapshot re-applied ⇒ no new versions, nothing closed
     assert sorted(map(tuple, hist.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_table_history_versions_and_counts(spark, tmp_path):
+    import os
+
+    from data_integration_and_visualization_uc3m_spark.operators import upsert
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df1 = spark.createDataFrame([(i, i) for i in range(6)], "k int, v int")
+    df2 = spark.createDataFrame([(i, i) for i in range(6, 9)], "k int, v int")
+    upsert.write_upsert_parquet(root, df1, ["k"])
+    upsert.write_upsert_parquet(root, df2, ["k"])
+    upsert.delete_keys_parquet(
+        root, spark.createDataFrame([(0,), (7,)], "k int"), ["k"]
+    )
+    hist = sorted(
+        (r.version, r.n_rows)
+        for r in upsert.table_history(spark, root).collect()
+    )
+    assert hist == [(0, 6), (1, 9), (2, 7)]
