@@ -9231,6 +9231,171 @@ def upsert_history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert.table_history(spark, root)
 
 
+@register(
+    "export_manifest_report",
+    """
+    WITH sharded AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x'||substr(md5('exp:'||CAST(doc_id AS VARCHAR)),1,8))
+                    AS BIGINT) % 8 AS shard,
+               CAST(('0x'||substr(md5('row:'||CAST(doc_id AS VARCHAR)),1,15))
+                    AS BIGINT) AS rh
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(rh) % 4611686018427387904 AS BIGINT) AS checksum
+    FROM sharded GROUP BY shard
+    """,
+    ops=["training-export", "table-fingerprint", "K6"],
+)
+def export_manifest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export capstone: assign every document a deterministic
+    shard (md5 bucket — re-runs produce identical shards), write the
+    corpus hive-partitioned by shard, READ THE EXPORT BACK FROM DISK,
+    and emit the integrity manifest a consumer verifies before
+    training: per shard, document count, total characters, and an
+    order-insensitive md5 checksum (DECIMAL-accumulated mod 2^62, as
+    in table_fingerprint_orders). The oracle recomputes the manifest
+    from the base table, so a hash-match proves the partitioned write
+    + read round trip is content-faithful shard by shard."""
+    import tempfile
+
+    from .operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    sharded = d.select(
+        "doc_id",
+        "n_chars",
+        (hash_bucket(F.col("doc_id"), seed="exp") % 8).alias("shard"),
+    )
+    out = tempfile.mkdtemp(prefix="sg_export_") + "/corpus"
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    rh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("row:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        back.select(F.col("shard").cast("long").alias("shard"),
+                    "n_chars", rh.alias("rh"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (F.sum(F.col("rh").cast(DEC38)) % F.lit(4611686018427387904))
+            .cast("long")
+            .alias("checksum"),
+        )
+    )
+
+
+_READINESS_Q = """
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+    ), q AS (
+        SELECT doc_id,
+               0.4 * (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                 + 0.3 * (CAST(len(list_filter(toks,
+                       x -> x IN ('the','and','of','to','in','is','a','that'))) AS DOUBLE)
+                          / len(toks)) AS quality_score
+        FROM t
+    )
+"""
+
+
+@register(
+    "corpus_release_readiness",
+    f"""
+    {_READINESS_Q}
+    SELECT 'exact_dup_rate_max' AS check_name,
+           CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) - COUNT(DISTINCT md5(text)))
+                      / COUNT(*) * 1000000) AS BIGINT) AS metric_fp6,
+           CAST(50000 AS BIGINT) AS threshold_fp6,
+           FLOOR((CAST(COUNT(*) AS DOUBLE) - COUNT(DISTINCT md5(text)))
+                 / COUNT(*) * 1000000) <= 50000 AS passed
+    FROM documents
+    UNION ALL
+    SELECT 'mean_quality_min',
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(quality_score * 1000000) AS BIGINT))
+                           AS DOUBLE) / COUNT(*)) AS BIGINT),
+           CAST(400000 AS BIGINT),
+           FLOOR(CAST(SUM(CAST(FLOOR(quality_score * 1000000) AS BIGINT))
+                      AS DOUBLE) / COUNT(*)) >= 400000
+    FROM q
+    UNION ALL
+    SELECT 'max_lang_share_max',
+           CAST(FLOOR(CAST(MAX(n) AS DOUBLE) / SUM(n) * 1000000) AS BIGINT),
+           CAST(600000 AS BIGINT),
+           FLOOR(CAST(MAX(n) AS DOUBLE) / SUM(n) * 1000000) <= 600000
+    FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+    UNION ALL
+    SELECT 'corpus_size_min',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(100 AS BIGINT),
+           COUNT(*) >= 100
+    FROM documents
+    """,
+    ops=["release-gate", "text-quality", "A3", "A-distinct"],
+)
+def corpus_release_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 200th query, fittingly the composed go/no-go RELEASE GATE a
+    data team runs before shipping a corpus: exact-duplicate rate
+    under 5%, mean quality score above the floor, dominant-language
+    share under 60%, corpus size above minimum — one row per check
+    with (metric, threshold, passed). Each check is a one-pass
+    aggregate over capabilities verified individually elsewhere
+    (dedup_exact_docs, doc_quality_score, balanced_lang_mix); the
+    quality mean is fp6-floored per document before the integer sum,
+    the dup/share ratios are fixed-order doubles over exact counts."""
+    d = _t(spark, sf_dir, "documents")
+    dup = d.agg(
+        F.lit("exact_dup_rate_max").alias("check_name"),
+        F.floor(
+            (F.count(F.lit(1)).cast("double") - F.count_distinct(F.md5("text")))
+            / F.count(F.lit(1))
+            * 1000000
+        )
+        .cast("long")
+        .alias("metric_fp6"),
+        F.lit(50000).cast("long").alias("threshold_fp6"),
+    ).withColumn("passed", F.col("metric_fp6") <= F.col("threshold_fp6"))
+    qdf = text.quality_score(d).select(
+        F.floor(F.col("quality_score") * 1000000).cast("long").alias("qfp")
+    )
+    qual = qdf.agg(
+        F.lit("mean_quality_min").alias("check_name"),
+        F.floor(F.sum("qfp").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("metric_fp6"),
+        F.lit(400000).cast("long").alias("threshold_fp6"),
+    ).withColumn("passed", F.col("metric_fp6") >= F.col("threshold_fp6"))
+    share = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.lit("max_lang_share_max").alias("check_name"),
+            F.floor(F.max("n").cast("double") / F.sum("n") * 1000000)
+            .cast("long")
+            .alias("metric_fp6"),
+            F.lit(600000).cast("long").alias("threshold_fp6"),
+        )
+        .withColumn("passed", F.col("metric_fp6") <= F.col("threshold_fp6"))
+    )
+    size = d.agg(
+        F.lit("corpus_size_min").alias("check_name"),
+        F.count(F.lit(1)).alias("metric_fp6"),
+        F.lit(100).cast("long").alias("threshold_fp6"),
+    ).withColumn("passed", F.col("metric_fp6") >= F.col("threshold_fp6"))
+    return dup.unionByName(qual).unionByName(share).unionByName(size)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -9395,6 +9560,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "fd_discovery_audit",
     "session_gap_sensitivity",
     "upsert_history_report",
+    "export_manifest_report",
+    "corpus_release_readiness",
 )
 
 
