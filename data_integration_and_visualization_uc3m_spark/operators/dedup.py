@@ -105,6 +105,69 @@ def ngram_set(
     return df.select(F.col(id_col), F.explode(distinct_ngrams).alias("shingle"))
 
 
+def char_gram_set(
+    df: DataFrame, k: int = 30, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct character k-gram (sliding window) relation per document
+    — the candidate unit of EXACT-SUBSTRING dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): two
+    documents that share ANY length-k character window share a verbatim
+    substring of length ≥ k, the strongest (and cheapest to verify)
+    duplication signal a training corpus has. The suffix-array build
+    the paper uses is a single-machine construction; the distributed
+    re-expression is this window relation + the same grouped pair
+    machinery as every other set-similarity operator here.
+
+    Windows are md5-hashed IN-ROW (the 128-bit hex replaces the k-char
+    payload before the explode, so the shuffled relation carries 32-byte
+    keys, not document text), and deduped in-row (``array_distinct``)
+    like every set relation in this module — zero shuffles until the
+    consumer aggregates. Documents shorter than k contribute their
+    whole text as the single window (substring truncates identically in
+    both engines).
+    """
+    txt = F.col(text_col)
+    n_pos = F.greatest(F.length(txt) - k + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_pos),
+        lambda p: F.md5(F.substring(txt, p, F.lit(k))),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    k: int = 30,
+    max_df_frac: float = 0.02,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents sharing ≥1 verbatim length-k character window, with
+    the shared-window count and each side's window-set size (the
+    containment of the windows bounds how much of the shorter document
+    is verbatim-duplicated text).
+
+    Same scale story as word-shingle Jaccard: the df cap bounds
+    Σ df(gram)² candidate volume (a boilerplate header window shared by
+    1% of the corpus must not fan out quadratically), and the grouped
+    pair-explode does one shuffle of the window relation. At 100 TB
+    k-char windows outnumber word shingles ~5×; the md5-key shuffle
+    stays uniform, and the df cap is the knob that keeps the pair stage
+    bounded.
+    """
+    sets = df_capped_sets(
+        char_gram_set(df, k, id_col, text_col),
+        max_df_frac=max_df_frac,
+        id_col=id_col,
+        item_col="gram",
+    )
+    return _pair_intersections(sets, id_col=id_col, item_col="gram").select(
+        "id_a", "id_b", "n_common", "size_a", "size_b"
+    )
+
+
 def df_capped_sets(
     sets_df: DataFrame,
     max_df_frac: float = 0.01,

@@ -9396,6 +9396,49 @@ def corpus_release_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup.unionByName(qual).unionByName(share).unionByName(size)
 
 
+@register(
+    "verbatim_window_pairs",
+    """
+    WITH g AS (
+        SELECT DISTINCT doc_id,
+               md5(substr(text, CAST(p AS INTEGER), 30)) AS gram
+        FROM documents,
+             unnest(range(1, greatest(len(text) - 29, 1) + 1)) AS t(p)
+    ), tot AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM g
+    ), kept AS (
+        SELECT gram FROM g, tot
+        GROUP BY gram, n_docs
+        HAVING COUNT(*) <= FLOOR(0.02 * n_docs)
+    ), s AS (
+        SELECT g.doc_id, g.gram FROM g JOIN kept USING (gram)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM s a JOIN s b USING (gram)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_common, sa.sz AS size_a, sb.sz AS size_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    """,
+    ops=["exact-substring-dedup", "A-dedup", "set-similarity"],
+)
+def verbatim_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs: documents sharing ≥1 verbatim
+    30-character window (Lee et al. 2022's strongest dup signal,
+    re-expressed as the distributed window-relation + grouped
+    pair-explode — see operators/dedup.py:char_gram_set). Shared-window
+    count and window-set sizes let downstream rank by verbatim
+    coverage. The df cap bounds candidate volume exactly as in the
+    word-shingle family."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return dedup.exact_substring_pairs(d, k=30, max_df_frac=0.02)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -9562,6 +9605,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "upsert_history_report",
     "export_manifest_report",
     "corpus_release_readiness",
+    "verbatim_window_pairs",
 )
 
 

@@ -388,3 +388,43 @@ def test_bigram_lift_respects_floor_and_k(spark):
     assert T.bigram_lift(df, min_pair_count=3, k=5).count() == 0
     all_pairs = T.bigram_lift(df, min_pair_count=1, k=2).collect()
     assert len(all_pairs) == 2  # k caps the output
+
+
+def test_char_gram_set_window_count_and_short_doc(spark):
+    d = docs(spark, [(1, "abcdefgh"), (2, "ab")])
+    got = (
+        dedup.char_gram_set(d, k=5)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {r.doc_id: r.n for r in got}
+    # len 8, k 5 → 4 windows; doc shorter than k → its whole text, 1 window
+    assert counts == {1: 4, 2: 1}
+
+
+def test_exact_substring_pairs_shared_verbatim_window(spark):
+    shared = "THIS EXACT RUN OF CHARACTERS IS SHARED"
+    d = docs(
+        spark,
+        [
+            (1, "prefix one " + shared + " tail a"),
+            (2, "other start " + shared + " tail b"),
+            (3, "nothing in common with the rest at all"),
+        ],
+    )
+    got = dedup.exact_substring_pairs(d, k=20, max_df_frac=1.0).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    row = next(r for r in got if (r.id_a, r.id_b) == (1, 2))
+    # the full common run is " " + shared + " tail " (45 chars, both docs
+    # continue with ' tail'): 45 - 20 + 1 = 26 shared windows
+    assert row.n_common == 26
+
+
+def test_exact_substring_pairs_df_cap_drops_boilerplate(spark):
+    # the same window in EVERY doc is boilerplate → capped out, no pairs
+    d = docs(spark, [(i, "IDENTICAL BOILERPLATE LINE") for i in range(1, 6)])
+    got = dedup.exact_substring_pairs(d, k=10, max_df_frac=0.5).collect()
+    assert got == []
