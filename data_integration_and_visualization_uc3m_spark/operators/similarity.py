@@ -300,6 +300,76 @@ def quantize_embeddings(
     return staged.select(id_col, "scale", codes.alias("codes"), "dim")
 
 
+def semdedup(
+    df: DataFrame,
+    seeds: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space near
+    duplicates found by (1) assigning every vector to its nearest
+    coarse centroid, then (2) exact cosine pairs ONLY within a cluster
+    — the all-pairs O(n²) collapses to per-cluster blocks exactly like
+    the paper's k-means partitioning. Policy: within a cluster, any
+    vector with a ≥``threshold`` cosine neighbor of smaller id is
+    flagged a duplicate (keep-lowest-id, the deterministic stand-in
+    for the paper's keep-one-per-group).
+
+    The centroid codebook is a literal array in the plan (broadcast
+    equivalent), so assignment is entirely map-side: per-seed cosine
+    via the left-fold dot product, argmax via ``array_max`` over
+    (cos, -seed, seed) structs — larger cosine wins, ties go to the
+    smaller seed id. No shuffle until the within-cluster pair join.
+    At 100 TB the codebook comes from a trained coarse quantizer
+    (cluster count sized so blocks stay bounded, cf. ivf_topk) and the
+    corpus is stored partitioned by cluster id.
+
+    Returns one verdict row per non-degenerate vector:
+    (id, cluster, is_dup). Zero-norm vectors are dropped up front
+    (cosine undefined; same guard as cosine_pairs_blocked).
+    """
+    v = F.col(vec_col)
+    staged = df.select(
+        F.col(id_col), v.alias("_v"), F.sqrt(_dot(v, v)).alias("_norm")
+    ).filter(F.col("_norm") > 0)
+    choices = []
+    for i, s in enumerate(seeds):
+        sarr = F.array(*[F.lit(float(x)) for x in s])
+        cos_i = _dot(F.col("_v"), sarr) / (
+            F.col("_norm") * F.sqrt(_dot(sarr, sarr))
+        )
+        choices.append(
+            F.struct(
+                cos_i.alias("c"),
+                F.lit(-i).alias("ns"),
+                F.lit(i).alias("sid"),
+            )
+        )
+    cluster = F.array_max(F.array(*choices)).getField("sid")
+    assigned = staged.select(
+        F.col(id_col), F.col("_v").alias(vec_col), cluster.alias("cluster")
+    )
+    pairs = cosine_pairs_blocked(
+        assigned,
+        block_col="cluster",
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    dups = (
+        pairs.select(F.col("vec_b").alias(id_col))
+        .distinct()
+        .withColumn("_is_dup", F.lit(True))
+    )
+    return assigned.join(dups, id_col, "left").select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.coalesce(F.col("_is_dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
 def hard_negatives(
     df: DataFrame,
     anchors: DataFrame,

@@ -9439,6 +9439,68 @@ def verbatim_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_substring_pairs(d, k=30, max_df_frac=0.02)
 
 
+@register(
+    "semdedup_verdicts",
+    """
+    WITH seeds AS (
+        SELECT vec_id AS seed_id, embedding AS sv
+        FROM embeddings WHERE vec_id < 8
+    ), base AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS norm
+        FROM embeddings
+    ), nz AS (
+        SELECT * FROM base WHERE norm > 0
+    ), scored AS (
+        SELECT b.vec_id, s.seed_id,
+               list_sum(list_transform(list_zip(b.embedding, s.sv),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (b.norm
+                  * sqrt(list_sum(list_transform(list_zip(s.sv, s.sv),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+                 AS cos
+        FROM nz b, seeds s
+    ), assigned AS (
+        SELECT vec_id, CAST(seed_id AS INTEGER) AS cluster FROM (
+            SELECT vec_id, seed_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, seed_id) AS rn
+            FROM scored) WHERE rn = 1
+    ), dups AS (
+        SELECT DISTINCT a2.vec_id AS dup_id
+        FROM assigned a1
+        JOIN assigned a2
+          ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+        JOIN nz b1 ON b1.vec_id = a1.vec_id
+        JOIN nz b2 ON b2.vec_id = a2.vec_id
+        WHERE list_sum(list_transform(list_zip(b1.embedding, b2.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (b1.norm * b2.norm) >= 0.4
+    )
+    SELECT a.vec_id, a.cluster,
+           (a.vec_id IN (SELECT dup_id FROM dups)) AS is_dup
+    FROM assigned a
+    """,
+    ops=["semdedup", "similarity-blocked", "embedding-near-dup"],
+)
+def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: the 8 lowest-id vectors act
+    as the deterministic coarse codebook (a trained quantizer at
+    scale), assignment is map-side against the broadcast codebook, and
+    near-dup flags come from within-cluster exact cosine pairs
+    (operators/similarity.py:semdedup). One verdict row per vector."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in e.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return similarity.semdedup(e, seeds, threshold=0.4)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -9606,6 +9668,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "export_manifest_report",
     "corpus_release_readiness",
     "verbatim_window_pairs",
+    "semdedup_verdicts",
 )
 
 

@@ -154,3 +154,24 @@ def test_hard_negatives_label_and_k_contract(spark):
     # vec 5 ([0.8, 0.6]) is the hardest negative for [1, 0] — must rank first
     best = max(out, key=lambda r: r.cosine)
     assert best.vec_id == 5
+
+
+def test_semdedup_flags_within_cluster_near_dup_keep_lowest(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import similarity
+
+    # seeds span two directions; 1≈2 (near-dup, same cluster), 3 alone,
+    # 4 is a zero vector (degenerate → dropped from the verdicts)
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.001]),
+        (3, [0.0, 1.0]),
+        (4, [0.0, 0.0]),
+    ]
+    e = vecs(spark, rows)
+    seeds = [[1.0, 0.0], [0.0, 1.0]]
+    got = {r.vec_id: r for r in similarity.semdedup(e, seeds, threshold=0.95).collect()}
+    assert set(got) == {1, 2, 3}  # zero vector dropped
+    assert got[1].cluster == 0 and got[2].cluster == 0 and got[3].cluster == 1
+    assert not got[1].is_dup  # lowest id survives
+    assert got[2].is_dup     # its near-dup is flagged
+    assert not got[3].is_dup  # different cluster, never paired
