@@ -168,6 +168,55 @@ def exact_substring_pairs(
     )
 
 
+def split_leakage_pairs(
+    df: DataFrame,
+    holdout_frac: float = 0.2,
+    seed: str = "split",
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/holdout CONTAMINATION audit: near-duplicate pairs that
+    cross a deterministic hash split — the eval-set leakage check every
+    training pipeline needs before trusting held-out metrics (a
+    held-out document whose near-dup sits in train is a leaked label).
+
+    The split is the same md5-bucket primitive as the samplers
+    (operators/sampling.py:hash_bucket — map-side, reproducible across
+    runs and engines); near-dup pairs come from the word-n-gram Jaccard
+    core, so the scale bounds are inherited unchanged. The split labels
+    join back onto the pair relation by each side's id (two broadcast-
+    sized probes of the verdict-carrying scan at this SF; at 100 TB the
+    id→split map is a pure recomputation of the hash, so the join can
+    be replaced by re-deriving the bucket on each pair side — zero
+    extra scans).
+    """
+    from .sampling import HASH_SPACE, hash_bucket
+
+    thr = int(holdout_frac * HASH_SPACE)
+    split = (
+        F.when(hash_bucket(F.col(id_col), seed) < F.lit(thr), F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split")
+    )
+    sets = ngram_set(df, n, id_col, text_col)
+    pairs = jaccard_pairs(sets, id_col=id_col, item_col="shingle", threshold=threshold)
+    splits = df.select(F.col(id_col), split)
+    sa = splits.select(
+        F.col(id_col).alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
 def df_capped_sets(
     sets_df: DataFrame,
     max_df_frac: float = 0.01,

@@ -9501,6 +9501,51 @@ def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(e, seeds, threshold=0.4)
 
 
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH {_SHINGLES_CTE}, sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    ), pairs AS (
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE)
+                 / (sa.set_size + sb.set_size - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_common) >= 0.5
+    ), splits AS (
+        SELECT doc_id,
+               CASE WHEN CAST(('0x'||substring(
+                        md5('split:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+                        < CAST(FLOOR(0.2 * 4294967296) AS BIGINT)
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT p.id_a, p.id_b, a.split AS split_a, b.split AS split_b, p.jaccard
+    FROM pairs p
+    JOIN splits a ON a.doc_id = p.id_a
+    JOIN splits b ON b.doc_id = p.id_b
+    WHERE a.split <> b.split
+    """,
+    ops=["split-leakage", "dedup-jaccard", "hash-split"],
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit: word-3-gram Jaccard near-dup pairs
+    (t=0.5) that CROSS a deterministic 80/20 md5 train/holdout split —
+    each surviving row is a held-out document whose near-duplicate
+    leaked into train (operators/dedup.py:split_leakage_pairs)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return dedup.split_leakage_pairs(
+        d, holdout_frac=0.2, seed="split", threshold=0.5, n=3
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -9669,6 +9714,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "corpus_release_readiness",
     "verbatim_window_pairs",
     "semdedup_verdicts",
+    "split_leakage_audit",
 )
 
 

@@ -428,3 +428,30 @@ def test_exact_substring_pairs_df_cap_drops_boilerplate(spark):
     d = docs(spark, [(i, "IDENTICAL BOILERPLATE LINE") for i in range(1, 6)])
     got = dedup.exact_substring_pairs(d, k=10, max_df_frac=0.5).collect()
     assert got == []
+
+
+def test_split_leakage_pairs_only_cross_split(spark):
+    from data_integration_and_visualization_uc3m_spark.operators.sampling import (
+        HASH_SPACE,
+        hash_bucket,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i % 2}") for i in range(1, 9)]
+    d = docs(spark, rows)
+    # ground-truth splits via the same hash primitive
+    frac = 0.5
+    splits = {
+        r.doc_id: ("holdout" if r.b < int(frac * HASH_SPACE) else "train")
+        for r in d.select(
+            "doc_id", hash_bucket(F.col("doc_id"), "split").alias("b")
+        ).collect()
+    }
+    got = dedup.split_leakage_pairs(
+        d, holdout_frac=frac, seed="split", threshold=0.8
+    ).collect()
+    assert got, "near-identical docs across splits must produce leak rows"
+    for r in got:
+        assert r.split_a != r.split_b
+        assert splits[r.id_a] == r.split_a and splits[r.id_b] == r.split_b
+        assert r.jaccard >= 0.8
