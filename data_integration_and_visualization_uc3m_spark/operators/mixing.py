@@ -113,3 +113,64 @@ def mix_apply(
         .filter(hash_bucket(F.col(id_col), seed) < F.col("__threshold"))
         .drop("__threshold")
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    seed: str = "cur0",
+) -> DataFrame:
+    """Curriculum ordering: a deterministic global training order that
+    presents higher-quality buckets first, shuffled within each bucket
+    (quality-bucket curriculum — coarse difficulty phases with
+    randomized order inside a phase, so the model never sees a
+    quality-sorted gradient *within* a batch).
+
+    Bucketing uses FIXED thresholds (``floor(quality * n_buckets)`` on
+    a [0,1] score), not ntile: an ntile needs a global sort of the
+    corpus, a fixed-bin bucket is a map-side expression. The global
+    rank is then assembled scale-safely:
+
+    - within-bucket rank: ``row_number`` over (md5, id) partitioned by
+      bucket — one shuffle, the same shape as ``training_shuffle``;
+    - bucket offsets: the bucket-size aggregate (≤ ``n_buckets`` rows)
+      cumulated with a window over that TINY relation and broadcast
+      back.
+
+    ``curriculum_rank = offset(higher-quality buckets) + within-bucket
+    rank`` — a total order identical on any cluster layout, with no
+    global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    q = F.col(quality_col)
+    bucket = F.least(
+        F.floor(q * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    )
+    b = docs.select(
+        F.col(id_col), q.alias("quality"), bucket.alias("bucket")
+    )
+    w_in = Window.partitionBy("bucket").orderBy(
+        hash_bucket(F.col(id_col), seed), F.col(id_col)
+    )
+    ranked = b.withColumn("bucket_rank", F.row_number().over(w_in).cast("long"))
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # offset = rows in strictly higher-quality buckets (descending order)
+    w_off = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    return ranked.join(F.broadcast(offsets), "bucket").select(
+        F.col(id_col),
+        "quality",
+        "bucket",
+        (F.col("offset") + F.col("bucket_rank")).alias("curriculum_rank"),
+    )

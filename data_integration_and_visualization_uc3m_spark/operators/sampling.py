@@ -218,3 +218,36 @@ def training_shuffle(
         out.withColumn("shuffle_rank", F.row_number().over(w).cast("int"))
         .drop("_h")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str,
+    seed: str = "cap",
+) -> DataFrame:
+    """Frequency capping: keep at most ``cap`` rows per group, chosen
+    by deterministic hash rank — the per-domain/per-source cap every
+    web-scale corpus applies so one crawl host can't dominate training
+    (the CCNet/RefinedWeb "head domains" mitigation).
+
+    The pick is ``row_number`` over (md5 rank, key tiebreak) inside
+    each group: stable across runs, engines, and cluster layouts —
+    re-running the cap after new data arrives keeps previously-kept
+    rows kept (their hash rank only improves as the threshold fills).
+
+    Scale: one shuffle on the group key. The row_number-then-filter
+    shape is recognized by Spark's WindowGroupLimit rewrite (3.5+), so
+    each partition keeps only ``cap`` rows per group BEFORE the
+    exchange — a skewed mega-domain never materializes its full rank
+    list on one task.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("_cap_rk", F.row_number().over(w))
+        .filter(F.col("_cap_rk") <= cap)
+        .drop("_cap_rk")
+    )

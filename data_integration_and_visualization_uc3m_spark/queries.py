@@ -9546,6 +9546,129 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_frequency_cap",
+    """
+    WITH rk AS (
+        SELECT source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(('0x'||substring(
+                               md5('cap:'||CAST(doc_id AS VARCHAR)),1,8))
+                            AS BIGINT),
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(CASE WHEN rk <= 20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM rk GROUP BY source
+    """,
+    ops=["frequency-cap", "A3", "hash-sample"],
+)
+def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping (the head-domain mitigation): at
+    most 20 docs per source by deterministic hash rank
+    (operators/sampling.py:cap_per_group — WindowGroupLimit shape, no
+    full rank list per group), reported as kept/dropped per source."""
+    d = _t(spark, sf_dir, "documents")
+    kept = sampling.cap_per_group(d, "source", 20, "doc_id", seed="cap")
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    keptc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return totals.join(keptc, "source").select(
+        "source",
+        "n_total",
+        "n_kept",
+        (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+    )
+
+
+@register(
+    "curriculum_order_docs",
+    f"""
+    WITH q AS ({REGISTRY["doc_quality_score"].oracle}), b AS (
+        SELECT doc_id, quality_score AS quality,
+               LEAST(CAST(FLOOR(quality_score * 10) AS INTEGER), 9) AS bucket
+        FROM q
+    ), ranked AS (
+        SELECT doc_id, quality, bucket,
+               row_number() OVER (
+                   PARTITION BY bucket
+                   ORDER BY CAST(('0x'||substring(
+                               md5('cur0:'||CAST(doc_id AS VARCHAR)),1,8))
+                            AS BIGINT),
+                            doc_id) AS bucket_rank
+        FROM b
+    ), sizes AS (
+        SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket
+    ), offsets AS (
+        SELECT bucket,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY bucket DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS off
+        FROM sizes
+    )
+    SELECT r.doc_id, r.quality, r.bucket,
+           CAST(o.off + r.bucket_rank AS BIGINT) AS curriculum_rank
+    FROM ranked r JOIN offsets o ON o.bucket = r.bucket
+    """,
+    ops=["curriculum", "hash-shuffle", "window"],
+)
+def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucket curriculum: global training order presenting
+    higher-quality buckets first, hash-shuffled within a bucket,
+    assembled without any global sort
+    (operators/mixing.py:curriculum_order)."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_score(d).select("doc_id", "quality_score")
+    return mixing.curriculum_order(q, "quality_score", n_buckets=10, seed="cur0")
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    """
+    WITH t AS (
+        SELECT lang, length(text) AS n_chars,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(approx_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS BIGINT)
+             AS chars_per_token,
+           CAST(SUM(approx_bpe_tokens) AS DOUBLE)
+             / CAST(SUM(n_tokens) AS BIGINT) AS bpe_per_ws_token
+    FROM t GROUP BY lang
+    """,
+    ops=["tokenizer-fertility", "text-tokens", "A3"],
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: chars per whitespace token and
+    BPE-estimate tokens per whitespace token — the per-language cost
+    profile that drives corpus mixing budgets. Exact integer sums,
+    ratios as doubles of identical operands."""
+    d = _t(spark, sf_dir, "documents")
+    st = text.token_stats(d)
+    joined = st.join(d.select("doc_id", "lang"), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("approx_bpe_tokens").alias("sum_bpe_tokens"),
+        (F.sum("n_chars").cast("double") / F.sum("n_tokens")).alias(
+            "chars_per_token"
+        ),
+        (F.sum("approx_bpe_tokens").cast("double") / F.sum("n_tokens")).alias(
+            "bpe_per_ws_token"
+        ),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -9715,6 +9838,9 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "verbatim_window_pairs",
     "semdedup_verdicts",
     "split_leakage_audit",
+    "source_frequency_cap",
+    "curriculum_order_docs",
+    "tokenizer_fertility_by_lang",
 )
 
 

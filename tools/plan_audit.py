@@ -68,6 +68,7 @@ SCALAR_OK: set[str] = {
     "markov_event_stationary",  # 1-row n-types scalar broadcast onto the
                                 # k-row transition-state axis
     "upsert_delete_keys",       # two 1-row audit aggregates cross-joined
+    "verbatim_window_pairs",    # 1-row corpus count broadcast (df-cap threshold)
     "source_term_kl",           # 1-row support-mass scalar broadcast
 }
 
