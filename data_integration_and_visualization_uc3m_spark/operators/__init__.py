@@ -24,4 +24,5 @@ idiomatic, Catalyst-friendly Spark:
     timeseries  daily-grid resample + forward-fill (no range join)
     mixing      corpus composition plan + md5-threshold materialization
     graph       fixed-point weighted PageRank (iterative, bit-exact)
+    linkage     entity resolution: length-band blocked fuzzy value match
 """

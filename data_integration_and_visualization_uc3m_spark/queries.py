@@ -53,6 +53,7 @@ from .operators import (
     graph,
     joins,
     linalg,
+    linkage,
     mixing,
     multimodal,
     packing,
@@ -9669,6 +9670,121 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_part_name_pairs",
+    """
+    WITH n AS (
+        SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance,
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+    FROM n a JOIN n b ON a.name < b.name
+    WHERE abs(len(a.name) - len(b.name)) <= 3
+      AND levenshtein(a.name, b.name) <= 3
+    """,
+    ops=["entity-resolution", "fuzzy-join", "blocking"],
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part-name vocabulary: value pairs
+    within edit distance 3, found with lossless length-band blocking
+    (operators/linkage.py:fuzzy_name_pairs) — the oracle spells the
+    quadratic all-pairs form the blocking provably equals."""
+    p = _t(spark, sf_dir, "part")
+    return linkage.fuzzy_name_pairs(p, "p_name", max_distance=3)
+
+
+@register(
+    "cv_fold_stats",
+    """
+    WITH f AS (
+        SELECT CAST(CAST(('0x'||substring(
+                   md5('cv:'||CAST(o_orderkey AS VARCHAR)),1,8)) AS BIGINT)
+                   % 5 AS INTEGER) AS fold,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+    ), per AS (
+        SELECT fold, COUNT(*) AS n_orders, SUM(price) AS rev
+        FROM f GROUP BY fold
+    ), tot AS (
+        SELECT SUM(price) AS trev, COUNT(*) AS tn FROM f
+    )
+    SELECT fold, n_orders,
+           CAST(rev AS DOUBLE) AS fold_revenue,
+           CAST(trev - rev AS DOUBLE) / (tn - n_orders) AS oof_mean_price
+    FROM per, tot
+    """,
+    ops=["cv-folds", "hash-split", "A3"],
+)
+def cv_fold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-fold cross-validation assignment (deterministic md5 folds,
+    k=5) with per-fold counts, exact DECIMAL revenue, and the
+    out-of-fold mean price (the leave-one-fold-out statistic a target
+    encoder needs). The corpus-level totals are a 1-row broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.select(
+        (sampling.hash_bucket(F.col("o_orderkey"), "cv") % 5)
+        .cast("int")
+        .alias("fold"),
+        _dec2("o_totalprice").alias("price"),
+    )
+    per = f.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("price").alias("rev")
+    )
+    tot = f.agg(
+        F.sum("price").alias("trev"), F.count(F.lit(1)).alias("tn")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n_orders",
+        F.col("rev").cast("double").alias("fold_revenue"),
+        (
+            (F.col("trev") - F.col("rev")).cast("double")
+            / (F.col("tn") - F.col("n_orders"))
+        ).alias("oof_mean_price"),
+    )
+
+
+@register(
+    "quality_classifier_filter",
+    f"""
+    WITH q AS ({REGISTRY["doc_quality_score"].oracle}), z AS (
+        SELECT doc_id,
+               CAST(-0.8 AS DOUBLE) + CAST(1.2 AS DOUBLE) * type_token_ratio
+                    + CAST(2.0 AS DOUBLE) * stopword_ratio
+                    + CAST(0.002 AS DOUBLE) * n_tokens AS z
+        FROM q
+    )
+    SELECT doc_id, z / (1 + abs(z)) AS score,
+           z / (1 + abs(z)) >= 0.25 AS keep
+    FROM z
+    """,
+    ops=["model-quality-filter", "text-quality"],
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-weight linear quality classifier (the deterministic
+    stand-in for a fastText-style corpus filter): z = b + w·features
+    over the quality components, squashed with the RATIONAL sigmoid
+    z/(1+|z|) — same monotonicity as logistic, but exact IEEE
+    arithmetic on both engines (libm exp() rounding is not
+    cross-engine portable, rational ops are). keep = score ≥ 0.25."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_score(d)
+    z = (
+        F.lit(-0.8)
+        + F.lit(1.2) * F.col("type_token_ratio")
+        + F.lit(2.0) * F.col("stopword_ratio")
+        + F.lit(0.002) * F.col("n_tokens")
+    )
+    staged = q.select(F.col("doc_id"), z.alias("z"))
+    score = F.col("z") / (F.lit(1) + F.abs(F.col("z")))
+    return staged.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= F.lit(0.25)).alias("keep"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -9841,6 +9957,9 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "source_frequency_cap",
     "curriculum_order_docs",
     "tokenizer_fertility_by_lang",
+    "fuzzy_part_name_pairs",
+    "cv_fold_stats",
+    "quality_classifier_filter",
 )
 
 

@@ -69,6 +69,7 @@ SCALAR_OK: set[str] = {
                                 # k-row transition-state axis
     "upsert_delete_keys",       # two 1-row audit aggregates cross-joined
     "verbatim_window_pairs",    # 1-row corpus count broadcast (df-cap threshold)
+    "cv_fold_stats",            # 1-row fold-totals broadcast (leave-one-out mean)
     "source_term_kl",           # 1-row support-mass scalar broadcast
 }
 
