@@ -174,3 +174,50 @@ def curriculum_order(
         "bucket",
         (F.col("offset") + F.col("bucket_rank")).alias("curriculum_rank"),
     )
+
+
+def epoch_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    token_col: str = "tokens",
+) -> DataFrame:
+    """Multi-epoch corpus budgeting: given a total token budget and
+    target mix weights, how many PASSES (epochs) over each source does
+    the training run make? Scarce high-weight sources repeat
+    (epochs > 1, the standard up-sampling of curated sources);
+    abundant sources are sub-sampled (epochs < 1).
+
+    Per source: ``target_tokens = floor(budget · w / Σw)`` and
+    ``epochs_fp6 = floor(target / available · 10⁶)`` — fixed-point so
+    the ratio is oracle-exact. Shape: one per-source aggregate (tiny),
+    everything else map-side arithmetic; the corpus itself is never
+    shuffled by planning.
+    """
+    _check_weights(weights)
+    wsum = float(sum(weights.values()))
+    counts = (
+        docs.filter(_weight_expr(weights, source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).alias("avail_tokens"),
+        )
+        .withColumn("weight", _weight_expr(weights, source_col))
+    )
+    target = F.floor(
+        F.lit(float(token_budget)) * F.col("weight") / F.lit(wsum)
+    ).cast("long")
+    return counts.select(
+        source_col,
+        "n_docs",
+        "avail_tokens",
+        "weight",
+        target.alias("target_tokens"),
+        F.floor(
+            target.cast("double") / F.col("avail_tokens") * 1000000
+        )
+        .cast("long")
+        .alias("epochs_fp6"),
+    )

@@ -86,3 +86,31 @@ def key_histogram(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys])
         .limit(top_n)
     )
+
+
+def self_join_blowup(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-planning diagnostic: the EXACT output cardinality a self
+    equi-join on ``key_col`` would produce (Σ count(k)²), its blowup
+    factor over the input size, and the hottest key's share — the
+    numbers that decide between a plain shuffle join, salting, or a
+    df-cap BEFORE the join is ever run. One groupBy + a 1-row
+    aggregate; integer-exact.
+    """
+    c = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    sq = F.col("cnt") * F.col("cnt")
+    t = c.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(sq).alias("predicted_pairs"),
+        F.max(sq).alias("max_key_pairs"),
+    )
+    return t.select(
+        "n_rows",
+        "predicted_pairs",
+        "max_key_pairs",
+        (F.col("predicted_pairs").cast("double") / F.col("n_rows")).alias(
+            "blowup_factor"
+        ),
+        (
+            F.col("max_key_pairs").cast("double") / F.col("predicted_pairs")
+        ).alias("top_key_share"),
+    )

@@ -9785,6 +9785,142 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "canonical_part_names",
+    """
+    WITH RECURSIVE n AS (
+        SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY p_name
+    ), pairs AS (
+        SELECT a.name AS name_a, b.name AS name_b
+        FROM n a JOIN n b ON a.name < b.name
+        WHERE abs(len(a.name) - len(b.name)) <= 3
+          AND levenshtein(a.name, b.name) <= 3
+    ), edges AS (
+        SELECT name_a AS u, name_b AS v FROM pairs
+        UNION SELECT name_b, name_a FROM pairs
+    ), reach(u, label) AS (
+        SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ), cl AS (
+        SELECT u AS name, MIN(label) AS cluster_id FROM reach GROUP BY u
+    ), withm AS (
+        SELECT cl.name, cl.cluster_id, n.n_rows
+        FROM cl JOIN n ON n.name = cl.name
+    ), canon AS (
+        SELECT cluster_id, name AS canonical_name FROM (
+            SELECT cluster_id, name,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_rows DESC, name) AS rn
+            FROM withm) WHERE rn = 1
+    )
+    SELECT w.name, w.cluster_id, c.canonical_name, w.n_rows,
+           w.name = c.canonical_name AS is_canonical
+    FROM withm w JOIN canon c ON c.cluster_id = w.cluster_id
+    """,
+    ops=["entity-resolution", "connected-components", "canonicalize"],
+)
+def canonical_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity MERGE, completing the linkage pipeline: fuzzy name pairs
+    → connected components over the match graph → one canonical
+    spelling per cluster (highest row multiplicity, lexicographic
+    tiebreak). The value-level analogue of dedup survivor selection;
+    the oracle replays the fixpoint as a recursive CTE."""
+    p = _t(spark, sf_dir, "part")
+    vocab = linkage.name_vocabulary(p, "p_name")
+    pairs = linkage.fuzzy_name_pairs(p, "p_name", max_distance=3).select(
+        "name_a", "name_b"
+    )
+    cc = dedup.connected_components(pairs, "name_a", "name_b")
+    joined = cc.join(vocab, cc["doc_id"] == vocab["name"]).select(
+        "name", "cluster_id", "n_rows"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_rows").desc(), F.col("name")
+    )
+    canon = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col("name").alias("canonical_name"))
+    )
+    return joined.join(canon, "cluster_id").select(
+        "name",
+        "cluster_id",
+        "canonical_name",
+        "n_rows",
+        (F.col("name") == F.col("canonical_name")).alias("is_canonical"),
+    )
+
+
+@register(
+    "epoch_mixing_plan",
+    """
+    WITH t AS (
+        SELECT source, CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens
+        FROM documents
+    ), c AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS avail_tokens,
+               CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                           WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                           WHEN 'src2' THEN CAST(0.2 AS DOUBLE) END AS weight
+        FROM t WHERE source IN ('src0', 'src1', 'src2')
+        GROUP BY source
+    )
+    SELECT source, n_docs, avail_tokens, weight,
+           CAST(FLOOR(CAST(100000 AS DOUBLE) * weight / CAST(1.0 AS DOUBLE))
+                AS BIGINT) AS target_tokens,
+           CAST(FLOOR(CAST(CAST(FLOOR(CAST(100000 AS DOUBLE) * weight
+                                      / CAST(1.0 AS DOUBLE)) AS BIGINT)
+                           AS DOUBLE) / avail_tokens * 1000000)
+                AS BIGINT) AS epochs_fp6
+    FROM c
+    """,
+    ops=["epoch-plan", "corpus-mixing", "A3"],
+)
+def epoch_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch token budgeting (operators/mixing.py:epoch_plan):
+    100k-token budget split 50/30/20 across three sources; scarce
+    sources show epochs_fp6 > 10⁶ (repeat passes), abundant ones < 10⁶
+    (sub-sampling)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("tokens"),
+    )
+    return mixing.epoch_plan(
+        toks,
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        token_budget=100000,
+    )
+
+
+@register(
+    "self_join_blowup_events",
+    """
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), t AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS predicted_pairs,
+               CAST(MAX(cnt * cnt) AS BIGINT) AS max_key_pairs
+        FROM c
+    )
+    SELECT n_rows, predicted_pairs, max_key_pairs,
+           CAST(predicted_pairs AS DOUBLE) / n_rows AS blowup_factor,
+           CAST(max_key_pairs AS DOUBLE) / predicted_pairs AS top_key_share
+    FROM t
+    """,
+    ops=["join-planning", "skew-diagnostic", "A3"],
+)
+def self_join_blowup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact self-join cardinality prediction on events.user_id
+    (operators/skew.py:self_join_blowup) — the Σcount² number that
+    decides between plain shuffle join, salting, or a pre-join cap."""
+    e = _t(spark, sf_dir, "events")
+    return skew.self_join_blowup(e, "user_id")
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -9960,6 +10096,9 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "fuzzy_part_name_pairs",
     "cv_fold_stats",
     "quality_classifier_filter",
+    "canonical_part_names",
+    "epoch_mixing_plan",
+    "self_join_blowup_events",
 )
 
 

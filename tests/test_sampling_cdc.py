@@ -352,3 +352,35 @@ def test_curriculum_order_is_total_and_bucket_monotone(spark):
     # q = 1.0 clamps into the top bucket
     top = next(r for r in out if r.doc_id == 100)
     assert top.bucket == 9
+
+
+def test_epoch_plan_repeats_scarce_and_subsamples_abundant(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import mixing
+
+    rows = [("web", 1000), ("web", 1000), ("books", 100)]
+    df = spark.createDataFrame(rows, "source string, tokens long")
+    out = {
+        r.source: r
+        for r in mixing.epoch_plan(
+            df, {"web": 0.5, "books": 0.5}, token_budget=1000
+        ).collect()
+    }
+    # each source targets 500 tokens: books has 100 → 5 epochs;
+    # web has 2000 → 0.25 epochs
+    assert out["books"].target_tokens == 500
+    assert out["books"].epochs_fp6 == 5_000_000
+    assert out["web"].epochs_fp6 == 250_000
+    assert out["web"].n_docs == 2 and out["web"].avail_tokens == 2000
+
+
+def test_self_join_blowup_exact_sum_of_squares(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import skew
+
+    rows = [(1,)] * 3 + [(2,)] * 2 + [(3,)]
+    df = spark.createDataFrame(rows, "k long")
+    r = skew.self_join_blowup(df, "k").collect()[0]
+    assert r.n_rows == 6
+    assert r.predicted_pairs == 9 + 4 + 1
+    assert r.max_key_pairs == 9
+    assert abs(r.blowup_factor - 14 / 6) < 1e-12
+    assert abs(r.top_key_share - 9 / 14) < 1e-12
