@@ -497,6 +497,56 @@ def _pair_intersections(
     return inter.join(sa, "id_a").join(sb, "id_b")
 
 
+def cooccurrence_lift_pairs(
+    sets_df: DataFrame,
+    id_col: str,
+    item_col: str,
+    min_co: int = 3,
+) -> DataFrame:
+    """Association mining (market-basket): support / confidence / lift
+    for pairs of values co-occurring in the same basket. Call with
+    ``id_col`` = the product/value column and ``item_col`` = the
+    basket/transaction column: the grouped pair-explode core then emits
+    product pairs sharing a basket, with each product's basket count.
+
+    ``min_co`` prunes the singleton-pair tail BEFORE the ratio math
+    (support below noise carries no signal and dominates the output
+    volume). The basket-count total is a 1-row broadcast. All ratios
+    are doubles of exact integers:
+
+        support      = co / n_baskets
+        confidence   = co / n_a          (a ⇒ b rule)
+        lift         = co · n_baskets / (n_a · n_b)
+
+    Scale: candidate volume is Σ basket_size², the same bound as every
+    set-similarity operator here — cap basket size upstream for
+    degenerate mega-baskets (cf. user_cooccurrence_pairs).
+    """
+    rel = sets_df.select(
+        F.col(id_col).alias("doc_id"), F.col(item_col).alias("shingle")
+    ).distinct()
+    inter = _pair_intersections(rel)
+    totals = rel.agg(F.count_distinct("shingle").alias("_n_baskets"))
+    co = F.col("n_common")
+    n = F.col("_n_baskets")
+    return (
+        inter.filter(co >= F.lit(min_co))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("id_a"),
+            F.col("id_b"),
+            co.alias("co"),
+            F.col("size_a").alias("n_a"),
+            F.col("size_b").alias("n_b"),
+            (co.cast("double") / n).alias("support"),
+            (co.cast("double") / F.col("size_a")).alias("conf_a_to_b"),
+            (
+                co.cast("double") * n / (F.col("size_a") * F.col("size_b"))
+            ).alias("lift"),
+        )
+    )
+
+
 def containment_pairs(
     sets_df: DataFrame,
     id_col: str = "doc_id",

@@ -621,3 +621,50 @@ def inverted_index(
             ",",
         ).alias("postings_head"),
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    max_df_frac: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-boilerplate removal: delete every occurrence of tokens
+    whose document frequency exceeds ``max_df_frac`` of the corpus and
+    rebuild the text in original token order — the token-granularity
+    version of CCNet's shared-line stripping (headers, footers, nav
+    text appear in most documents and carry no training signal).
+
+    Two passes over the corpus, zero per-row Python: (1) the doc-
+    distinct token relation aggregated to document frequencies, with
+    the over-threshold tokens collected into ONE sorted stoplist row
+    (vocabulary-bounded — the stoplist is by construction the most
+    common tokens, a tiny fraction of the vocabulary); (2) a broadcast
+    of that row onto the corpus and an in-row ``filter`` +
+    ``array_join`` rebuild. The stoplist broadcast is the allowlisted
+    1-row scalar shape.
+    """
+    toks_all = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    rel = df.select(
+        F.col(id_col), F.explode(F.array_distinct(toks_all)).alias("token")
+    )
+    totals = df.agg(F.count(F.lit(1)).alias("_n"))
+    stop = (
+        rel.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("_df") > F.floor(F.lit(max_df_frac) * F.col("_n")))
+        .agg(F.array_sort(F.collect_list("token")).alias("_stoplist"))
+    )
+    kept = F.filter(
+        toks_all,
+        lambda t: ~F.array_contains(F.col("_stoplist"), t),
+    )
+    return df.crossJoin(F.broadcast(stop)).select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("cleaned_text"),
+        F.size(toks_all).alias("n_tokens_before"),
+        F.size(kept).alias("n_tokens_after"),
+    )

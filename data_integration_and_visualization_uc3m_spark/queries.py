@@ -9921,6 +9921,160 @@ def self_join_blowup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.self_join_blowup(e, "user_id")
 
 
+@register(
+    "stl_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        FROM orders GROUP BY day
+    ), expanded AS (
+        SELECT d.day + CAST(g.i AS INTEGER) AS anchor, d.v
+        FROM daily d CROSS JOIN generate_series(-3, 3) AS g(i)
+    ), tr AS (
+        SELECT e.anchor AS day,
+               CAST(SUM(e.v) AS DOUBLE) / COUNT(*) AS trend
+        FROM expanded e JOIN daily a ON a.day = e.anchor
+        GROUP BY e.anchor
+    ), det AS (
+        SELECT d.day, CAST(d.v AS DOUBLE) AS daily_rev, t.trend,
+               CAST(dayofweek(d.day) + 1 AS INTEGER) AS weekday,
+               CAST(d.v AS DOUBLE) - t.trend AS r
+        FROM daily d JOIN tr t ON t.day = d.day
+    ), seas AS (
+        SELECT weekday,
+               CAST(SUM(CAST(FLOOR(r * 1000000) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000 AS seasonal
+        FROM det GROUP BY weekday
+    )
+    SELECT det.day, det.daily_rev, det.trend, det.weekday, s.seasonal,
+           det.r - s.seasonal AS remainder
+    FROM det JOIN seas s ON s.weekday = det.weekday
+    """,
+    ops=["stl-decompose", "window-rolling", "timeseries"],
+)
+def stl_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of daily revenue: trend =
+    centered 7-day mean (bounded explode expansion, no range join),
+    seasonal = per-weekday mean of the detrended series (fp6-floored
+    before the cross-row sum, per convention 7), remainder = residual.
+    The weekday-means relation is 7 rows, broadcast back."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_dec2("o_totalprice")).alias("v")
+    )
+    anchors = daily.select(F.col("day").alias("anchor"))
+    expanded = daily.select(
+        F.explode(
+            F.sequence(F.date_add("day", -3), F.date_add("day", 3))
+        ).alias("anchor"),
+        "v",
+    ).join(anchors, "anchor", "left_semi")
+    tr = expanded.groupBy(F.col("anchor").alias("day")).agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("trend")
+    )
+    r = F.col("daily_rev") - F.col("trend")
+    det = daily.join(tr, "day").select(
+        "day",
+        F.col("v").cast("double").alias("daily_rev"),
+        "trend",
+        F.dayofweek("day").alias("weekday"),
+    ).withColumn("r", r)
+    seas = det.groupBy("weekday").agg(
+        (
+            F.sum(F.floor(F.col("r") * 1000000).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000)
+        ).alias("seasonal")
+    )
+    return det.join(seas, "weekday").select(
+        "day",
+        "daily_rev",
+        "trend",
+        "weekday",
+        "seasonal",
+        (F.col("r") - F.col("seasonal")).alias("remainder"),
+    )
+
+
+@register(
+    "strip_boilerplate_tokens",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   string_split(lower(text), ' '), x -> x <> ''))) AS token
+        FROM documents
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM documents
+    ), stop AS (
+        SELECT COALESCE(list(token ORDER BY token), []) AS sl
+        FROM (
+            SELECT token FROM tok, tot
+            GROUP BY token, n
+            HAVING COUNT(*) > FLOOR(0.9 * n)
+        )
+    )
+    SELECT d.doc_id,
+           array_to_string(list_filter(string_split(lower(d.text), ' '),
+               x -> x <> '' AND NOT list_contains(s.sl, x)), ' ')
+             AS cleaned_text,
+           CAST(len(list_filter(string_split(lower(d.text), ' '),
+               x -> x <> '')) AS INTEGER) AS n_tokens_before,
+           CAST(len(list_filter(string_split(lower(d.text), ' '),
+               x -> x <> '' AND NOT list_contains(s.sl, x))) AS INTEGER)
+             AS n_tokens_after
+    FROM documents d, stop s
+    """,
+    ops=["boilerplate-strip", "text-clean", "frequency-cap"],
+)
+def strip_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal at token granularity: tokens in
+    >90% of documents are stripped from every document, text rebuilt
+    in order (operators/text.py:strip_boilerplate — in-row filter
+    against a broadcast stoplist, no per-row Python)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.strip_boilerplate(d, max_df_frac=0.9)
+
+
+@register(
+    "basket_part_lift",
+    """
+    WITH rel AS (
+        SELECT DISTINCT l_partkey AS pid, l_orderkey AS bid FROM lineitem
+    ), sizes AS (
+        SELECT pid, COUNT(*) AS nb FROM rel GROUP BY pid
+    ), inter AS (
+        SELECT a.pid AS id_a, b.pid AS id_b, COUNT(*) AS co
+        FROM rel a JOIN rel b ON a.bid = b.bid AND a.pid < b.pid
+        GROUP BY id_a, id_b
+        HAVING COUNT(*) >= 3
+    ), tot AS (
+        SELECT COUNT(DISTINCT bid) AS n FROM rel
+    )
+    SELECT i.id_a, i.id_b, i.co,
+           sa.nb AS n_a, sb.nb AS n_b,
+           CAST(i.co AS DOUBLE) / t.n AS support,
+           CAST(i.co AS DOUBLE) / sa.nb AS conf_a_to_b,
+           CAST(i.co AS DOUBLE) * t.n / (sa.nb * sb.nb) AS lift
+    FROM inter i
+    JOIN sizes sa ON sa.pid = i.id_a
+    JOIN sizes sb ON sb.pid = i.id_b
+    CROSS JOIN tot t
+    """,
+    ops=["market-basket", "association-lift", "pair-explode"],
+)
+def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over lineitem: part pairs
+    co-ordered ≥3 times with exact support / confidence / lift
+    (operators/dedup.py:cooccurrence_lift_pairs — grouped pair-explode
+    per order, 1-row basket-total broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return dedup.cooccurrence_lift_pairs(
+        li, id_col="l_partkey", item_col="l_orderkey", min_co=3
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -10099,6 +10253,9 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "canonical_part_names",
     "epoch_mixing_plan",
     "self_join_blowup_events",
+    "stl_daily_revenue",
+    "strip_boilerplate_tokens",
+    "basket_part_lift",
 )
 
 

@@ -455,3 +455,46 @@ def test_split_leakage_pairs_only_cross_split(spark):
         assert r.split_a != r.split_b
         assert splits[r.id_a] == r.split_a and splits[r.id_b] == r.split_b
         assert r.jaccard >= 0.8
+
+
+def test_strip_boilerplate_removes_high_df_tokens_in_order(spark):
+    d = docs(
+        spark,
+        [
+            (1, "header alpha beta header"),
+            (2, "header gamma delta"),
+            (3, "header epsilon zeta"),
+        ],
+    )
+    got = {r.doc_id: r for r in text.strip_boilerplate(d, max_df_frac=0.5).collect()}
+    # 'header' in 3/3 docs > 50% → stripped everywhere, incl. repeats
+    assert got[1].cleaned_text == "alpha beta"
+    assert (got[1].n_tokens_before, got[1].n_tokens_after) == (4, 2)
+    assert got[2].cleaned_text == "gamma delta"
+    # nothing over threshold → untouched text
+    unique = docs(spark, [(1, "aa bb"), (2, "cc dd"), (3, "ee ff")])
+    kept = {r.doc_id: r.cleaned_text for r in text.strip_boilerplate(unique, 0.5).collect()}
+    assert kept == {1: "aa bb", 2: "cc dd", 3: "ee ff"}
+
+
+def test_cooccurrence_lift_exact_ratios(spark):
+    # baskets: parts 1,2 together twice; 1,3 once
+    rows = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 1), (12, 3),
+        (12, 1),  # duplicate (basket, part) must not inflate counts
+    ]
+    df = spark.createDataFrame(rows, "bid long, pid long")
+    got = {
+        (r.id_a, r.id_b): r
+        for r in dedup.cooccurrence_lift_pairs(
+            df, id_col="pid", item_col="bid", min_co=2
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert (r.co, r.n_a, r.n_b) == (2, 3, 2)
+    assert abs(r.support - 2 / 3) < 1e-12
+    assert abs(r.conf_a_to_b - 2 / 3) < 1e-12
+    assert abs(r.lift - (2 * 3) / (3 * 2)) < 1e-12

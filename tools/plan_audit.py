@@ -70,6 +70,8 @@ SCALAR_OK: set[str] = {
     "upsert_delete_keys",       # two 1-row audit aggregates cross-joined
     "verbatim_window_pairs",    # 1-row corpus count broadcast (df-cap threshold)
     "cv_fold_stats",            # 1-row fold-totals broadcast (leave-one-out mean)
+    "strip_boilerplate_tokens", # 1-row stoplist + 1-row corpus count broadcasts
+    "basket_part_lift",         # 1-row basket-total broadcast (lift denominator)
     "source_term_kl",           # 1-row support-mass scalar broadcast
 }
 
