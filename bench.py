@@ -40,6 +40,7 @@ BENCH_EXCLUDE = frozenset({
     "streaming_attribution_e2e",
     "streaming_lsh_dedup_e2e",
     "streaming_enrich_e2e",
+    "streaming_curate_e2e",
 })
 
 

@@ -10075,6 +10075,102 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_curate_e2e",
+    """
+    WITH c AS (
+        SELECT source,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(lower(text), ' ')))
+                    AS DOUBLE)
+                 / len(string_split(lower(text), ' ')) AS ttr,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN ('the','and','of','to','in','is','a','that')))
+                    AS DOUBLE)
+                 / len(string_split(lower(text), ' ')) AS sr
+        FROM documents
+        WHERE CAST(('0x'||substring(
+                  md5('scur:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+              < CAST(2147483648 AS BIGINT)
+    ), z AS (
+        SELECT source,
+               CAST(-0.8 AS DOUBLE) + CAST(1.2 AS DOUBLE) * ttr
+                 + CAST(2.0 AS DOUBLE) * sr
+                 + CAST(0.002 AS DOUBLE) * n_tokens AS z
+        FROM c
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(CAST(FLOOR(z / (1 + abs(z)) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_score_fp6
+    FROM z
+    WHERE z / (1 + abs(z)) >= 0.25
+    GROUP BY source
+    """,
+    ops=["streaming-e2e", "streaming-curation", "model-quality-filter"],
+)
+def streaming_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time curation in a stream: documents re-staged as a file
+    stream pass the stateless hash-sample + frozen-weight quality gate
+    (streaming/docs.py:curate_stream) and land via the exactly-once
+    parquet file sink; the oracle replays the same deterministic
+    predicates in batch. No state store anywhere — curation at ingest
+    is pure map-side work per micro-batch."""
+    import tempfile
+
+    from .streaming.docs import run_stream_curate_to_parquet
+
+    d = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="sg_curate_e2e_")
+    src = f"{work}/src"
+    d.repartition(4).write.mode("overwrite").parquet(src)
+    run_stream_curate_to_parquet(
+        spark, src, f"{work}/out", f"{work}/ckpt",
+        keep_frac=0.5, seed="scur", tau=0.25,
+    )
+    kept = spark.read.parquet(f"{work}/out")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.floor(F.col("score") * 1000000).cast("long")).alias(
+            "sum_score_fp6"
+        ),
+    )
+
+
+@register(
+    "cube_orders_status_year",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(CAST(year(o_orderdate) AS INTEGER), -1) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS INTEGER))
+    """,
+    ops=["cube", "A3", "grouping-sets"],
+)
+def cube_orders_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, year): every subtotal combination in one
+    pass — Spark expands the grouping sets map-side, one shuffle
+    (completes the rollup/grouping-sets §2.8 family). NULL grouping
+    slots are labeled so the oracle's rows align."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("int")
+    return (
+        o.cube(F.col("o_orderstatus"), yr.alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec2("o_totalprice")).cast("double").alias("total_revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("order_year"), F.lit(-1)).alias("order_year"),
+            "n_orders",
+            "total_revenue",
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -10256,6 +10352,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "stl_daily_revenue",
     "strip_boilerplate_tokens",
     "basket_part_lift",
+    "streaming_curate_e2e",
+    "cube_orders_status_year",
 )
 
 

@@ -179,3 +179,77 @@ def run_stream_lsh_dedup(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def curate_stream(stream: DataFrame, keep_frac: float = 0.5,
+                  seed: str = "scur", tau: float = 0.25) -> DataFrame:
+    """Ingest-time curation transform — STATELESS, so it applies
+    unchanged to a batch or streaming DataFrame (the parity the e2e
+    oracle asserts): a deterministic md5 hash sampler composed with
+    the frozen-weight linear quality gate (same features and rational
+    squash as queries.quality_classifier_filter). No state store, no
+    watermark; every predicate is map-side, so at 100 TB/day this is
+    pure per-file work with zero shuffle in the micro-batch."""
+    from ..operators.sampling import HASH_SPACE, hash_bucket
+    from ..operators.text import STOPWORDS, _tokens
+
+    sampled = stream.filter(
+        hash_bucket(F.col("doc_id"), seed)
+        < F.lit(int(keep_frac * HASH_SPACE))
+    )
+    # score expressions INLINE on the stream (a join of the stream with
+    # a derivation of itself would be a stream-stream join and drag in
+    # watermark state for a stateless gate). Same features and squash
+    # as queries.quality_classifier_filter, which the oracle replays.
+    toks = _tokens("text")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    z = (
+        F.lit(-0.8)
+        + F.lit(1.2) * ttr
+        + F.lit(2.0) * stop_ratio
+        + F.lit(0.002) * n_tokens
+    )
+    scored = sampled.withColumn("score", z / (F.lit(1) + F.abs(z)))
+    return scored.filter(F.col("score") >= F.lit(tau)).select(
+        *[f.name for f in DOCS_STREAM_SCHEMA.fields], "score"
+    )
+
+
+def run_stream_curate_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    keep_frac: float = 0.5,
+    seed: str = "scur",
+    tau: float = 0.25,
+) -> None:
+    """Streaming ingest curation e2e: documents arrive as a file
+    stream, pass the stateless sample+quality gate, and land via the
+    exactly-once parquet file sink. Deterministic predicates ⇒ the
+    output row set equals the batch run of the same transform, which
+    is what the oracle asserts."""
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(source_dir)
+    )
+    q = (
+        curate_stream(stream, keep_frac, seed, tau)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -437,3 +437,43 @@ def test_watermark_drops_late_data_e2e(spark, tmp_path):
         p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) for p in prog
     )
     assert dropped == 1  # the late row was dropped BY THE WATERMARK
+
+
+def test_curate_stream_batch_parity_and_gate(spark):
+    from pyspark.sql import functions as F
+
+    from data_integration_and_visualization_uc3m_spark.operators.sampling import (
+        HASH_SPACE,
+        hash_bucket,
+    )
+    from data_integration_and_visualization_uc3m_spark.streaming.docs import (
+        curate_stream,
+    )
+
+    rows = [
+        (i, "the and of to in is a that words more filler " * 3, "en", "s0", 100)
+        for i in range(20)
+    ] + [
+        # degenerate repetition: ttr → 1/30, no stopwords → z < 0
+        (99, ("zz " * 30).strip(), "en", "s0", 89)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curate_stream(d, keep_frac=0.5, seed="scur", tau=0.25).collect()
+    ids = {r.doc_id for r in out}
+    # every kept row passed the hash sampler
+    thr = int(0.5 * HASH_SPACE)
+    sampled = {
+        r.doc_id
+        for r in d.select(
+            "doc_id", hash_bucket(F.col("doc_id"), "scur").alias("b")
+        ).collect()
+        if r.b < thr
+    }
+    assert ids <= sampled
+    assert 99 not in ids  # quality gate
+    assert all(r.score >= 0.25 for r in out)
+    # stateless: applying twice is identical (deterministic)
+    again = {r.doc_id for r in curate_stream(d, 0.5, "scur", 0.25).collect()}
+    assert ids == again
