@@ -86,6 +86,24 @@ DEFAULT = [
     "embedding_drift_report",
     "hard_negative_mining",
     "vocab_coverage_report",
+    # continuation-session families: char-window explode + pair core,
+    # codebook assignment + blocked cosine pairs, jaccard × hash-split,
+    # WindowGroupLimit cap, offset-assembled curriculum rank, blocked
+    # levenshtein vocabulary join, CC over the name-match graph,
+    # fold-hash agg + scalar broadcast, basket pair-explode lift,
+    # 7-day expansion STL, broadcast-stoplist in-row rebuild, CUBE
+    "verbatim_window_pairs",
+    "semdedup_verdicts",
+    "split_leakage_audit",
+    "source_frequency_cap",
+    "curriculum_order_docs",
+    "fuzzy_part_name_pairs",
+    "canonical_part_names",
+    "cv_fold_stats",
+    "basket_part_lift",
+    "stl_daily_revenue",
+    "strip_boilerplate_tokens",
+    "cube_orders_status_year",
 ]
 
 
