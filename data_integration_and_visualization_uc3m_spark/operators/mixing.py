@@ -221,3 +221,57 @@ def epoch_plan(
         .cast("long")
         .alias("epochs_fp6"),
     )
+
+
+def epoch_apply(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    token_col: str = "tokens",
+    id_col: str = "doc_id",
+    seed: str = "ep0",
+) -> DataFrame:
+    """Materialize the multi-epoch plan (:func:`epoch_plan`): each kept
+    document appears ``floor(epochs)`` times plus one more trial kept
+    with probability ``frac(epochs)``, decided by a deterministic
+    per-(doc, epoch) md5 draw — so the expected instance count hits
+    the token target exactly and a re-run (or a different cluster
+    layout) produces the identical instance set.
+
+    All threshold math is EXACT integer arithmetic on the fp6 epoch
+    fixed point: ``thr = (epochs_fp6 mod 10⁶) · 2³² div 10⁶`` (the
+    div is spelled subtract-mod so the double division is exact —
+    numerator a multiple of 10⁶ below 2⁵³). The plan is a per-source
+    broadcast; the explode fan-out per row is ``ceil(epochs)``,
+    bounded by the budget itself.
+
+    Output: the instance relation (id, source, epoch) — downstream
+    shuffling/packing treats each instance as an independent row.
+    """
+    plan = epoch_plan(docs, weights, token_budget, source_col, token_col)
+    eps = F.col("epochs_fp6")
+    n_full = ((eps - eps % 1000000) / 1000000).cast("long")
+    thr = (
+        ((eps % 1000000) * F.lit(4294967296)
+         - ((eps % 1000000) * F.lit(4294967296)) % 1000000)
+        / 1000000
+    ).cast("long")
+    planned = plan.select(
+        source_col, n_full.alias("_n_full"), thr.alias("_thr")
+    )
+    inst = docs.join(F.broadcast(planned), source_col).select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col("_n_full"),
+        F.col("_thr"),
+        F.explode(F.sequence(F.lit(0), F.col("_n_full"))).alias("epoch"),
+    )
+    draw = hash_bucket(
+        F.concat_ws(":", F.col(id_col).cast("string"),
+                    F.col("epoch").cast("string")),
+        seed,
+    )
+    return inst.filter(
+        (F.col("epoch") < F.col("_n_full")) | (draw < F.col("_thr"))
+    ).select(id_col, source_col, "epoch")

@@ -10171,6 +10171,130 @@ def cube_orders_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "epoch_mixing_apply",
+    """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens
+        FROM documents
+    ), c AS (
+        SELECT source,
+               CAST(SUM(tokens) AS BIGINT) AS avail_tokens,
+               CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                           WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                           WHEN 'src2' THEN CAST(0.2 AS DOUBLE) END AS weight
+        FROM t WHERE source IN ('src0', 'src1', 'src2')
+        GROUP BY source
+    ), p AS (
+        SELECT source,
+               CAST(FLOOR(CAST(CAST(FLOOR(CAST(100000 AS DOUBLE) * weight
+                                          / CAST(1.0 AS DOUBLE)) AS BIGINT)
+                               AS DOUBLE) / avail_tokens * 1000000)
+                    AS BIGINT) AS epochs_fp6
+        FROM c
+    ), pl AS (
+        SELECT source,
+               CAST((epochs_fp6 - epochs_fp6 % 1000000) / 1000000
+                    AS BIGINT) AS n_full,
+               CAST((epochs_fp6 % 1000000 * 4294967296
+                     - (epochs_fp6 % 1000000 * 4294967296) % 1000000)
+                    / 1000000 AS BIGINT) AS thr
+        FROM p
+    ), inst AS (
+        -- fixed 0..512 series + e <= n_full filter: DuckDB 1.0 cannot
+        -- parameterize generate_series laterally; 512 bounds epochs at
+        -- every tested SF (oracle-only artifice, Spark uses sequence)
+        SELECT t.doc_id, t.source, g.e AS epoch
+        FROM t
+        JOIN pl ON pl.source = t.source
+        CROSS JOIN generate_series(0, 512) g(e)
+        WHERE g.e <= pl.n_full
+          AND (g.e < pl.n_full
+               OR CAST(('0x'||substring(md5(
+                      'ep0:'||CAST(t.doc_id AS VARCHAR)||':'
+                      ||CAST(g.e AS VARCHAR)
+                  ),1,8)) AS BIGINT) < pl.thr)
+    )
+    SELECT source, COUNT(*) AS n_instances,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM inst GROUP BY source
+    """,
+    ops=["epoch-apply", "corpus-mixing", "hash-sample"],
+)
+def epoch_mixing_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized multi-epoch mix (operators/mixing.py:epoch_apply):
+    per source, the instance count after integer-epoch repeats plus the
+    deterministic fractional-epoch draw — the relation a packer/shuffler
+    consumes. Same 100k-token 50/30/20 plan as epoch_mixing_plan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("tokens"),
+    )
+    inst = mixing.epoch_apply(
+        toks, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, token_budget=100000
+    )
+    return inst.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_instances"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+@register(
+    "perplexity_buckets",
+    f"""
+    WITH lp AS ({REGISTRY["doc_bigram_logprob"].oracle}), terc AS (
+        SELECT quantile_cont(CAST(avg_logp_fp6 AS DOUBLE),
+                             [1.0/3, 2.0/3]) AS q
+        FROM lp
+    ), b AS (
+        SELECT l.doc_id, l.avg_logp_fp6,
+               CASE WHEN CAST(l.avg_logp_fp6 AS DOUBLE) >= t.q[2] THEN 'head'
+                    WHEN CAST(l.avg_logp_fp6 AS DOUBLE) >= t.q[1] THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM lp l CROSS JOIN terc t
+    )
+    SELECT d.source, b.bucket, COUNT(*) AS n_docs,
+           CAST(SUM(b.avg_logp_fp6) AS BIGINT) AS sum_logp_fp6
+    FROM b JOIN documents d ON d.doc_id = b.doc_id
+    GROUP BY d.source, b.bucket
+    """,
+    ops=["perplexity-buckets", "text-lm-score", "quantiles"],
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail partitioning by LM score: tercile
+    boundaries of the corpus-self-trained bigram-LM document score
+    (exact interpolated percentiles, 2-value broadcast), bucket label
+    per document, per-(source, bucket) census. High logprob = head =
+    the cleanest third."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    lp = corpus_stats.bigram_logprob(d)
+    terc = lp.agg(
+        F.percentile(F.col("avg_logp_fp6").cast("double"), [1 / 3, 2 / 3]).alias(
+            "q"
+        )
+    )
+    lpd = F.col("avg_logp_fp6").cast("double")
+    b = lp.crossJoin(F.broadcast(terc)).select(
+        "doc_id",
+        "avg_logp_fp6",
+        F.when(lpd >= F.element_at("q", 2), F.lit("head"))
+        .when(lpd >= F.element_at("q", 1), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return (
+        b.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("avg_logp_fp6").alias("sum_logp_fp6"),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -10354,6 +10478,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "basket_part_lift",
     "streaming_curate_e2e",
     "cube_orders_status_year",
+    "epoch_mixing_apply",
+    "perplexity_buckets",
 )
 
 

@@ -384,3 +384,26 @@ def test_self_join_blowup_exact_sum_of_squares(spark):
     assert r.max_key_pairs == 9
     assert abs(r.blowup_factor - 14 / 6) < 1e-12
     assert abs(r.top_key_share - 9 / 14) < 1e-12
+
+
+def test_epoch_apply_integer_repeats_and_fractional_draw(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import mixing
+
+    # one source, budget forcing exactly 2.5 epochs: every doc appears
+    # 2 or 3 times, mean instances ≈ 2.5
+    rows = [(i, "s", 100) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tokens long")
+    # avail = 4000, weight 1.0, budget 10000 → epochs = 2.5
+    inst = mixing.epoch_apply(df, {"s": 1.0}, token_budget=10000).collect()
+    per = {}
+    for r in inst:
+        per[r.doc_id] = per.get(r.doc_id, 0) + 1
+    assert set(per) == set(range(40))  # every doc present
+    assert all(c in (2, 3) for c in per.values())
+    n3 = sum(1 for c in per.values() if c == 3)
+    assert 5 <= n3 <= 35  # the md5 draw keeps roughly half at 3
+    # deterministic: identical on re-run
+    again = mixing.epoch_apply(df, {"s": 1.0}, token_budget=10000).collect()
+    assert sorted((r.doc_id, r.epoch) for r in again) == sorted(
+        (r.doc_id, r.epoch) for r in inst
+    )

@@ -72,6 +72,7 @@ SCALAR_OK: set[str] = {
     "cv_fold_stats",            # 1-row fold-totals broadcast (leave-one-out mean)
     "strip_boilerplate_tokens", # 1-row stoplist + 1-row corpus count broadcasts
     "basket_part_lift",         # 1-row basket-total broadcast (lift denominator)
+    "perplexity_buckets",       # 1-row tercile-boundaries broadcast
     "source_term_kl",           # 1-row support-mass scalar broadcast
 }
 
