@@ -166,3 +166,45 @@ def test_bloom_one_sided_property(spark, members, probes):
     }
     true_members = set(members) & set(probes)
     assert true_members <= passed
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcx", min_size=0, max_size=8),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(1, 3),
+)
+def test_fuzzy_blocking_lossless_property(spark, values, d):
+    """Length-band blocking must equal the quadratic all-pairs filter
+    for ANY vocabulary and distance bound — including empty strings
+    and values straddling bucket edges."""
+    import itertools
+
+    from data_integration_and_visualization_uc3m_spark.operators import linkage
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, name string"
+    )
+    got = {
+        (r.name_a, r.name_b)
+        for r in linkage.fuzzy_name_pairs(df, "name", max_distance=d).collect()
+    }
+    vocab = sorted(set(values))
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(vocab, 2)
+        if _lev(a, b) <= d
+    }
+    assert got == truth
