@@ -90,6 +90,69 @@ def upsert_replace(
     return kept.unionByName(incoming.select(*target.columns))
 
 
+def merge_full(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    delete_condition=None,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Multi-clause MERGE as one DataFrame transform — the full
+    lakehouse statement the two specialized upserts are halves of:
+
+        WHEN MATCHED AND <delete_condition>  THEN DELETE
+        WHEN MATCHED                         THEN UPDATE SET <update_cols>
+        WHEN NOT MATCHED                     THEN INSERT *
+
+    (target rows with no source match are kept unchanged.)
+
+    One full-outer join on the key — the same single-shuffle shape as
+    a plain join; each clause is a projection branch over the joined
+    row, so Catalyst sees one plan, not three passes. The source is
+    deduped first-wins under ``order_by`` (a MERGE with duplicate
+    source keys is non-deterministic by definition; the dedup makes
+    the statement idempotent and engine-portable).
+
+    ``delete_condition``: a Column over the joined row (source columns
+    visible under ``src_<name>``); None = no DELETE clause.
+    """
+    incoming = dedup_batch_first_wins(source, keys, order_by)
+    src = incoming.select(
+        *keys,
+        *[
+            F.col(c).alias(f"src_{c}")
+            for c in incoming.columns
+            if c not in keys
+        ],
+    ).withColumn("_src", F.lit(True))
+    joined = target.withColumn("_tgt", F.lit(True)).join(
+        src, on=keys, how="full_outer"
+    )
+    matched = F.col("_tgt").isNotNull() & F.col("_src").isNotNull()
+    insert_only = F.col("_tgt").isNull()
+    if delete_condition is not None:
+        survives = ~(matched & delete_condition)
+    else:
+        survives = F.lit(True)
+    value_cols = [c for c in target.columns if c not in keys]
+    out_cols = [F.col(k) for k in keys]
+    for c in value_cols:
+        src_c = F.col(f"src_{c}")
+        if c in update_cols:
+            # matched → source value; insert → source value; else target
+            out_cols.append(
+                F.when(matched | insert_only, src_c)
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(
+                F.when(insert_only, src_c).otherwise(F.col(c)).alias(c)
+            )
+    return joined.filter(survives).select(*out_cols)
+
+
 # ---------------------------------------------------------------------
 # Materialized form: versioned snapshots + atomic manifest-pointer flip.
 #

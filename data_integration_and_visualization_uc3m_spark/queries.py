@@ -10295,6 +10295,68 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_orders_full",
+    """
+    WITH tgt AS (
+        SELECT o_orderkey AS k,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 4 <> 0
+    ), src AS (
+        SELECT o_orderkey AS k,
+               CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS price,
+               o_orderstatus AS status,
+               CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS flag
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), merged AS (
+        SELECT t.k, s.price AS price, t.status
+        FROM tgt t JOIN src s ON s.k = t.k
+        WHERE s.flag <> 'D'
+        UNION ALL
+        SELECT t.k, t.price, t.status
+        FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.k = t.k)
+        UNION ALL
+        SELECT s.k, s.price, s.status
+        FROM src s WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.k = s.k)
+    )
+    SELECT k, CAST(price AS DOUBLE) AS price, status FROM merged
+    """,
+    ops=["merge-full", "K2", "full-outer-join"],
+)
+def merge_orders_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-clause MERGE (operators/upsert.py:merge_full) driven from
+    derived target/source relations: matched+flag'D' rows DELETE,
+    other matches UPDATE price only (status keeps the target's value),
+    unmatched source rows INSERT — one full-outer join, three
+    projection branches. The oracle spells the equivalent
+    join/anti-join union."""
+    o = _t(spark, sf_dir, "orders")
+    tgt = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        _dec2("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    src = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (_dec2("o_totalprice") + F.lit(10)).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("flag"),
+    )
+    merged = upsert.merge_full(
+        tgt,
+        src,
+        keys=["k"],
+        update_cols=["price"],
+        delete_condition=F.col("src_flag") == "D",
+    )
+    return merged.select(
+        "k", F.col("price").cast("double").alias("price"), "status"
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -10480,6 +10542,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "cube_orders_status_year",
     "epoch_mixing_apply",
     "perplexity_buckets",
+    "merge_orders_full",
 )
 
 

@@ -356,3 +356,33 @@ def test_delete_keys_idempotent_and_history_preserving(spark, tmp_path):
     upsert.delete_keys_parquet(root, tomb, ["k"])
     again = upsert.read_upsert_parquet(spark, root)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, live.collect()))
+
+
+def test_merge_full_three_clauses(spark):
+    from pyspark.sql import functions as F
+
+    from data_integration_and_visualization_uc3m_spark.operators import upsert
+
+    tgt = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "k long, v double, tag string",
+    )
+    src = spark.createDataFrame(
+        [
+            (2, 99.0, "ZZ", "U"),   # matched → update v only
+            (3, 0.0, "ZZ", "D"),    # matched + D → delete
+            (4, 40.0, "d", "U"),    # unmatched → insert
+        ],
+        "k long, v double, tag string, flag string",
+    )
+    out = {
+        r.k: r
+        for r in upsert.merge_full(
+            tgt, src, keys=["k"], update_cols=["v"],
+            delete_condition=F.col("src_flag") == "D",
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}          # 3 deleted
+    assert out[1].v == 10.0 and out[1].tag == "a"   # untouched
+    assert out[2].v == 99.0 and out[2].tag == "b"   # v updated, tag kept
+    assert out[4].v == 40.0 and out[4].tag == "d"   # full insert
