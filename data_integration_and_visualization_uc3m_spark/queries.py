@@ -10357,6 +10357,45 @@ def merge_orders_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jsonl_roundtrip_report",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events GROUP BY event_type
+    """,
+    ops=["jsonl-roundtrip", "S5-adjacent", "K5-adjacent"],
+)
+def jsonl_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines interchange fidelity gate: events written to JSONL
+    (microsecond ISO timestamps — sinks/writers.py:write_jsonl) and
+    read back with an explicit schema must aggregate identically to
+    the parquet original, down to min/max epoch-microseconds. The
+    oracle reads the ORIGINAL table, so any truncation or tz shift in
+    the roundtrip fails the hash."""
+    import tempfile
+
+    from .schemas import TESTDATA
+    from .sinks.writers import write_jsonl
+    from .sources.readers import read_jsonl
+
+    e = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="sg_jsonl_")
+    write_jsonl(e, f"{work}/events_jsonl")
+    back = read_jsonl(spark, f"{work}/events_jsonl", TESTDATA["events"])
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -10543,6 +10582,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "epoch_mixing_apply",
     "perplexity_buckets",
     "merge_orders_full",
+    "jsonl_roundtrip_report",
 )
 
 

@@ -132,3 +132,21 @@ def audited_write_parquet(
     w.parquet(path)
     got = obs.get
     return {n: got[n] for n in names}
+
+
+# Microsecond-precision ISO-8601 for JSON-lines interchange. Spark's
+# default JSON timestamp format carries only milliseconds — silently
+# truncating the micros the events table actually has — so both the
+# writer and the reader pin this format explicitly.
+JSONL_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines egress (the interchange format of every annotation /
+    labeling pipeline): one JSON object per row, microsecond-faithful
+    timestamps. Splittable on read like any line format."""
+    (
+        df.write.mode("overwrite")
+        .option("timestampFormat", JSONL_TS_FORMAT)
+        .json(path)
+    )

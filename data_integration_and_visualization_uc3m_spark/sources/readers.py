@@ -149,3 +149,17 @@ def year_dim(spark: SparkSession, start: int = 2018, end: int = 2023) -> DataFra
     """S7 — static year-dimension seed (``schema.sql:111-117`` seeds
     2018–2022). ``spark.range`` is a parallel generator, no driver list."""
     return spark.range(start, end).select(F.col("id").cast("int").alias("year_id"))
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with an explicit schema (no inference pass — at
+    100 TB schema inference is a full extra read) and the microsecond
+    timestamp format write_jsonl pins. Malformed lines null out per
+    ANSI-safe JSON parsing rather than failing the scan."""
+    from ..sinks.writers import JSONL_TS_FORMAT
+
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", JSONL_TS_FORMAT)
+        .json(path)
+    )

@@ -269,3 +269,33 @@ def test_python_datasource_bad_fetcher_spec(spark):
 
     with _pytest.raises(Exception, match="fetcher must be"):
         df.collect()
+
+
+def test_jsonl_roundtrip_microsecond_faithful(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_integration_and_visualization_uc3m_spark.sinks.writers import write_jsonl
+    from data_integration_and_visualization_uc3m_spark.sources.readers import read_jsonl
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 7, 179575), 1.5),
+        (2, datetime.datetime(2024, 6, 30, 23, 59, 59, 999999), -0.25),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema)
+    got = {r.id: r for r in back.collect()}
+    for i, ts, v in rows:
+        assert got[i].ts == ts  # micros survive the text roundtrip
+        assert got[i].v == v
