@@ -409,3 +409,97 @@ def hard_negatives(
         .filter(F.col("rn") <= k)
         .select("anchor_id", id_col, "cosine")
     )
+
+
+def _sq_dist_nano(a_exprs: list, b_exprs: list) -> F.Column:
+    """Σ(a−b)² over paired column expressions, floored to nano fixed
+    point — exact-integer distance cells for PQ/IVF codebook math.
+    The fold is an explicit left-to-right chain so both engines add in
+    the same order."""
+    acc = F.lit(0.0)
+    for x, y in zip(a_exprs, b_exprs):
+        d = x.cast("double") - y.cast("double")
+        acc = acc + d * d
+    return F.floor(acc * F.lit(NANO)).cast("long")
+
+
+def pq_codes(
+    df: DataFrame,
+    seeds: list[list[float]],
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` subvectors and store only the index of the nearest codebook
+    centroid per subspace — the memory layout behind every billion-
+    scale ANN index (m log₂k bits per vector instead of 4·d bytes).
+
+    The codebook here is derived from the ``seeds`` rows (a trained
+    k-means codebook at scale): centroid c of subspace j is seed c's
+    j-th subvector. Assignment is ENTIRELY map-side — the codebook is
+    a literal in the plan, each (subspace, centroid) distance is an
+    exact nano fixed-point integer, argmin tie-breaks to the smaller
+    centroid id. Output: one row per vector with int codes c0..c{m-1}.
+    """
+    dim = len(seeds[0])
+    sub = dim // m
+    v = F.col(vec_col)
+    out = [F.col(id_col)]
+    for j in range(m):
+        cands = []
+        a = [F.element_at(v, j * sub + i + 1) for i in range(sub)]
+        for c, s in enumerate(seeds):
+            b = [F.lit(float(s[j * sub + i])) for i in range(sub)]
+            cands.append(
+                F.struct(
+                    _sq_dist_nano(a, b).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+            )
+        out.append(
+            F.array_min(F.array(*cands)).getField("c").alias(f"c{j}")
+        )
+    return df.select(*out)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    seeds: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes: the query stays
+    full-precision, each database vector is its m codes, and the
+    approximate distance is the sum of per-subspace table lookups
+    dist(q_sub_j, centroid[code_j]) — m integer adds per vector
+    instead of d float ops, the classic ADC trade.
+
+    The m×k distance table is built IN-PLAN from the same literal
+    codebook (Catalyst constant-folds it), the lookup is a branch over
+    the code column (k is small by construction), and the final top-k
+    is a TakeOrdered with an id tiebreak. Exact integer adds ⇒
+    oracle-reproducible, rare for ANN."""
+    dim = len(seeds[0])
+    sub = dim // m
+    q = [float(x) for x in query_vec]
+    codes = pq_codes(df, seeds, m, id_col, vec_col)
+    adc = F.lit(0).cast("long")
+    for j in range(m):
+        qa = [F.lit(q[j * sub + i]) for i in range(sub)]
+        cell = F.lit(None).cast("long")
+        # reversed so the final expression checks c=0 first at runtime
+        for c in reversed(range(len(seeds))):
+            b = [F.lit(float(seeds[c][j * sub + i])) for i in range(sub)]
+            cell = F.when(
+                F.col(f"c{j}") == c, _sq_dist_nano(qa, b)
+            ).otherwise(cell)
+        adc = adc + cell
+    return (
+        codes.select(F.col(id_col), adc.alias("adc_dist_nano"))
+        .orderBy(F.col("adc_dist_nano"), F.col(id_col))
+        .limit(k)
+    )

@@ -10396,6 +10396,102 @@ def jsonl_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_CODES_CTE = """
+    seeds AS (
+        SELECT vec_id AS c, embedding AS sv FROM embeddings WHERE vec_id < 4
+    ), dists AS (
+        SELECT e.vec_id, g.j AS sub, s.c,
+               CAST(FLOOR(list_sum(list_transform(range(1, 9),
+                   i -> (CAST(e.embedding[g.j*8 + i] AS DOUBLE)
+                         - CAST(s.sv[g.j*8 + i] AS DOUBLE))
+                        * (CAST(e.embedding[g.j*8 + i] AS DOUBLE)
+                           - CAST(s.sv[g.j*8 + i] AS DOUBLE))))
+                   * 1000000000) AS BIGINT) AS d
+        FROM embeddings e
+        CROSS JOIN generate_series(0, 7) g(j)
+        CROSS JOIN seeds s
+    ), codes AS (
+        SELECT vec_id, sub, c FROM (
+            SELECT vec_id, sub, c,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, c) AS rn
+            FROM dists) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "pq_codes_embeddings",
+    f"""
+    WITH {_PQ_CODES_CTE}
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN sub = 0 THEN c END) AS INTEGER) AS c0,
+           CAST(MAX(CASE WHEN sub = 1 THEN c END) AS INTEGER) AS c1,
+           CAST(MAX(CASE WHEN sub = 2 THEN c END) AS INTEGER) AS c2,
+           CAST(MAX(CASE WHEN sub = 3 THEN c END) AS INTEGER) AS c3,
+           CAST(MAX(CASE WHEN sub = 4 THEN c END) AS INTEGER) AS c4,
+           CAST(MAX(CASE WHEN sub = 5 THEN c END) AS INTEGER) AS c5,
+           CAST(MAX(CASE WHEN sub = 6 THEN c END) AS INTEGER) AS c6,
+           CAST(MAX(CASE WHEN sub = 7 THEN c END) AS INTEGER) AS c7
+    FROM codes GROUP BY vec_id
+    """,
+    ops=["pq-quantization", "similarity-codebook"],
+)
+def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011) over the
+    embeddings table: 8 subspaces × 4-centroid codebook (derived from
+    the 4 lowest-id vectors — a trained codebook at scale), nearest
+    centroid per subspace in exact nano fixed point
+    (operators/similarity.py:pq_codes). Entirely map-side."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in e.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return similarity.pq_codes(e, seeds, m=8)
+
+
+@register(
+    "pq_adc_topk",
+    f"""
+    WITH {_PQ_CODES_CTE}, q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), tbl AS (
+        SELECT g.j AS sub, s.c,
+               CAST(FLOOR(list_sum(list_transform(range(1, 9),
+                   i -> (CAST(q.qv[g.j*8 + i] AS DOUBLE)
+                         - CAST(s.sv[g.j*8 + i] AS DOUBLE))
+                        * (CAST(q.qv[g.j*8 + i] AS DOUBLE)
+                           - CAST(s.sv[g.j*8 + i] AS DOUBLE))))
+                   * 1000000000) AS BIGINT) AS d
+        FROM q CROSS JOIN generate_series(0, 7) g(j) CROSS JOIN seeds s
+    ), adc AS (
+        SELECT cd.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist_nano
+        FROM codes cd JOIN tbl t ON t.sub = cd.sub AND t.c = cd.c
+        GROUP BY cd.vec_id
+    )
+    SELECT vec_id, adc_dist_nano FROM adc
+    ORDER BY adc_dist_nano, vec_id LIMIT 10
+    """,
+    ops=["pq-adc", "similarity-ann"],
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation over the PQ codes: full-
+    precision query vs 8-code database rows via an in-plan constant-
+    folded m×k distance table, exact integer adds, deterministic
+    top-10 (operators/similarity.py:pq_adc_topk)."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    rows = (
+        e.filter(F.col("vec_id") < 4).orderBy("vec_id").select("embedding").collect()
+    )
+    seeds = [[float(x) for x in r[0]] for r in rows]
+    qv = seeds[0]
+    return similarity.pq_adc_topk(e, seeds, qv, k=10, m=8)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -10583,6 +10679,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "perplexity_buckets",
     "merge_orders_full",
     "jsonl_roundtrip_report",
+    "pq_codes_embeddings",
+    "pq_adc_topk",
 )
 
 

@@ -175,3 +175,28 @@ def test_semdedup_flags_within_cluster_near_dup_keep_lowest(spark):
     assert not got[1].is_dup  # lowest id survives
     assert got[2].is_dup     # its near-dup is flagged
     assert not got[3].is_dup  # different cluster, never paired
+
+
+def test_pq_codes_and_adc_small_example(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import similarity
+
+    # dim 4, m=2 subspaces of 2; codebook from two seeds
+    seeds = [[0.0, 0.0, 1.0, 1.0], [1.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (0, seeds[0]),
+        (1, seeds[1]),
+        (2, [0.1, 0.0, 0.9, 1.0]),   # near seed0 in both subspaces
+        (3, [0.9, 1.0, 0.1, 0.0]),   # near seed1 in both subspaces
+        (4, [0.0, 0.1, 0.1, 0.0]),   # sub0→seed0, sub1→seed1
+    ]
+    e = vecs(spark, rows)
+    got = {r.vec_id: (r.c0, r.c1) for r in similarity.pq_codes(e, seeds, m=2).collect()}
+    assert got[0] == (0, 0) and got[1] == (1, 1)
+    assert got[2] == (0, 0) and got[3] == (1, 1)
+    assert got[4] == (0, 1)
+    # ADC with query = seed0: seed0-coded vectors rank first
+    top = similarity.pq_adc_topk(e, seeds, seeds[0], k=5, m=2).collect()
+    order = [r.vec_id for r in top]
+    assert order[0] in (0, 2) and set(order[:2]) == {0, 2}
+    assert top[0].adc_dist_nano == 0  # exact codebook hit
+    assert order[-1] in (1, 3)
