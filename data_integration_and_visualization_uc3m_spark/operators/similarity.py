@@ -503,3 +503,33 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist_nano"), F.col(id_col))
         .limit(k)
     )
+
+
+def l2_topk_nano(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact L2 top-k in nano fixed point — the ground truth the PQ/ADC
+    recall report compares against (same metric, full precision). One
+    scan + TakeOrdered; the squared distance folds left-to-right in
+    double before the single floor, so both engines agree bit-for-bit."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col)
+    d2 = F.aggregate(
+        F.zip_with(
+            v, q, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.floor(d2 * F.lit(NANO)).cast("long").alias("dist_nano"),
+        )
+        .orderBy(F.col("dist_nano"), F.col(id_col))
+        .limit(k)
+    )

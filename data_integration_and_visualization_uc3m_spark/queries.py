@@ -10492,6 +10492,72 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(e, seeds, qv, k=10, m=8)
 
 
+@register(
+    "pq_recall_report",
+    f"""
+    WITH {_PQ_CODES_CTE}, q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), tbl AS (
+        SELECT g.j AS sub, s.c,
+               CAST(FLOOR(list_sum(list_transform(range(1, 9),
+                   i -> (CAST(q.qv[g.j*8 + i] AS DOUBLE)
+                         - CAST(s.sv[g.j*8 + i] AS DOUBLE))
+                        * (CAST(q.qv[g.j*8 + i] AS DOUBLE)
+                           - CAST(s.sv[g.j*8 + i] AS DOUBLE))))
+                   * 1000000000) AS BIGINT) AS d
+        FROM q CROSS JOIN generate_series(0, 7) g(j) CROSS JOIN seeds s
+    ), adc AS (
+        SELECT cd.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist_nano
+        FROM codes cd JOIN tbl t ON t.sub = cd.sub AND t.c = cd.c
+        GROUP BY cd.vec_id
+    ), approx AS (
+        SELECT vec_id FROM adc ORDER BY adc_dist_nano, vec_id LIMIT 10
+    ), exact AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id,
+                   CAST(FLOOR(list_sum(list_transform(
+                       list_zip(e.embedding, q.qv),
+                       p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+                       * 1000000000) AS BIGINT) AS dn
+            FROM embeddings e, q)
+        ORDER BY dn, vec_id LIMIT 10
+    ), hit AS (
+        SELECT COUNT(*) AS n_overlap
+        FROM approx a JOIN exact x ON x.vec_id = a.vec_id
+    )
+    SELECT CAST(n_overlap AS BIGINT) AS n_overlap,
+           CAST(FLOOR(CAST(n_overlap AS DOUBLE) / 10 * 1000000) AS BIGINT)
+             AS recall_fp6
+    FROM hit
+    """,
+    ops=["pq-adc", "ann-recall"],
+)
+def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of PQ/ADC against exact L2 ground truth (same metric,
+    full precision — operators/similarity.py:l2_topk_nano), completing
+    the measured-recall family (IVF, int8, PQ). The deliberately tiny
+    4-centroid codebook makes the quantization loss VISIBLE: the
+    report documents the trade, not a vacuous 100%."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    rows = (
+        e.filter(F.col("vec_id") < 4).orderBy("vec_id").select("embedding").collect()
+    )
+    seeds = [[float(x) for x in r[0]] for r in rows]
+    qv = seeds[0]
+    approx = similarity.pq_adc_topk(e, seeds, qv, k=10, m=8).select("vec_id")
+    exact = similarity.l2_topk_nano(e, qv, k=10).select("vec_id")
+    hit = approx.join(exact, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return hit.select(
+        "n_overlap",
+        F.floor(F.col("n_overlap").cast("double") / F.lit(10) * F.lit(1000000))
+        .cast("long")
+        .alias("recall_fp6"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -10681,6 +10747,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "jsonl_roundtrip_report",
     "pq_codes_embeddings",
     "pq_adc_topk",
+    "pq_recall_report",
 )
 
 
