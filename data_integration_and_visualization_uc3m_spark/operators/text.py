@@ -668,3 +668,81 @@ def strip_boilerplate(
         F.size(toks_all).alias("n_tokens_before"),
         F.size(kept).alias("n_tokens_after"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a (tiny) real BPE merge table on the corpus — the actual
+    Sennrich et al. 2016 algorithm, not an approximation: start from
+    characters, repeatedly merge the most frequent adjacent symbol
+    pair, weighting by word frequency.
+
+    Distribution shape: the corpus-sized work (word counting) is one
+    explode + hash agg; every merge iteration then runs over the
+    WORD-FREQUENCY relation (vocabulary-sized — the classic BPE
+    optimization), so n_merges driver-loop rounds each cost one
+    pair-explode + agg over the vocabulary, with a 1-row collect per
+    round (same driver-loop discipline as connected_components'
+    convergence check). Symbols are wrapped ⟨…⟩ so the adjacent-pair
+    replace is a plain non-overlapping substring replace — identical
+    semantics in any engine, no whitespace-sharing ambiguity.
+
+    Ties break (freq DESC, left, right) — fully deterministic.
+    Returns the merge table: (step, lhs, rhs, merged, freq).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    words = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.regexp_replace(F.col("w"), "(.)", "⟨$1⟩").alias("r"),
+            "cnt",
+        )
+    )
+    spark = df.sparkSession
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.regexp_extract_all(F.col("r"), F.lit("⟨([^⟩]+)⟩"), 1)
+        pairs = (
+            words.select(syms.alias("s"), "cnt")
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at("s", i).alias("lhs"),
+                            F.element_at("s", i + 1).alias("rhs"),
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        top = (
+            pairs.orderBy(F.col("freq").desc(), "lhs", "rhs").limit(1).collect()
+        )
+        if not top:
+            break
+        lhs, rhs, freq = top[0].lhs, top[0].rhs, top[0].freq
+        merges.append((step, lhs, rhs, lhs + rhs, freq))
+        words = words.select(
+            F.replace(
+                F.col("r"),
+                F.lit(f"⟨{lhs}⟩⟨{rhs}⟩"),
+                F.lit(f"⟨{lhs}{rhs}⟩"),
+            ).alias("r"),
+            "cnt",
+        )
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, freq long"
+    )

@@ -10558,6 +10558,71 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(n_merges: int = 5) -> str:
+    """Unrolled BPE training as chained CTEs: each stage counts
+    adjacent symbol pairs over the vocabulary relation, picks the top
+    pair (freq DESC, lhs, rhs), and rewrites the symbol strings — the
+    SQL twin of the Spark driver loop in text.bpe_train_merges."""
+    ctes = [
+        """w0 AS (
+        SELECT regexp_replace(w, '(.)', '⟨\\1⟩', 'g') AS r,
+               COUNT(*) AS cnt
+        FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents)
+        GROUP BY w
+    )"""
+    ]
+    finals = []
+    for s in range(1, n_merges + 1):
+        prev = f"w{s-1}"
+        ctes.append(
+            f"""p{s} AS (
+        SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(SUM(cnt) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(list_transform(range(1, len(syms)),
+                       i -> struct_pack(lhs := syms[i], rhs := syms[i+1]))) AS p,
+                   cnt
+            FROM (SELECT regexp_extract_all(r, '⟨([^⟩]+)⟩', 1) AS syms, cnt
+                  FROM {prev})
+            WHERE len(syms) >= 2)
+        GROUP BY p.lhs, p.rhs
+    ), b{s} AS (
+        SELECT lhs, rhs, freq FROM p{s}
+        ORDER BY freq DESC, lhs, rhs LIMIT 1
+    ), w{s} AS (
+        SELECT replace(w.r, '⟨'||b.lhs||'⟩⟨'||b.rhs||'⟩',
+                       '⟨'||b.lhs||b.rhs||'⟩') AS r, w.cnt
+        FROM {prev} w, b{s} b
+    )"""
+        )
+        finals.append(
+            f"SELECT CAST({s} AS INTEGER) AS step, lhs, rhs,"
+            f" lhs||rhs AS merged, freq FROM b{s}"
+        )
+    return (
+        "\n    WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL\n    ".join(finals)
+    )
+
+
+@register(
+    "bpe_merge_table",
+    _bpe_oracle(5),
+    ops=["bpe-training", "iterative", "text-tokens"],
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real BPE trainer (Sennrich et al. 2016) on the corpus: the
+    first 5 learned merges with their frequencies
+    (operators/text.py:bpe_train_merges). Corpus-sized work happens
+    once (word counting); each merge round runs on the vocabulary
+    relation with a 1-row driver collect, and the oracle unrolls the
+    same fixpoint as chained CTEs."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return text.bpe_train_merges(d, n_merges=5)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -10748,6 +10813,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "pq_codes_embeddings",
     "pq_adc_topk",
     "pq_recall_report",
+    "bpe_merge_table",
 )
 
 

@@ -498,3 +498,18 @@ def test_cooccurrence_lift_exact_ratios(spark):
     assert abs(r.support - 2 / 3) < 1e-12
     assert abs(r.conf_a_to_b - 2 / 3) < 1e-12
     assert abs(r.lift - (2 * 3) / (3 * 2)) < 1e-12
+
+
+def test_bpe_train_merges_known_sequence(spark):
+    # words: 'aaab' ×2, 'ab' ×1.
+    # step 1: (a,a) freq 4 → aa   ('aaab' → aa·a·b, left-to-right)
+    # step 2: (a,b) freq 3 beats (aa,a) freq 2 → ab
+    # step 3: (aa,ab) freq 2 → aaab; then no pairs remain → early stop
+    d = docs(spark, [(1, "aaab aaab"), (2, "ab")])
+    got = text.bpe_train_merges(d, n_merges=4).collect()
+    seq = [(r.step, r.lhs, r.rhs, r.merged, r.freq) for r in sorted(got, key=lambda r: r.step)]
+    assert seq == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 2),
+    ]
