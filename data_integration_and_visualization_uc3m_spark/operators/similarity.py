@@ -483,19 +483,32 @@ def pq_adc_topk(
     the code column (k is small by construction), and the final top-k
     is a TakeOrdered with an id tiebreak. Exact integer adds ⇒
     oracle-reproducible, rare for ANN."""
+    import math
+
     dim = len(seeds[0])
     sub = dim // m
     q = [float(x) for x in query_vec]
     codes = pq_codes(df, seeds, m, id_col, vec_col)
+    # The m×k table cells depend only on the query and the codebook, so
+    # they are computed HERE with the same IEEE ops in the same order
+    # (left-to-right double fold, ×1e9, floor) the engines would use —
+    # bit-identical, and the plan carries 32 integer literals instead
+    # of 32 folded distance subtrees (measured: ~2 s of analysis/
+    # codegen overhead gone at every SF).
     adc = F.lit(0).cast("long")
     for j in range(m):
-        qa = [F.lit(q[j * sub + i]) for i in range(sub)]
+        cells = []
+        for c in range(len(seeds)):
+            acc = 0.0
+            for i in range(sub):
+                dff = q[j * sub + i] - float(seeds[c][j * sub + i])
+                acc = acc + dff * dff
+            cells.append(int(math.floor(acc * NANO)))
         cell = F.lit(None).cast("long")
         # reversed so the final expression checks c=0 first at runtime
         for c in reversed(range(len(seeds))):
-            b = [F.lit(float(seeds[c][j * sub + i])) for i in range(sub)]
             cell = F.when(
-                F.col(f"c{j}") == c, _sq_dist_nano(qa, b)
+                F.col(f"c{j}") == c, F.lit(cells[c]).cast("long")
             ).otherwise(cell)
         adc = adc + cell
     return (

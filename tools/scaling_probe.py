@@ -104,6 +104,16 @@ DEFAULT = [
     "stl_daily_revenue",
     "strip_boilerplate_tokens",
     "cube_orders_status_year",
+    # latest families: epoch-repeat explode, LM-score terciles,
+    # full-outer MERGE, JSONL write+read roundtrip, map-side PQ codes,
+    # ADC table lookup + TakeOrdered, vocabulary-relation BPE rounds
+    "epoch_mixing_apply",
+    "perplexity_buckets",
+    "merge_orders_full",
+    "jsonl_roundtrip_report",
+    "pq_codes_embeddings",
+    "pq_adc_topk",
+    "bpe_merge_table",
 ]
 
 
