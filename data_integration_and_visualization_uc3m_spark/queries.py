@@ -10623,6 +10623,137 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_train_merges(d, n_merges=5)
 
 
+@register(
+    "column_histogram_orders",
+    """
+    WITH v AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS x
+        FROM orders
+    ), b AS (
+        SELECT MIN(x) AS lo, MAX(x) AS hi FROM v
+    )
+    SELECT LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 10)) AS INTEGER), 9)
+             AS bin,
+           COUNT(*) AS n_rows,
+           MIN(x) AS bin_min,
+           MAX(x) AS bin_max
+    FROM v, b GROUP BY 1
+    """,
+    ops=["analyze-histogram", "column-stats", "A3"],
+)
+def column_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style equi-width histogram (10 bins) of order value —
+    the column statistic a cost-based optimizer consumes. Two-pass:
+    1-row min/max broadcast, then a map-side bin expression + one
+    aggregation. The top edge clamps into the last bin."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(_dec2("o_totalprice").cast("double").alias("x"))
+    b = v.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binc = F.least(
+        F.floor((F.col("x") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10))
+        .cast("int"),
+        F.lit(9),
+    )
+    return (
+        v.crossJoin(F.broadcast(b))
+        .groupBy(binc.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("bin_min"),
+            F.max("x").alias("bin_max"),
+        )
+    )
+
+
+_FP_SQL = """
+        SELECT o_orderkey % 16 AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(('0x'||substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' ||
+                       COALESCE(o_orderstatus, '') || '|' ||
+                       CAST({price} AS VARCHAR) || '|' ||
+                       CAST(o_orderdate AS VARCHAR)
+                   ),1,15)) AS BIGINT))
+                    % 4611686018427387904 AS BIGINT) AS checksum
+        FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "fingerprint_diff_report",
+    f"""
+    WITH fa AS (
+        {_FP_SQL.format(price="CAST(o_totalprice AS DECIMAL(18,2))")}
+    ), fb AS (
+        {_FP_SQL.format(
+            price="CASE WHEN o_orderkey % 1000 = 7 "
+            "THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1 "
+            "ELSE CAST(o_totalprice AS DECIMAL(18,2)) END"
+        )}
+    )
+    SELECT fa.bucket,
+           fa.n_rows AS n_rows_a, fa.checksum AS checksum_a,
+           fb.n_rows AS n_rows_b, fb.checksum AS checksum_b,
+           fa.checksum = fb.checksum AS match
+    FROM fa JOIN fb ON fb.bucket = fa.bucket
+    """,
+    ops=["anti-entropy", "fingerprint-diff", "A3"],
+)
+def fingerprint_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation in action: bucketed checksums of a
+    replica and a deterministically-corrupted copy (keys ≡ 7 mod 1000
+    carry a +1 price drift) compared bucket-by-bucket — mismatched
+    buckets localize the corruption to 1/16 of the key space before
+    any row-level diff runs. Same overflow-proof decimal-sum checksum
+    as table_fingerprint_orders."""
+    o = _t(spark, sf_dir, "orders")
+
+    def fingerprint(price_col):
+        row_repr = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("")),
+            price_col.cast("string"),
+            F.col("o_orderdate").cast("string"),
+        )
+        rh = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("long")
+        return (
+            o.select(rh.alias("rh"), (F.col("o_orderkey") % 16).alias("bucket"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.sum(F.col("rh").cast(DEC38)) % F.lit(4611686018427387904))
+                .cast("long")
+                .alias("checksum"),
+            )
+        )
+
+    fa = fingerprint(_dec2("o_totalprice"))
+    fb = fingerprint(
+        F.when(
+            F.col("o_orderkey") % 1000 == 7, _dec2("o_totalprice") + F.lit(1)
+        ).otherwise(_dec2("o_totalprice"))
+    )
+    a = fa.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("checksum").alias("checksum_a"),
+    )
+    bb = fb.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("checksum").alias("checksum_b"),
+    )
+    return a.join(bb, "bucket").select(
+        "bucket",
+        "n_rows_a",
+        "checksum_a",
+        "n_rows_b",
+        "checksum_b",
+        (F.col("checksum_a") == F.col("checksum_b")).alias("match"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -10814,6 +10945,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "pq_adc_topk",
     "pq_recall_report",
     "bpe_merge_table",
+    "column_histogram_orders",
+    "fingerprint_diff_report",
 )
 
 

@@ -386,3 +386,22 @@ def test_merge_full_three_clauses(spark):
     assert out[1].v == 10.0 and out[1].tag == "a"   # untouched
     assert out[2].v == 99.0 and out[2].tag == "b"   # v updated, tag kept
     assert out[4].v == 40.0 and out[4].tag == "d"   # full insert
+
+
+def test_expect_schema_contract(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import validate
+
+    df = spark.createDataFrame([(1, "x", 2.0)], "id long, name string, v double")
+    got = {
+        r.column: r.status
+        for r in validate.expect_schema(
+            df, {"id": "bigint", "name": "int", "missing_col": "string"}
+        ).collect()
+    }
+    assert got == {"id": "ok", "name": "type_mismatch", "missing_col": "missing"}
+    strict = {
+        r.column: r.status
+        for r in validate.expect_schema(df, {"id": "bigint"}, strict=True).collect()
+    }
+    assert strict["v"] == "unexpected" and strict["name"] == "unexpected"
+    assert strict["id"] == "ok"

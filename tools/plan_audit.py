@@ -73,6 +73,7 @@ SCALAR_OK: set[str] = {
     "strip_boilerplate_tokens", # 1-row stoplist + 1-row corpus count broadcasts
     "basket_part_lift",         # 1-row basket-total broadcast (lift denominator)
     "perplexity_buckets",       # 1-row tercile-boundaries broadcast
+    "column_histogram_orders",  # 1-row min/max broadcast (bin bounds)
     "source_term_kl",           # 1-row support-mass scalar broadcast
 }
 
