@@ -10754,6 +10754,97 @@ def fingerprint_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_build_v2_e2e",
+    """
+    WITH capped AS (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x'||substring(
+                                   md5('cap:'||CAST(doc_id AS VARCHAR)),1,8))
+                                AS BIGINT),
+                                doc_id) AS rk
+            FROM documents) WHERE rk <= 20
+    ), feat AS (
+        SELECT doc_id, source,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(lower(text), ' ')))
+                    AS DOUBLE)
+                 / len(string_split(lower(text), ' ')) AS ttr,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN ('the','and','of','to','in','is','a','that')))
+                    AS DOUBLE)
+                 / len(string_split(lower(text), ' ')) AS sr,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens
+        FROM capped
+    ), z AS (
+        SELECT doc_id, source, bpe_tokens,
+               CAST(-0.8 AS DOUBLE) + CAST(1.2 AS DOUBLE) * ttr
+                 + CAST(2.0 AS DOUBLE) * sr
+                 + CAST(0.002 AS DOUBLE) * n_tokens AS z
+        FROM feat
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(CAST(FLOOR(z / (1 + abs(z)) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_score_fp6
+    FROM z
+    WHERE z / (1 + abs(z)) >= 0.25
+    GROUP BY source
+    """,
+    ops=["corpus-build-e2e", "frequency-cap", "model-quality-filter"],
+)
+def corpus_build_v2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus build v2, composing this round's curation operators in
+    ONE lazy plan: per-source frequency cap (WindowGroupLimit) →
+    frozen-weight classifier gate (rational sigmoid) → per-source
+    token/score budget stats. No intermediate materialization — the
+    whole chain is one Catalyst plan, exactly how a 100 TB build
+    would submit it."""
+    d = _t(spark, sf_dir, "documents")
+    capped = sampling.cap_per_group(d, "source", 20, "doc_id", seed="cap")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    sr = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin(
+                    "the", "and", "of", "to", "in", "is", "a", "that"
+                ),
+            )
+        ).cast("double")
+        / n_tokens
+    )
+    z = (
+        F.lit(-0.8)
+        + F.lit(1.2) * ttr
+        + F.lit(2.0) * sr
+        + F.lit(0.002) * n_tokens
+    )
+    scored = capped.select(
+        "doc_id",
+        "source",
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("bpe_tokens"),
+        (z / (F.lit(1) + F.abs(z))).alias("score"),
+    )
+    return (
+        scored.filter(F.col("score") >= F.lit(0.25))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_tokens").alias("sum_tokens"),
+            F.sum(F.floor(F.col("score") * 1000000).cast("long")).alias(
+                "sum_score_fp6"
+            ),
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -10947,6 +11038,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "bpe_merge_table",
     "column_histogram_orders",
     "fingerprint_diff_report",
+    "corpus_build_v2_e2e",
 )
 
 
