@@ -251,3 +251,62 @@ def bigram_logprob(
         .cast("long")
         .alias("avg_logp_fp6"),
     )
+
+
+def dsir_score(
+    df: DataFrame,
+    target_cond: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data selection scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): rank
+    raw documents by how much more likely a TARGET-domain n-gram LM
+    finds them than the raw-corpus LM —
+    ``score = Σ m·(ln P_target(w2|w1) − ln P_raw(w2|w1))``.
+
+    Both LMs train in the same lazy plan (the target is the
+    ``target_cond`` slice of the corpus); scoring covers the bigrams
+    the target LM has support for (the importance ratio is undefined
+    off-support — documents whose bigrams never occur in-domain simply
+    contribute nothing, and ``n_scored_bigrams`` reports the
+    coverage). Each ln takes an INTEGER count (correctly-rounded and
+    engine-identical), is fixed-pointed per term, and the per-doc sum
+    is exact integer — the whole selection is oracle-reproducible.
+
+    Shape: one bigram explode (pre-combined map-side per doc), two
+    vocabulary-sized LM aggregates, vocabulary-keyed joins. Positive
+    ``diff_fp9`` = more target-like than average.
+    """
+    bg = _doc_bigrams(df, id_col=id_col, text_col=text_col)
+    per_doc_pair = bg.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    raw_pc = per_doc_pair.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    raw_wc = raw_pc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    target_ids = df.filter(target_cond).select(F.col(id_col))
+    tgt_pc = (
+        per_doc_pair.join(target_ids, id_col, "left_semi")
+        .groupBy("w1", "w2")
+        .agg(F.sum("m").alias("t2"))
+    )
+    tgt_wc = tgt_pc.groupBy("w1").agg(F.sum("t2").alias("t1"))
+    term = lambda num, den: F.floor(
+        (F.log(F.col(num).cast("double")) - F.log(F.col(den).cast("double")))
+        * FP9
+    ).cast("long")
+    scored = (
+        per_doc_pair.join(tgt_pc, ["w1", "w2"])
+        .join(tgt_wc, "w1")
+        .join(raw_pc, ["w1", "w2"])
+        .join(raw_wc, "w1")
+        .select(
+            F.col(id_col),
+            F.col("m"),
+            (term("t2", "t1") - term("c2", "c1")).alias("d"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("m").alias("n_scored_bigrams"),
+        F.sum(F.col("m") * F.col("d")).alias("diff_fp9"),
+    )

@@ -10845,6 +10845,65 @@ def corpus_build_v2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dsir_selection_report",
+    """
+    WITH w AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS words
+        FROM documents
+    ), bge AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT doc_id, unnest(list_transform(
+                       range(0, len(words) - 1),
+                       i -> struct_pack(w1 := words[i+1], w2 := words[i+2])
+                   )) AS p
+            FROM w WHERE len(words) >= 2)
+    ), pd AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS m FROM bge GROUP BY doc_id, w1, w2
+    ), raw_pc AS (
+        SELECT w1, w2, SUM(m) AS c2 FROM pd GROUP BY w1, w2
+    ), raw_wc AS (
+        SELECT w1, SUM(c2) AS c1 FROM raw_pc GROUP BY w1
+    ), tgt AS (
+        SELECT doc_id FROM w WHERE source = 'src0'
+    ), tgt_pc AS (
+        SELECT w1, w2, SUM(m) AS t2
+        FROM pd WHERE doc_id IN (SELECT doc_id FROM tgt)
+        GROUP BY w1, w2
+    ), tgt_wc AS (
+        SELECT w1, SUM(t2) AS t1 FROM tgt_pc GROUP BY w1
+    ), sc AS (
+        SELECT pd.doc_id, pd.m,
+               CAST(FLOOR((ln(CAST(tp.t2 AS DOUBLE))
+                           - ln(CAST(tw.t1 AS DOUBLE))) * 1000000000)
+                    AS BIGINT)
+               - CAST(FLOOR((ln(CAST(rp.c2 AS DOUBLE))
+                             - ln(CAST(rw.c1 AS DOUBLE))) * 1000000000)
+                      AS BIGINT) AS d
+        FROM pd
+        JOIN tgt_pc tp ON tp.w1 = pd.w1 AND tp.w2 = pd.w2
+        JOIN tgt_wc tw ON tw.w1 = pd.w1
+        JOIN raw_pc rp ON rp.w1 = pd.w1 AND rp.w2 = pd.w2
+        JOIN raw_wc rw ON rw.w1 = pd.w1
+    )
+    SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_scored_bigrams,
+           CAST(SUM(m * d) AS BIGINT) AS diff_fp9
+    FROM sc GROUP BY doc_id
+    """,
+    ops=["dsir-selection", "text-lm-score", "importance-resampling"],
+)
+def dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores with src0 as the target domain
+    (operators/corpus_stats.py:dsir_score): per document, the exact
+    fixed-point Σ m·(ln P_target − ln P_raw) over target-supported
+    bigrams — positive means more src0-like than the corpus average;
+    resample by this score to build a domain-matched training set."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return corpus_stats.dsir_score(d, F.col("source") == "src0")
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -11039,6 +11098,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "column_histogram_orders",
     "fingerprint_diff_report",
     "corpus_build_v2_e2e",
+    "dsir_selection_report",
 )
 
 

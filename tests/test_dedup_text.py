@@ -513,3 +513,31 @@ def test_bpe_train_merges_known_sequence(spark):
         (2, "a", "b", "ab", 3),
         (3, "aa", "ab", "aaab", 2),
     ]
+
+
+def test_dsir_score_prefers_target_like_docs(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import corpus_stats
+
+    # target domain speaks "x y"; off-domain speaks "p q"; doc 5 mixes
+    rows = [
+        (1, "x y x y x y", "t"),
+        (2, "x y x y", "t"),
+        (3, "p q p q p q", "r"),
+        (4, "p q p q", "r"),
+        (5, "x y p q", "r"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    got = {
+        r.doc_id: r
+        for r in corpus_stats.dsir_score(
+            d, F.col("src") == "t"
+        ).collect()
+    }
+    # pure off-domain bigrams have no target support → doc 3/4 drop out
+    assert 3 not in got and 4 not in got
+    # target-like docs score strictly higher per-bigram than the mixed doc
+    assert got[1].diff_fp9 > 0 and got[2].diff_fp9 > 0
+    assert got[5].n_scored_bigrams < got[1].n_scored_bigrams
+    # the mixed doc's scored bigrams are the same target-supported ones,
+    # so its per-bigram ratio matches — but total mass is smaller
+    assert got[5].diff_fp9 <= got[1].diff_fp9
