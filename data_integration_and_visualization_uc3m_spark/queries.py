@@ -10904,6 +10904,72 @@ def dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.dsir_score(d, F.col("source") == "src0")
 
 
+@register(
+    "user_feature_store",
+    """
+    WITH per AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_value,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us
+        FROM events GROUP BY user_id
+    ), fav AS (
+        SELECT user_id, event_type AS fav_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY COUNT(*) DESC, event_type)
+                     AS rn
+            FROM events GROUP BY user_id, event_type) WHERE rn = 1
+    ), t AS (
+        SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) AS tmax_us FROM events
+    )
+    SELECT p.user_id, p.n_events, p.total_value,
+           CAST(t.tmax_us - p.last_us AS BIGINT) AS recency_us,
+           CAST(p.last_us - p.first_us AS BIGINT) AS span_us,
+           f.fav_type
+    FROM per p JOIN fav f ON f.user_id = p.user_id CROSS JOIN t
+    """,
+    ops=["feature-store", "A3", "window"],
+)
+def user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-engineering wide table (the churn/LTV feature-store
+    shape): per user, activity counts, exact DECIMAL value totals,
+    recency/tenure in exact epoch-microseconds, and the modal event
+    type with a deterministic tiebreak — one aggregation, one
+    grouped-mode window, a 1-row corpus-max broadcast."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    fav = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("fav_type"))
+    )
+    t = e.agg(F.max(F.unix_micros("ts")).alias("tmax_us"))
+    return (
+        per.join(fav, "user_id")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "n_events",
+            "total_value",
+            (F.col("tmax_us") - F.col("last_us")).alias("recency_us"),
+            (F.col("last_us") - F.col("first_us")).alias("span_us"),
+            "fav_type",
+        )
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -11099,6 +11165,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "fingerprint_diff_report",
     "corpus_build_v2_e2e",
     "dsir_selection_report",
+    "user_feature_store",
 )
 
 

@@ -74,6 +74,7 @@ SCALAR_OK: set[str] = {
     "basket_part_lift",         # 1-row basket-total broadcast (lift denominator)
     "perplexity_buckets",       # 1-row tercile-boundaries broadcast
     "column_histogram_orders",  # 1-row min/max broadcast (bin bounds)
+    "user_feature_store",       # 1-row corpus-max broadcast (recency anchor)
     "source_term_kl",           # 1-row support-mass scalar broadcast
 }
 
