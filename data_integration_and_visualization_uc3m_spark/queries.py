@@ -10970,6 +10970,77 @@ def user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "contrastive_pairs_dataset",
+    f"""
+    WITH {_SHINGLES_CTE}, sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    ), pos AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_common) >= 0.5
+    ), bk AS (
+        SELECT doc_id,
+               CAST(('0x'||substring(
+                   md5('cp:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 8
+                 AS bucket
+        FROM documents
+    ), neg AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE CAST(('0x'||substring(md5(
+                  'cp:'||CAST(a.doc_id AS VARCHAR)||':'
+                  ||CAST(b.doc_id AS VARCHAR)),1,8)) AS BIGINT)
+              < CAST(FLOOR(0.02 * 4294967296) AS BIGINT)
+          AND NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.id_a = a.doc_id AND p.id_b = b.doc_id)
+    )
+    SELECT id_a, id_b, CAST(1 AS INTEGER) AS label FROM pos
+    UNION ALL
+    SELECT id_a, id_b, CAST(0 AS INTEGER) AS label FROM neg
+    """,
+    ops=["contrastive-pairs", "dedup-jaccard", "hash-sample"],
+)
+def contrastive_pairs_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair dataset builder for a similarity model: positives
+    are verified near-dup pairs (3-gram Jaccard ≥ 0.5), negatives a
+    deterministic 2% hash sample of bucket-blocked non-dup pairs —
+    bounded blocks keep negative generation sub-quadratic, the md5
+    pair draw makes the dataset reproducible, and the anti-join
+    guarantees label purity."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    pos = dedup.jaccard_pairs(
+        dedup.ngram_set(d, n=3), item_col="shingle", threshold=0.5
+    ).select("id_a", "id_b")
+    bk = d.select(
+        "doc_id", (sampling.hash_bucket(F.col("doc_id"), "cp") % 8).alias("bucket")
+    )
+    a = bk.select(F.col("doc_id").alias("id_a"), "bucket")
+    b = bk.select(F.col("doc_id").alias("id_b"), "bucket")
+    draw = sampling.hash_bucket(
+        F.concat_ws(
+            ":", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        ),
+        "cp",
+    )
+    neg = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(draw < F.lit(int(0.02 * sampling.HASH_SPACE)))
+        .join(pos, ["id_a", "id_b"], "left_anti")
+        .select("id_a", "id_b")
+    )
+    return pos.select(
+        "id_a", "id_b", F.lit(1).alias("label")
+    ).unionByName(neg.select("id_a", "id_b", F.lit(0).alias("label")))
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -11166,6 +11237,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "corpus_build_v2_e2e",
     "dsir_selection_report",
     "user_feature_store",
+    "contrastive_pairs_dataset",
 )
 
 
