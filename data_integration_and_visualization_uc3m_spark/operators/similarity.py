@@ -330,6 +330,12 @@ def semdedup(
     (id, cluster, is_dup). Zero-norm vectors are dropped up front
     (cosine undefined; same guard as cosine_pairs_blocked).
     """
+    for i, s in enumerate(seeds):
+        if not any(float(x) != 0.0 for x in s):
+            raise ValueError(
+                f"seed {i} has zero norm — cosine to it is undefined; "
+                "codebooks must contain non-degenerate centroids"
+            )
     v = F.col(vec_col)
     staged = df.select(
         F.col(id_col), v.alias("_v"), F.sqrt(_dot(v, v)).alias("_norm")

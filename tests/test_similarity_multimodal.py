@@ -200,3 +200,13 @@ def test_pq_codes_and_adc_small_example(spark):
     assert order[0] in (0, 2) and set(order[:2]) == {0, 2}
     assert top[0].adc_dist_nano == 0  # exact codebook hit
     assert order[-1] in (1, 3)
+
+
+def test_semdedup_rejects_zero_norm_seed(spark):
+    import pytest
+
+    from data_integration_and_visualization_uc3m_spark.operators import similarity
+
+    e = vecs(spark, [(1, [1.0, 0.0])])
+    with pytest.raises(ValueError, match="zero norm"):
+        similarity.semdedup(e, [[1.0, 0.0], [0.0, 0.0]])
