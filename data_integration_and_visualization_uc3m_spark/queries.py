@@ -11041,6 +11041,53 @@ def contrastive_pairs_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(neg.select("id_a", "id_b", F.lit(0).alias("label")))
 
 
+@register(
+    "late_arrival_audit",
+    """
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               MAX(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS wm_us
+        FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN wm_us IS NOT NULL
+                          AND ts_us < wm_us - 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_30m
+    FROM seq GROUP BY user_id
+    """,
+    ops=["watermark-audit", "window-offset", "streaming-policy"],
+)
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline watermark-policy evaluation: replay each user's events
+    in arrival order (event_id as the arrival proxy) against a 30-min
+    per-key watermark — the rows a streaming job WOULD have dropped,
+    measured before committing to the delay. Exact epoch-microsecond
+    integers; the running max is a partitioned preceding-frame window,
+    no global sort."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.max(F.unix_micros("ts")).over(w).alias("wm_us"),
+    )
+    late = (
+        F.col("wm_us").isNotNull()
+        & (F.col("ts_us") < F.col("wm_us") - F.lit(1800000000))
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late_30m"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -11238,6 +11285,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "dsir_selection_report",
     "user_feature_store",
     "contrastive_pairs_dataset",
+    "late_arrival_audit",
 )
 
 
