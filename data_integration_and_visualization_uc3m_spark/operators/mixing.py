@@ -275,3 +275,48 @@ def epoch_apply(
     return inst.filter(
         (F.col("epoch") < F.col("_n_full")) | (draw < F.col("_thr"))
     ).select(id_col, source_col, "epoch")
+
+
+def temperature_plan(
+    docs: DataFrame,
+    token_budget: int,
+    source_col: str = "source",
+    token_col: str = "tokens",
+) -> DataFrame:
+    """Temperature-scaled mixing at α = 0.5 (the UniMax / mT5 family:
+    sample sources ∝ sizeᵅ so head sources are DAMPED and tail
+    languages/domains up-weighted, without hand-tuned weights).
+
+    α is fixed at 0.5 because √ is the one fractional power with an
+    IEEE-exact, engine-identical primitive (general ``pow`` is a libm
+    call with no cross-engine rounding contract — same reason the
+    quality scorer uses a rational squash). Each source's weight
+    ``floor(√tokens·10⁹)`` is fixed-pointed BEFORE the cross-source
+    sum (convention 7), so the normalizer is exact-integer and the
+    final shares are doubles of identical operands.
+
+    One vocabulary-sized aggregate; nothing else touches the corpus.
+    """
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("avail_tokens"),
+    )
+    w = F.floor(
+        F.sqrt(F.col("avail_tokens").cast("double")) * F.lit(1000000000)
+    ).cast("long")
+    weighted = counts.withColumn("w_fp9", w)
+    norm = weighted.agg(F.sum("w_fp9").alias("w_total"))
+    share = F.col("w_fp9").cast("double") / F.col("w_total")
+    return (
+        weighted.crossJoin(F.broadcast(norm))
+        .select(
+            source_col,
+            "n_docs",
+            "avail_tokens",
+            "w_fp9",
+            F.floor(F.lit(float(token_budget)) * share)
+            .cast("long")
+            .alias("target_tokens"),
+            share.alias("share"),
+        )
+    )

@@ -11088,6 +11088,46 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "temperature_mixing_plan",
+    """
+    WITH t AS (
+        SELECT source, CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens
+        FROM documents
+    ), c AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS avail_tokens
+        FROM t GROUP BY source
+    ), wgt AS (
+        SELECT source, n_docs, avail_tokens,
+               CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS w_fp9
+        FROM c
+    ), norm AS (
+        SELECT CAST(SUM(w_fp9) AS BIGINT) AS w_total FROM wgt
+    )
+    SELECT source, n_docs, avail_tokens, w_fp9,
+           CAST(FLOOR(CAST(100000 AS DOUBLE)
+                      * (CAST(w_fp9 AS DOUBLE) / w_total)) AS BIGINT)
+             AS target_tokens,
+           CAST(w_fp9 AS DOUBLE) / w_total AS share
+    FROM wgt, norm
+    """,
+    ops=["temperature-mixing", "corpus-mixing", "A3"],
+)
+def temperature_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style α=0.5 temperature mixing over all sources
+    (operators/mixing.py:temperature_plan): √-damped shares of a
+    100k-token budget — head sources give up budget to the tail,
+    no hand weights."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("tokens"),
+    )
+    return mixing.temperature_plan(toks, token_budget=100000)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -11286,6 +11326,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "user_feature_store",
     "contrastive_pairs_dataset",
     "late_arrival_audit",
+    "temperature_mixing_plan",
 )
 
 

@@ -407,3 +407,19 @@ def test_epoch_apply_integer_repeats_and_fractional_draw(spark):
     assert sorted((r.doc_id, r.epoch) for r in again) == sorted(
         (r.doc_id, r.epoch) for r in inst
     )
+
+
+def test_temperature_plan_damps_head_sources(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import mixing
+
+    rows = [("big", 10000), ("small", 100)]
+    df = spark.createDataFrame(rows, "source string, tokens long")
+    got = {
+        r.source: r
+        for r in mixing.temperature_plan(df, token_budget=1000).collect()
+    }
+    # raw ratio 100:1 → sqrt-damped 10:1
+    assert abs(got["big"].share / got["small"].share - 10.0) < 1e-9
+    assert got["big"].target_tokens + got["small"].target_tokens <= 1000
+    # sqrt damping: big's share (10/11) < its raw share (100/101)
+    assert got["big"].share < 10000 / 10100

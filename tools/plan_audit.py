@@ -75,6 +75,7 @@ SCALAR_OK: set[str] = {
     "perplexity_buckets",       # 1-row tercile-boundaries broadcast
     "column_histogram_orders",  # 1-row min/max broadcast (bin bounds)
     "user_feature_store",       # 1-row corpus-max broadcast (recency anchor)
+    "temperature_mixing_plan",  # 1-row weight-normalizer broadcast
     "source_term_kl",           # 1-row support-mass scalar broadcast
 }
 
