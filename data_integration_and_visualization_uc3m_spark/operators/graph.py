@@ -161,3 +161,67 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def k_core_fixed_rounds(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 6,
+    a: str = "lo",
+    b: str = "hi",
+) -> DataFrame:
+    """Bounded-round k-core peeling over an undirected edge relation
+    (canonical ``a < b`` per row): repeatedly drop nodes of degree < k
+    and the edges touching them. Runs EXACTLY ``rounds`` rounds — no
+    driver-side convergence action at all, the whole unrolled
+    iteration is ONE lazy plan — so the SQL twin (the same unroll as
+    chained CTEs) is equivalent by construction; pick ``rounds`` ≥ the
+    expected peel depth (peeling removes ≥1 node per round until
+    stable, so ``rounds`` bounds the cascade length, not the graph
+    size).
+
+    Per round: one degree aggregation + two semi-joins — the same
+    join+agg shape as the other iterative operators here (connected
+    components, PageRank), minus their convergence COLLECT (no result
+    inspection; the only driver action is the per-round checkpoint).
+    Each round's edge relation references the previous round THREE
+    times (degree build + both semi-join probes), so without lineage
+    truncation the unrolled plan triples per round (3^rounds subtree
+    copies — measured: the analyzed plan alone hangs the session at 6
+    rounds). Rounds are therefore localCheckpoint'd with the same
+    exact superseded-id freeing as connected_components. Returns the
+    surviving nodes with their residual degrees.
+    """
+    jsc = edges.sparkSession.sparkContext._jsc.sc()
+
+    def _ck_rdd_id(df: DataFrame) -> int:
+        return df._jdf.queryExecution().analyzed().rdd().id()
+
+    def _unpersist(rdd_id: int) -> None:
+        jmap = jsc.getPersistentRDDs()
+        if jmap.contains(rdd_id):
+            jmap.apply(rdd_id).unpersist(False)
+
+    e = edges.select(F.col(a).alias("lo"), F.col(b).alias("hi")).localCheckpoint()
+    prev_id = _ck_rdd_id(e)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionAll(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .localCheckpoint()
+        )
+        _unpersist(prev_id)
+        prev_id = _ck_rdd_id(e)
+    return (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

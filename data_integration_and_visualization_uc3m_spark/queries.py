@@ -11128,6 +11128,100 @@ def temperature_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixing.temperature_plan(toks, token_budget=100000)
 
 
+def _k_core_oracle(k: int = 11, rounds: int = 6) -> str:
+    """Unrolled fixed-round k-core peeling as chained MATERIALIZED
+    CTEs (without MATERIALIZED DuckDB inlines each round's CTE into
+    the next — 3^rounds copies of the 4-table edge build). The Spark
+    twin runs the identical unroll as one lazy plan."""
+    ctes = ["""raw AS MATERIALIZED (
+        SELECT least(s.s_nationkey, c.c_nationkey) AS lo,
+               greatest(s.s_nationkey, c.c_nationkey) AS hi,
+               o.o_orderkey AS ok
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ), wpairs AS MATERIALIZED (
+        SELECT lo, hi, COUNT(DISTINCT ok) AS cnt FROM raw GROUP BY lo, hi
+    ), med AS (
+        SELECT quantile_cont(CAST(cnt AS DOUBLE), 0.5) AS m FROM wpairs
+    ), e0 AS MATERIALIZED (
+        SELECT lo, hi FROM wpairs, med WHERE CAST(cnt AS DOUBLE) >= m
+    )"""]
+    for r in range(1, rounds + 1):
+        p = f"e{r-1}"
+        ctes.append(f"""d{r} AS MATERIALIZED (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT lo AS node FROM {p} UNION ALL SELECT hi FROM {p})
+        GROUP BY node
+    ), k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (
+        SELECT e.lo, e.hi FROM {p} e
+        WHERE EXISTS (SELECT 1 FROM k{r} x WHERE x.node = e.lo)
+          AND EXISTS (SELECT 1 FROM k{r} y WHERE y.node = e.hi)
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT n_name, deg FROM (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT lo AS node FROM e{rounds}
+            UNION ALL SELECT hi FROM e{rounds})
+        GROUP BY node)
+    JOIN nation ON node = n_nationkey
+    """
+    )
+
+
+@register(
+    "nation_trade_k_core",
+    _k_core_oracle(k=11, rounds=6),
+    ops=["graph-k-core", "iterative", "A3"],
+)
+def nation_trade_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """11-core of the median-sparsified nation trade graph
+    (operators/graph.py:k_core_fixed_rounds): edges are nation pairs
+    with ≥ median distinct-order volume, then 6 peeling rounds drop
+    weakly-connected nations and the edges they carried — the dense
+    trading club that survives cascade removal. Exactly 6 rounds on
+    both engines (no convergence check — equivalence by construction);
+    rounds are checkpointed to stop the 3×-per-round lineage blowup,
+    mirrored by MATERIALIZED CTEs on the DuckDB side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    raw = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("lo"),
+            F.greatest("s_nationkey", "c_nationkey").alias("hi"),
+            F.col("o_orderkey").alias("ok"),
+        )
+    )
+    wpairs = raw.groupBy("lo", "hi").agg(
+        F.count_distinct("ok").alias("cnt")
+    )
+    med = wpairs.agg(
+        F.percentile(F.col("cnt").cast("double"), 0.5).alias("m")
+    )
+    edges = (
+        wpairs.crossJoin(F.broadcast(med))
+        .filter(F.col("cnt").cast("double") >= F.col("m"))
+        .select("lo", "hi")
+    )
+    core = graph.k_core_fixed_rounds(edges, k=11, rounds=6)
+    return core.join(
+        n, core["node"] == n["n_nationkey"]
+    ).select("n_name", "deg")
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -11327,6 +11421,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "contrastive_pairs_dataset",
     "late_arrival_audit",
     "temperature_mixing_plan",
+    "nation_trade_k_core",
 )
 
 

@@ -100,3 +100,22 @@ def test_triangle_counts_direction_and_duplicates_invariant(spark):
     )
     got = {r.node: r.n_triangles for r in graph.triangle_counts(e).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_k_core_fixed_rounds_peels_cascade(spark):
+    from pyspark.sql import functions as F
+
+    from data_integration_and_visualization_uc3m_spark.operators import graph
+
+    # triangle 1-2-3 (2-core) + pendant chain 3-4, 4-5 (peels in cascade)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "lo long, hi long"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    got = {r.node: r.deg for r in graph.k_core_fixed_rounds(edges, k=2, rounds=4).collect()}
+    # 5 peels (deg 1) → 4 drops to deg 1 → peels → triangle survives
+    assert got == {1: 2, 2: 2, 3: 2}
+    # checkpoint hygiene: only the final round's checkpoint may linger
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, f"leaked {after - before} persistent RDDs"

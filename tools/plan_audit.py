@@ -76,6 +76,7 @@ SCALAR_OK: set[str] = {
     "column_histogram_orders",  # 1-row min/max broadcast (bin bounds)
     "user_feature_store",       # 1-row corpus-max broadcast (recency anchor)
     "temperature_mixing_plan",  # 1-row weight-normalizer broadcast
+    "nation_trade_k_core",      # 1-row median-threshold broadcast
     "source_term_kl",           # 1-row support-mass scalar broadcast
 }
 
