@@ -114,6 +114,20 @@ DEFAULT = [
     "pq_codes_embeddings",
     "pq_adc_topk",
     "bpe_merge_table",
+    # end-of-session families: checkpointed fixed-round peeling,
+    # sqrt-damped mix plan, RFM wide table, blocked-negative pair
+    # builder, per-key watermark replay, dual-LM importance diff,
+    # composed curation chain, min/max-bound histogram, replica
+    # checksum diff
+    "nation_trade_k_core",
+    "temperature_mixing_plan",
+    "user_feature_store",
+    "contrastive_pairs_dataset",
+    "late_arrival_audit",
+    "dsir_selection_report",
+    "corpus_build_v2_e2e",
+    "column_histogram_orders",
+    "fingerprint_diff_report",
 ]
 
 
