@@ -11010,10 +11010,13 @@ def user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contrastive_pairs_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pair dataset builder for a similarity model: positives
     are verified near-dup pairs (3-gram Jaccard ≥ 0.5), negatives a
-    deterministic 2% hash sample of bucket-blocked non-dup pairs —
-    bounded blocks keep negative generation sub-quadratic, the md5
-    pair draw makes the dataset reproducible, and the anti-join
-    guarantees label purity."""
+    deterministic 2% hash sample of bucket-blocked non-dup pairs; the
+    md5 pair draw makes the dataset reproducible and the anti-join
+    guarantees label purity. SCALE KNOB: negative candidate volume is
+    Σ block² · rate, so the bucket count must grow with the corpus
+    (n_buckets ≈ n / target_block_size keeps blocks bounded — 8 is
+    sized for the testdata; at 10⁹ docs you'd use ~10⁵ buckets and
+    the same rate arithmetic)."""
     d = _t(spark, sf_dir, "documents", fanout=True)
     pos = dedup.jaccard_pairs(
         dedup.ngram_set(d, n=3), item_col="shingle", threshold=0.5
