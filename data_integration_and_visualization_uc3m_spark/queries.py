@@ -11225,6 +11225,59 @@ def nation_trade_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_name", "deg")
 
 
+@register(
+    "event_trigram_patterns",
+    """
+    WITH s AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    ), t AS (
+        SELECT unnest(list_transform(range(1, len(seq) - 1),
+                   i -> seq[i] || '>' || seq[i+1] || '>' || seq[i+2]))
+                 AS trigram
+        FROM s WHERE len(seq) >= 3
+    )
+    SELECT trigram, COUNT(*) AS n
+    FROM t GROUP BY trigram
+    ORDER BY n DESC, trigram LIMIT 20
+    """,
+    ops=["sequence-mining", "A3", "array-fold"],
+)
+def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: top-20 contiguous 3-event patterns
+    across user timelines. Per-user sequences assemble with ONE
+    grouped collect sorted in-row by (ts, event_id) — deterministic
+    under timestamp ties, no window over the event table — and the
+    trigram explode is in-row codegen. At 100 TB the per-user list is
+    session-bounded upstream (sessionize first); the pattern space is
+    |event_types|³, a tiny aggregate."""
+    e = _t(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("i"),
+                    F.col("event_type").alias("et"),
+                )
+            )
+        ).alias("seq")
+    )
+    el = lambda i: F.element_at(F.col("seq"), i).getField("et")
+    tris = F.transform(
+        F.sequence(F.lit(1), F.size("seq") - 2),
+        lambda i: F.concat_ws(">", el(i), el(i + 1), el(i + 2)),
+    )
+    return (
+        seq.filter(F.size("seq") >= 3)
+        .select(F.explode(tris).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(20)
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -11425,6 +11478,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "late_arrival_audit",
     "temperature_mixing_plan",
     "nation_trade_k_core",
+    "event_trigram_patterns",
 )
 
 
