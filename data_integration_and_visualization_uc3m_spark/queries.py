@@ -11278,6 +11278,89 @@ def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_coverage_audit",
+    """
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_vec,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS coverage
+    FROM documents d
+    LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY d.source
+    """,
+    ops=["coverage-audit", "J4", "A3"],
+)
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text↔embedding alignment audit: per source, how many documents
+    have a row in the embeddings table (vec_id keyed to doc_id) — the
+    referential-coverage check a multimodal pipeline runs before
+    training on 'paired' data. Left join + conditional count, one
+    shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings").select(F.col("vec_id"))
+    joined = d.join(e, d["doc_id"] == e["vec_id"], "left")
+    has = F.when(F.col("vec_id").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(has).cast("long").alias("n_with_vec"),
+        (F.sum(has).cast("double") / F.count(F.lit(1))).alias("coverage"),
+    )
+
+
+@register(
+    "order_total_reconciliation",
+    """
+    WITH li AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS li_total
+        FROM lineitem GROUP BY l_orderkey
+    ), j AS (
+        SELECT o.o_orderstatus AS status,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS header_total,
+               li.li_total
+        FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN header_total = li_total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
+           CAST(SUM(CAST(abs(header_total - li_total) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total_abs_diff
+    FROM j GROUP BY status
+    """,
+    ops=["cross-table-audit", "V-integrity", "A3"],
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: the order header's total vs the sum
+    of its line items, per status — exact DECIMAL arithmetic, so a
+    header/detail drift of a single cent is visible. The classic
+    header-detail integrity audit (the fact-table analogue of the FK
+    validators), one co-keyed aggregation + join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    li_tot = li.groupBy("l_orderkey").agg(
+        F.sum(_dec2("l_extendedprice")).alias("li_total")
+    )
+    j = o.join(li_tot, o["o_orderkey"] == li_tot["l_orderkey"]).select(
+        F.col("o_orderstatus").alias("status"),
+        _dec2("o_totalprice").alias("header_total"),
+        "li_total",
+    )
+    exact = F.when(F.col("header_total") == F.col("li_total"), 1).otherwise(0)
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(exact).cast("long").alias("n_exact"),
+        F.sum(
+            F.abs(F.col("header_total") - F.col("li_total")).cast(DEC2)
+        )
+        .cast("double")
+        .alias("total_abs_diff"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -11479,6 +11562,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "temperature_mixing_plan",
     "nation_trade_k_core",
     "event_trigram_patterns",
+    "embedding_coverage_audit",
+    "order_total_reconciliation",
 )
 
 
