@@ -150,3 +150,86 @@ def asof_join(
     return out.filter(F.col("__side") == 1).select(
         *[c for c in left.columns], *[f"asof_{v}" for v in value_cols]
     )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    cell: int,
+    max_per_cell: int | None = None,
+) -> DataFrame:
+    """Banded interval-overlap self-join: all pairs of intervals with
+    strictly positive overlap, each pair emitted EXACTLY ONCE, as an
+    equi-join — never a BroadcastNestedLoopJoin range join.
+
+    Intervals are integer ``[start, end]`` (any unit; epoch micros in
+    practice). Each interval explodes into the fixed-width grid cells
+    it covers (bounded fan-out = span/cell); candidates equi-join on
+    the cell id; the exact predicate then keeps true overlaps, and the
+    FIRST-SHARED-CELL rule — keep a pair only in the cell containing
+    ``greatest(a.start, b.start)``, which every overlapping pair
+    shares and is unique — dedups without a distinct shuffle (same
+    trick as dedup.band_pairs' first-shared-band emission).
+
+    Skew: the join is quadratic within a cell. ``max_per_cell`` drops
+    over-full cells up front (the df-cap discipline of
+    dedup_jaccard_df_capped); pick ``cell`` so typical occupancy is
+    small and cap the pathological ones explicitly rather than letting
+    one hot cell own the job's runtime.
+
+    Returns ``(a_id, b_id, overlap)`` with ``a_id < b_id`` canonical
+    ordering and ``overlap = least(ends) - greatest(starts)``.
+
+    No reference counterpart (north-star family: the range-join
+    optimization Databricks/pgRange do natively, re-expressed as
+    banding so plain hash joins carry it).
+    """
+    cells = df.select(
+        F.col(id_col).alias("iid"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(cell)),
+                F.floor(F.col(end_col) / F.lit(cell)),
+            )
+        ).alias("cell"),
+    )
+    if max_per_cell is not None:
+        sized = (
+            cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_per_cell)
+            .select("cell")
+        )
+        cells = cells.join(sized, "cell")
+    a = cells.select(
+        F.col("cell"),
+        F.col("iid").alias("a_id"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = cells.select(
+        F.col("cell"),
+        F.col("iid").alias("b_id"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    gstart = F.greatest(F.col("a_s"), F.col("b_s"))
+    lend = F.least(F.col("a_e"), F.col("b_e"))
+    return (
+        a.join(b, "cell")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_s") < F.col("b_e"))
+            & (F.col("b_s") < F.col("a_e"))
+            & (F.floor(gstart / F.lit(cell)) == F.col("cell"))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (lend - gstart).alias("overlap"),
+        )
+    )

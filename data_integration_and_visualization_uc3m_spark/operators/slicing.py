@@ -85,3 +85,36 @@ def running_agg(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out, F.sum(agg_col).over(w))
+
+
+def equidepth_buckets(
+    df: DataFrame,
+    group_by: list[str],
+    order_by: list[Column],
+    n_buckets: int,
+    out: str = "bucket",
+) -> DataFrame:
+    """Exact equi-depth bucketing per group: rank rows under a
+    deterministic total order (callers include a unique tiebreaker,
+    per this module's slice convention) and assign
+    ``bucket = (rank-1)·n_buckets div count`` — bucket sizes differ by
+    at most one, with no percentile-interpolation semantics to
+    disagree on across engines (integer arithmetic only).
+
+    One shuffle on the group key; the window sorts within each group.
+    For a GLOBAL equi-depth histogram at 100 TB don't feed this one
+    giant group — range-repartition on the order key and offset
+    per-partition ranks (the module docstring's global-rank recipe);
+    the per-group form here is the shape reports actually use.
+    """
+    w = Window.partitionBy(*group_by).orderBy(*order_by)
+    kw = Window.partitionBy(*group_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(kw))
+        .withColumn(
+            out,
+            F.expr(f"(__rn - 1) * {n_buckets} div __cnt").cast("int"),
+        )
+        .drop("__rn", "__cnt")
+    )

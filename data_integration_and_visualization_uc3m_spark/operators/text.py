@@ -746,3 +746,79 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, freq long"
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 document scoring for a literal query term set — the
+    retrieval primitive behind corpus search / RAG candidate
+    generation. Lucene's idf variant: ``ln((N - df + 0.5)/(df + 0.5)
+    + 1)`` (always positive).
+
+    Returns one row per document containing ≥1 query term:
+    ``(id_col, dl, n_hit_terms, bm25_fp9)`` where ``dl`` is the
+    document token length and ``bm25_fp9`` the score as
+    floor-fixed-point (1e-9 units, summed exactly as integers per the
+    registry's float convention — each per-term score is floored
+    BEFORE the per-document sum, so engines agree bit-for-bit).
+
+    Scale shape: one token explode feeds two aggregations — document
+    lengths (all tokens) and term frequencies (filtered to the query
+    terms BEFORE the shuffle, so the tf agg moves only matching
+    postings). Corpus stats (N, total token count) are a 1-row
+    broadcast scalar; per-term dfs are a |q|-row broadcast. No window,
+    no driver loop; the only shuffles key on doc id and term.
+
+    No reference counterpart (north-star text-analysis family; nearest
+    neighbour is inverted_index above).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    scal = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_toks"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(list(query_terms)))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (
+            (F.col("n_docs") - F.col("df_t")).cast("double") + F.lit(0.5)
+        )
+        / (F.col("df_t").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    term = idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom
+    scored = (
+        tf.join(dl, id_col)
+        .crossJoin(F.broadcast(scal))
+        .join(F.broadcast(dfs), "tok")
+        .select(
+            F.col(id_col),
+            F.col("dl"),
+            F.floor(term * F.lit(1e9)).cast("long").alias("t_fp9"),
+        )
+    )
+    return scored.groupBy(id_col, "dl").agg(
+        F.count(F.lit(1)).alias("n_hit_terms"),
+        F.sum("t_fp9").cast("long").alias("bm25_fp9"),
+    )

@@ -204,3 +204,58 @@ def holt_linear_pandas(
         .groupBy(key_col)
         .applyInPandas(smooth, out_schema)
     )
+
+
+def cusum_above_mean(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    x_col: str,
+    n_decimal: str = "decimal(6,0)",
+) -> DataFrame:
+    """One-sided CUSUM drift statistic per key, division- and
+    libm-free (exact decimal end to end, so both engines agree
+    bit-for-bit).
+
+    The textbook recursion ``S_t = max(0, S_{t-1} + (x_t - mean))``
+    is not a window aggregate, but it has a closed form: with
+    ``P_t = Σ_{i≤t} (x_i - mean)``, ``S_t = P_t - min_{j≤t} P_j`` —
+    a running sum plus a running min, two ordered windows per key,
+    fully vectorized and shuffle-aligned on the key.
+
+    To avoid the mean's division entirely, work scaled by n:
+    ``d'_t = n·x_t - Σx`` (so ``S'_t = n·S_t``), all exact DECIMAL.
+    The per-key scalars come from an unordered window over the key —
+    the same single shuffle the ordered windows need anyway.
+
+    ``x_col`` must already be a DECIMAL column; the per-key row count
+    is cast to ``n_decimal`` so the product's precision stays inside
+    DECIMAL(38) without Spark's silent precision-loss rescaling.
+
+    Returns the input keys + order column + ``cusum_scaled``
+    (= n·CUSUM, exact decimal). No reference counterpart (north-star
+    time-series family, alongside resample/EWMA/Holt/STL above).
+    """
+    kw = Window.partitionBy(*key_cols)
+    ow = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(x_col)
+    withd = df.select(
+        *key_cols,
+        order_col,
+        (
+            F.count(F.lit(1)).over(kw).cast(n_decimal) * x
+            - F.sum(x).over(kw)
+        ).alias("__d"),
+    )
+    p = withd.select(
+        *key_cols, order_col, F.sum("__d").over(ow).alias("__p")
+    )
+    return p.select(
+        *key_cols,
+        order_col,
+        (F.col("__p") - F.min("__p").over(ow)).alias("cusum_scaled"),
+    )

@@ -11361,6 +11361,237 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bm25_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), scal AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_toks
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE tok IN ('spark', 'vector', 'slow') GROUP BY doc_id, tok
+    ), dfs AS (
+        SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok
+    ), sc AS (
+        SELECT tf.doc_id, dl.dl,
+               CAST(FLOOR(
+                   ln((CAST(n_docs - df_t AS DOUBLE) + 0.5)
+                      / (CAST(df_t AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                               / (CAST(total_toks AS DOUBLE) / n_docs))))
+                   * 1000000000) AS BIGINT) AS t_fp9
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN scal
+        JOIN dfs ON dfs.tok = tf.tok
+    )
+    SELECT doc_id, dl, COUNT(*) AS n_hit_terms,
+           CAST(SUM(t_fp9) AS BIGINT) AS bm25_fp9
+    FROM sc GROUP BY doc_id, dl
+    ORDER BY bm25_fp9 DESC, doc_id LIMIT 20
+    """,
+    ops=["text-retrieval-bm25", "text-index", "A3", "§2.8"],
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators.text.bm25_scores): top-20 documents
+    for a 3-term query under Lucene-variant Okapi BM25. Term
+    frequencies filter to the query terms BEFORE their shuffle;
+    corpus stats ride a 1-row broadcast; per-term scores are floored
+    to fp9 pre-sum so both engines integer-aggregate identically.
+    Top-k is orderBy+limit (TakeOrdered merge, no global window)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    scored = text.bm25_scores(d, ["spark", "vector", "slow"])
+    return slicing.top_k(
+        scored, [F.col("bm25_fp9").desc(), F.col("doc_id")], 20
+    )
+
+
+@register(
+    "user_coactivity_overlap",
+    """
+    WITH spans AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MIN(epoch_us(ts)) AS smin, MAX(epoch_us(ts)) AS smax
+        FROM events GROUP BY user_id, day
+    )
+    SELECT a.user_id AS u1, b.user_id AS u2,
+           COUNT(*) AS n_windows,
+           CAST(SUM(LEAST(a.smax, b.smax) - GREATEST(a.smin, b.smin))
+                AS BIGINT) AS total_overlap_us
+    FROM spans a JOIN spans b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.smin < b.smax AND b.smin < a.smax
+    GROUP BY u1, u2
+    """,
+    ops=["interval-join-banded", "sessionization", "A3"],
+)
+def user_coactivity_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interval-overlap join (operators.joins.
+    interval_overlap_pairs): per-user daily activity spans, all
+    cross-user pairs with strictly positive overlap, aggregated to
+    co-presence duration per user pair. The Spark side bands spans
+    into 1-hour grid cells and equi-joins on the cell with
+    first-shared-cell single emission — a hash join, never the
+    BroadcastNestedLoopJoin a raw range predicate would plan; the
+    oracle states the same pairs as a plain range self-join."""
+    e = _t(spark, sf_dir, "events")
+    spans = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.unix_micros("ts").alias("us"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.min("us").alias("smin"), F.max("us").alias("smax"))
+    )
+    iv = spans.select(
+        F.struct(F.col("user_id"), F.col("day")).alias("iid"),
+        "smin",
+        "smax",
+    )
+    pairs = joins.interval_overlap_pairs(
+        iv, "iid", "smin", "smax", cell=3_600_000_000
+    )
+    return (
+        pairs.select(
+            F.col("a_id.user_id").alias("u1"),
+            F.col("b_id.user_id").alias("u2"),
+            "overlap",
+        )
+        .groupBy("u1", "u2")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("overlap").cast("long").alias("total_overlap_us"),
+        )
+    )
+
+
+@register(
+    "nation_revenue_cusum",
+    """
+    WITH daily AS (
+        SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS r
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, day
+    ), d AS (
+        SELECT n_name, day,
+               CAST(COUNT(*) OVER k AS DECIMAL(6,0)) * r
+                 - SUM(r) OVER k AS dd
+        FROM daily
+        WINDOW k AS (PARTITION BY n_name)
+    ), p AS (
+        SELECT n_name, day, SUM(dd) OVER w AS pp
+        FROM d
+        WINDOW w AS (PARTITION BY n_name ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT n_name, day,
+           CAST(pp - MIN(pp) OVER w2 AS DOUBLE) AS cusum_scaled
+    FROM p
+    WINDOW w2 AS (PARTITION BY n_name ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    ops=["timeseries-changepoint", "window-rolling", "A3"],
+)
+def nation_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector over each nation's daily
+    revenue (operators.timeseries.cusum_above_mean): the
+    ``max(0, S+d)`` recursion rewritten as running-sum minus
+    running-min — two ordered windows per nation, exact DECIMAL
+    throughout (division- and libm-free; the mean is folded in scaled
+    by n). A sustained run of above-mean days pushes the statistic up
+    linearly — the standard changepoint alarm shape."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    daily = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_dec2("o_totalprice")).cast(DEC2).alias("r"))
+    )
+    ts = timeseries.cusum_above_mean(daily, ["n_name"], "day", "r")
+    return ts.select(
+        "n_name", "day", F.col("cusum_scaled").cast("double").alias("cusum_scaled")
+    )
+
+
+@register(
+    "orders_equidepth_deciles",
+    """
+    WITH j AS (
+        SELECT n_name, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    ), r AS (
+        SELECT n_name, price,
+               CAST((ROW_NUMBER() OVER (PARTITION BY n_name
+                                        ORDER BY price, o_orderkey) - 1)
+                    * 10 // COUNT(*) OVER (PARTITION BY n_name)
+                    AS INTEGER) AS decile
+        FROM j
+    )
+    SELECT n_name, decile, COUNT(*) AS n_orders,
+           CAST(MIN(price) AS DOUBLE) AS min_price,
+           CAST(MAX(price) AS DOUBLE) AS max_price,
+           CAST(SUM(price) AS DOUBLE) AS sum_price
+    FROM r GROUP BY n_name, decile
+    """,
+    ops=["stats-quantile-equidepth", "§2.8", "A3", "C9"],
+)
+def orders_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth decile histogram of order value per nation
+    (operators.slicing.equidepth_buckets): rank-based bucketing with
+    a unique tiebreaker and integer arithmetic only — no
+    percentile-interpolation semantics for engines to disagree on.
+    Per-nation windows shuffle once on the group key; the global
+    variant range-repartitions instead (see the operator docstring)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "o_orderkey", _dec2("o_totalprice").alias("price"))
+    )
+    b = slicing.equidepth_buckets(
+        j, ["n_name"], [F.col("price"), F.col("o_orderkey")], 10, "decile"
+    )
+    return b.groupBy("n_name", "decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("price").cast("double").alias("min_price"),
+        F.max("price").cast("double").alias("max_price"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -11564,6 +11795,10 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "event_trigram_patterns",
     "embedding_coverage_audit",
     "order_total_reconciliation",
+    "bm25_topk",
+    "user_coactivity_overlap",
+    "nation_revenue_cusum",
+    "orders_equidepth_deciles",
 )
 
 

@@ -1,0 +1,173 @@
+"""Round-5 additions: BM25 retrieval, banded interval-overlap join,
+CUSUM changepoint statistic, equi-depth bucketing."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from data_integration_and_visualization_uc3m_spark.operators import (
+    joins,
+    slicing,
+    text,
+    timeseries,
+)
+
+
+# ---------------------------------------------------------------- BM25
+def test_bm25_matches_hand_computation(spark):
+    docs = [
+        (1, "a b a c"),
+        (2, "a a a a a a"),
+        (3, "c c b"),
+        (4, "d d d d"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text.bm25_scores(df, ["a", "b"]).collect()
+    }
+    # doc 4 has no query term: absent
+    assert set(out) == {1, 2, 3}
+    n_docs, avgdl = 4, (4 + 6 + 3 + 4) / 4
+    tfs = {1: {"a": 2, "b": 1}, 2: {"a": 6}, 3: {"b": 1}}
+    dls = {1: 4, 2: 6, 3: 3}
+    dfs = {"a": 2, "b": 2}
+    for doc, terms in tfs.items():
+        expect = 0
+        for t, tf in terms.items():
+            idf = math.log(
+                (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0
+            )
+            s = (
+                idf
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * (dls[doc] / avgdl)))
+            )
+            expect += math.floor(s * 1e9)
+        assert out[doc]["bm25_fp9"] == expect
+        assert out[doc]["dl"] == dls[doc]
+        assert out[doc]["n_hit_terms"] == len(terms)
+
+
+def test_bm25_rare_term_outscores_common_at_equal_tf(spark):
+    # 'rare' appears in 1 doc, 'common' in all → higher idf for rare
+    docs = [
+        (1, "rare x x x"),
+        (2, "common x x x"),
+        (3, "common y y y"),
+        (4, "common z z z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["bm25_fp9"]
+        for r in text.bm25_scores(df, ["rare", "common"]).collect()
+    }
+    assert out[1] > out[2]
+
+
+# ------------------------------------------- banded interval overlap
+def _brute_pairs(ivs):
+    out = {}
+    for i, (ia, sa, ea) in enumerate(ivs):
+        for ib, sb, eb in ivs[i + 1 :]:
+            lo, hi = (ia, ib) if ia < ib else (ib, ia)
+            if sa < eb and sb < ea:
+                out[(lo, hi)] = min(ea, eb) - max(sa, sb)
+    return out
+
+
+def test_interval_overlap_matches_bruteforce_random(spark):
+    rng = random.Random(7)
+    ivs = []
+    for i in range(120):
+        s = rng.randrange(0, 5000)
+        ivs.append((i, s, s + rng.randrange(0, 900)))
+    df = spark.createDataFrame(ivs, "iid long, s long, e long")
+    got = {
+        (r["a_id"], r["b_id"]): r["overlap"]
+        for r in joins.interval_overlap_pairs(df, "iid", "s", "e", cell=250).collect()
+    }
+    assert got == _brute_pairs(ivs)  # exactly-once emission + measures
+
+
+def test_interval_overlap_touching_endpoints_excluded(spark):
+    # [0,10] and [10,20] touch at a point: strict overlap excludes them
+    df = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 20), (3, 5, 12)], "iid long, s long, e long"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["overlap"]
+        for r in joins.interval_overlap_pairs(df, "iid", "s", "e", cell=4).collect()
+    }
+    assert got == {(1, 3): 5, (2, 3): 2}
+
+
+def test_interval_overlap_cell_cap_drops_hot_cells(spark):
+    # 5 intervals all covering cell 0; cap 4 drops that cell's pairs
+    df = spark.createDataFrame(
+        [(i, 0, 5) for i in range(5)] + [(9, 100, 110), (10, 105, 120)],
+        "iid long, s long, e long",
+    )
+    got = joins.interval_overlap_pairs(
+        df, "iid", "s", "e", cell=50, max_per_cell=4
+    ).collect()
+    assert {(r["a_id"], r["b_id"]) for r in got} == {(9, 10)}
+
+
+# ----------------------------------------------------------- CUSUM
+def test_cusum_matches_recursion(spark):
+    vals = [10, 12, 8, 30, 31, 29, 5, 40]
+    rows = [("k", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t int, x double").select(
+        "k", "t", F.col("x").cast("decimal(18,2)").alias("x")
+    )
+    out = {
+        r["t"]: float(r["cusum_scaled"])
+        for r in timeseries.cusum_above_mean(df, ["k"], "t", "x").collect()
+    }
+    n, mean = len(vals), sum(vals) / len(vals)
+    s = 0.0
+    for t, v in enumerate(vals):
+        s = max(0.0, s + (v - mean))
+        assert abs(out[t] - n * s) < 1e-6
+    # statistic is non-negative everywhere
+    assert all(v >= 0 for v in out.values())
+
+
+def test_cusum_flat_series_is_zero(spark):
+    rows = [("k", i, 7.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, t int, x double").select(
+        "k", "t", F.col("x").cast("decimal(18,2)").alias("x")
+    )
+    out = timeseries.cusum_above_mean(df, ["k"], "t", "x").collect()
+    assert all(float(r["cusum_scaled"]) == 0.0 for r in out)
+
+
+# ------------------------------------------------------- equi-depth
+def test_equidepth_bucket_sizes_differ_by_at_most_one(spark):
+    rng = random.Random(3)
+    rows = [("g", i, rng.randrange(1000)) for i in range(47)] + [
+        ("h", i, rng.randrange(1000)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, v int")
+    b = slicing.equidepth_buckets(
+        df, ["g"], [F.col("v"), F.col("id")], 10, "bkt"
+    )
+    sizes = {
+        (r["g"], r["bkt"]): r["n"]
+        for r in b.groupBy("g", "bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for g, total in (("g", 47), ("h", 20)):
+        ns = [sizes[(g, k)] for k in range(10)]
+        assert sum(ns) == total
+        assert max(ns) - min(ns) <= 1
+    # buckets are order-monotone in v (max of bucket k <= min of k+1)
+    rows = b.filter(F.col("g") == "g").collect()
+    by_b = {}
+    for r in rows:
+        by_b.setdefault(r["bkt"], []).append(r["v"])
+    for k in range(9):
+        assert max(by_b[k]) <= min(by_b[k + 1])
