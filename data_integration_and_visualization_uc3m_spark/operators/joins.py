@@ -159,6 +159,7 @@ def interval_overlap_pairs(
     end_col: str,
     cell: int,
     max_per_cell: int | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Banded interval-overlap self-join: all pairs of intervals with
     strictly positive overlap, each pair emitted EXACTLY ONCE, as an
@@ -173,20 +174,29 @@ def interval_overlap_pairs(
     shares and is unique — dedups without a distinct shuffle (same
     trick as dedup.band_pairs' first-shared-band emission).
 
-    Skew: the join is quadratic within a cell. ``max_per_cell`` drops
-    over-full cells up front (the df-cap discipline of
+    Skew and density: the join is quadratic within a cell, and the
+    TRUE pair count of unkeyed all-pairs overlap is itself quadratic
+    in interval density — no plan fixes an output that grows n².
+    At scale, key the join: ``partition_cols`` restricts pairs to
+    intervals sharing those columns (per-customer, per-device, …),
+    which is what bounds both candidates and output in practice.
+    ``max_per_cell`` additionally drops over-full (partition, cell)
+    buckets up front (the df-cap discipline of
     dedup_jaccard_df_capped); pick ``cell`` so typical occupancy is
     small and cap the pathological ones explicitly rather than letting
     one hot cell own the job's runtime.
 
-    Returns ``(a_id, b_id, overlap)`` with ``a_id < b_id`` canonical
-    ordering and ``overlap = least(ends) - greatest(starts)``.
+    Returns ``partition_cols + (a_id, b_id, overlap)`` with
+    ``a_id < b_id`` canonical ordering and
+    ``overlap = least(ends) - greatest(starts)``.
 
     No reference counterpart (north-star family: the range-join
     optimization Databricks/pgRange do natively, re-expressed as
     banding so plain hash joins carry it).
     """
+    partition_cols = list(partition_cols or [])
     cells = df.select(
+        *partition_cols,
         F.col(id_col).alias("iid"),
         F.col(start_col).alias("s"),
         F.col(end_col).alias("e"),
@@ -197,22 +207,23 @@ def interval_overlap_pairs(
             )
         ).alias("cell"),
     )
+    keys = [*partition_cols, "cell"]
     if max_per_cell is not None:
         sized = (
-            cells.groupBy("cell")
+            cells.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") <= max_per_cell)
-            .select("cell")
+            .select(*keys)
         )
-        cells = cells.join(sized, "cell")
+        cells = cells.join(sized, keys)
     a = cells.select(
-        F.col("cell"),
+        *keys,
         F.col("iid").alias("a_id"),
         F.col("s").alias("a_s"),
         F.col("e").alias("a_e"),
     )
     b = cells.select(
-        F.col("cell"),
+        *keys,
         F.col("iid").alias("b_id"),
         F.col("s").alias("b_s"),
         F.col("e").alias("b_e"),
@@ -220,7 +231,7 @@ def interval_overlap_pairs(
     gstart = F.greatest(F.col("a_s"), F.col("b_s"))
     lend = F.least(F.col("a_e"), F.col("b_e"))
     return (
-        a.join(b, "cell")
+        a.join(b, keys)
         .filter(
             (F.col("a_id") < F.col("b_id"))
             & (F.col("a_s") < F.col("b_e"))
@@ -228,6 +239,7 @@ def interval_overlap_pairs(
             & (F.floor(gstart / F.lit(cell)) == F.col("cell"))
         )
         .select(
+            *partition_cols,
             "a_id",
             "b_id",
             (lend - gstart).alias("overlap"),

@@ -105,6 +105,24 @@ def test_interval_overlap_touching_endpoints_excluded(spark):
     assert got == {(1, 3): 5, (2, 3): 2}
 
 
+def test_interval_overlap_partition_keyed(spark):
+    # identical spans under different keys never pair across keys
+    rows = [
+        ("k1", 1, 0, 10),
+        ("k1", 2, 5, 15),
+        ("k2", 3, 0, 10),
+        ("k2", 4, 20, 30),
+    ]
+    df = spark.createDataFrame(rows, "grp string, iid long, s long, e long")
+    got = {
+        (r["grp"], r["a_id"], r["b_id"]): r["overlap"]
+        for r in joins.interval_overlap_pairs(
+            df, "iid", "s", "e", cell=4, partition_cols=["grp"]
+        ).collect()
+    }
+    assert got == {("k1", 1, 2): 5}
+
+
 def test_interval_overlap_cell_cap_drops_hot_cells(spark):
     # 5 intervals all covering cell 0; cap 4 drops that cell's pairs
     df = spark.createDataFrame(

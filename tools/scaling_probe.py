@@ -128,6 +128,13 @@ DEFAULT = [
     "corpus_build_v2_e2e",
     "column_histogram_orders",
     "fingerprint_diff_report",
+    # round-5 continuation families: query-filtered posting score +
+    # scalar broadcast, grid-cell banded interval self-join, dual
+    # ordered-window prefix statistic, per-group rank bucketing
+    "bm25_topk",
+    "order_window_overlap",
+    "nation_revenue_cusum",
+    "orders_equidepth_deciles",
 ]
 
 
