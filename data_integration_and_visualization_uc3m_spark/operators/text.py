@@ -822,3 +822,83 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_hit_terms"),
         F.sum("t_fp9").cast("long").alias("bm25_fp9"),
     )
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    n_merges: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-then-APPLY BPE: learn ``n_merges`` merges on the corpus
+    (bpe_train_merges above), encode every word with them, and report
+    per-group tokenization stats — the fertility/compression readout a
+    tokenizer change is judged by before a training run.
+
+    The apply side never re-encodes occurrences: merges rewrite the
+    VOCABULARY map (distinct words → post-merge token count, the same
+    marked-symbol representation as training), and per-group word
+    occurrences join that map on the word — at 100 TB the corpus-sized
+    relation flows through one hash join against a vocabulary-sized
+    side while every merge replace stays a map-side expression.
+
+    Returns ``(group_col, n_words, n_chars, n_tokens, fertility_fp6,
+    compression_fp6)`` — fertility = tokens/word, compression =
+    tokens/chars, both floor-fp6 on identical-operand doubles.
+    """
+    merge_rows = bpe_train_merges(
+        df, n_merges=n_merges, text_col=text_col
+    ).collect()
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    sw = (
+        df.select(F.col(group_col), F.explode(toks).alias("w"))
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    r = F.regexp_replace(F.col("w"), "(.)", "⟨$1⟩")
+    for m in merge_rows:
+        r = F.replace(
+            r,
+            F.lit(f"⟨{m['lhs']}⟩⟨{m['rhs']}⟩"),
+            F.lit(f"⟨{m['lhs']}{m['rhs']}⟩"),
+        )
+    vocab = (
+        sw.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.size(
+                F.regexp_extract_all(r, F.lit("⟨([^⟩]+)⟩"), 1)
+            ).cast("long").alias("n_tok"),
+        )
+    )
+    joined = sw.join(vocab, "w")
+    n_words = F.sum("cnt").cast("long")
+    n_chars = F.sum(F.col("cnt") * F.length("w")).cast("long")
+    n_tokens = F.sum(F.col("cnt") * F.col("n_tok")).cast("long")
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            n_words.alias("n_words"),
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+        )
+        .select(
+            group_col,
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.floor(
+                F.col("n_tokens").cast("double")
+                / F.col("n_words")
+                * F.lit(1e6)
+            ).cast("long").alias("fertility_fp6"),
+            F.floor(
+                F.col("n_tokens").cast("double")
+                / F.col("n_chars")
+                * F.lit(1e6)
+            ).cast("long").alias("compression_fp6"),
+        )
+    )

@@ -10558,11 +10558,13 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int = 5) -> str:
-    """Unrolled BPE training as chained CTEs: each stage counts
-    adjacent symbol pairs over the vocabulary relation, picks the top
-    pair (freq DESC, lhs, rhs), and rewrites the symbol strings — the
-    SQL twin of the Spark driver loop in text.bpe_train_merges."""
+def _bpe_ctes(n_merges: int = 5) -> str:
+    """Shared unrolled-BPE CTE chain: w0 is the marked word-frequency
+    relation; each stage s counts adjacent symbol pairs, picks the top
+    pair (freq DESC, lhs, rhs) as b{s}, and rewrites the symbol
+    strings as w{s} — the SQL twin of the Spark driver loop in
+    text.bpe_train_merges, reused by both the training and the
+    encode-apply oracles."""
     ctes = [
         """w0 AS (
         SELECT regexp_replace(w, '(.)', '⟨\\1⟩', 'g') AS r,
@@ -10574,7 +10576,6 @@ def _bpe_oracle(n_merges: int = 5) -> str:
         GROUP BY w
     )"""
     ]
-    finals = []
     for s in range(1, n_merges + 1):
         prev = f"w{s-1}"
         ctes.append(
@@ -10597,13 +10598,53 @@ def _bpe_oracle(n_merges: int = 5) -> str:
         FROM {prev} w, b{s} b
     )"""
         )
-        finals.append(
-            f"SELECT CAST({s} AS INTEGER) AS step, lhs, rhs,"
-            f" lhs||rhs AS merged, freq FROM b{s}"
-        )
+    return "\n    WITH " + ",\n    ".join(ctes) + "\n    "
+
+
+def _bpe_oracle(n_merges: int = 5) -> str:
+    """Training readout over the shared CTE chain: the merge table."""
+    finals = [
+        f"SELECT CAST({s} AS INTEGER) AS step, lhs, rhs,"
+        f" lhs||rhs AS merged, freq FROM b{s}"
+        for s in range(1, n_merges + 1)
+    ]
+    return _bpe_ctes(n_merges) + "\n    UNION ALL\n    ".join(finals)
+
+
+def _bpe_encode_oracle(n_merges: int = 5) -> str:
+    """Encode-apply readout over the shared CTE chain: the final
+    vocabulary relation w{n} maps each word (recovered by stripping
+    the ⟨⟩ symbol marks — merging never changes the characters) to its
+    post-merge token count; per-source word occurrences join that map
+    and aggregate to fertility/compression stats."""
     return (
-        "\n    WITH " + ",\n    ".join(ctes) + "\n    "
-        + "\n    UNION ALL\n    ".join(finals)
+        _bpe_ctes(n_merges)
+        + f""", enc AS (
+        SELECT replace(replace(r, '⟨', ''), '⟩', '') AS w,
+               CAST(len(regexp_extract_all(r, '⟨([^⟩]+)⟩', 1)) AS BIGINT)
+                   AS n_tok
+        FROM w{n_merges}
+    ), sw AS (
+        SELECT source, w, COUNT(*) AS cnt FROM (
+            SELECT source,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents)
+        GROUP BY source, w
+    ), agg AS (
+        SELECT source,
+               CAST(SUM(sw.cnt) AS BIGINT) AS n_words,
+               CAST(SUM(sw.cnt * length(sw.w)) AS BIGINT) AS n_chars,
+               CAST(SUM(sw.cnt * e.n_tok) AS BIGINT) AS n_tokens
+        FROM sw JOIN enc e USING (w) GROUP BY source
+    )
+    SELECT source, n_words, n_chars, n_tokens,
+           CAST(FLOOR(CAST(n_tokens AS DOUBLE) / n_words * 1000000)
+                AS BIGINT) AS fertility_fp6,
+           CAST(FLOOR(CAST(n_tokens AS DOUBLE) / n_chars * 1000000)
+                AS BIGINT) AS compression_fp6
+    FROM agg
+    """
     )
 
 
@@ -10621,6 +10662,23 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixpoint as chained CTEs."""
     d = _t(spark, sf_dir, "documents", fanout=True)
     return text.bpe_train_merges(d, n_merges=5)
+
+
+@register(
+    "bpe_encode_stats",
+    _bpe_encode_oracle(5),
+    ops=["bpe-apply", "text-tokens", "A3", "J1-adjacent"],
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train→APPLY composition (operators.text.bpe_encode_stats):
+    learn 5 merges, rewrite the VOCABULARY map only (never re-encode
+    occurrences), and join per-source word counts against it for
+    fertility (tokens/word) and compression (tokens/char) — the
+    readout a tokenizer swap is judged by. Corpus-sized data crosses
+    one hash join against a vocabulary-sized side; every merge
+    replace is a map-side expression over the vocabulary."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return text.bpe_encode_stats(d, n_merges=5, group_col="source")
 
 
 @register(
@@ -11794,6 +11852,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "order_window_overlap",
     "nation_revenue_cusum",
     "orders_equidepth_deciles",
+    "bpe_encode_stats",
 )
 
 

@@ -68,6 +68,33 @@ def test_bm25_rare_term_outscores_common_at_equal_tf(spark):
     assert out[1] > out[2]
 
 
+def test_bpe_encode_stats_hand_case(spark):
+    # corpus: 'aaab' x3, 'ab' x1 in src1; 'b' x2 in src2
+    docs = [
+        (1, "aaab aaab", "s1"),
+        (2, "aaab ab", "s1"),
+        (3, "b b", "s2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    # merge 1: (a,a) freq 6 -> aaab = [aa,a,b], ab unchanged
+    # merge 2: candidates aa+a(3), a+b(4 from aaab3+ab1)... wait: after
+    # merge1 'aaab'=⟨aa⟩⟨a⟩⟨b⟩ pairs: (aa,a)x3,(a,b)x3+1=4 -> merge (a,b)
+    out = {
+        r["source"]: r
+        for r in text.bpe_encode_stats(df, n_merges=2, group_col="source").collect()
+    }
+    # s1: words aaab x3 (->[aa,a? no: after (a,b) merge aaab=⟨aa⟩⟨ab⟩ 2 toks)
+    #     ab x1 -> ⟨ab⟩ 1 tok. n_words=4, n_chars=3*4+2=14, n_tokens=3*2+1=7
+    assert out["s1"]["n_words"] == 4
+    assert out["s1"]["n_chars"] == 14
+    assert out["s1"]["n_tokens"] == 7
+    # s2: 'b' x2 -> 1 token each
+    assert out["s2"]["n_words"] == 2
+    assert out["s2"]["n_chars"] == 2
+    assert out["s2"]["n_tokens"] == 2
+    assert out["s2"]["fertility_fp6"] == 1_000_000
+
+
 # ------------------------------------------- banded interval overlap
 def _brute_pairs(ivs):
     out = {}

@@ -135,6 +135,7 @@ DEFAULT = [
     "order_window_overlap",
     "nation_revenue_cusum",
     "orders_equidepth_deciles",
+    "bpe_encode_stats",
 ]
 
 
