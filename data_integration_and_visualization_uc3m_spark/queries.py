@@ -10682,6 +10682,213 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ab_test_welch",
+    f"""
+    WITH g AS (
+        SELECT event_type,
+               CASE WHEN CAST(('0x'||substring(md5('ab1:'||CAST(user_id AS VARCHAR)),1,8))
+                         AS BIGINT) < {1 << 31} THEN 'A' ELSE 'B' END AS grp,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    ), m AS (
+        SELECT event_type, grp, COUNT(*) AS n,
+               SUM(v) AS s, SUM(v * v) AS ss
+        FROM g GROUP BY event_type, grp
+    ), ab AS (
+        SELECT a.event_type AS event_type,
+               a.n AS n_a, b.n AS n_b,
+               CAST(a.s AS DOUBLE) AS sa, CAST(b.s AS DOUBLE) AS sb,
+               CAST(a.ss AS DOUBLE) AS ssa, CAST(b.ss AS DOUBLE) AS ssb
+        FROM m a JOIN m b ON a.event_type = b.event_type
+        WHERE a.grp = 'A' AND b.grp = 'B' AND a.n > 1 AND b.n > 1
+    ), se AS (
+        SELECT event_type, n_a, n_b, sa, sb,
+               (n_a * ssa - sa * sa) / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a
+                 + (n_b * ssb - sb * sb) / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b
+                 AS se2
+        FROM ab
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(FLOOR(sa / n_a * 1000000) AS BIGINT) AS mean_a_fp6,
+           CAST(FLOOR(sb / n_b * 1000000) AS BIGINT) AS mean_b_fp6,
+           CASE WHEN se2 > 0 THEN
+               CAST(FLOOR((sa / n_a - sb / n_b) / sqrt(se2) * 10000)
+                    AS BIGINT) END AS t_fp4
+    FROM se
+    """,
+    ops=["stats-abtest-welch", "sampling-hash", "A3"],
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: deterministic 50/50 hash assignment of
+    USERS to arms (join-closed, the same md5-bucket primitive as the
+    samplers), then per-event-type Welch's t on the value column —
+    entirely from exact DECIMAL moment sums (n, Σv, Σv²), so the only
+    float work is one fixed-order expression per group. Map-side
+    assignment, one moment aggregation, a 25-row self-join; nothing
+    here grows with data beyond the single shuffle."""
+    from .operators.sampling import hash_bucket
+
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value").cast(DEC2)
+    g = e.select(
+        "event_type",
+        F.when(
+            hash_bucket(F.col("user_id"), "ab1") < F.lit(1 << 31), "A"
+        ).otherwise("B").alias("grp"),
+        v.alias("v"),
+    )
+    m = g.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    def side(tag):
+        return m.filter((F.col("grp") == tag) & (F.col("n") > 1)).select(
+            "event_type",
+            F.col("n").alias(f"n_{tag.lower()}"),
+            F.col("s").cast("double").alias(f"s{tag.lower()}"),
+            F.col("ss").cast("double").alias(f"ss{tag.lower()}"),
+        )
+    ab = side("A").join(side("B"), "event_type")
+    na, nb = F.col("n_a"), F.col("n_b")
+    sa, sb = F.col("sa"), F.col("sb")
+    ssa, ssb = F.col("ssa"), F.col("ssb")
+    se2 = (na * ssa - sa * sa) / (na.cast("double") * (na - F.lit(1))) / na + (
+        nb * ssb - sb * sb
+    ) / (nb.cast("double") * (nb - F.lit(1))) / nb
+    withse = ab.select("event_type", "n_a", "n_b", "sa", "sb", se2.alias("se2"))
+    return withse.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.floor(sa / na * F.lit(1e6)).cast("long").alias("mean_a_fp6"),
+        F.floor(sb / nb * F.lit(1e6)).cast("long").alias("mean_b_fp6"),
+        F.when(
+            F.col("se2") > 0,
+            F.floor(
+                (sa / na - sb / nb) / F.sqrt(F.col("se2")) * F.lit(1e4)
+            ).cast("long"),
+        ).alias("t_fp4"),
+    )
+
+
+@register(
+    "rolling_corr_nation_global",
+    """
+    WITH daily AS (
+        SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rn
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, day
+    ), gtot AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rg
+        FROM orders GROUP BY day
+    ), j AS (
+        SELECT d.n_name, d.day, d.rn, g.rg FROM daily d JOIN gtot g USING (day)
+    ), w AS (
+        SELECT n_name, day,
+               COUNT(*) OVER w AS n_win,
+               SUM(rn) OVER w AS sx, SUM(rg) OVER w AS sy,
+               SUM(rn * rn) OVER w AS sxx, SUM(rg * rg) OVER w AS syy,
+               SUM(rn * rg) OVER w AS sxy
+        FROM j
+        WINDOW w AS (PARTITION BY n_name ORDER BY day
+                     ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT n_name, day, n_win,
+           CASE WHEN n_win = 28
+                 AND CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+           THEN CAST(FLOOR(
+               (CAST(n_win AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n_win AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1000000) AS BIGINT) END AS corr_fp6
+    FROM w
+    """,
+    ops=["stats-corr-rolling", "window-rolling", "A3"],
+)
+def rolling_corr_nation_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-observation Pearson correlation between each
+    nation's daily revenue and the global daily total — the co-drift
+    signal behind 'is this market moving with the book or on its
+    own'. All five joint moments are exact DECIMAL window sums over a
+    ROWS frame (order-free, engine-identical); the correlation is one
+    fixed-order double expression per row, floored to fp6, NULL until
+    the frame is full (a 2-point window's corr is EXACTLY ±1 — the one
+    fp6 value sitting on a floor boundary, where the engines' lossy
+    decimal→double rounding of the big moment sums can legitimately
+    differ by 1 ulp and flip the floor) or while a variance is
+    degenerate. One shuffle on nation for the windows; the day-level
+    global series joins broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    daily = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_dec2("o_totalprice")).cast(DEC2).alias("rn"))
+    )
+    glob = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_dec2("o_totalprice")).cast(DEC2).alias("rg"))
+    )
+    j = daily.join(F.broadcast(glob), "day")
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(-27, Window.currentRow)
+    )
+    rn, rg = F.col("rn"), F.col("rg")
+    ww = j.select(
+        "n_name",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(rn).over(w).alias("sx"),
+        F.sum(rg).over(w).alias("sy"),
+        F.sum(rn * rn).over(w).alias("sxx"),
+        F.sum(rg * rg).over(w).alias("syy"),
+        F.sum(rn * rg).over(w).alias("sxy"),
+    )
+    nd = F.col("n_win").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    return ww.select(
+        "n_name",
+        "day",
+        "n_win",
+        F.when(
+            (F.col("n_win") == 28) & (vx > 0) & (vy > 0),
+            F.floor(
+                (nd * sxy - sx * sy)
+                / (F.sqrt(vx) * F.sqrt(vy))
+                * F.lit(1e6)
+            ).cast("long"),
+        ).alias("corr_fp6"),
+    )
+
+
+@register(
     "column_histogram_orders",
     """
     WITH v AS (
@@ -11853,6 +12060,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "nation_revenue_cusum",
     "orders_equidepth_deciles",
     "bpe_encode_stats",
+    "ab_test_welch",
+    "rolling_corr_nation_global",
 )
 
 

@@ -136,6 +136,8 @@ DEFAULT = [
     "nation_revenue_cusum",
     "orders_equidepth_deciles",
     "bpe_encode_stats",
+    "ab_test_welch",
+    "rolling_corr_nation_global",
 ]
 
 
