@@ -707,6 +707,14 @@ def bpe_train_merges(
         )
     )
     spark = df.sparkSession
+    # Persist the vocabulary relation each round: without this, round
+    # s's 1-row collect re-executes the corpus scan + word count + all
+    # s-1 replaces from scratch — quadratic recompute in n_merges, and
+    # n_merges+1 corpus scans instead of one. The persisted relation is
+    # vocabulary-sized; each round swaps in the rewritten copy and
+    # frees the previous one (same persist-and-free discipline as
+    # dedup.connected_components' checkpoint rounds).
+    words = words.persist()
     merges = []
     for step in range(1, n_merges + 1):
         syms = F.regexp_extract_all(F.col("r"), F.lit("⟨([^⟩]+)⟩"), 1)
@@ -735,6 +743,7 @@ def bpe_train_merges(
             break
         lhs, rhs, freq = top[0].lhs, top[0].rhs, top[0].freq
         merges.append((step, lhs, rhs, lhs + rhs, freq))
+        prev = words
         words = words.select(
             F.replace(
                 F.col("r"),
@@ -742,7 +751,10 @@ def bpe_train_merges(
                 F.lit(f"⟨{lhs}{rhs}⟩"),
             ).alias("r"),
             "cnt",
-        )
+        ).persist()
+        words.count()  # materialize before freeing the parent
+        prev.unpersist()
+    words.unpersist()
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, freq long"
     )
