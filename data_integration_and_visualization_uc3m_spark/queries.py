@@ -10682,6 +10682,101 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_quantile_report",
+    """
+    WITH j AS (
+        SELECT n_name, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               o_orderkey
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    ), r AS (
+        SELECT n_name, price,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY price, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY n_name) AS n
+        FROM j
+    ), ranks AS (
+        SELECT n_name, n,
+               (n + 1) // 2 AS mid,
+               GREATEST(1, (n + 1) // 2 - (n // 200 + 1)) AS lo_rank,
+               LEAST(n, (n + 1) // 2 + (n // 200 + 1)) AS hi_rank
+        FROM r GROUP BY n_name, n
+    )
+    SELECT k.n_name, k.n AS n_orders,
+           CAST(MAX(CASE WHEN r.rn = k.mid THEN r.price END) AS DOUBLE)
+               AS exact_p50,
+           TRUE AS approx_within_rank_bound
+    FROM ranks k JOIN r ON r.n_name = k.n_name
+    GROUP BY k.n_name, k.n
+    """,
+    ops=["approx-quantile-sketch", "stats-quantile", "A3"],
+)
+def approx_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch audit, the exact-twin + bound-flag oracle
+    pattern (same strategy as rolling_distinct_users/approx_sketches —
+    DuckDB cannot reproduce Spark's KLL-style percentile_approx
+    internals, so the oracle carries the exact answer and a TRUE
+    literal while Spark emits its own in-bound verdict): per nation,
+    the exact rank-(n+1)/2 median under a deterministic total order,
+    plus a flag that percentile_approx(price, 0.5, 1000)'s value sits
+    between the exact values at ranks mid ± (n//200 + 1) — a 5×-slack
+    widening of the sketch's guaranteed n/1000 rank error, converting
+    the rank bound to a value bound entirely in exact integers and
+    decimal compares. The sketch side is what survives 100 TB: one
+    pass, mergeable partials, no per-group sort; the exact twin's
+    per-group window is the verification harness, not the plan."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", _dec2("o_totalprice").alias("price"), "o_orderkey")
+    )
+    w = Window.partitionBy("n_name").orderBy("price", "o_orderkey")
+    kw = Window.partitionBy("n_name")
+    r = j.select(
+        "n_name",
+        "price",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(kw).alias("n"),
+    )
+    mid = F.expr("(n + 1) div 2")
+    slack = F.expr("n div 200 + 1")
+    picked = r.groupBy("n_name", "n").agg(
+        F.max(F.when(F.col("rn") == mid, F.col("price"))).alias("exact_p50"),
+        F.max(
+            F.when(F.col("rn") == F.greatest(F.lit(1), mid - slack), F.col("price"))
+        ).alias("v_lo"),
+        F.max(
+            F.when(F.col("rn") == F.least(F.col("n"), mid + slack), F.col("price"))
+        ).alias("v_hi"),
+    )
+    approx = j.groupBy("n_name").agg(
+        F.percentile_approx("price", 0.5, 1000).alias("p50_sketch")
+    )
+    return (
+        picked.join(approx, "n_name")
+        .select(
+            "n_name",
+            F.col("n").alias("n_orders"),
+            F.col("exact_p50").cast("double").alias("exact_p50"),
+            (
+                (F.col("p50_sketch") >= F.col("v_lo"))
+                & (F.col("p50_sketch") <= F.col("v_hi"))
+            ).alias("approx_within_rank_bound"),
+        )
+    )
+
+
+@register(
     "ab_test_welch",
     f"""
     WITH g AS (
@@ -12062,6 +12157,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "bpe_encode_stats",
     "ab_test_welch",
     "rolling_corr_nation_global",
+    "approx_quantile_report",
 )
 
 

@@ -138,6 +138,7 @@ DEFAULT = [
     "bpe_encode_stats",
     "ab_test_welch",
     "rolling_corr_nation_global",
+    "approx_quantile_report",
 ]
 
 
