@@ -10682,6 +10682,190 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_pattern_match",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               substring(event_type, 1, 1) AS ini
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, us, ini,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+        SELECT user_id, us, event_id, ini,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sid
+        FROM flagged
+    ), strs AS (
+        SELECT user_id, sid,
+               string_agg(ini, '' ORDER BY us, event_id) AS trace
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN regexp_matches(trace, 'v.*c.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM strs GROUP BY user_id
+    """,
+    ops=["sessionization", "pattern-match-recognize", "A3"],
+)
+def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching WITHIN
+    sessions: sessionize by 30-min gap (the lag-flag + running-sum
+    session id), assemble each session's event trace as an ordered
+    initial string (array_sort over (ts, event_id, initial) structs —
+    deterministic, no collect_list order assumption), and count
+    sessions whose trace contains the view→…→click→…→purchase
+    subsequence as one regex per session row. Two windows and two
+    aggregations, all partitioned by user — the regex replaces a
+    3-way self-join chain, and the trace row is bounded by session
+    length."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("sid", F.sum("new_session").over(run))
+    strs = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("us", "event_id", "ini"))
+                    ),
+                    lambda s: s["ini"],
+                ),
+                "",
+            ).alias("trace")
+        )
+    )
+    return strs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(F.col("trace").rlike("v.*c.*p"), 1).otherwise(0)
+        ).cast("long").alias("n_matched"),
+    )
+
+
+@register(
+    "psi_price_drift",
+    """
+    WITH v AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                    THEN 'a' ELSE 'b' END AS period,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS x
+        FROM orders
+    ), mm AS (
+        SELECT MIN(x) AS lo, MAX(x) AS hi FROM v
+    ), binned AS (
+        SELECT period,
+               LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 10)) AS INTEGER), 9)
+                   AS bin
+        FROM v, mm
+    ), counts AS (
+        SELECT period, bin, COUNT(*) AS n FROM binned GROUP BY period, bin
+    ), tot AS (
+        SELECT period, CAST(SUM(n) AS BIGINT) AS t FROM counts GROUP BY period
+    ), ab AS (
+        SELECT COALESCE(ca.bin, cb.bin) AS bin,
+               COALESCE(ca.n, 0) AS n_a, COALESCE(cb.n, 0) AS n_b,
+               ta.t AS t_a, tb.t AS t_b
+        FROM (SELECT * FROM counts WHERE period = 'a') ca
+        FULL JOIN (SELECT * FROM counts WHERE period = 'b') cb
+          ON cb.bin = ca.bin
+        CROSS JOIN (SELECT t FROM tot WHERE period = 'a') ta
+        CROSS JOIN (SELECT t FROM tot WHERE period = 'b') tb
+    )
+    SELECT bin, n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+               CAST(FLOOR(
+                   (CAST(n_a AS DOUBLE) / t_a - CAST(n_b AS DOUBLE) / t_b)
+                   * ln((CAST(n_a AS DOUBLE) / t_a)
+                        / (CAST(n_b AS DOUBLE) / t_b))
+                   * 1000000000) AS BIGINT) END AS contrib_fp9
+    FROM ab
+    """,
+    ops=["drift-psi", "analyze-histogram", "A3"],
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order periods (the
+    tabular drift monitor every feature pipeline runs before trusting
+    a model refresh): 10 equi-width bins from a 1-row global min/max
+    broadcast, per-period bin shares, and the per-bin PSI contribution
+    (pa − pb)·ln(pa/pb) floored to fp9 (NULL for one-sided bins — the
+    standard undefined case, surfaced rather than epsilon-fudged).
+    Two scalar broadcasts and one aggregation; the bin expression is
+    map-side."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"), "a"
+        ).otherwise("b").alias("period"),
+        _dec2("o_totalprice").cast("double").alias("x"),
+    )
+    mm = v.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binc = F.least(
+        F.floor(
+            (F.col("x") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)
+        ).cast("int"),
+        F.lit(9),
+    )
+    counts = (
+        v.crossJoin(F.broadcast(mm))
+        .groupBy("period", binc.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("period").agg(F.sum("n").cast("long").alias("t"))
+    ca = counts.filter(F.col("period") == "a").select(
+        F.col("bin").alias("bin_a"), F.col("n").alias("na")
+    )
+    cb = counts.filter(F.col("period") == "b").select(
+        F.col("bin").alias("bin_b"), F.col("n").alias("nb")
+    )
+    ta = tot.filter(F.col("period") == "a").select(F.col("t").alias("t_a"))
+    tb = tot.filter(F.col("period") == "b").select(F.col("t").alias("t_b"))
+    ab = (
+        ca.join(cb, F.col("bin_b") == F.col("bin_a"), "full")
+        .select(
+            F.coalesce(F.col("bin_a"), F.col("bin_b")).alias("bin"),
+            F.coalesce(F.col("na"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("nb"), F.lit(0)).alias("n_b"),
+        )
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    pa = F.col("n_a").cast("double") / F.col("t_a")
+    pb = F.col("n_b").cast("double") / F.col("t_b")
+    return ab.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.floor((pa - pb) * F.log(pa / pb) * F.lit(1e9)).cast("long"),
+        ).alias("contrib_fp9"),
+    )
+
+
+@register(
     "approx_quantile_report",
     """
     WITH j AS (
@@ -12158,6 +12342,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "ab_test_welch",
     "rolling_corr_nation_global",
     "approx_quantile_report",
+    "session_pattern_match",
+    "psi_price_drift",
 )
 
 

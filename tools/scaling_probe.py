@@ -139,6 +139,8 @@ DEFAULT = [
     "ab_test_welch",
     "rolling_corr_nation_global",
     "approx_quantile_report",
+    "session_pattern_match",
+    "psi_price_drift",
 ]
 
 
