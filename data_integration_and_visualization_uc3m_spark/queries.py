@@ -10682,6 +10682,87 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_rollup_hierarchy",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS DATE) AS wk,
+               user_id
+        FROM events
+    ), by_type AS (
+        SELECT 'event_type' AS dim, event_type AS key,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM base GROUP BY event_type
+    ), by_week AS (
+        SELECT 'week' AS dim, CAST(wk AS VARCHAR) AS key,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM base GROUP BY wk
+    ), total AS (
+        SELECT 'all' AS dim, 'all' AS key,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM base
+    )
+    SELECT dim, key, exact_users,
+           TRUE AS sketch_within_5pct,
+           CAST(0 AS BIGINT) AS err_permille_over_bound
+    FROM (SELECT * FROM by_type UNION ALL
+          SELECT * FROM by_week UNION ALL
+          SELECT * FROM total)
+    """,
+    ops=["approx-distinct-mergeable", "rollup-cube", "A3"],
+)
+def distinct_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch ROLLUP: one set of base HLL sketches at the
+    (event_type, week) grain serves every coarser distinct-user
+    readout — per type (merging weeks), per week (merging types), and
+    the grand total — without ever re-scanning raw events. This is
+    the cube problem distinct counts break (they don't add across
+    overlapping child sets; users span weeks and types), and exactly
+    what sketch mergeability buys at 100 TB: the base aggregation is
+    one pass, every rollup level is a tiny union of sketches. Oracle
+    strategy: exact twins + TRUE bound literals (the
+    rolling_distinct_users pattern — DuckDB's HLL is a different
+    implementation); Spark emits its own |est−exact| ≤ 5% verdict
+    (lgK=14 ⇒ ~6σ) and a permille-overshoot diagnostic."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+        "user_id",
+    )
+    base_sk = base.groupBy("event_type", "wk").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    def level(grp_cols, dim, key_col):
+        sk = (
+            base_sk.groupBy(*grp_cols)
+            if grp_cols
+            else base_sk.groupBy(F.lit(1).alias("__g"))
+        ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        ex = (
+            base.groupBy(*grp_cols)
+            if grp_cols
+            else base.groupBy(F.lit(1).alias("__g"))
+        ).agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+        j = ex.join(sk, grp_cols if grp_cols else ["__g"])
+        rel = F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+        return j.select(
+            F.lit(dim).alias("dim"),
+            key_col.alias("key"),
+            "exact_users",
+            (rel <= F.lit(0.05)).alias("sketch_within_5pct"),
+            F.greatest(F.lit(0), F.ceil((rel - 0.05) * 1000))
+            .cast("long")
+            .alias("err_permille_over_bound"),
+        )
+    return (
+        level(["event_type"], "event_type", F.col("event_type"))
+        .unionByName(level(["wk"], "week", F.col("wk").cast("string")))
+        .unionByName(level([], "all", F.lit("all")))
+    )
+
+
+@register(
     "session_pattern_match",
     """
     WITH e AS (
@@ -12344,6 +12425,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "approx_quantile_report",
     "session_pattern_match",
     "psi_price_drift",
+    "distinct_rollup_hierarchy",
 )
 
 

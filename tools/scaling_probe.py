@@ -141,6 +141,7 @@ DEFAULT = [
     "approx_quantile_report",
     "session_pattern_match",
     "psi_price_drift",
+    "distinct_rollup_hierarchy",
 ]
 
 
