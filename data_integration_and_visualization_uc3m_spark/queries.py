@@ -10682,6 +10682,35 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "global_rank_orders",
+    """
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)),
+                              o_orderkey) AS global_rank
+    FROM orders
+    """,
+    ops=["global-rank-range-partition", "§2.8"],
+)
+def global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact whole-table global rank WITHOUT the single-partition
+    window the naive ROW_NUMBER() OVER (ORDER BY …) plans
+    (operators.slicing.global_rank): range-repartition on the order
+    key (unique via tiebreaker, so sampled boundaries cannot split a
+    key), per-partition local ranks, and broadcast cumulative offsets.
+    The oracle IS the naive global row_number — same answer, scalable
+    plan. The offset window runs over the ~32-row partition-count
+    relation, not the data."""
+    o = _t(spark, sf_dir, "orders")
+    ranked = slicing.global_rank(
+        o.select("o_orderkey", _dec2("o_totalprice").alias("price")),
+        [F.col("price"), F.col("o_orderkey")],
+        "global_rank",
+        32,
+    )
+    return ranked.select("o_orderkey", "global_rank")
+
+
+@register(
     "distinct_rollup_hierarchy",
     """
     WITH base AS (
@@ -12426,6 +12455,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "session_pattern_match",
     "psi_price_drift",
     "distinct_rollup_hierarchy",
+    "global_rank_orders",
 )
 
 

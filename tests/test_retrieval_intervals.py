@@ -191,6 +191,24 @@ def test_cusum_flat_series_is_zero(spark):
     assert all(float(r["cusum_scaled"]) == 0.0 for r in out)
 
 
+# ----------------------------------------------------- global rank
+def test_global_rank_matches_single_window(spark):
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(50)) for i in range(500)]  # heavy dups
+    df = spark.createDataFrame(rows, "id long, v int")
+    got = {
+        r["id"]: r["global_rank"]
+        for r in slicing.global_rank(
+            df, [F.col("v"), F.col("id")], num_partitions=7
+        ).collect()
+    }
+    expect = {
+        i: rank + 1
+        for rank, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == expect
+
+
 # ------------------------------------------------------- equi-depth
 def test_equidepth_bucket_sizes_differ_by_at_most_one(spark):
     rng = random.Random(3)

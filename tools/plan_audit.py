@@ -31,6 +31,9 @@ GLOBAL_WINDOW_OK = {
     # global ntile over the per-customer AGGREGATE (declared
     # report-scale; docstring records the approx-quantile scale path)
     "customer_rfm_segments",
+    # offset window over the ~32-row partition-count relation (the
+    # range-partitioned global-rank recipe; data never single-partitions)
+    "global_rank_orders",
 }
 # Queries whose nested-loop join is DELIBERATE over a provably-small
 # input: the skyline global phase runs a quadratic dominance check over

@@ -142,6 +142,7 @@ DEFAULT = [
     "session_pattern_match",
     "psi_price_drift",
     "distinct_rollup_hierarchy",
+    "global_rank_orders",
 ]
 
 
