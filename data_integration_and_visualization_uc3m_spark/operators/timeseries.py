@@ -219,9 +219,14 @@ def cusum_above_mean(
 
     The textbook recursion ``S_t = max(0, S_{t-1} + (x_t - mean))``
     is not a window aggregate, but it has a closed form: with
-    ``P_t = Σ_{i≤t} (x_i - mean)``, ``S_t = P_t - min_{j≤t} P_j`` —
-    a running sum plus a running min, two ordered windows per key,
-    fully vectorized and shuffle-aligned on the key.
+    ``P_t = Σ_{i≤t} (x_i - mean)``,
+    ``S_t = P_t - min(0, min_{j≤t} P_j)`` — a running sum plus a
+    running min, two ordered windows per key, fully vectorized and
+    shuffle-aligned on the key. The ``min(0, …)`` includes the EMPTY
+    prefix (P before the first row is 0): without it, a series whose
+    FIRST step is above the mean reports S_0 = 0 instead of the
+    recursion's S_0 = d_0 (found by the property test; the two forms
+    agree whenever the first deviation is ≤ 0).
 
     To avoid the mean's division entirely, work scaled by n:
     ``d'_t = n·x_t - Σx`` (so ``S'_t = n·S_t``), all exact DECIMAL.
@@ -257,5 +262,7 @@ def cusum_above_mean(
     return p.select(
         *key_cols,
         order_col,
-        (F.col("__p") - F.min("__p").over(ow)).alias("cusum_scaled"),
+        (
+            F.col("__p") - F.least(F.min("__p").over(ow), F.lit(0))
+        ).alias("cusum_scaled"),
     )

@@ -12148,7 +12148,9 @@ def order_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT n_name, day,
-           CAST(pp - MIN(pp) OVER w2 AS DOUBLE) AS cusum_scaled
+           CAST(pp - CASE WHEN MIN(pp) OVER w2 < 0 THEN MIN(pp) OVER w2
+                          ELSE CAST(0 AS DECIMAL(18,2)) END
+                AS DOUBLE) AS cusum_scaled
     FROM p
     WINDOW w2 AS (PARTITION BY n_name ORDER BY day
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -208,3 +208,92 @@ def test_fuzzy_blocking_lossless_property(spark, values, d):
         if _lev(a, b) <= d
     }
     assert got == truth
+
+
+# --- round-5 continuation operators ---------------------------------
+
+IV = st.lists(
+    st.tuples(st.integers(0, 400), st.integers(0, 120)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(IV, st.sampled_from([7, 50, 1000]))
+def test_interval_overlap_equals_bruteforce_property(spark, spans, cell):
+    from data_integration_and_visualization_uc3m_spark.operators import joins
+
+    ivs = [(i, s, s + w) for i, (s, w) in enumerate(spans)]
+    df = spark.createDataFrame(ivs, "iid long, s long, e long")
+    got = {
+        (r["a_id"], r["b_id"]): r["overlap"]
+        for r in joins.interval_overlap_pairs(df, "iid", "s", "e", cell).collect()
+    }
+    brute = {}
+    for i, (ia, sa, ea) in enumerate(ivs):
+        for ib, sb, eb in ivs[i + 1 :]:
+            if sa < eb and sb < ea:
+                brute[(ia, ib)] = min(ea, eb) - max(sa, sb)
+    assert got == brute
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(-100, 100), min_size=1, max_size=15))
+def test_cusum_equals_recursion_property(spark, vals):
+    from pyspark.sql import functions as F
+    from data_integration_and_visualization_uc3m_spark.operators import timeseries
+
+    rows = [("k", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t int, x double").select(
+        "k", "t", F.col("x").cast("decimal(18,2)").alias("x")
+    )
+    out = {
+        r["t"]: float(r["cusum_scaled"])
+        for r in timeseries.cusum_above_mean(df, ["k"], "t", "x").collect()
+    }
+    n, mean = len(vals), sum(vals) / len(vals)
+    s = 0.0
+    for t, v in enumerate(vals):
+        s = max(0.0, s + (v - mean))
+        assert abs(out[t] - n * s) < 1e-6
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=40),
+       st.integers(2, 10))
+def test_equidepth_sizes_property(spark, vals, k):
+    from pyspark.sql import functions as F
+    from data_integration_and_visualization_uc3m_spark.operators import slicing
+
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, id int, v int")
+    b = slicing.equidepth_buckets(df, ["g"], [F.col("v"), F.col("id")], k, "bkt")
+    sizes = [0] * k
+    for r in b.collect():
+        sizes[r["bkt"]] += 1
+    assert sum(sizes) == len(vals)
+    nonzero = [s for s in sizes if s] if len(vals) < k else sizes
+    assert max(sizes) - min(nonzero) <= 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(0, 8), min_size=1, max_size=60),
+       st.integers(1, 9))
+def test_global_rank_equals_sorted_property(spark, vals, parts):
+    from pyspark.sql import functions as F
+    from data_integration_and_visualization_uc3m_spark.operators import slicing
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v int")
+    got = {
+        r["id"]: r["global_rank"]
+        for r in slicing.global_rank(
+            df, [F.col("v"), F.col("id")], num_partitions=parts
+        ).collect()
+    }
+    expect = {
+        i: rank + 1
+        for rank, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == expect
