@@ -29,7 +29,7 @@ anywhere in its surface) — north-star extension, SURVEY §7 phase E.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000_000  # 1.0 in fixed point
@@ -225,3 +225,65 @@ def k_core_fixed_rounds(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def label_propagation_rounds(
+    edges: DataFrame, rounds: int = 2
+) -> DataFrame:
+    """Weighted label propagation (community detection), synchronous
+    rounds with a FULLY DETERMINISTIC update: node u's next label is
+    the neighbor label with the greatest incident edge weight, ties
+    broken by smallest label (row_number over (weight DESC, label)).
+    Classic LPA leaves tie-breaking and update order unspecified —
+    pinning both is what makes the result reproducible across engines
+    and partitionings, the same discipline as pagerank_fixed_point
+    above.
+
+    ``edges`` is directed (src, dst, w); propagation runs over the
+    symmetrized graph (both directions union-aggregated). Labels start
+    as each node's own id; nodes appear iff they touch an edge.
+
+    Per round: one hash join (labels onto the edge relation keyed by
+    the neighbor end) + one (node, label) aggregation + one per-node
+    window — all shuffle-aligned on the node key, O(|edges|) per
+    round. Fixed ``rounds`` (not convergence-polled) keeps the plan
+    statically analyzable and the oracle unrollable.
+
+    Returns (node, label) after ``rounds`` rounds.
+    """
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("u"), F.col("src").alias("v"), "w"
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .persist()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    rank_w = Window.partitionBy("node").orderBy(
+        F.col("sw").desc(), F.col("label")
+    )
+    for _ in range(rounds):
+        scores = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.sum("w").cast("long").alias("sw"))
+        )
+        labels = (
+            scores.withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    out = labels
+    und.unpersist()
+    return out

@@ -10681,6 +10681,104 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_encode_stats(d, n_merges=5, group_col="source")
 
 
+def _lpa_oracle(rounds: int = 2) -> str:
+    """Unrolled weighted label propagation as pure SQL: per round one
+    neighbor-label score CTE + one deterministic argmax CTE
+    (ROW_NUMBER over (weight DESC, label)), mirroring
+    operators.graph.label_propagation_rounds exactly."""
+    ctes = [
+        """
+    edges AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY src, dst
+    ), und AS (
+        SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+            SELECT src AS u, dst AS v, w FROM edges
+            UNION ALL
+            SELECT dst AS u, src AS v, w FROM edges
+        ) GROUP BY u, v
+    ), l0 AS (
+        SELECT DISTINCT u AS node, u AS label FROM und
+    )"""
+    ]
+    for s in range(1, rounds + 1):
+        ctes.append(f"""sc{s} AS (
+        SELECT e.u AS node, l.label AS label,
+               CAST(SUM(e.w) AS BIGINT) AS sw
+        FROM und e JOIN l{s-1} l ON l.node = e.v
+        GROUP BY e.u, l.label
+    ), l{s} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY sw DESC, label) AS rn
+            FROM sc{s}) WHERE rn = 1
+    )""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes) + f""", sizes AS (
+        SELECT label, COUNT(*) AS n FROM l{rounds} GROUP BY label
+    )
+    SELECT n_name, CAST(x.label AS BIGINT) AS comm_label,
+           CAST(sz.n AS BIGINT) AS comm_size
+    FROM l{rounds} x
+    JOIN sizes sz ON sz.label = x.label
+    JOIN nation ON n_nationkey = x.node
+    """
+    )
+
+
+@register(
+    "nation_trade_communities",
+    _lpa_oracle(2),
+    ops=["graph-label-propagation", "iterative"],
+)
+def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation communities over the nation trade
+    graph (operators.graph.label_propagation_rounds, 2 synchronous
+    rounds): each nation adopts the neighbor label with the largest
+    incident trade weight, ties to the smallest label — the
+    deterministic-update discipline that makes LPA (whose classic
+    statement leaves ties and ordering unspecified) reproducible
+    across engines. Completes the graph family next to connected
+    components (reachability), k-core (density), PageRank
+    (centrality), and triangles (cohesion)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    labels = graph.label_propagation_rounds(edges, rounds=2)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        labels.join(sizes, "label")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("node") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.col("label").cast("long").alias("comm_label"),
+            F.col("n").cast("long").alias("comm_size"),
+        )
+    )
+
+
 @register(
     "global_rank_orders",
     """
@@ -12458,6 +12556,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "psi_price_drift",
     "distinct_rollup_hierarchy",
     "global_rank_orders",
+    "nation_trade_communities",
 )
 
 

@@ -119,3 +119,39 @@ def test_k_core_fixed_rounds_peels_cascade(spark):
     # checkpoint hygiene: only the final round's checkpoint may linger
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1, f"leaked {after - before} persistent RDDs"
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Two weighted triangles joined by one weak bridge: each triangle
+    converges to its own min label; the bridge does not flip labels."""
+    from data_integration_and_visualization_uc3m_spark.operators import graph
+
+    edges = [
+        (1, 2, 10), (2, 3, 10), (1, 3, 10),      # triangle A
+        (4, 5, 10), (5, 6, 10), (4, 6, 10),      # triangle B
+        (3, 4, 1),                               # weak bridge
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation_rounds(df, rounds=3).collect()
+    }
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[4]
+
+
+def test_label_propagation_tiebreak_min_label(spark):
+    """Equal-weight neighbor labels: the smallest label wins."""
+    from data_integration_and_visualization_uc3m_spark.operators import graph
+
+    # node 3 sees labels 1 and 2 with equal weight after round 1 start
+    edges = [(1, 3, 5), (2, 3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation_rounds(df, rounds=1).collect()
+    }
+    assert out[3] == 1  # min of {1, 2}
+    # leaves adopt their only neighbor's initial label
+    assert out[1] == 3 and out[2] == 3

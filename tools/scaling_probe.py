@@ -143,6 +143,7 @@ DEFAULT = [
     "psi_price_drift",
     "distinct_rollup_hierarchy",
     "global_rank_orders",
+    "nation_trade_communities",
 ]
 
 
