@@ -169,3 +169,47 @@ def global_rank(
         .withColumn(out, (F.col("__off") + F.col("__lrn")).cast("long"))
         .drop("__pid", "__lrn", "__off")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    val_col: str,
+    out: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE global prefix sum under a deterministic total
+    order without a single-partition window — global_rank's companion
+    (rank is the prefix sum of 1): range-repartition on the (unique,
+    tiebroken) order columns, per-partition running sums, then
+    broadcast cumulative offsets of the partition TOTALS. The offset
+    window runs over the partition-count relation (~#partitions
+    rows), never the data. The workhorse behind byte-budgeted shard
+    planning, offset-assembled file layouts, and any "where does my
+    running total cross X" question at 100 TB.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    withpid = ranged.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = withpid.withColumn("__lsum", F.sum(val_col).over(w))
+    totals = withpid.groupBy("__pid").agg(F.sum(val_col).alias("__t"))
+    ow = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(ow), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.col("__off") + F.col("__lsum")).cast("long"))
+        .drop("__pid", "__lsum", "__off")
+    )

@@ -10732,6 +10732,59 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "multimodal_shard_plan",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ), pre AS (
+        SELECT doc_id, n_bytes,
+               CAST(SUM(n_bytes) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM m
+    )
+    SELECT CAST((cum - n_bytes) // 16384 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM pre GROUP BY shard_id
+    """,
+    ops=["multimodal-shard-plan", "global-prefix-sum", "A3"],
+)
+def multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budgeted shard assignment for binary payload export (the
+    write-planning step of a multimodal corpus build: contiguous
+    ~16 KB shards in a deterministic id order, so every writer knows
+    its shard boundaries without coordination). The global running
+    byte total comes from operators.slicing.global_prefix_sum —
+    range-repartition + per-partition running sums + broadcast
+    partition-total offsets, no single-partition window; the oracle
+    states the same plan with a naive global window. Payloads are the
+    documents_as_media adapter's opaque binary column; only lengths
+    flow through the plan (ids+sizes shuffle, payload bytes stay at
+    rest — the multimodal module's narrow-shuffle discipline)."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d)
+    sized = media.select(
+        F.col("media_id").alias("doc_id"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    pre = slicing.global_prefix_sum(
+        sized, [F.col("doc_id")], "n_bytes", "cum", 32
+    )
+    shard = F.expr("(cum - n_bytes) div 16384").cast("long")
+    return pre.groupBy(shard.alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
     "nation_trade_communities",
     _lpa_oracle(2),
     ops=["graph-label-propagation", "iterative"],
@@ -12557,6 +12610,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "distinct_rollup_hierarchy",
     "global_rank_orders",
     "nation_trade_communities",
+    "multimodal_shard_plan",
 )
 
 

@@ -234,3 +234,19 @@ def test_equidepth_bucket_sizes_differ_by_at_most_one(spark):
         by_b.setdefault(r["bkt"], []).append(r["v"])
     for k in range(9):
         assert max(by_b[k]) <= min(by_b[k + 1])
+
+
+def test_global_prefix_sum_matches_sorted_cumsum(spark):
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(1, 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v int")
+    got = {
+        r["id"]: r["ps"]
+        for r in slicing.global_prefix_sum(
+            df, [F.col("id")], "v", "ps", num_partitions=9
+        ).collect()
+    }
+    cum = 0
+    for i, v in sorted(rows):
+        cum += v
+        assert got[i] == cum

@@ -34,6 +34,7 @@ GLOBAL_WINDOW_OK = {
     # offset window over the ~32-row partition-count relation (the
     # range-partitioned global-rank recipe; data never single-partitions)
     "global_rank_orders",
+    "multimodal_shard_plan",
 }
 # Queries whose nested-loop join is DELIBERATE over a provably-small
 # input: the skyline global phase runs a quadratic dominance check over

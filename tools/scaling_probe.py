@@ -144,6 +144,7 @@ DEFAULT = [
     "distinct_rollup_hierarchy",
     "global_rank_orders",
     "nation_trade_communities",
+    "multimodal_shard_plan",
 ]
 
 
