@@ -310,3 +310,74 @@ def dsir_score(
         F.sum("m").alias("n_scored_bigrams"),
         F.sum(F.col("m") * F.col("d")).alias("diff_fp9"),
     )
+
+
+def two_sample_ks(
+    df: DataFrame,
+    group_cols: list[str],
+    side_col: str,
+    side_a: str,
+    side_b: str,
+    val_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per group — the
+    distribution-shift test for "did source A's length/score profile
+    drift from source B's", computed ENTIRELY in integers:
+    D = max_x |F_a(x) − F_b(x)| over the pooled observed values, held
+    as the integer numerator max_x |c_a(x)·n_b − c_b(x)·n_a| so no
+    float ever crosses rows (convention #7; the fp6 ratio is one
+    final fixed-order scalar per group).
+
+    One aggregation to per-value side counts, one ordered window per
+    group for the running ECDFs, one max — shuffle-aligned on the
+    group key throughout. Groups missing either side are dropped
+    (D undefined).
+
+    Returns ``group_cols + (n_a, n_b, d_num, d_fp6)`` where
+    ``D = d_num / (n_a · n_b)``.
+    """
+    from pyspark.sql import Window
+
+    sided = df.filter(F.col(side_col).isin([side_a, side_b]))
+    vals = sided.groupBy(*group_cols, F.col(val_col).alias("x")).agg(
+        F.sum(
+            F.when(F.col(side_col) == side_a, 1).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when(F.col(side_col) == side_b, 1).otherwise(0)
+        ).alias("b"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vals.select(
+        *group_cols,
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    tot = vals.groupBy(*group_cols).agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+    )
+    return (
+        cum.join(tot, group_cols)
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .groupBy(*group_cols, "n_a", "n_b")
+        .agg(F.max(gap).cast("long").alias("d_num"))
+        .select(
+            *group_cols,
+            "n_a",
+            "n_b",
+            "d_num",
+            F.floor(
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+                * F.lit(1e6)
+            ).cast("long").alias("d_fp6"),
+        )
+    )

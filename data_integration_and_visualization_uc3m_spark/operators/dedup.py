@@ -915,3 +915,107 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    n: int = 3,
+    max_df_frac: float = 0.02,
+    threshold_fp6: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WEIGHTED set-similarity join: document pairs with TF-IDF cosine
+    ≥ threshold — the sparse-vector complement of the Jaccard core
+    (set overlap ignores how often a shingle repeats; cosine with
+    tf·idf weights is what search-style near-dup and template
+    detection actually rank by).
+
+    Exactness discipline (convention #7): per-(doc, term) weights are
+    fixed-pointed to BIGINT — ``floor(tf · ln(N/df) · 1000)`` — so
+    dot products and squared norms are EXACT integer sums in any
+    order; the cosine is one final fixed-order double expression per
+    pair, floored to fp6. ``ln`` takes the same double ratio in both
+    engines.
+
+    Scale: identical candidate shape to dedup_jaccard_df_capped —
+    the df cap bounds Σdf² fan-out, the pair dot-product is one
+    grouped self-join on the term key, and the 1-row corpus count
+    rides a broadcast. Zero-weight-norm documents (all terms at
+    df = N) are excluded (cosine undefined).
+    """
+    toks = tokens(text_col)
+    ngrams = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    terms = (
+        df.select(F.col(id_col), F.explode(ngrams).alias("shingle"))
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scal = terms.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dfs = terms.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_t"))
+    kept = (
+        dfs.crossJoin(F.broadcast(scal))
+        .filter(
+            F.col("df_t")
+            <= F.floor(F.lit(max_df_frac) * F.col("n_docs"))
+        )
+        .select("shingle", "df_t", "n_docs")
+    )
+    w = terms.join(kept, "shingle").select(
+        F.col(id_col),
+        "shingle",
+        F.floor(
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df_t"))
+            * F.lit(1000.0)
+        ).cast("long").alias("wt"),
+    )
+    norms = (
+        w.groupBy(id_col)
+        .agg(F.sum(F.col("wt") * F.col("wt")).cast("long").alias("norm2"))
+        .filter(F.col("norm2") > 0)
+    )
+    a = w.select(
+        F.col("shingle"),
+        F.col(id_col).alias("id_a"),
+        F.col("wt").alias("wa"),
+    )
+    b = w.select(
+        F.col("shingle"),
+        F.col(id_col).alias("id_b"),
+        F.col("wt").alias("wb"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"),
+        )
+    )
+    na = norms.select(
+        F.col(id_col).alias("id_a"), F.col("norm2").alias("na2")
+    )
+    nb = norms.select(
+        F.col(id_col).alias("id_b"), F.col("norm2").alias("nb2")
+    )
+    cos_fp6 = F.floor(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", "n_common", cos_fp6.alias("cos_fp6"))
+        .filter(F.col("cos_fp6") >= F.lit(threshold_fp6))
+    )

@@ -10732,6 +10732,114 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "tfidf_cosine_pairs",
+    """
+    WITH sht AS (
+        SELECT doc_id, shingle, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(
+                [array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+                 FOR i IN range(0, greatest(len(toks) - 3, 0) + 1)]
+            ) AS shingle
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents)
+        ) WHERE length(shingle) > 0
+        GROUP BY doc_id, shingle
+    ), scal AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sht
+    ), dfs AS (
+        SELECT shingle, COUNT(*) AS df_t FROM sht GROUP BY shingle
+    ), kept AS (
+        SELECT shingle, df_t, n_docs FROM dfs CROSS JOIN scal
+        WHERE df_t <= FLOOR(0.02 * n_docs)
+    ), w AS (
+        SELECT t.doc_id, t.shingle,
+               CAST(FLOOR(t.tf * ln(CAST(k.n_docs AS DOUBLE) / k.df_t)
+                          * 1000.0) AS BIGINT) AS wt
+        FROM sht t JOIN kept k ON k.shingle = t.shingle
+    ), norms AS (
+        SELECT doc_id, CAST(SUM(wt * wt) AS BIGINT) AS norm2
+        FROM w GROUP BY doc_id HAVING SUM(wt * wt) > 0
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS n_common,
+               CAST(SUM(a.wt * b.wt) AS BIGINT) AS dot
+        FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(FLOOR(CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.norm2 AS DOUBLE))
+                   * sqrt(CAST(nb.norm2 AS DOUBLE)))
+                * 1000000) AS BIGINT) AS cos_fp6
+    FROM pairs
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE CAST(FLOOR(CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.norm2 AS DOUBLE))
+                   * sqrt(CAST(nb.norm2 AS DOUBLE)))
+                * 1000000) AS BIGINT) >= 500000
+    """,
+    ops=["dedup-tfidf-cosine", "set-similarity", "A-dedup"],
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (TF-IDF cosine ≥ 0.5) near-dup pairs over word-3-gram
+    terms (operators.dedup.tfidf_cosine_pairs) — the sparse-vector
+    complement of the Jaccard core: repeats and rarity matter, not
+    just set overlap. Per-term weights are fixed-pointed to BIGINT
+    before any cross-row sum, so dot products and norms are exact
+    integers; the cosine is one fixed-order double per pair. Candidate
+    shape identical to dedup_jaccard_df_capped (df cap bounds Σdf²)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return dedup.tfidf_cosine_pairs(d, n=3, max_df_frac=0.02)
+
+
+@register(
+    "ks_chars_by_lang",
+    """
+    WITH d AS (
+        SELECT lang, source, n_chars FROM documents
+        WHERE source IN ('src0', 'src1')
+    ), vals AS (
+        SELECT lang, n_chars AS x,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+               SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b
+        FROM d GROUP BY lang, x
+    ), cum AS (
+        SELECT lang,
+               SUM(a) OVER w AS ca, SUM(b) OVER w AS cb
+        FROM vals
+        WINDOW w AS (PARTITION BY lang ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tot AS (
+        SELECT lang, CAST(SUM(a) AS BIGINT) AS n_a,
+               CAST(SUM(b) AS BIGINT) AS n_b
+        FROM vals GROUP BY lang
+    )
+    SELECT c.lang AS lang, n_a, n_b,
+           CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT) AS d_num,
+           CAST(FLOOR(CAST(MAX(ABS(ca * n_b - cb * n_a)) AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * n_b) * 1000000)
+                AS BIGINT) AS d_fp6
+    FROM cum c JOIN tot t ON t.lang = c.lang
+    WHERE n_a > 0 AND n_b > 0
+    GROUP BY c.lang, n_a, n_b
+    """,
+    ops=["stats-ks-two-sample", "drift-distribution", "A3"],
+)
+def ks_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test per language
+    (operators.corpus_stats.two_sample_ks): does src0's document-
+    length distribution differ from src1's? The statistic is held as
+    the integer numerator max|c_a·n_b − c_b·n_a| — no float crosses a
+    row boundary, so both engines agree bit-for-bit; the fp6 ratio is
+    one final fixed-order scalar per language."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus_stats.two_sample_ks(
+        d, ["lang"], "source", "src0", "src1", "n_chars"
+    )
+
+
+@register(
     "multimodal_shard_plan",
     """
     WITH m AS (
@@ -12611,6 +12719,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "global_rank_orders",
     "nation_trade_communities",
     "multimodal_shard_plan",
+    "ks_chars_by_lang",
+    "tfidf_cosine_pairs",
 )
 
 

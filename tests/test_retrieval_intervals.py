@@ -250,3 +250,32 @@ def test_global_prefix_sum_matches_sorted_cumsum(spark):
     for i, v in sorted(rows):
         cum += v
         assert got[i] == cum
+
+
+def test_two_sample_ks_hand_case(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import corpus_stats
+
+    rows = (
+        [("g", "A", v) for v in [1, 2, 2, 3]]
+        + [("g", "B", v) for v in [2, 3, 3, 4, 4]]
+        + [("h", "A", v) for v in [5]]  # h has no B side: dropped
+    )
+    df = spark.createDataFrame(rows, "grp string, side string, x int")
+    out = corpus_stats.two_sample_ks(
+        df, ["grp"], "side", "A", "B", "x"
+    ).collect()
+    assert len(out) == 1 and out[0]["grp"] == "g"
+    r = out[0]
+    # ECDF counts over pooled values [1,2,3,4]:
+    #  ca: 1,3,4,4 ; cb: 0,1,3,5 ; n_a=4, n_b=5
+    # |ca*5 - cb*4|: 5, 11, 8, 0 -> d_num=11, D=11/20=0.55
+    assert (r["n_a"], r["n_b"], r["d_num"], r["d_fp6"]) == (4, 5, 11, 550000)
+
+
+def test_two_sample_ks_identical_distributions_zero(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import corpus_stats
+
+    rows = [("g", s, v) for s in ("A", "B") for v in [1, 2, 3, 3, 7]]
+    df = spark.createDataFrame(rows, "grp string, side string, x int")
+    r = corpus_stats.two_sample_ks(df, ["grp"], "side", "A", "B", "x").collect()[0]
+    assert r["d_num"] == 0 and r["d_fp6"] == 0

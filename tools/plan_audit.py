@@ -63,6 +63,7 @@ SCALAR_OK: set[str] = {
     "corpus_build_e2e",         # same scalar via mix_apply
     "corpus_bigram_lift",       # two 1-row corpus totals (n_uni, n_bi) cross-joined
     "bm25_topk",                # 1-row corpus stats (N, total tokens) broadcast
+    "tfidf_cosine_pairs",       # 1-row corpus count broadcast (df-cap threshold)
     "lang_source_chisq_cells",  # 1-row grand-total broadcast onto the cell grid
     "embedding_gram_power",     # 1-row Rayleigh num/den broadcast onto d rows
     "embedding_lloyd_step",     # k-row centroid table broadcast (every point

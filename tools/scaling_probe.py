@@ -145,6 +145,8 @@ DEFAULT = [
     "global_rank_orders",
     "nation_trade_communities",
     "multimodal_shard_plan",
+    "ks_chars_by_lang",
+    "tfidf_cosine_pairs",
 ]
 
 
