@@ -78,3 +78,53 @@ def fuzzy_name_pairs(
         .filter(F.col("distance") <= F.lit(d))
         .select("name_a", "name_b", "distance", "n_rows_a", "n_rows_b")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    name_col: str,
+    window: int = 3,
+    max_distance: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): rank
+    the distinct-value vocabulary in sort order and compare each value
+    only to its ``window`` successors — candidate volume is
+    |vocab|·window by construction, independent of the value-length
+    distribution (the knob the length-band blocking above doesn't
+    have). NOT lossless: a true match sorted > window positions away
+    is missed; production linkage runs multiple passes with different
+    sort keys. Ranks come from slicing.global_rank (range-partitioned
+    prefix ranks — no single-partition window); successors are a
+    bounded explode (rank+1 … rank+window) equi-join, so the whole
+    construction is two shuffles regardless of scale.
+
+    Returns (name_a, name_b, distance, n_rows_a, n_rows_b) with
+    name_a < name_b (sort order IS the canonical pair order).
+    """
+    from .slicing import global_rank
+
+    vocab = name_vocabulary(df, name_col)
+    ranked = global_rank(vocab, [F.col("name")], "r")
+    probe = ranked.select(
+        F.col("name").alias("name_a"),
+        F.col("n_rows").alias("n_rows_a"),
+        F.explode(
+            F.sequence(F.col("r") + 1, F.col("r") + window)
+        ).alias("rr"),
+    )
+    build = ranked.select(
+        F.col("name").alias("name_b"),
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("r").alias("rr"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    out = probe.join(build, "rr").select(
+        "name_a",
+        "name_b",
+        dist.alias("distance"),
+        "n_rows_a",
+        "n_rows_b",
+    )
+    if max_distance is not None:
+        out = out.filter(F.col("distance") <= F.lit(max_distance))
+    return out

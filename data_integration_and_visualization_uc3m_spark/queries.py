@@ -10732,6 +10732,38 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "snm_part_name_pairs",
+    """
+    WITH vocab AS (
+        SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY p_name
+    ), r AS (
+        SELECT name, n_rows,
+               ROW_NUMBER() OVER (ORDER BY name) AS rk
+        FROM vocab
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS distance,
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+    ops=["linkage-sorted-neighborhood", "global-rank-range-partition"],
+)
+def snm_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage over part names
+    (operators.linkage.sorted_neighborhood_pairs, window 3, verify
+    edit distance ≤ 3): the second classic blocking scheme next to
+    the lossless length-band join — candidate volume |vocab|·window
+    by construction. Ranks come from the range-partitioned
+    global_rank; the oracle states the same neighborhood with a naive
+    global ROW_NUMBER."""
+    p = _t(spark, sf_dir, "part")
+    return linkage.sorted_neighborhood_pairs(
+        p, "p_name", window=3, max_distance=3
+    )
+
+
+@register(
     "tfidf_cosine_pairs",
     """
     WITH sht AS (
@@ -12721,6 +12753,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "multimodal_shard_plan",
     "ks_chars_by_lang",
     "tfidf_cosine_pairs",
+    "snm_part_name_pairs",
 )
 
 

@@ -56,3 +56,27 @@ def test_fuzzy_name_pairs_blocking_is_lossless_at_band_edges(spark):
     got = {(r.name_a, r.name_b) for r in linkage.fuzzy_name_pairs(df, "name", max_distance=2).collect()}
     assert ("abcd", "abcdef") in got  # distance 2, length diff 2
     assert all("zzzz" not in p for p in got)
+
+
+def test_sorted_neighborhood_window_semantics(spark):
+    """Only values within `window` sort positions pair; duplicates of
+    a value collapse to one vocabulary row first."""
+    from data_integration_and_visualization_uc3m_spark.operators import linkage
+
+    rows = [("aa",), ("aa",), ("ab",), ("ac",), ("zz",)]
+    df = spark.createDataFrame(rows, "name string")
+    got = {
+        (r["name_a"], r["name_b"]): (r["distance"], r["n_rows_a"], r["n_rows_b"])
+        for r in linkage.sorted_neighborhood_pairs(
+            df, "name", window=2, max_distance=None
+        ).collect()
+    }
+    # sort order: aa, ab, ac, zz — window 2 successors
+    assert set(got) == {("aa", "ab"), ("aa", "ac"), ("ab", "ac"),
+                        ("ab", "zz"), ("ac", "zz")}
+    assert got[("aa", "ab")] == (1, 2, 1)  # aa multiplicity carried
+    # distance cap filters
+    capped = linkage.sorted_neighborhood_pairs(
+        df, "name", window=2, max_distance=1
+    ).collect()
+    assert all(r["distance"] <= 1 for r in capped)

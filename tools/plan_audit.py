@@ -35,6 +35,7 @@ GLOBAL_WINDOW_OK = {
     # range-partitioned global-rank recipe; data never single-partitions)
     "global_rank_orders",
     "multimodal_shard_plan",
+    "snm_part_name_pairs",
 }
 # Queries whose nested-loop join is DELIBERATE over a provably-small
 # input: the skyline global phase runs a quadratic dominance check over

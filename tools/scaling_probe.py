@@ -147,6 +147,7 @@ DEFAULT = [
     "multimodal_shard_plan",
     "ks_chars_by_lang",
     "tfidf_cosine_pairs",
+    "snm_part_name_pairs",
 ]
 
 
