@@ -11170,7 +11170,7 @@ def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "psi_price_drift",
     """
     WITH v AS (
-        SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
                     THEN 'a' ELSE 'b' END AS period,
                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS x
         FROM orders
@@ -11218,7 +11218,7 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     v = o.select(
         F.when(
-            F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"), "a"
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "a"
         ).otherwise("b").alias("period"),
         _dec2("o_totalprice").cast("double").alias("x"),
     )
