@@ -281,15 +281,21 @@ def keyed_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01')
     """,
     ops=["F1", "J4", "V3"],
 )
 def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4/V3 — anti-join: customers with no orders (the FK-violation
-    primitive, schema.sql:44-54, run in reverse)."""
+    """J4/V3 — anti-join: customers with no orders since 1999 (the
+    FK-violation primitive, schema.sql:44-54, run in reverse, with a
+    recency window — the unwindowed form is VACUOUS on this data:
+    every customer has some order at every SF, so its oracle match
+    proved nothing; found by the empty-result registry scan)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
     return joins.anti_join(c, o.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]).select(
         "c_custkey", "c_name"
     )
@@ -2611,7 +2617,8 @@ def exists_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
     FROM customer c, threshold t
     WHERE c.c_acctbal > t.avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1999-01-01')
     GROUP BY c_nationkey
     """,
     ops=["J4-anti", "A3", "scalar-subquery"],
@@ -2623,7 +2630,9 @@ def not_exists_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar lands in the plan as a 1-row broadcast (cross) join; the
     anti join shuffles on the customer key."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
     thr = c.filter(F.col("c_acctbal") > 0).agg(
         (F.sum(_dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
             "avg_bal"
@@ -4772,17 +4781,19 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON n_nationkey = s_nationkey
     JOIN part ON p_partkey = l_partkey
-    WHERE p_name LIKE '%green%'
+    WHERE p_name LIKE '%red%'
     GROUP BY n_name, year(o_orderdate)
     """,
     ops=["tpch-q9", "J1", "A3", "F-like"],
 )
 def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape: revenue on 'green' parts by supplier nation and
-    order year. The part LIKE-filter semi-reduces lineitem via a
+    """TPC-H Q9 shape: revenue on 'red' parts by supplier nation and
+    order year ('red' matches this corpus's color vocabulary; the
+    TPC-H-classic 'green' matches nothing here — vacuous until the
+    empty-result registry scan caught it). The part LIKE-filter semi-reduces lineitem via a
     broadcast hash join BEFORE the orders join (biggest table joins
     last against the already-filtered fact)."""
-    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
@@ -4814,28 +4825,37 @@ def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                    AS DOUBLE) AS total_value
+                    AS DOUBLE) AS total_value,
+               (SELECT COUNT(*) FROM val) AS n_parts
         FROM lineitem
     )
     SELECT l_partkey, part_value, part_value / total_value AS value_share
     FROM val CROSS JOIN tot
-    WHERE part_value > 0.001 * total_value
+    WHERE part_value * n_parts > 1.5 * total_value
     """,
     ops=["tpch-q11", "A3", "scalar-subquery"],
 )
 def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose revenue exceeds 0.1% of total.
-    The scalar total decorrelates into a 1-row broadcast; both the
-    per-part and global sums are decimal-exact so the share divides
-    identical doubles in both engines."""
+    """TPC-H Q11 shape: parts whose revenue exceeds 1.5× the per-part
+    MEAN (the fixed-0.1%-of-total form is SF-fragile: on this data's
+    near-uniform part values it returned zero rows at the driver's
+    SF, a vacuous oracle match — found by the empty-result scan; the
+    mean-relative threshold selects the heavy tail at every SF).
+    Scalars decorrelate into 1-row broadcasts; all sums are
+    decimal-exact before the double compare."""
     l = _t(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(3,2)")
     vol = _dec2("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))
     val = l.groupBy("l_partkey").agg(F.sum(vol).cast("double").alias("part_value"))
     tot = l.agg(F.sum(vol).cast("double").alias("total_value"))
+    nparts = val.agg(F.count(F.lit(1)).alias("n_parts"))
     return (
         val.join(F.broadcast(tot))
-        .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
+        .join(F.broadcast(nparts))
+        .filter(
+            F.col("part_value") * F.col("n_parts")
+            > F.lit(1.5) * F.col("total_value")
+        )
         .select(
             "l_partkey",
             "part_value",
@@ -5008,10 +5028,12 @@ def suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_qty
         FROM lineitem JOIN blue ON p_partkey = l_partkey
         GROUP BY l_partkey
+    ), ns AS (
+        SELECT l_partkey, COUNT(*) AS n_supp FROM per GROUP BY l_partkey
     ), flagged AS (
         SELECT DISTINCT per.l_suppkey
-        FROM per JOIN tot USING (l_partkey)
-        WHERE supp_qty > 0.5 * part_qty
+        FROM per JOIN tot USING (l_partkey) JOIN ns USING (l_partkey)
+        WHERE supp_qty * n_supp > 2.0 * part_qty
     )
     SELECT s_suppkey, s_name
     FROM supplier JOIN flagged ON s_suppkey = l_suppkey
@@ -5019,11 +5041,12 @@ def suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame
     ops=["tpch-q20", "J-semi", "A3", "scalar-subquery"],
 )
 def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: suppliers who shipped more than half of some
-    blue part's total quantity (partsupp availability re-based on
-    lineitem). Both quantity sums are decimal-exact BEFORE the double
-    comparison — a window-sum of doubles here would be summation-order
-    nondeterministic. The flagged-supplier set semi-joins supplier."""
+    """TPC-H Q20 shape: suppliers who shipped more than 2× the
+    per-supplier MEAN of some blue part's quantity (the classic
+    more-than-half-of-total form is vacuous here — ~26 suppliers per
+    part means no one ever holds 50%; zero rows at every SF until the
+    empty-result scan caught it). Quantity sums are decimal-exact
+    BEFORE the double compare; the flagged set semi-joins supplier."""
     l = _t(spark, sf_dir, "lineitem")
     blue = (
         _t(spark, sf_dir, "part")
@@ -5040,9 +5063,14 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = lb.groupBy("l_partkey").agg(
         F.sum(_dec2("l_quantity")).cast("double").alias("part_qty")
     )
+    ns = per.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_supp"))
     flagged = (
         per.join(tot, "l_partkey")
-        .filter(F.col("supp_qty") > F.lit(0.5) * F.col("part_qty"))
+        .join(ns, "l_partkey")
+        .filter(
+            F.col("supp_qty") * F.col("n_supp")
+            > F.lit(2.0) * F.col("part_qty")
+        )
         .select("l_suppkey")
         .distinct()
     )
@@ -12639,6 +12667,14 @@ _PRIORITY: tuple[str, ...] = (
     "events_hourly",
     "streaming_batch_parity_e2e",
     "partitioned_warehouse_prune",
+    # de-vacuoused late in round 5 (empty-result scan): predicates
+    # retuned so each returns rows at EVERY SF — semantics changed
+    # after their last driver verdict, so they re-enter the window
+    "anti_join_inactive_customers",
+    "not_exists_rich_inactive",
+    "nation_year_profit",
+    "important_parts_share",
+    "dominant_part_suppliers",
 )
 
 
