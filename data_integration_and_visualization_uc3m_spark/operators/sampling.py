@@ -251,3 +251,44 @@ def cap_per_group(
         .filter(F.col("_cap_rk") <= cap)
         .drop("_cap_rk")
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    order_by: list,
+    weight_col: str,
+    n_target: int,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay the
+    population's integer weights end-to-end on a line (exact global
+    prefix sums via slicing.global_prefix_sum — no single-partition
+    window), cut the line into ``n_target`` equal strides, and keep
+    each item that contains a stride boundary. Selection probability
+    is proportional to weight, the draw count is n_target (±1 at the
+    tail), items heavier than a stride are always kept — and the
+    whole construction is INTEGER arithmetic on a deterministic
+    order, so the "random" sample is exactly reproducible across
+    engines, runs, and partitionings (the zero-float analogue of the
+    md5-bucket samplers above; vary the order columns to re-draw).
+
+    An item [cum−w, cum) is selected iff it contains a multiple of
+    ``stride = total div n_target``: equivalently
+    ``cum div stride > (cum − w) div stride``.
+
+    Returns the selected rows + ``__cum`` (the item's inclusive
+    prefix weight — its position on the line).
+    """
+    from .slicing import global_prefix_sum
+
+    pre = global_prefix_sum(df, order_by, weight_col, "__cum")
+    total = pre.agg(F.max("__cum").alias("__total"))
+    return (
+        pre.crossJoin(F.broadcast(total))
+        .filter(
+            F.expr(
+                f"__cum div (__total div {n_target}) "
+                f"> (__cum - {weight_col}) div (__total div {n_target})"
+            )
+        )
+        .drop("__total")
+    )

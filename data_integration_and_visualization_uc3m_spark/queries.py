@@ -10760,6 +10760,42 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "pps_doc_sample",
+    """
+    WITH pre AS (
+        SELECT doc_id, n_chars,
+               CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM documents
+    ), tot AS (
+        SELECT MAX(cum) AS total FROM pre
+    )
+    SELECT doc_id, n_chars, cum
+    FROM pre CROSS JOIN tot
+    WHERE cum // (total // 50) > (cum - n_chars) // (total // 50)
+    """,
+    ops=["sampling-pps-systematic", "global-prefix-sum"],
+)
+def pps_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample of ~50 documents, selection probability
+    proportional to byte weight (operators.sampling.
+    pps_systematic_sample): integer stride cuts over exact global
+    prefix sums — a weighted sample that is bit-reproducible across
+    engines, runs, and partitionings with ZERO floats (the
+    deterministic-sampling family's answer to weighted draws; the
+    md5-bucket samplers cover the uniform/Bernoulli side). Prefix
+    sums come from the range-partitioned recipe, never a
+    single-partition window; the oracle states the same line-cutting
+    with a naive global cumsum."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.pps_systematic_sample(
+        d.select("doc_id", "n_chars"), [F.col("doc_id")], "n_chars", 50
+    )
+    return out.select("doc_id", "n_chars", F.col("__cum").alias("cum"))
+
+
+@register(
     "snm_part_name_pairs",
     """
     WITH vocab AS (
@@ -12790,6 +12826,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "ks_chars_by_lang",
     "tfidf_cosine_pairs",
     "snm_part_name_pairs",
+    "pps_doc_sample",
 )
 
 

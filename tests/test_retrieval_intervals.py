@@ -279,3 +279,32 @@ def test_two_sample_ks_identical_distributions_zero(spark):
     df = spark.createDataFrame(rows, "grp string, side string, x int")
     r = corpus_stats.two_sample_ks(df, ["grp"], "side", "A", "B", "x").collect()[0]
     assert r["d_num"] == 0 and r["d_fp6"] == 0
+
+
+def test_pps_systematic_sample_properties(spark):
+    from data_integration_and_visualization_uc3m_spark.operators import sampling
+
+    rng = random.Random(13)
+    rows = [(i, rng.randrange(1, 40)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    k = 25
+    got = sampling.pps_systematic_sample(df, [F.col("id")], "w", k).collect()
+    total = sum(w for _, w in rows)
+    stride = total // k
+    # exact reference: items containing a stride multiple
+    cum, expect = 0, set()
+    for i, w in sorted(rows):
+        prev, cum = cum, cum + w
+        if cum // stride > prev // stride:
+            expect.add(i)
+    assert {r["id"] for r in got} == expect
+    # draw count is ~k (within 1 of total//stride)
+    assert abs(len(got) - k) <= 1
+    # heavy items are always selected
+    heavy = spark.createDataFrame(
+        [(1, 5), (2, 1000), (3, 5), (4, 5)], "id long, w int"
+    )
+    hs = {r["id"] for r in sampling.pps_systematic_sample(
+        heavy, [F.col("id")], "w", 4
+    ).collect()}
+    assert 2 in hs

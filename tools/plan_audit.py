@@ -36,6 +36,7 @@ GLOBAL_WINDOW_OK = {
     "global_rank_orders",
     "multimodal_shard_plan",
     "snm_part_name_pairs",
+    "pps_doc_sample",
 }
 # Queries whose nested-loop join is DELIBERATE over a provably-small
 # input: the skyline global phase runs a quadratic dominance check over
@@ -65,6 +66,7 @@ SCALAR_OK: set[str] = {
     "corpus_bigram_lift",       # two 1-row corpus totals (n_uni, n_bi) cross-joined
     "bm25_topk",                # 1-row corpus stats (N, total tokens) broadcast
     "tfidf_cosine_pairs",       # 1-row corpus count broadcast (df-cap threshold)
+    "pps_doc_sample",           # 1-row total-weight broadcast (stride denominator)
     "lang_source_chisq_cells",  # 1-row grand-total broadcast onto the cell grid
     "embedding_gram_power",     # 1-row Rayleigh num/den broadcast onto d rows
     "embedding_lloyd_step",     # k-row centroid table broadcast (every point

@@ -148,6 +148,7 @@ DEFAULT = [
     "ks_chars_by_lang",
     "tfidf_cosine_pairs",
     "snm_part_name_pairs",
+    "pps_doc_sample",
 ]
 
 
