@@ -10709,11 +10709,12 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_encode_stats(d, n_merges=5, group_col="source")
 
 
-def _lpa_oracle(rounds: int = 2) -> str:
-    """Unrolled weighted label propagation as pure SQL: per round one
-    neighbor-label score CTE + one deterministic argmax CTE
-    (ROW_NUMBER over (weight DESC, label)), mirroring
-    operators.graph.label_propagation_rounds exactly."""
+def _lpa_ctes(rounds: int = 2) -> str:
+    """Shared unrolled-LPA CTE chain (per round one neighbor-label
+    score CTE + one deterministic argmax CTE, ROW_NUMBER over
+    (weight DESC, label)), mirroring
+    operators.graph.label_propagation_rounds exactly; reused by the
+    community and the modularity readouts."""
     ctes = [
         """
     edges AS (
@@ -10746,8 +10747,13 @@ def _lpa_oracle(rounds: int = 2) -> str:
                                       ORDER BY sw DESC, label) AS rn
             FROM sc{s}) WHERE rn = 1
     )""")
+    return "\n    WITH " + ",\n    ".join(ctes)
+
+
+def _lpa_oracle(rounds: int = 2) -> str:
+    """Community readout over the shared LPA CTE chain."""
     return (
-        "\n    WITH " + ",\n    ".join(ctes) + f""", sizes AS (
+        _lpa_ctes(rounds) + f""", sizes AS (
         SELECT label, COUNT(*) AS n FROM l{rounds} GROUP BY label
     )
     SELECT n_name, CAST(x.label AS BIGINT) AS comm_label,
@@ -10985,6 +10991,76 @@ def multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _lpa_modularity_oracle(rounds: int = 2) -> str:
+    """Modularity readout over the shared LPA CTE chain: annotate the
+    symmetrized edges with both endpoints' final labels, then the
+    exact-integer per-community terms T·W_c − d_c² (see
+    operators.graph.community_modularity_terms)."""
+    ctes = _lpa_ctes(rounds)
+    return (
+        ctes
+        + f""", ann AS (
+        SELECT e.u, e.v, e.w, lu.label AS lu, lv.label AS lv
+        FROM und e
+        JOIN l{rounds} lu ON lu.node = e.u
+        JOIN l{rounds} lv ON lv.node = e.v
+    ), t AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS t FROM ann
+    ), intra AS (
+        SELECT lu AS label, CAST(SUM(w) AS BIGINT) AS w_in
+        FROM ann WHERE lu = lv GROUP BY lu
+    ), deg AS (
+        SELECT lu AS label, CAST(SUM(w) AS BIGINT) AS degree
+        FROM ann GROUP BY lu
+    )
+    SELECT d.label AS comm_label,
+           CAST(COALESCE(i.w_in, 0) AS BIGINT) AS w_in,
+           d.degree,
+           CAST(t.t * COALESCE(i.w_in, 0) - d.degree * d.degree
+                AS BIGINT) AS contrib_scaled
+    FROM deg d LEFT JOIN intra i ON i.label = d.label CROSS JOIN t
+    """
+    )
+
+
+@register(
+    "trade_community_modularity",
+    _lpa_modularity_oracle(2),
+    ops=["graph-modularity", "graph-label-propagation"],
+)
+def trade_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-quality readout for the LPA communities
+    (operators.graph.community_modularity_terms): per-community
+    modularity contributions in the EXACT-INTEGER scaled form
+    T·W_c − d_c² (T = total symmetrized weight) — community detection
+    plus its own quality metric, zero float accumulation anywhere, so
+    the score is bit-identical on any engine or partitioning."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    labels = graph.label_propagation_rounds(edges, rounds=2)
+    terms = graph.community_modularity_terms(edges, labels)
+    return terms.select(
+        F.col("label").cast("long").alias("comm_label"),
+        "w_in",
+        "degree",
+        "contrib_scaled",
     )
 
 
@@ -12827,6 +12903,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "tfidf_cosine_pairs",
     "snm_part_name_pairs",
     "pps_doc_sample",
+    "trade_community_modularity",
 )
 
 

@@ -155,3 +155,33 @@ def test_label_propagation_tiebreak_min_label(spark):
     assert out[3] == 1  # min of {1, 2}
     # leaves adopt their only neighbor's initial label
     assert out[1] == 3 and out[2] == 3
+
+
+def test_modularity_two_triangles(spark):
+    """Perfect 2-community split on two disconnected triangles:
+    contributions are equal and positive; sum T^2*Q = 2*(T*W_c - d_c^2)
+    with T=12, W_c=6, d_c=6 -> contrib 36 each, Q = 72/144 = 0.5."""
+    from data_integration_and_visualization_uc3m_spark.operators import graph
+
+    edges = [(1, 2, 1), (2, 3, 1), (1, 3, 1),
+             (4, 5, 1), (5, 6, 1), (4, 6, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    labels = graph.label_propagation_rounds(df, rounds=3)
+    out = {r["label"]: r for r in
+           graph.community_modularity_terms(df, labels).collect()}
+    assert len(out) == 2
+    for r in out.values():
+        assert (r["w_in"], r["degree"], r["contrib_scaled"]) == (6, 6, 36)
+
+
+def test_modularity_single_community_is_zero(spark):
+    """Everything in one community: Q = W/T - (d/T)^2 = 1 - 1 = 0."""
+    from data_integration_and_visualization_uc3m_spark.operators import graph
+
+    edges = [(1, 2, 3), (2, 3, 1), (1, 3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    labels = df.sparkSession.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, label long"
+    )
+    out = graph.community_modularity_terms(df, labels).collect()
+    assert len(out) == 1 and out[0]["contrib_scaled"] == 0

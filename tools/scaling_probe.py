@@ -149,6 +149,7 @@ DEFAULT = [
     "tfidf_cosine_pairs",
     "snm_part_name_pairs",
     "pps_doc_sample",
+    "trade_community_modularity",
 ]
 
 
