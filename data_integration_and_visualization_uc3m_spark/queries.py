@@ -68,7 +68,7 @@ from .operators import (
     validate,
     zorder,
 )
-from .sources.readers import load_table
+from .sources.readers import load_table, synthetic_dim as readers_synthetic_dim
 from .session import tune
 
 DEC2 = "decimal(18,2)"
@@ -10766,6 +10766,48 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "synthetic_sku_profile",
+    """
+    WITH base AS (
+        SELECT range AS sku_id,
+               CAST(('0x'||substring(md5('synth0:'||CAST(range AS VARCHAR)),1,8))
+                    AS BIGINT) AS h
+        FROM range(10000)
+    ), dim AS (
+        SELECT sku_id,
+               'cat_' || CAST(h % 8 AS VARCHAR) AS category,
+               CAST(100 + (h // 8) % 99900 AS BIGINT) AS price_cents,
+               (h // 16) % 5 > 0 AS in_stock
+        FROM base
+    )
+    SELECT category, in_stock,
+           COUNT(*) AS n_skus,
+           CAST(SUM(price_cents) AS BIGINT) AS total_cents,
+           CAST(MIN(price_cents) AS BIGINT) AS min_cents,
+           CAST(MAX(price_cents) AS BIGINT) AS max_cents
+    FROM dim GROUP BY category, in_stock
+    """,
+    ops=["source-synthetic-generator", "S7", "A3"],
+)
+def synthetic_sku_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic-data generation at scale
+    (sources.readers.synthetic_dim): 10k SKU rows materialized from
+    spark.range + md5-derived attributes — executor-side, no driver
+    list, and the SAME rows on any engine or partitioning (the
+    md5-bucket primitive applied generatively; the oracle regenerates
+    them independently in SQL and must agree bit-for-bit). The
+    fixture source for tests/benchmarks when real data can't leave
+    its enclave."""
+    dim = readers_synthetic_dim(spark, 10_000)
+    return dim.groupBy("category", "in_stock").agg(
+        F.count(F.lit(1)).alias("n_skus"),
+        F.sum("price_cents").cast("long").alias("total_cents"),
+        F.min("price_cents").cast("long").alias("min_cents"),
+        F.max("price_cents").cast("long").alias("max_cents"),
+    )
+
+
+@register(
     "pps_doc_sample",
     """
     WITH pre AS (
@@ -12904,6 +12946,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "snm_part_name_pairs",
     "pps_doc_sample",
     "trade_community_modularity",
+    "synthetic_sku_profile",
 )
 
 

@@ -163,3 +163,42 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
         .option("timestampFormat", JSONL_TS_FORMAT)
         .json(path)
     )
+
+
+def synthetic_dim(
+    spark: SparkSession, n_rows: int, seed: str = "synth0"
+) -> DataFrame:
+    """Deterministic synthetic dimension generator at scale — the
+    fixture/benchmark data source when real data can't leave its
+    enclave: ``spark.range`` (parallel, executor-side, no driver
+    list) + md5-derived attributes, so the SAME rows materialize on
+    any engine, any partitioning, any run (the md5-bucket primitive
+    the samplers use, applied generatively). The S7 year seed above
+    is the trivial form; this is the general one.
+
+    Columns: ``sku_id``, ``category`` (8 classes), ``price_cents``
+    (100..99999+100), ``in_stock`` (~80% true).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col("id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        spark.range(n_rows)
+        .select(F.col("id").alias("sku_id"), h.alias("__h"))
+        .select(
+            "sku_id",
+            F.concat(F.lit("cat_"), (F.col("__h") % 8).cast("string")).alias(
+                "category"
+            ),
+            (F.lit(100) + F.expr("(__h div 8) % 99900")).cast("long").alias(
+                "price_cents"
+            ),
+            (F.expr("(__h div 16) % 5") > 0).alias("in_stock"),
+        )
+    )

@@ -299,3 +299,20 @@ def test_jsonl_roundtrip_microsecond_faithful(spark, tmp_path):
     for i, ts, v in rows:
         assert got[i].ts == ts  # micros survive the text roundtrip
         assert got[i].v == v
+
+
+def test_synthetic_dim_deterministic_and_shaped(spark):
+    from data_integration_and_visualization_uc3m_spark.sources.readers import synthetic_dim
+
+    a = synthetic_dim(spark, 500).collect()
+    b = synthetic_dim(spark, 500).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    assert len(a) == 500
+    cats = {r["category"] for r in a}
+    assert cats <= {f"cat_{i}" for i in range(8)} and len(cats) == 8
+    assert all(100 <= r["price_cents"] < 100_000 for r in a)
+    frac = sum(r["in_stock"] for r in a) / len(a)
+    assert 0.7 < frac < 0.9
+    # a different seed draws different rows
+    c = synthetic_dim(spark, 500, seed="other").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))

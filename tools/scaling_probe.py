@@ -150,6 +150,7 @@ DEFAULT = [
     "snm_part_name_pairs",
     "pps_doc_sample",
     "trade_community_modularity",
+    "synthetic_sku_profile",
 ]
 
 
