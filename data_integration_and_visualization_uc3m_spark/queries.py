@@ -10766,6 +10766,85 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "benford_order_totals",
+    """
+    WITH obs AS (
+        SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               COUNT(*) AS n_obs
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs
+    ), axis AS (
+        SELECT CAST(range AS INTEGER) AS digit FROM range(1, 10)
+    )
+    SELECT a.digit AS digit,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(FLOOR(CAST(n_total AS DOUBLE)
+                * (ln((CAST(a.digit AS DOUBLE) + 1.0) / a.digit) / ln(10.0))
+                * 1000) AS BIGINT) AS expected_fp3,
+           CAST(FLOOR(
+               (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                  - CAST(n_total AS DOUBLE)
+                    * (ln((CAST(a.digit AS DOUBLE) + 1.0) / a.digit)
+                       / ln(10.0)))
+               * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                  - CAST(n_total AS DOUBLE)
+                    * (ln((CAST(a.digit AS DOUBLE) + 1.0) / a.digit)
+                       / ln(10.0)))
+               / (CAST(n_total AS DOUBLE)
+                  * (ln((CAST(a.digit AS DOUBLE) + 1.0) / a.digit)
+                     / ln(10.0)))
+               * 1000000) AS BIGINT) AS chisq_contrib_fp6
+    FROM axis a LEFT JOIN obs o ON o.digit = a.digit CROSS JOIN tot
+    """,
+    ops=["audit-benford", "A3"],
+)
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    fabricated-numbers / corrupted-feed detector: observed leading-
+    digit counts vs the Benford expectation N·log10(1+1/d), with the
+    per-digit chi-square contribution. The first digit comes from the
+    DECIMAL's canonical string (both engines render scale-2 decimals
+    identically — no log10-at-power-boundary float edge); the
+    expectation is computed, not a constant table, from the identical
+    double expression in both engines. One scan aggregation + a 9-row
+    digit axis + a 1-row total broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    obs = (
+        o.select(
+            F.substring(_dec2("o_totalprice").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    axis = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    dd = F.col("digit").cast("double")
+    expected = F.col("n_total").cast("double") * (
+        F.log((dd + F.lit(1.0)) / F.col("digit")) / F.log(F.lit(10.0))
+    )
+    n_obs_d = F.col("n_obs").cast("double")
+    return (
+        axis.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.floor(expected * F.lit(1000)).cast("long").alias("expected_fp3"),
+            F.floor(
+                (F.coalesce(n_obs_d, F.lit(0.0)) - expected)
+                * (F.coalesce(n_obs_d, F.lit(0.0)) - expected)
+                / expected
+                * F.lit(1e6)
+            ).cast("long").alias("chisq_contrib_fp6"),
+        )
+    )
+
+
+@register(
     "synthetic_sku_profile",
     """
     WITH base AS (
@@ -12947,6 +13026,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "pps_doc_sample",
     "trade_community_modularity",
     "synthetic_sku_profile",
+    "benford_order_totals",
 )
 
 

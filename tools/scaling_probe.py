@@ -151,6 +151,7 @@ DEFAULT = [
     "pps_doc_sample",
     "trade_community_modularity",
     "synthetic_sku_profile",
+    "benford_order_totals",
 ]
 
 
