@@ -10766,6 +10766,131 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "ab_test_cuped",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                             THEN CAST(value AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DECIMAL(18,2)) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                             THEN CAST(value AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DECIMAL(18,2)) AS y,
+               CASE WHEN CAST(('0x'||substring(md5('ab1:'||CAST(user_id AS VARCHAR)),1,8))
+                         AS BIGINT) < {1 << 31} THEN 'A' ELSE 'B' END AS grp
+        FROM events GROUP BY user_id
+    ), pooled AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM per_user
+    ), arms AS (
+        SELECT grp, COUNT(*) AS na,
+               CAST(SUM(x) AS DOUBLE) AS sxa, CAST(SUM(y) AS DOUBLE) AS sya
+        FROM per_user GROUP BY grp
+    ), ab AS (
+        SELECT a.na AS n_a, b.na AS n_b,
+               a.sxa AS sxa, b.sxa AS sxb, a.sya AS sya, b.sya AS syb
+        FROM arms a JOIN arms b ON a.grp = 'A' AND b.grp = 'B'
+    ), th AS (
+        SELECT n_a, n_b, sxa, sxb, sya, syb,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+               (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho2
+        FROM ab CROSS JOIN pooled
+    )
+    SELECT n_a, n_b,
+           CAST(FLOOR(theta * 1000000) AS BIGINT) AS theta_fp6,
+           CAST(FLOOR((sya / n_a - syb / n_b) * 1000000) AS BIGINT)
+               AS diff_raw_fp6,
+           CAST(FLOOR((sya / n_a - syb / n_b
+                       - theta * (sxa / n_a - sxb / n_b)) * 1000000)
+                AS BIGINT) AS diff_cuped_fp6,
+           CAST(FLOOR((1.0 - rho2) * 1000000) AS BIGINT) AS var_keep_fp6
+    FROM th
+    """,
+    ops=["stats-abtest-cuped", "sampling-hash", "A3"],
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) for the hash-armed
+    A/B readout: each user's pre-period value total is the covariate,
+    θ = cov(x,y)/var(x) from pooled exact-decimal moments, and the
+    treatment effect is re-estimated on y − θ·x — plus the variance
+    kept (1 − ρ²), the headline number CUPED is adopted for. Two
+    aggregations (per-user, then pooled + per-arm moments) and one
+    1-row join; every cross-row sum is decimal-exact, the estimator
+    is one fixed-order double expression."""
+    from .operators.sampling import hash_bucket
+
+    e = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    zero = F.lit(0).cast(DEC2)
+    v = F.col("value").cast(DEC2)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, v).otherwise(zero))
+        .cast(DEC2)
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= split, v).otherwise(zero))
+        .cast(DEC2)
+        .alias("y"),
+    ).withColumn(
+        "grp",
+        F.when(
+            hash_bucket(F.col("user_id"), "ab1") < F.lit(1 << 31), "A"
+        ).otherwise("B"),
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    arms = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum("x").cast("double").alias("sxa"),
+        F.sum("y").cast("double").alias("sya"),
+    )
+    a = arms.filter(F.col("grp") == "A").select(
+        F.col("na").alias("n_a"), F.col("sxa").alias("sxa_"),
+        F.col("sya").alias("sya_"),
+    )
+    b = arms.filter(F.col("grp") == "B").select(
+        F.col("na").alias("n_b"), F.col("sxa").alias("sxb_"),
+        F.col("sya").alias("syb_"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    rho2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    diff_raw = F.col("sya_") / F.col("n_a") - F.col("syb_") / F.col("n_b")
+    diff_x = F.col("sxa_") / F.col("n_a") - F.col("sxb_") / F.col("n_b")
+    return (
+        a.crossJoin(b)
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            "n_a",
+            "n_b",
+            F.floor(theta * F.lit(1e6)).cast("long").alias("theta_fp6"),
+            F.floor(diff_raw * F.lit(1e6)).cast("long").alias("diff_raw_fp6"),
+            F.floor((diff_raw - theta * diff_x) * F.lit(1e6))
+            .cast("long")
+            .alias("diff_cuped_fp6"),
+            F.floor((F.lit(1.0) - rho2) * F.lit(1e6))
+            .cast("long")
+            .alias("var_keep_fp6"),
+        )
+    )
+
+
+@register(
     "benford_order_totals",
     """
     WITH obs AS (
@@ -13027,6 +13152,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "trade_community_modularity",
     "synthetic_sku_profile",
     "benford_order_totals",
+    "ab_test_cuped",
 )
 
 

@@ -70,6 +70,8 @@ SCALAR_OK: set[str] = {
     "benford_order_totals",     # 1-row total broadcast onto the 9-digit axis
     "trade_community_modularity",  # 1-row total-weight T broadcast onto
                                    # the per-community terms
+    "ab_test_cuped",            # two 1-row arm aggregates + 1-row pooled
+                                # moments cross-joined
     "lang_source_chisq_cells",  # 1-row grand-total broadcast onto the cell grid
     "embedding_gram_power",     # 1-row Rayleigh num/den broadcast onto d rows
     "embedding_lloyd_step",     # k-row centroid table broadcast (every point

@@ -152,6 +152,7 @@ DEFAULT = [
     "trade_community_modularity",
     "synthetic_sku_profile",
     "benford_order_totals",
+    "ab_test_cuped",
 ]
 
 
