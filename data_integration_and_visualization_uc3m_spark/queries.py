@@ -10766,6 +10766,128 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "kaplan_meier_user_lifetime",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                              MAX(CAST(ts AS DATE))) AS BIGINT) AS t,
+               MAX(CAST(ts AS DATE)) AS last_day
+        FROM events GROUP BY user_id
+    ), horizon AS (
+        SELECT MAX(last_day) AS max_day FROM pu
+    ), lab AS (
+        SELECT t,
+               CASE WHEN last_day >= max_day - 2 THEN 0 ELSE 1 END AS ev
+        FROM pu CROSS JOIN horizon
+    ), per_t AS (
+        SELECT t,
+               CAST(SUM(ev) AS BIGINT) AS n_events,
+               CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+        FROM lab GROUP BY t
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lab
+    ), risk AS (
+        SELECT t, n_events, n_censored,
+               n_users
+                 - CAST(COALESCE(SUM(n_events + n_censored) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM per_t CROSS JOIN tot
+    ), terms AS (
+        SELECT t, n_risk, n_events, n_censored,
+               CASE WHEN n_events = 0 THEN CAST(0 AS BIGINT)
+                    WHEN n_risk - n_events > 0 THEN
+                        CAST(FLOOR(ln(CAST(n_risk - n_events AS DOUBLE)
+                                      / n_risk) * 1000000000) AS BIGINT)
+               END AS term_fp9
+        FROM risk
+    )
+    SELECT t, n_risk, n_events, n_censored,
+           CASE WHEN MAX(CASE WHEN term_fp9 IS NULL THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) = 0
+                THEN CAST(SUM(term_fp9) OVER (
+                         ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT)
+           END AS log_surv_fp9
+    FROM terms
+    """,
+    ops=["stats-survival-kaplan-meier", "window-rolling", "A3"],
+)
+def kaplan_meier_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes (first→last event,
+    days), right-censoring users still active in the window's final 3
+    days. Risk sets and event counts are exact integers (a running
+    window over the ≤31-row lifetime axis); the survival curve is
+    carried as LOG-survival in floor-fp9 — each ln(1 − d/n) term is
+    floored BEFORE the cumulative integer sum, the bm25 discipline —
+    and goes NULL once the curve hits zero (ln 0). At 100 TB the
+    per-user reduction is the only corpus-sized stage; everything
+    after runs on the lifetime axis."""
+    e = _t(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("long")
+        .alias("t"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    horizon = pu.agg(F.max("last_day").alias("max_day"))
+    lab = pu.crossJoin(F.broadcast(horizon)).select(
+        "t",
+        F.when(
+            F.col("last_day") >= F.date_sub(F.col("max_day"), 2), 0
+        ).otherwise(1).alias("ev"),
+    )
+    per_t = lab.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("n_censored"),
+    )
+    tot = lab.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n_events",
+        "n_censored",
+        (
+            F.col("n_users")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        ).cast("long").alias("n_risk"),
+    )
+    term = F.when(F.col("n_events") == 0, F.lit(0).cast("long")).when(
+        F.col("n_risk") - F.col("n_events") > 0,
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk")
+            )
+            * F.lit(1e9)
+        ).cast("long"),
+    )
+    terms = risk.select(
+        "t", "n_risk", "n_events", "n_censored", term.alias("term_fp9")
+    )
+    hit_zero = F.max(
+        F.when(F.col("term_fp9").isNull(), 1).otherwise(0)
+    ).over(w_run)
+    return terms.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(
+            hit_zero == 0, F.sum("term_fp9").over(w_run).cast("long")
+        ).alias("log_surv_fp9"),
+    )
+
+
+@register(
     "ab_test_cuped",
     f"""
     WITH per_user AS (
@@ -13153,6 +13275,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "synthetic_sku_profile",
     "benford_order_totals",
     "ab_test_cuped",
+    "kaplan_meier_user_lifetime",
 )
 
 

@@ -37,6 +37,8 @@ GLOBAL_WINDOW_OK = {
     "multimodal_shard_plan",
     "snm_part_name_pairs",
     "pps_doc_sample",
+    # windows over the <=31-row lifetime axis, not the data
+    "kaplan_meier_user_lifetime",
 }
 # Queries whose nested-loop join is DELIBERATE over a provably-small
 # input: the skyline global phase runs a quadratic dominance check over
@@ -72,6 +74,7 @@ SCALAR_OK: set[str] = {
                                    # the per-community terms
     "ab_test_cuped",            # two 1-row arm aggregates + 1-row pooled
                                 # moments cross-joined
+    "kaplan_meier_user_lifetime",  # 1-row horizon + 1-row user-count broadcasts
     "lang_source_chisq_cells",  # 1-row grand-total broadcast onto the cell grid
     "embedding_gram_power",     # 1-row Rayleigh num/den broadcast onto d rows
     "embedding_lloyd_step",     # k-row centroid table broadcast (every point

@@ -153,6 +153,7 @@ DEFAULT = [
     "synthetic_sku_profile",
     "benford_order_totals",
     "ab_test_cuped",
+    "kaplan_meier_user_lifetime",
 ]
 
 
