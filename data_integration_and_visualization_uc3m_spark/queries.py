@@ -10766,6 +10766,77 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "spatial_grid_nn",
+    """
+    WITH pts AS (
+        SELECT range AS point_id,
+               CAST(('0x'||substring(md5('gx:'||CAST(range AS VARCHAR)),1,8))
+                    AS BIGINT) % 10000000 AS px,
+               CAST(('0x'||substring(md5('gy:'||CAST(range AS VARCHAR)),1,8))
+                    AS BIGINT) % 10000000 AS py
+        FROM range(2000)
+    ), pr AS (
+        SELECT range AS probe_id,
+               CAST(('0x'||substring(md5('qx:'||CAST(range AS VARCHAR)),1,8))
+                    AS BIGINT) % 10000000 AS qx,
+               CAST(('0x'||substring(md5('qy:'||CAST(range AS VARCHAR)),1,8))
+                    AS BIGINT) % 10000000 AS qy
+        FROM range(200)
+    ), cand AS (
+        SELECT pr.probe_id, pts.point_id,
+               (px - qx) * (px - qx) + (py - qy) * (py - qy) AS d2
+        FROM pr
+        CROSS JOIN (SELECT range - 1 AS dx FROM range(3)) x
+        CROSS JOIN (SELECT range - 1 AS dy FROM range(3)) y
+        JOIN pts ON pts.px // 500000 = pr.qx // 500000 + x.dx
+                AND pts.py // 500000 = pr.qy // 500000 + y.dy
+    )
+    SELECT probe_id, point_id, CAST(d2 AS BIGINT) AS d2 FROM (
+        SELECT probe_id, point_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY d2, point_id) AS rn
+        FROM cand) WHERE rn = 1
+    """,
+    ops=["spatial-grid-nn", "source-synthetic-generator"],
+)
+def spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor join (operators.joins.
+    grid_nearest_neighbor): 200 probe locations against 2000 points
+    on a 0.5°-cell grid — band, 3×3-neighborhood equi-join, exact
+    integer squared distance, deterministic argmin. Coordinates are
+    md5-derived integer micro-degrees (the synthetic-generator
+    primitive), so there is NO trig and NO float anywhere — the
+    spatial join family re-expressed as the same banded-equi-join
+    discipline as the interval and similarity joins. Bounded-radius
+    semantics: a probe with no point within its neighborhood has no
+    row (pick the cell size ≥ the radius that matters)."""
+    def gen(n, sx, sy, idc):
+        h = lambda seed: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(seed), F.col("id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10_000_000
+        )
+        return spark.range(n).select(
+            F.col("id").alias(idc), h(sx).alias("x"), h(sy).alias("y")
+        )
+
+    points = gen(2000, "gx", "gy", "id")
+    probes = gen(200, "qx", "qy", "id")
+    return joins.grid_nearest_neighbor(points, probes, cell=500_000)
+
+
+@register(
     "kaplan_meier_user_lifetime",
     """
     WITH pu AS (
@@ -13276,6 +13347,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "benford_order_totals",
     "ab_test_cuped",
     "kaplan_meier_user_lifetime",
+    "spatial_grid_nn",
 )
 
 

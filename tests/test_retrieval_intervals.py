@@ -308,3 +308,29 @@ def test_pps_systematic_sample_properties(spark):
         heavy, [F.col("id")], "w", 4
     ).collect()}
     assert 2 in hs
+
+
+def test_grid_nn_matches_bruteforce_within_radius(spark):
+    rng = random.Random(17)
+    pts = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000)) for i in range(80)]
+    prs = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000)) for i in range(30)]
+    cell = 200
+    P = spark.createDataFrame(pts, "id long, x long, y long")
+    Q = spark.createDataFrame(prs, "id long, x long, y long")
+    got = {
+        r["probe_id"]: (r["point_id"], r["d2"])
+        for r in joins.grid_nearest_neighbor(P, Q, cell).collect()
+    }
+    for qid, qx, qy in prs:
+        # brute force restricted to the 3x3 neighborhood contract
+        cands = [
+            (((px - qx) ** 2 + (py - qy) ** 2), pid)
+            for pid, px, py in pts
+            if abs(px // cell - qx // cell) <= 1
+            and abs(py // cell - qy // cell) <= 1
+        ]
+        if cands:
+            d2, pid = min(cands)
+            assert got[qid] == (pid, d2)
+        else:
+            assert qid not in got

@@ -154,6 +154,7 @@ DEFAULT = [
     "benford_order_totals",
     "ab_test_cuped",
     "kaplan_meier_user_lifetime",
+    "spatial_grid_nn",
 ]
 
 
