@@ -10765,6 +10765,100 @@ def _lpa_oracle(rounds: int = 2) -> str:
     )
 
 
+_CM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_CM_SUMS_SQL = ",\n               ".join(
+    [
+        f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{i}"
+        for i, c in enumerate(_CM_COLS)
+    ]
+    + [
+        f"CAST(SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)))"
+        f" AS DOUBLE) AS p_{i}_{j}"
+        for i, a in enumerate(_CM_COLS)
+        for j, b in enumerate(_CM_COLS)
+        if i <= j
+    ]
+)
+
+_CM_PAIR_SQL = "\n    UNION ALL\n    ".join(
+    f"""SELECT '{_CM_COLS[i]}' AS col_a, '{_CM_COLS[j]}' AS col_b,
+           CASE WHEN (n * p_{i}_{i} - s_{i} * s_{i}) > 0
+                 AND (n * p_{j}_{j} - s_{j} * s_{j}) > 0 THEN
+               CAST(FLOOR((n * p_{i}_{j} - s_{i} * s_{j})
+                   / (sqrt(n * p_{i}_{i} - s_{i} * s_{i})
+                      * sqrt(n * p_{j}_{j} - s_{j} * s_{j}))
+                   * 1000000) AS BIGINT) END AS corr_fp6
+    FROM m"""
+    for i in range(4)
+    for j in range(4)
+    if i < j
+)
+
+
+@register(
+    "lineitem_corr_matrix",
+    f"""
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               {_CM_SUMS_SQL}
+        FROM lineitem
+    )
+    {_CM_PAIR_SQL}
+    """,
+    ops=["stats-corr-matrix", "A3"],
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson matrix over four lineitem measures from
+    ONE aggregation pass: the 4 sums + 10 cross-products are exact
+    DECIMAL sufficient statistics collected together (sufficient-
+    statistics discipline — at 100 TB you never rescan per pair), and
+    each of the 6 correlations is one fixed-order double expression
+    over the single 1-row result, floored to fp6 (NULL on degenerate
+    variance). The oracle unrolls the same 6 expressions."""
+    l = _t(spark, sf_dir, "lineitem")
+    cols = [_dec2(c) for c in _CM_COLS]
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(cols[i]).cast("double").alias(f"s_{i}") for i in range(4)
+    ] + [
+        F.sum(cols[i] * cols[j]).cast("double").alias(f"p_{i}_{j}")
+        for i in range(4)
+        for j in range(4)
+        if i <= j
+    ]
+    m = l.agg(*aggs)
+    # all six pair rows from ONE projection over the single moment row
+    # (a union of six selects would rescan lineitem six times)
+    structs = []
+    for i in range(4):
+        for j in range(4):
+            if i >= j:
+                continue
+            n = F.col("n")
+            si, sj = F.col(f"s_{i}"), F.col(f"s_{j}")
+            pii, pjj = F.col(f"p_{i}_{i}"), F.col(f"p_{j}_{j}")
+            pij = F.col(f"p_{i}_{j}")
+            vx = n * pii - si * si
+            vy = n * pjj - sj * sj
+            structs.append(
+                F.struct(
+                    F.lit(_CM_COLS[i]).alias("col_a"),
+                    F.lit(_CM_COLS[j]).alias("col_b"),
+                    F.when(
+                        (vx > 0) & (vy > 0),
+                        F.floor(
+                            (n * pij - si * sj)
+                            / (F.sqrt(vx) * F.sqrt(vy))
+                            * F.lit(1e6)
+                        ).cast("long"),
+                    ).alias("corr_fp6"),
+                )
+            )
+    return m.select(F.explode(F.array(*structs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr_fp6"
+    )
+
+
 @register(
     "spatial_grid_nn",
     """
@@ -13348,6 +13442,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "ab_test_cuped",
     "kaplan_meier_user_lifetime",
     "spatial_grid_nn",
+    "lineitem_corr_matrix",
 )
 
 

@@ -155,6 +155,7 @@ DEFAULT = [
     "ab_test_cuped",
     "kaplan_meier_user_lifetime",
     "spatial_grid_nn",
+    "lineitem_corr_matrix",
 ]
 
 
