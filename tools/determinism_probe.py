@@ -37,6 +37,15 @@ DEFAULT = [
     "ks_chars_by_lang",
     "flagship_nation_year_rate",
     "dedup_minhash_lsh",
+    "tfidf_cosine_pairs",
+    "kaplan_meier_user_lifetime",
+    "ab_test_cuped",
+    "benford_order_totals",
+    "trade_community_modularity",
+    "pps_doc_sample",
+    "spatial_grid_nn",
+    "lineitem_corr_matrix",
+    "bpe_encode_stats",
 ]
 
 PARTITION_SETTINGS = ["3", "32"]
