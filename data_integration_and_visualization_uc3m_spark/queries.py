@@ -10765,6 +10765,183 @@ def _lpa_oracle(rounds: int = 2) -> str:
     )
 
 
+@register(
+    "cohort_ltv_curve",
+    """
+    WITH ue AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    ), cohorts AS (
+        SELECT user_id, MIN(wk) AS cohort FROM ue GROUP BY user_id
+    ), cells AS (
+        SELECT c.cohort,
+               CAST(date_diff('week', c.cohort, ue.wk) AS BIGINT) AS age,
+               CAST(SUM(ue.v) AS DECIMAL(18,2)) AS rev,
+               CAST(COUNT(DISTINCT ue.user_id) AS BIGINT) AS n_active
+        FROM ue JOIN cohorts c ON c.user_id = ue.user_id
+        GROUP BY c.cohort, age
+    )
+    SELECT cohort, age, n_active,
+           CAST(rev AS DOUBLE) AS week_revenue,
+           CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_ltv
+    FROM cells
+    """,
+    ops=["cohort-ltv", "window-rolling", "A3"],
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users bucketed by first-seen week,
+    per (cohort, age-in-weeks) active users + revenue, and the
+    cumulative LTV running sum per cohort — the growth-accounting
+    readout next to weekly_retention_cohorts. Revenue stays DECIMAL
+    through the cumulative window (cast to double only at emission);
+    one corpus-sized reduction, then everything runs on the
+    cohort×age grid."""
+    e = _t(spark, sf_dir, "events")
+    ue = e.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+        F.col("value").cast(DEC2).alias("v"),
+    )
+    cohorts = ue.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    cells = (
+        ue.join(cohorts, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("wk"), F.col("cohort"))
+            .cast("long")
+            .alias("agedays"),
+        )
+        .agg(
+            F.sum("v").cast(DEC2).alias("rev"),
+            F.countDistinct("user_id").cast("long").alias("n_active"),
+        )
+        .select(
+            "cohort",
+            F.expr("agedays div 7").cast("long").alias("age"),
+            "rev",
+            "n_active",
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort",
+        "age",
+        "n_active",
+        F.col("rev").cast("double").alias("week_revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_ltv"),
+    )
+
+
+@register(
+    "anova_order_value_by_segment",
+    """
+    WITH j AS (
+        SELECT c_mktsegment AS seg,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), m AS (
+        SELECT CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+               CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s_0,
+               CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN v * v ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS ss_0,
+               CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+               CAST(SUM(CASE WHEN seg = 'BUILDING' THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s_1,
+               CAST(SUM(CASE WHEN seg = 'BUILDING' THEN v * v ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS ss_1,
+               CAST(SUM(CASE WHEN seg = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+               CAST(SUM(CASE WHEN seg = 'FURNITURE' THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s_2,
+               CAST(SUM(CASE WHEN seg = 'FURNITURE' THEN v * v ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS ss_2,
+               CAST(SUM(CASE WHEN seg = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS n_3,
+               CAST(SUM(CASE WHEN seg = 'HOUSEHOLD' THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s_3,
+               CAST(SUM(CASE WHEN seg = 'HOUSEHOLD' THEN v * v ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS ss_3,
+               CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n_4,
+               CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS s_4,
+               CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN v * v ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS ss_4
+        FROM j
+    )
+    SELECT CAST(5 AS INTEGER) AS n_groups,
+           CAST(n_0 + n_1 + n_2 + n_3 + n_4 AS BIGINT) AS n_rows,
+           CAST(FLOOR(((s_0 * s_0 / n_0 + s_1 * s_1 / n_1 + s_2 * s_2 / n_2 + s_3 * s_3 / n_3 + s_4 * s_4 / n_4)
+                       - (s_0 + s_1 + s_2 + s_3 + s_4) * (s_0 + s_1 + s_2 + s_3 + s_4) / (n_0 + n_1 + n_2 + n_3 + n_4))
+                      / ((ss_0 + ss_1 + ss_2 + ss_3 + ss_4)
+                         - (s_0 + s_1 + s_2 + s_3 + s_4) * (s_0 + s_1 + s_2 + s_3 + s_4) / (n_0 + n_1 + n_2 + n_3 + n_4))
+                      * 1000000) AS BIGINT) AS eta2_fp6,
+           CAST(FLOOR((((s_0 * s_0 / n_0 + s_1 * s_1 / n_1 + s_2 * s_2 / n_2 + s_3 * s_3 / n_3 + s_4 * s_4 / n_4)
+                        - (s_0 + s_1 + s_2 + s_3 + s_4) * (s_0 + s_1 + s_2 + s_3 + s_4) / (n_0 + n_1 + n_2 + n_3 + n_4)) / 4)
+                      / (((ss_0 + ss_1 + ss_2 + ss_3 + ss_4)
+                          - (s_0 + s_1 + s_2 + s_3 + s_4) * (s_0 + s_1 + s_2 + s_3 + s_4) / (n_0 + n_1 + n_2 + n_3 + n_4)
+                          - ((s_0 * s_0 / n_0 + s_1 * s_1 / n_1 + s_2 * s_2 / n_2 + s_3 * s_3 / n_3 + s_4 * s_4 / n_4)
+                             - (s_0 + s_1 + s_2 + s_3 + s_4) * (s_0 + s_1 + s_2 + s_3 + s_4) / (n_0 + n_1 + n_2 + n_3 + n_4)))
+                         / ((n_0 + n_1 + n_2 + n_3 + n_4) - 5))
+                      * 10000) AS BIGINT) AS f_stat_fp4
+    FROM m
+    """,
+    ops=["stats-anova", "A3"],
+)
+def anova_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the five market segments
+    from sufficient statistics: per-segment (n, Σv, Σv²) collected in
+    ONE conditional-aggregation pass (every sum decimal-exact), then
+    SS_between = Σ sᵢ²/nᵢ − S²/N and SS_total = ΣΣv² − S²/N combined
+    in an EXPLICIT fixed-order expression over the pivoted 1-row
+    relation — no cross-row double sum exists anywhere, so the η²
+    (variance explained, fp6) and F statistic (fp4) are bit-identical
+    on any engine (a groupBy + re-aggregate would sum k doubles in an
+    engine-chosen order). The segment roster is part of the query's
+    declared contract."""
+    segs = ['AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY']
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    zero2 = F.lit(0).cast(DEC2)
+    zero4 = F.lit(0).cast("decimal(38,4)")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        _dec2("o_totalprice").alias("v"),
+    )
+    aggs = []
+    for i, g in enumerate(segs):
+        hit = F.col("seg") == g
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(f"n_{i}"),
+            F.sum(F.when(hit, F.col("v")).otherwise(zero2))
+            .cast("double").alias(f"s_{i}"),
+            F.sum(F.when(hit, F.col("v") * F.col("v")).otherwise(zero4))
+            .cast("double").alias(f"ss_{i}"),
+        ]
+    m = j.agg(*aggs)
+    n = [F.col(f"n_{i}") for i in range(5)]
+    sv = [F.col(f"s_{i}") for i in range(5)]
+    ssv = [F.col(f"ss_{i}") for i in range(5)]
+    nt = n[0] + n[1] + n[2] + n[3] + n[4]
+    st = sv[0] + sv[1] + sv[2] + sv[3] + sv[4]
+    sst = ssv[0] + ssv[1] + ssv[2] + ssv[3] + ssv[4]
+    ssbsum = (
+        sv[0] * sv[0] / n[0]
+        + sv[1] * sv[1] / n[1]
+        + sv[2] * sv[2] / n[2]
+        + sv[3] * sv[3] / n[3]
+        + sv[4] * sv[4] / n[4]
+    )
+    ssb = ssbsum - st * st / nt
+    sstot = sst - st * st / nt
+    return m.select(
+        F.lit(5).cast("int").alias("n_groups"),
+        nt.cast("long").alias("n_rows"),
+        F.floor(ssb / sstot * F.lit(1e6)).cast("long").alias("eta2_fp6"),
+        F.floor(
+            (ssb / F.lit(4)) / ((sstot - ssb) / (nt - F.lit(5))) * F.lit(1e4)
+        ).cast("long").alias("f_stat_fp4"),
+    )
+
+
 _CM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 _CM_SUMS_SQL = ",\n               ".join(
@@ -13443,6 +13620,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "kaplan_meier_user_lifetime",
     "spatial_grid_nn",
     "lineitem_corr_matrix",
+    "cohort_ltv_curve",
+    "anova_order_value_by_segment",
 )
 
 

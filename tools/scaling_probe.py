@@ -156,6 +156,8 @@ DEFAULT = [
     "kaplan_meier_user_lifetime",
     "spatial_grid_nn",
     "lineitem_corr_matrix",
+    "cohort_ltv_curve",
+    "anova_order_value_by_segment",
 ]
 
 
