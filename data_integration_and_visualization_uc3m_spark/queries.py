@@ -10766,6 +10766,169 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "region_revenue_quad_trend",
+    """
+    WITH daily AS (
+        SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, day
+    ), t0 AS (
+        SELECT r_name, day, y,
+               CAST(date_diff('day', MIN(day) OVER (PARTITION BY r_name),
+                              day) AS BIGINT) AS t
+        FROM daily
+    ), m AS (
+        SELECT r_name,
+               COUNT(*) AS n,
+               CAST(SUM(t) AS BIGINT) AS st,
+               CAST(SUM(t * t) AS BIGINT) AS st2,
+               CAST(SUM(t * t * t) AS BIGINT) AS st3,
+               CAST(SUM(t * t * t * t) AS BIGINT) AS st4,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(y * t) AS DOUBLE) AS syt,
+               CAST(SUM(y * t * t) AS DOUBLE) AS syt2
+        FROM t0 GROUP BY r_name
+    ), d AS (
+        SELECT r_name, n, sy, syt, syt2,
+               CAST(st AS DOUBLE) AS st, CAST(st2 AS DOUBLE) AS st2,
+               CAST(st3 AS DOUBLE) AS st3, CAST(st4 AS DOUBLE) AS st4
+        FROM m
+    ), solved AS (
+        SELECT r_name, n,
+               n * (st2 * st4 - st3 * st3)
+                 - st * (st * st4 - st3 * st2)
+                 + st2 * (st * st3 - st2 * st2) AS det,
+               sy * (st2 * st4 - st3 * st3)
+                 - st * (syt * st4 - st3 * syt2)
+                 + st2 * (syt * st3 - st2 * syt2) AS deta,
+               n * (syt * st4 - st3 * syt2)
+                 - sy * (st * st4 - st3 * st2)
+                 + st2 * (st * syt2 - syt * st2) AS detb,
+               n * (st2 * syt2 - syt * st3)
+                 - st * (st * syt2 - syt * st2)
+                 + sy * (st * st3 - st2 * st2) AS detc
+        FROM d
+    )
+    SELECT r_name, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN det > 0 THEN
+               CAST(FLOOR(deta / det * 1000) AS BIGINT) END AS a_fp3,
+           CASE WHEN det > 0 THEN
+               CAST(FLOOR(detb / det * 1000000) AS BIGINT) END AS b_fp6,
+           CASE WHEN det > 0 THEN
+               CAST(FLOOR(detc / det * 1000000000) AS BIGINT) END AS c_fp9
+    FROM solved
+    """,
+    ops=["stats-ols-polynomial", "A3"],
+)
+def region_revenue_quad_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic trend fit (y = a + b·t + c·t²) of each region's
+    daily revenue by closed-form normal equations: the seven
+    sufficient statistics (Σtᵏ as exact BIGINT over region-centred
+    day indices, Σy·tᵏ as exact DECIMAL) feed Cramer's-rule 3×3
+    determinants written once in a fixed operand order — polynomial
+    regression at scale is one aggregation plus scalar math, no
+    iterative solver. Coefficients floor-quantized at scales matching
+    their magnitudes (intercept fp3, slope fp6, curvature fp9);
+    NULL on a degenerate design (det ≤ 0)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n_ = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    daily = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n_.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_dec2("o_totalprice")).cast(DEC2).alias("y"))
+    )
+    kw = Window.partitionBy("r_name")
+    t0 = daily.select(
+        "r_name",
+        "y",
+        F.datediff(F.col("day"), F.min("day").over(kw)).cast("long").alias("t"),
+    )
+    t = F.col("t")
+    m = t0.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).cast("long").alias("st_i"),
+        F.sum(t * t).cast("long").alias("st2_i"),
+        F.sum(t * t * t).cast("long").alias("st3_i"),
+        F.sum(t * t * t * t).cast("long").alias("st4_i"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * t).cast("double").alias("syt"),
+        F.sum(F.col("y") * t * t).cast("double").alias("syt2"),
+    )
+    d = m.select(
+        "r_name",
+        "n",
+        "sy",
+        "syt",
+        "syt2",
+        F.col("st_i").cast("double").alias("st"),
+        F.col("st2_i").cast("double").alias("st2"),
+        F.col("st3_i").cast("double").alias("st3"),
+        F.col("st4_i").cast("double").alias("st4"),
+    )
+    n, sy, syt, syt2 = F.col("n"), F.col("sy"), F.col("syt"), F.col("syt2")
+    st, st2, st3, st4 = (
+        F.col("st"), F.col("st2"), F.col("st3"), F.col("st4")
+    )
+    det = (
+        n * (st2 * st4 - st3 * st3)
+        - st * (st * st4 - st3 * st2)
+        + st2 * (st * st3 - st2 * st2)
+    )
+    deta = (
+        sy * (st2 * st4 - st3 * st3)
+        - st * (syt * st4 - st3 * syt2)
+        + st2 * (syt * st3 - st2 * syt2)
+    )
+    detb = (
+        n * (syt * st4 - st3 * syt2)
+        - sy * (st * st4 - st3 * st2)
+        + st2 * (st * syt2 - syt * st2)
+    )
+    detc = (
+        n * (st2 * syt2 - syt * st3)
+        - st * (st * syt2 - syt * st2)
+        + sy * (st * st3 - st2 * st2)
+    )
+    solved = d.select(
+        "r_name",
+        n.alias("n"),
+        det.alias("det"),
+        deta.alias("deta"),
+        detb.alias("detb"),
+        detc.alias("detc"),
+    )
+    dd = F.col("det")
+    return solved.select(
+        "r_name",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(dd > 0, F.floor(F.col("deta") / dd * F.lit(1e3)).cast("long"))
+        .alias("a_fp3"),
+        F.when(dd > 0, F.floor(F.col("detb") / dd * F.lit(1e6)).cast("long"))
+        .alias("b_fp6"),
+        F.when(dd > 0, F.floor(F.col("detc") / dd * F.lit(1e9)).cast("long"))
+        .alias("c_fp9"),
+    )
+
+
+@register(
     "cohort_ltv_curve",
     """
     WITH ue AS (
@@ -13622,6 +13785,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "lineitem_corr_matrix",
     "cohort_ltv_curve",
     "anova_order_value_by_segment",
+    "region_revenue_quad_trend",
 )
 
 

@@ -158,6 +158,7 @@ DEFAULT = [
     "lineitem_corr_matrix",
     "cohort_ltv_curve",
     "anova_order_value_by_segment",
+    "region_revenue_quad_trend",
 ]
 
 
