@@ -12487,8 +12487,12 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_name, day,
                COUNT(*) OVER w AS n_win,
                SUM(rn) OVER w AS sx, SUM(rg) OVER w AS sy,
-               SUM(rn * rn) OVER w AS sxx, SUM(rg * rg) OVER w AS syy,
-               SUM(rn * rg) OVER w AS sxy
+               -- widen one operand: DuckDB multiplies DECIMAL(18)x(18)
+               -- in int64 and overflows on sf0.1 magnitudes; 19+18=37
+               -- digits routes through hugeint (Spark widens natively)
+               SUM(CAST(rn AS DECIMAL(19,2)) * rn) OVER w AS sxx,
+               SUM(CAST(rg AS DECIMAL(19,2)) * rg) OVER w AS syy,
+               SUM(CAST(rn AS DECIMAL(19,2)) * rg) OVER w AS sxy
         FROM j
         WINDOW w AS (PARTITION BY n_name ORDER BY day
                      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
