@@ -10766,6 +10766,114 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "median_imputation_report",
+    f"""
+    WITH base AS (
+        SELECT n_name, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               CAST(('0x'||substring(md5('ko1:'||CAST(o_orderkey AS VARCHAR)),1,8))
+                    AS BIGINT) < {int(0.05 * (1 << 32))} AS knocked
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    ), surv AS (
+        SELECT n_name, price, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY price, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY n_name) AS n
+        FROM base WHERE NOT knocked
+    ), med AS (
+        SELECT n_name, price AS med_price
+        FROM surv WHERE rn = (n + 1) // 2
+    )
+    SELECT b.n_name AS n_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN b.knocked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_imputed,
+           CAST(m.med_price AS DOUBLE) AS imputed_value,
+           CAST(SUM(CASE WHEN b.knocked
+                         THEN CAST(abs(b.price - m.med_price)
+                                   AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total_abs_err
+    FROM base b JOIN med m ON m.n_name = b.n_name
+    GROUP BY b.n_name, m.med_price
+    """,
+    ops=["cleaning-imputation", "stats-quantile", "A3"],
+)
+def median_imputation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation with a built-in ground-truth evaluation:
+    deterministically knock out 5% of order prices (md5 bucket —
+    reproducible 'missingness'), impute each victim with its nation's
+    exact rank-median of the SURVIVORS (the rank technique, no
+    percentile interpolation), and report the per-nation imputed
+    value plus the exact total absolute error vs the held-out truth —
+    the evaluation a cleaning pipeline should publish next to every
+    imputation rule. One extra window over survivors; errors
+    accumulate in exact DECIMAL."""
+    from .operators.sampling import hash_bucket
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            "o_orderkey",
+            _dec2("o_totalprice").alias("price"),
+            (
+                hash_bucket(F.col("o_orderkey"), "ko1")
+                < F.lit(int(0.05 * (1 << 32)))
+            ).alias("knocked"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("price", "o_orderkey")
+    kw = Window.partitionBy("n_name")
+    surv = (
+        base.filter(~F.col("knocked"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(kw))
+    )
+    med = surv.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "n_name", F.col("price").alias("med_price")
+    )
+    zero = F.lit(0).cast(DEC2)
+    return (
+        base.join(med, "n_name")
+        .groupBy("n_name", "med_price")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("knocked"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_imputed"),
+            F.sum(
+                F.when(
+                    F.col("knocked"),
+                    F.abs(F.col("price") - F.col("med_price")).cast(DEC2),
+                ).otherwise(zero)
+            )
+            .cast("double")
+            .alias("total_abs_err"),
+        )
+        .select(
+            "n_name",
+            "n_rows",
+            "n_imputed",
+            F.col("med_price").cast("double").alias("imputed_value"),
+            "total_abs_err",
+        )
+    )
+
+
+@register(
     "region_revenue_quad_trend",
     """
     WITH daily AS (
@@ -13790,6 +13898,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "cohort_ltv_curve",
     "anova_order_value_by_segment",
     "region_revenue_quad_trend",
+    "median_imputation_report",
 )
 
 

@@ -159,6 +159,7 @@ DEFAULT = [
     "cohort_ltv_curve",
     "anova_order_value_by_segment",
     "region_revenue_quad_trend",
+    "median_imputation_report",
 ]
 
 
