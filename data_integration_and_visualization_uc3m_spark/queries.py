@@ -10766,6 +10766,156 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "feature_information_gain",
+    """
+    WITH j AS (
+        SELECT n_name,
+               c_mktsegment AS seg,
+               CAST(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS BIGINT) // 25000 AS VARCHAR) AS band_s,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS urgent
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    ), fl AS (
+        SELECT u.f AS feat, u.v AS v, urgent FROM (
+            SELECT unnest([struct_pack(f := 'nation', v := n_name),
+                           struct_pack(f := 'segment', v := seg),
+                           struct_pack(f := 'price_band', v := band_s)]) AS u,
+                   urgent
+            FROM j)
+    ), cells AS (
+        SELECT feat, v, urgent, COUNT(*) AS c_vy
+        FROM fl GROUP BY feat, v, urgent
+    ), cv AS (
+        SELECT feat, v, CAST(SUM(c_vy) AS BIGINT) AS c_v
+        FROM cells GROUP BY feat, v
+    ), cond AS (
+        SELECT c.feat AS feat,
+               CAST(COUNT(DISTINCT c.v) AS BIGINT) AS n_values,
+               CAST(SUM(CAST(FLOOR((c.c_vy * ln(CAST(g.c_v AS DOUBLE))
+                                    - c.c_vy * ln(CAST(c.c_vy AS DOUBLE)))
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS cond_fp6
+        FROM cells c JOIN cv g ON g.feat = c.feat AND g.v = c.v
+        GROUP BY c.feat
+    ), lab AS (
+        SELECT urgent, COUNT(*) AS c_y FROM j GROUP BY urgent
+    ), nrow AS (
+        SELECT CAST(SUM(c_y) AS BIGINT) AS n FROM lab
+    ), hl AS (
+        SELECT CAST(SUM(CAST(FLOOR((c_y * ln(CAST(n AS DOUBLE))
+                                    - c_y * ln(CAST(c_y AS DOUBLE)))
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS h_label_fp6
+        FROM lab CROSS JOIN nrow
+    )
+    SELECT feat, n_values,
+           CAST(h_label_fp6 - cond_fp6 AS BIGINT) AS ig_scaled_fp6,
+           CAST(FLOOR(CAST(h_label_fp6 - cond_fp6 AS DOUBLE) / n)
+                AS BIGINT) AS ig_fp6
+    FROM cond CROSS JOIN hl CROSS JOIN nrow
+    """,
+    ops=["ml-feature-selection", "stats-entropy", "A3"],
+)
+def feature_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature ranking by information gain on an 'urgent order' label:
+    N·H terms decompose into per-cell integers
+    c·ln(parent) − c·ln(c), each floored to fp6 BEFORE the integer
+    sum (the bm25 discipline — no cross-row float ever), so the
+    ranking is bit-identical on any engine. All three candidate
+    features ride ONE scan via an in-row struct explode; cells are
+    feature-cardinality-sized from there on. The per-row gain ig_fp6
+    divides two exact integers."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n_ = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n_.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.col("c_mktsegment").alias("seg"),
+            F.expr(
+                "CAST(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)))"
+                " AS BIGINT) div 25000 AS STRING)"
+            ).alias("band_s"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0).alias("urgent"),
+        )
+    )
+    fl = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("nation").alias("f"), F.col("n_name").alias("v")
+                ),
+                F.struct(F.lit("segment").alias("f"), F.col("seg").alias("v")),
+                F.struct(
+                    F.lit("price_band").alias("f"), F.col("band_s").alias("v")
+                ),
+            )
+        ).alias("u"),
+        "urgent",
+    ).select(F.col("u.f").alias("feat"), F.col("u.v").alias("v"), "urgent")
+    cells = fl.groupBy("feat", "v", "urgent").agg(
+        F.count(F.lit(1)).alias("c_vy")
+    )
+    cv = cells.groupBy("feat", "v").agg(F.sum("c_vy").cast("long").alias("c_v"))
+    term = F.floor(
+        (
+            F.col("c_vy") * F.log(F.col("c_v").cast("double"))
+            - F.col("c_vy") * F.log(F.col("c_vy").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    cond = (
+        cells.join(cv, ["feat", "v"])
+        .groupBy("feat")
+        .agg(
+            F.countDistinct("v").cast("long").alias("n_values"),
+            F.sum(term).cast("long").alias("cond_fp6"),
+        )
+    )
+    lab = j.groupBy("urgent").agg(F.count(F.lit(1)).alias("c_y"))
+    nrow = lab.agg(F.sum("c_y").cast("long").alias("n"))
+    lterm = F.floor(
+        (
+            F.col("c_y") * F.log(F.col("n").cast("double"))
+            - F.col("c_y") * F.log(F.col("c_y").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    hl = (
+        lab.crossJoin(F.broadcast(nrow))
+        .agg(F.sum(lterm).cast("long").alias("h_label_fp6"))
+    )
+    return (
+        cond.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "feat",
+            "n_values",
+            (F.col("h_label_fp6") - F.col("cond_fp6"))
+            .cast("long")
+            .alias("ig_scaled_fp6"),
+            F.floor(
+                (F.col("h_label_fp6") - F.col("cond_fp6")).cast("double")
+                / F.col("n")
+            ).cast("long").alias("ig_fp6"),
+        )
+    )
+
+
+@register(
     "median_imputation_report",
     f"""
     WITH base AS (
@@ -13899,6 +14049,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "anova_order_value_by_segment",
     "region_revenue_quad_trend",
     "median_imputation_report",
+    "feature_information_gain",
 )
 
 

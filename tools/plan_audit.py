@@ -74,6 +74,7 @@ SCALAR_OK: set[str] = {
                                    # the per-community terms
     "ab_test_cuped",            # two 1-row arm aggregates + 1-row pooled
                                 # moments cross-joined
+    "feature_information_gain", # 1-row N + 1-row label-entropy broadcasts
     "kaplan_meier_user_lifetime",  # 1-row horizon + 1-row user-count broadcasts
     "lang_source_chisq_cells",  # 1-row grand-total broadcast onto the cell grid
     "embedding_gram_power",     # 1-row Rayleigh num/den broadcast onto d rows

@@ -160,6 +160,7 @@ DEFAULT = [
     "anova_order_value_by_segment",
     "region_revenue_quad_trend",
     "median_imputation_report",
+    "feature_information_gain",
 ]
 
 
