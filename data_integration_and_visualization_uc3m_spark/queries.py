@@ -10766,6 +10766,85 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "daily_revenue_acf",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS y
+        FROM orders GROUP BY day
+    ), lags AS (
+        SELECT CAST(range AS INTEGER) AS lag FROM range(1, 15)
+    ), pairs AS (
+        SELECT l.lag AS lag, a.y AS ya, b.y AS yb
+        FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+    ), m AS (
+        SELECT lag, COUNT(*) AS n,
+               CAST(SUM(ya) AS DOUBLE) AS sa, CAST(SUM(yb) AS DOUBLE) AS sb,
+               CAST(SUM(CAST(ya AS DECIMAL(19,2)) * ya) AS DOUBLE) AS saa,
+               CAST(SUM(CAST(yb AS DECIMAL(19,2)) * yb) AS DOUBLE) AS sbb,
+               CAST(SUM(CAST(ya AS DECIMAL(19,2)) * yb) AS DOUBLE) AS sab
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+               CAST(FLOOR((n * sab - sa * sb)
+                   / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))
+                   * 1000000) AS BIGINT) END AS acf_fp6
+    FROM m
+    """,
+    ops=["timeseries-acf", "stats-corr", "A3"],
+)
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of global daily revenue at lags 1-14
+    (weekly structure shows as a lag-7 peak): the lagged pairing is an
+    EQUI-join on day+lag (a 14-way bounded explode — no range join,
+    no window over the whole series), the five moments per lag are
+    exact DECIMAL sums (one operand widened to DECIMAL(19,2) for the
+    oracle's int64 multiply path), and each ACF value is one
+    fixed-order double expression floored to fp6. The classic
+    seasonality diagnostic next to STL/EWMA/Holt."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_dec2("o_totalprice")).cast(DEC2).alias("y"))
+    )
+    lags = spark.range(1, 15).select(F.col("id").cast("int").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.expr("date_add(day, lag)").alias("jday"),
+        F.col("y").alias("ya"),
+    )
+    b = daily.select(F.col("day").alias("jday"), F.col("y").alias("yb"))
+    pairs = a.join(b, "jday")
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ya").cast("double").alias("sa"),
+        F.sum("yb").cast("double").alias("sb"),
+        F.sum(F.col("ya") * F.col("ya")).cast("double").alias("saa"),
+        F.sum(F.col("yb") * F.col("yb")).cast("double").alias("sbb"),
+        F.sum(F.col("ya") * F.col("yb")).cast("double").alias("sab"),
+    )
+    n = F.col("n")
+    sa, sb = F.col("sa"), F.col("sb")
+    saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")
+    va = n * saa - sa * sa
+    vb = n * sbb - sb * sb
+    return m.select(
+        "lag",
+        n.cast("long").alias("n_pairs"),
+        F.when(
+            (va > 0) & (vb > 0),
+            F.floor(
+                (n * sab - sa * sb) / (F.sqrt(va) * F.sqrt(vb)) * F.lit(1e6)
+            ).cast("long"),
+        ).alias("acf_fp6"),
+    )
+
+
+@register(
     "feature_information_gain",
     """
     WITH j AS (
@@ -14050,6 +14129,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "region_revenue_quad_trend",
     "median_imputation_report",
     "feature_information_gain",
+    "daily_revenue_acf",
 )
 
 

@@ -161,6 +161,7 @@ DEFAULT = [
     "region_revenue_quad_trend",
     "median_imputation_report",
     "feature_information_gain",
+    "daily_revenue_acf",
 ]
 
 
