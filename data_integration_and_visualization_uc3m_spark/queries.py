@@ -10766,6 +10766,77 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @register(
+    "event_gap_slo_report",
+    """
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+               event_id
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+    ), gg AS (
+        SELECT event_type, gap_us, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY gap_us, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM g WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN gap_us END)
+                AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN gap_us END)
+                AS BIGINT) AS p95_us,
+           CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN gap_us END)
+                AS BIGINT) AS p99_us,
+           CAST(SUM(CASE WHEN gap_us > 300000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_5min
+    FROM gg GROUP BY event_type
+    """,
+    ops=["slo-latency-percentiles", "window-lag-lead", "stats-quantile"],
+)
+def event_gap_slo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-SLO readout per event type: exact nearest-rank p50 /
+    p95 / p99 of inter-arrival gaps (ceil-rank ⌈q·n⌉ via integer
+    arithmetic — no percentile interpolation semantics to disagree
+    on) plus the count of gaps breaching a 5-minute target. Two
+    partitioned windows (lag, then rank) and one aggregation — the
+    ops-dashboard shape for 'is this stream healthy', all exact
+    integer microseconds."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("event_type").orderBy(us, "event_id")
+    g = e.select(
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        "event_id",
+    ).filter(F.col("gap_us").isNotNull())
+    rw = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    kw = Window.partitionBy("event_type")
+    gg = g.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(kw).alias("n"),
+    )
+    def at_pct(p):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {p} + 99) div 100"),
+                F.col("gap_us"),
+            )
+        ).cast("long")
+    return gg.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        at_pct(50).alias("p50_us"),
+        at_pct(95).alias("p95_us"),
+        at_pct(99).alias("p99_us"),
+        F.sum(
+            F.when(F.col("gap_us") > 300_000_000, 1).otherwise(0)
+        ).cast("long").alias("n_over_5min"),
+    )
+
+
+@register(
     "daily_revenue_acf",
     """
     WITH daily AS (
@@ -14130,6 +14201,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "median_imputation_report",
     "feature_information_gain",
     "daily_revenue_acf",
+    "event_gap_slo_report",
 )
 
 

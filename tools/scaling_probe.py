@@ -162,6 +162,7 @@ DEFAULT = [
     "median_imputation_report",
     "feature_information_gain",
     "daily_revenue_acf",
+    "event_gap_slo_report",
 ]
 
 
