@@ -75,6 +75,11 @@ SCALAR_OK: set[str] = {
     "ab_test_cuped",            # two 1-row arm aggregates + 1-row pooled
                                 # moments cross-joined
     "feature_information_gain", # 1-row N + 1-row label-entropy broadcasts
+    "distinct_rollup_hierarchy",  # grand-total level: 1-row exact x 1-row
+                                  # sketch aggregates joined on a literal key
+    "daily_revenue_acf",        # 14-row lag-axis broadcast (bounded explode
+                                # fan-out, not a data-dependent nested loop)
+    "psi_price_drift",          # two 1-row period-total broadcasts cross-joined
     "kaplan_meier_user_lifetime",  # 1-row horizon + 1-row user-count broadcasts
     "lang_source_chisq_cells",  # 1-row grand-total broadcast onto the cell grid
     "embedding_gram_power",     # 1-row Rayleigh num/den broadcast onto d rows
