@@ -46,6 +46,15 @@ DEFAULT = [
     "spatial_grid_nn",
     "lineitem_corr_matrix",
     "bpe_encode_stats",
+    "cohort_ltv_curve",
+    "anova_order_value_by_segment",
+    "region_revenue_quad_trend",
+    "median_imputation_report",
+    "feature_information_gain",
+    "daily_revenue_acf",
+    "event_gap_slo_report",
+    "snm_part_name_pairs",
+    "synthetic_sku_profile",
 ]
 
 PARTITION_SETTINGS = ["3", "32"]
