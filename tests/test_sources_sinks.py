@@ -87,19 +87,51 @@ def test_retry_backoff(spark):
 
 
 def test_xlsx_bridge_header_offset(spark, tmp_path):
-    pytest.importorskip("openpyxl")
-    import pandas as pd
+    """S4 executes in this container: the stdlib writer builds the
+    fixture and read_xlsx parses it (openpyxl absent → zip+XML path).
+    header_row=2 ⇒ spreadsheet row 3 is the header, matching the
+    reference's pandas header=2 (crime_immigration_etl.py:141)."""
+    from data_integration_and_visualization_uc3m_spark.sources.xlsx import (
+        read_xlsx, write_xlsx,
+    )
 
     p = str(tmp_path / "t.xlsx")
-    with pd.ExcelWriter(p) as xw:
-        pd.DataFrame([["junk1"], ["junk2"], ["Iso3_code"], ["ESP"]]).to_excel(
-            xw, header=False, index=False
-        )
-    from data_integration_and_visualization_uc3m_spark.sources.xlsx import read_xlsx
-
+    write_xlsx([["junk1"], ["junk2"], ["Iso3_code"], ["ESP"]], p)
     df = read_xlsx(spark, p, header_row=2)
     assert df.columns == ["Iso3_code"]
     assert [r.Iso3_code for r in df.collect()] == ["ESP"]
+
+
+def test_xlsx_stdlib_parser_types_and_gaps(spark, tmp_path):
+    """Stdlib parser round-trip: mixed types, a skipped cell (sparse
+    column refs), and a multi-column header — semantics pandas
+    read_excel would give."""
+    from data_integration_and_visualization_uc3m_spark.sources import xlsx
+
+    p = str(tmp_path / "m.xlsx")
+    xlsx.write_xlsx(
+        [
+            ["code", "val", "flag"],
+            ["ESP", 47.5, True],
+            ["FRA", None, False],
+            ["DEU", 83, True],
+        ],
+        p,
+    )
+    rows = xlsx.parse_xlsx_rows(p)
+    assert rows[0] == ["code", "val", "flag"]
+    assert rows[1] == ["ESP", 47.5, True]
+    assert rows[2] == ["FRA", None, False]
+    assert rows[3] == ["DEU", 83, True]  # integral float → int
+
+    df = xlsx.read_xlsx(spark, p, header_row=0)
+    assert df.columns == ["code", "val", "flag"]
+    got = {r.code: r for r in df.collect()}
+    assert got["DEU"].val == 83.0 and got["ESP"].flag is True
+
+    # column-letter helpers are inverses across the AA boundary
+    for i in (0, 25, 26, 27, 700):
+        assert xlsx._col_index(f"{xlsx._col_letter(i)}9") == i
 
 
 def test_read_json_with_nested_schema(spark, tmp_path):
