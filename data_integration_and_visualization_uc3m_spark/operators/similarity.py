@@ -552,3 +552,367 @@ def l2_topk_nano(
         .orderBy(F.col("dist_nano"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------
+# Relation-form codebooks (round 6): the coarse quantizer as a
+# DataFrame instead of a driver-collected Python literal. Training is
+# one Lloyd refinement seeded from the k lowest-id vectors — exact
+# fixed-point centroid means (nano-quantized integer sums ⇒
+# summation-order-free ⇒ oracle-portable doubles), exact integer
+# distances, deterministic tiebreaks. Consumers collapse the k-row
+# codebook to a single nested row and broadcast it, so assignment
+# stays entirely map-side with ZERO driver collects on the query path
+# — at 100 TB the codebook is a (re)trained table, not something the
+# driver can hold in a Python list.
+# ---------------------------------------------------------------------
+
+
+def _l2_nano(a, b) -> F.Column:
+    """floor(1e9 · Σ(a−b)²) with a left-to-right double fold — the
+    single-floor distance convention shared with l2_topk_nano and the
+    DuckDB ``list_sum(list_transform(...))`` twin."""
+    return F.floor(
+        F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        * NANO
+    ).cast("long")
+
+
+def train_codebook(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd step from the ``k`` lowest-id vectors → a trained
+    coarse codebook relation ``(c int, centroid array<double>)``.
+
+    Plan shape: the k-row init collapses to ONE nested row and
+    broadcasts, so assignment is map-side (no shuffle of the corpus);
+    the update is one posexplode + (c, dim) integer aggregation (k·d
+    result rows); an empty cell (its seed was an exact duplicate of a
+    lower-id seed) falls back to the seed itself, quantized through
+    the same mean formula with n=1 — so every centroid is defined and
+    deterministic. Iterating = calling this on top of the previous
+    codebook's assignment; one step is what the oracle unrolls.
+    """
+    v = F.col(vec_col)
+    init = df.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("c"), v.alias("cv")
+    )
+    init1 = init.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("c", "cv"))).alias("_cb0")
+    )
+    staged = df.crossJoin(F.broadcast(init1)).select(
+        F.col(id_col), v.alias("_v"), F.col("_cb0")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cb0"),
+            lambda s: F.struct(
+                _l2_nano(F.col("_v"), s["cv"]).alias("d"), s["c"].alias("c")
+            ),
+        )
+    )
+    assigned = staged.select(
+        F.col("_v"), best.getField("c").alias("c")
+    )
+    sums = (
+        assigned.select("c", F.posexplode("_v").alias("dim", "comp"))
+        .groupBy("c", "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("comp").cast("double") * NANO).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    grid = init.select("c", F.posexplode("cv").alias("dim", "icomp"))
+    comp = grid.join(sums, ["c", "dim"], "left").select(
+        "c",
+        "dim",
+        F.coalesce(
+            F.col("s").cast("double") / F.col("n") / F.lit(NANO),
+            F.floor(F.col("icomp").cast("double") * NANO)
+            .cast("long")
+            .cast("double")
+            / F.lit(NANO),
+        ).alias("comp"),
+    )
+    return (
+        comp.groupBy("c")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                lambda s: s["comp"],
+            ).alias("centroid")
+        )
+    )
+
+
+def _collapse_codebook(codebook: DataFrame) -> DataFrame:
+    """k-row codebook → ONE row with a c-sorted array of (c, centroid)
+    structs: the broadcastable form every map-side consumer wants."""
+    return codebook.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("c", "centroid"))).alias("_cb")
+    )
+
+
+def pq_codes_rel(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """pq_codes with the codebook as a RELATION: the collapsed codebook
+    broadcasts as one nested row and per-subspace argmin runs map-side
+    over array slices — same exact nano fixed-point distances and
+    smaller-centroid tiebreak as the literal path, zero collects."""
+    sub = dim // m
+    cb1 = _collapse_codebook(codebook)
+    staged = df.crossJoin(F.broadcast(cb1)).select(
+        F.col(id_col), F.col(vec_col).alias("_v"), "_cb"
+    )
+    out = [F.col(id_col)]
+    for j in range(m):
+        a = F.slice(F.col("_v"), j * sub + 1, sub)
+        cands = F.transform(
+            F.col("_cb"),
+            lambda s: F.struct(
+                _l2_nano(a, F.slice(s["centroid"], j * sub + 1, sub)).alias("d"),
+                s["c"].alias("c"),
+            ),
+        )
+        out.append(F.array_min(cands).getField("c").cast("int").alias(f"c{j}"))
+    return staged.select(*out)
+
+
+def pq_adc_topk_rel(
+    df: DataFrame,
+    codebook: DataFrame,
+    qdf: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    n_centroids: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """pq_adc_topk with codebook AND query as relations. The m×k
+    distance table is computed in-plan on the broadcast side (codebook
+    ⨯ 1-row query — k rows), collapsed to one lookup array indexed by
+    sub·k + code, and the ADC sum is m exact integer adds per data row
+    via element_at. No shuffle on the corpus until TakeOrdered(k)."""
+    sub = dim // m
+    q1 = qdf.select(F.col(vec_col).alias("_qv"))
+    cbq = codebook.crossJoin(F.broadcast(q1))
+    per_j = [
+        F.struct(
+            F.lit(j).alias("sub"),
+            _l2_nano(
+                F.slice(F.col("_qv"), j * sub + 1, sub),
+                F.slice(F.col("centroid"), j * sub + 1, sub),
+            ).alias("d"),
+        )
+        for j in range(m)
+    ]
+    cells = cbq.select(
+        "c", F.explode(F.array(*per_j)).alias("cell")
+    ).select("c", F.col("cell.sub").alias("sub"), F.col("cell.d").alias("d"))
+    tbl1 = cells.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("sub") * n_centroids + F.col("c")).alias("idx"),
+                        F.col("d"),
+                    )
+                )
+            ),
+            lambda s: s["d"],
+        ).alias("_tbl")
+    )
+    codes = pq_codes_rel(df, codebook, m, dim, id_col, vec_col)
+    adc = F.lit(0).cast("long")
+    for j in range(m):
+        adc = adc + F.element_at(
+            F.col("_tbl"), F.lit(j * n_centroids) + F.col(f"c{j}") + 1
+        )
+    return (
+        codes.crossJoin(F.broadcast(tbl1))
+        .select(F.col(id_col), adc.alias("adc_dist_nano"))
+        .orderBy(F.col("adc_dist_nano"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def l2_topk_rel(
+    df: DataFrame,
+    qdf: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """l2_topk_nano with the query as a 1-row broadcast relation."""
+    q1 = qdf.select(F.col(vec_col).alias("_qv"))
+    return (
+        df.crossJoin(F.broadcast(q1))
+        .select(
+            F.col(id_col),
+            _l2_nano(F.col(vec_col), F.col("_qv")).alias("dist_nano"),
+        )
+        .orderBy(F.col("dist_nano"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_rel(
+    df: DataFrame,
+    qdf: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """cosine_topk with the query as a 1-row broadcast relation; the
+    query norm is computed ONCE on the broadcast side (constant per
+    query — the ann_int8_topk lesson)."""
+    q1 = qdf.select(F.col(vec_col).alias("_qv")).select(
+        "_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn")
+    )
+    v = F.col(vec_col)
+    cos = _dot(v, F.col("_qv")) / (F.sqrt(_dot(v, v)) * F.col("_qn"))
+    return (
+        df.crossJoin(F.broadcast(q1))
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_rel(
+    df: DataFrame,
+    qdf: DataFrame,
+    k: int = 15,
+    nprobe: int = 3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_topk with the query as a 1-row broadcast relation — same
+    fixed-point centroid ranking, probe-prune, exact cosine re-rank;
+    no driver fetch of the query vector."""
+    q1 = qdf.select(F.col(vec_col).alias("_qv"))
+    cents = label_centroids_nano(df, block_col, vec_col)
+    comp = F.col("sum_nano").cast("double") / F.col("cnt") / NANO
+    qcomp = F.element_at(F.col("_qv"), F.col("dim") + 1).cast("double")
+    diff = qcomp - comp
+    dist = (
+        cents.crossJoin(F.broadcast(q1))
+        .select(
+            "block",
+            F.floor(diff * diff * NANO).cast("long").alias("term_nano"),
+        )
+        .groupBy("block")
+        .agg(F.sum("term_nano").alias("dist_nano"))
+    )
+    probed = (
+        dist.orderBy(F.col("dist_nano"), F.col("block"))
+        .limit(nprobe)
+        .select("block")
+    )
+    qn = qdf.select(F.col(vec_col).alias("_qv")).select(
+        "_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn")
+    )
+    v = F.col(vec_col)
+    norm = F.sqrt(_dot(v, v))
+    cos = _dot(v, F.col("_qv")) / (norm * F.col("_qn"))
+    cand = df.join(
+        F.broadcast(probed), df[block_col] == F.col("block"), "left_semi"
+    )
+    return (
+        cand.filter(norm > 0)
+        .crossJoin(F.broadcast(qn))
+        .select(F.col(id_col), F.col(block_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def semdedup_rel(
+    df: DataFrame,
+    codebook: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """semdedup with the coarse codebook as a RELATION: zero-norm
+    centroids are filtered (cosine to them undefined — the relation
+    twin of the literal path's ValueError), the collapsed codebook
+    broadcasts, and assignment is map-side argmax cosine with
+    smaller-centroid tiebreak. Same within-cluster pair policy."""
+    cbn = codebook.filter(
+        F.aggregate(
+            F.transform(F.col("centroid"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        > 0
+    )
+    cb1 = _collapse_codebook(cbn)
+    v = F.col(vec_col)
+    staged = (
+        df.crossJoin(F.broadcast(cb1))
+        .select(
+            F.col(id_col),
+            v.alias("_v"),
+            F.sqrt(_dot(v, v)).alias("_norm"),
+            "_cb",
+        )
+        .filter(F.col("_norm") > 0)
+    )
+    choice = F.array_max(
+        F.transform(
+            F.col("_cb"),
+            lambda s: F.struct(
+                (
+                    _dot(F.col("_v"), s["centroid"])
+                    / (
+                        F.col("_norm")
+                        * F.sqrt(_dot(s["centroid"], s["centroid"]))
+                    )
+                ).alias("cs"),
+                (-s["c"]).alias("ns"),
+                s["c"].alias("sid"),
+            ),
+        )
+    )
+    assigned = staged.select(
+        F.col(id_col), F.col("_v").alias(vec_col), choice.getField("sid").alias("cluster")
+    )
+    pairs = cosine_pairs_blocked(
+        assigned,
+        block_col="cluster",
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    dups = (
+        pairs.select(F.col("vec_b").alias(id_col))
+        .distinct()
+        .withColumn("_is_dup", F.lit(True))
+    )
+    return assigned.join(dups, id_col, "left").select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.coalesce(F.col("_is_dup"), F.lit(False)).alias("is_dup"),
+    )
