@@ -13970,100 +13970,125 @@ def orders_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verdicts onto every query, `all_queries()` emits not-yet-verified
 # queries first (registration order preserved within each group) and
 # already-green ones last; freshly-verified names move into
-# _PRIOR_VERIFIED each round. After round 5 the green union
-# (CORRECTNESS_r02..r05) covers 182/269 registered queries; the
-# remaining 87 never-driver-verified names form the round-6 front, so
-# the 50-slot window lands on 48 of them plus the 2 re-pinned
-# codebook-reworked ANN queries; round 7 covers the final 39.
+# _PRIOR_VERIFIED each round. After round 6 the green union
+# (CORRECTNESS_r02..r06) covers 230/269 registered queries; the
+# remaining 39 never-driver-verified names form the round-7 front
+# (behind any _PRIORITY re-pins for queries whose plan/oracle actually
+# changed this round, and ahead of brand-new _NEW_PARITY_ONLY names),
+# so the 50-slot window reaches all of them.
 _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "ann_int8_topk", "anti_join_inactive_customers", "approx_sketches",
-    "asof_last_purchase", "balanced_lang_mix", "bloom_prefilter_orders",
+    "asof_last_purchase", "balanced_lang_mix", "basket_part_lift",
+    "bloom_prefilter_orders", "bpe_encode_stats", "bpe_merge_table",
     "bpe_token_estimate", "bucketed_colocated_revenue",
-    "bucketize_acctbal", "cdc_order_changes", "chunk_dup_profile",
-    "cleaning_corners", "coerce_missing_markers",
+    "bucketize_acctbal", "canonical_part_names", "cdc_order_changes",
+    "chunk_dup_profile", "cleaning_corners", "coerce_missing_markers",
     "column_profile_lineitem", "conjunctive_slice",
     "consistent_user_sample", "containment_pairs", "corpus_bigram_lift",
     "corpus_build_e2e", "corpus_mix_apply", "corpus_mix_plan",
-    "corpus_ngram_diversity", "corpus_vocabulary_topk",
-    "corpus_zipf_slope", "cross_source_ngram_overlap",
+    "corpus_ngram_diversity", "corpus_release_readiness",
+    "corpus_vocabulary_topk", "corpus_zipf_slope",
+    "cross_source_ngram_overlap", "cube_orders_status_year",
     "cube_status_priority", "curation_pipeline_stats",
-    "customer_order_count_histogram", "customer_rfm_segments",
-    "daily_revenue_momentum", "data_profile_orders", "decontaminate_docs",
-    "dedup_cluster_size_histogram", "dedup_clusters",
-    "dedup_embedding_cosine", "dedup_exact_docs",
-    "dedup_jaccard_df_capped", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_survivors_by_quality", "deterministic_slice",
-    "disjunctive_pushdown_revenue", "doc_bigram_logprob",
-    "doc_char_entropy", "doc_chunks_512", "doc_fingerprint",
-    "doc_quality_score", "doc_repetition_stats", "doc_winnowing",
-    "dominant_part_suppliers", "dup_rate_by_source",
-    "embedding_cosine_topk", "embedding_gram_power",
-    "embedding_int8_quantization", "embedding_lloyd_step",
-    "embedding_lsh_buckets", "embedding_norms", "events_anomaly_mad",
-    "events_hourly", "events_moving_sum", "events_range_frame_sum",
-    "events_resample_ffill", "events_sliding_windows",
-    "events_zscore_outliers", "ewma_daily_revenue",
-    "exists_late_shipments", "fk_and_null_audit",
-    "flagship_nation_year_rate", "forecast_revenue_change",
-    "funnel_view_click_purchase", "fuzzy_name_matching",
-    "gopher_quality_rules", "grouping_sets_revenue", "hash_sample_docs",
+    "curriculum_order_docs", "customer_order_count_histogram",
+    "customer_rfm_segments", "cv_fold_stats", "daily_revenue_acf",
+    "daily_revenue_momentum", "data_profile_orders",
+    "decontaminate_docs", "dedup_cluster_size_histogram",
+    "dedup_clusters", "dedup_embedding_cosine", "dedup_exact_docs",
+    "dedup_jaccard_df_capped", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_survivors_by_quality",
+    "deterministic_slice", "disjunctive_pushdown_revenue",
+    "doc_bigram_logprob", "doc_char_entropy", "doc_chunks_512",
+    "doc_fingerprint", "doc_quality_score", "doc_repetition_stats",
+    "doc_winnowing", "dominant_part_suppliers", "dup_rate_by_source",
+    "embedding_cosine_topk", "embedding_drift_report",
+    "embedding_gram_power", "embedding_int8_quantization",
+    "embedding_lloyd_step", "embedding_lsh_buckets", "embedding_norms",
+    "epoch_mixing_apply", "epoch_mixing_plan", "event_gap_slo_report",
+    "events_anomaly_mad", "events_hourly", "events_moving_sum",
+    "events_range_frame_sum", "events_resample_ffill",
+    "events_sliding_windows", "events_zscore_outliers",
+    "ewma_daily_revenue", "exists_late_shipments",
+    "expectations_orders_report", "export_manifest_report",
+    "fd_discovery_audit", "feature_information_gain",
+    "fk_and_null_audit", "flagship_nation_year_rate",
+    "forecast_revenue_change", "funnel_view_click_purchase",
+    "fuzzy_name_matching", "fuzzy_part_name_pairs",
+    "gopher_quality_rules", "grouping_sets_revenue",
+    "hard_negative_mining", "hash_sample_docs",
     "having_large_volume_orders", "heavy_hitters_cms",
     "holt_forecast_region_revenue", "hot_key_share_report",
     "important_parts_share", "incremental_agg_maintenance",
     "incremental_join_maintenance", "int8_recall_report",
-    "interval_bucket_join", "inverted_index_postings", "ivf_recall_report",
-    "ivf_topk", "json_props_extract", "keyed_dedup_first_wins",
-    "label_centroids", "lang_confusion_matrix", "lang_id_predict",
+    "interval_bucket_join", "inverted_index_postings",
+    "ivf_recall_report", "ivf_topk", "json_props_extract",
+    "jsonl_roundtrip_report", "k_anonymity_report",
+    "keyed_dedup_first_wins", "label_centroids",
+    "lang_confusion_matrix", "lang_id_predict",
     "lang_source_chisq_cells", "length_bucketed_batching",
-    "lookup_join_fallback", "min_cost_supplier_per_part",
+    "lookup_join_fallback", "markov_event_stationary",
+    "median_imputation_report", "merge_orders_full",
+    "min_cost_supplier_per_part", "multiformat_join_report",
     "multimodal_audio_chunks", "multimodal_binary_meta",
-    "multimodal_frame_sample", "nation_market_share", "nation_pair_volume",
-    "nation_price_qty_corr", "nation_revenue_trend",
-    "nation_trade_pagerank", "nation_trade_triangles",
-    "nation_value_share", "nation_year_profit", "not_exists_rich_inactive",
+    "multimodal_frame_sample", "nation_market_share",
+    "nation_pair_volume", "nation_price_qty_corr",
+    "nation_revenue_trend", "nation_trade_pagerank",
+    "nation_trade_triangles", "nation_value_share",
+    "nation_year_profit", "not_exists_rich_inactive",
     "ntile_customer_quartiles", "order_gaps_lead_lag",
     "orders_above_customer_avg", "orders_seasonality_yoy",
-    "outer_join_order_counts", "pack_payloads_per_seq", "pack_sequences",
-    "pack_stats_per_lang", "partitioned_warehouse_prune",
-    "parts_supplier_breadth", "pii_redaction_report", "pivot_event_matrix",
+    "outer_join_order_counts", "pack_payloads_per_seq",
+    "pack_sequences", "pack_stats_per_lang",
+    "partitioned_warehouse_prune", "parts_supplier_breadth",
+    "perplexity_buckets", "pii_redaction_report", "pivot_event_matrix",
+    "pq_adc_topk", "pq_codes_embeddings", "pq_recall_report",
     "pricing_summary", "priority_lines_matrix", "promo_revenue_share",
-    "props_variant_histogram", "quality_quantile_align",
-    "quality_weighted_sample", "quantiles_order_value",
-    "quota_sample_per_lang", "range_violations", "region_revenue",
-    "returned_item_customers", "revenue_gini_by_nation",
-    "rolling_distinct_users", "rolling_median_daily_revenue",
-    "rollup_region_nation", "rounding_contract", "salted_event_totals",
+    "props_variant_histogram", "quality_classifier_filter",
+    "quality_quantile_align", "quality_weighted_sample",
+    "quantiles_order_value", "quota_sample_per_lang",
+    "range_violations", "region_revenue", "returned_item_customers",
+    "revenue_gini_by_nation", "rolling_distinct_users",
+    "rolling_median_daily_revenue", "rollup_region_nation",
+    "rounding_contract", "salted_event_totals",
     "salted_join_user_enrichment", "scd2_point_in_time_join",
     "scd2_price_history", "schema_evolution_union",
-    "semi_join_active_customers", "sessionize_events", "set_ops_customers",
-    "shipping_delay_profile", "shipping_priority", "simhash_near_pairs",
-    "simhash_signatures", "skyline_customers", "small_quantity_orders",
-    "source_mix_report", "sql_api_revenue_rank", "stratified_lang_sample",
-    "streaming_attribution_e2e", "streaming_batch_parity_e2e",
-    "streaming_dedup_e2e", "streaming_lsh_dedup_e2e",
-    "streaming_stateful_totals_e2e", "string_normalize_profile",
+    "self_join_blowup_events", "semdedup_verdicts",
+    "semi_join_active_customers", "session_gap_sensitivity",
+    "sessionize_events", "set_ops_customers", "shipping_delay_profile",
+    "shipping_priority", "simhash_near_pairs", "simhash_signatures",
+    "skyline_customers", "small_quantity_orders",
+    "source_frequency_cap", "source_mix_report", "source_term_kl",
+    "split_leakage_audit", "sql_api_revenue_rank", "stl_daily_revenue",
+    "stratified_lang_sample", "streaming_attribution_e2e",
+    "streaming_batch_parity_e2e", "streaming_curate_e2e",
+    "streaming_dedup_e2e", "streaming_enrich_e2e",
+    "streaming_lsh_dedup_e2e", "streaming_stateful_totals_e2e",
+    "string_normalize_profile", "strip_boilerplate_tokens",
     "supplier_nation_volume", "suppliers_kept_orders_waiting",
-    "tfidf_top_terms", "token_count_profile", "top3_orders_per_priority",
-    "top_k_orders", "top_orders_with_ties", "top_revenue_supplier",
-    "train_holdout_split", "training_shuffle_order", "union_fold_by_year",
+    "table_fingerprint_orders", "tfidf_top_terms",
+    "token_count_profile", "tokenizer_fertility_by_lang",
+    "top3_orders_per_priority", "top_k_orders", "top_orders_with_ties",
+    "top_revenue_supplier", "train_holdout_split",
+    "training_shuffle_order", "union_fold_by_year",
     "uniqueness_violations", "unpivot_event_matrix",
-    "upsert_conflict_ignore", "upsert_replace_orders",
-    "upsert_time_travel", "upsert_version_diff", "user_inactivity_gaps",
-    "user_journey_prefixes", "validated_m2o_join", "viz_hover_points",
-    "weekly_retention_cohorts", "window_running_total",
-    "winsorized_event_stats",
+    "upsert_conflict_ignore", "upsert_delete_keys",
+    "upsert_history_report", "upsert_replace_orders",
+    "upsert_time_travel", "upsert_version_diff",
+    "user_cooccurrence_pairs", "user_inactivity_gaps",
+    "user_journey_prefixes", "validated_m2o_join",
+    "verbatim_window_pairs", "viz_hover_points",
+    "vocab_coverage_report", "weekly_retention_cohorts",
+    "window_running_total", "winsorized_event_stats",
+    "zorder_clustering_report",
 })
 
 
 # Queries whose implementation changed this round AFTER their last
 # driver verdict — pinned to the front of the window so the stale green
-# is replaced. Round 6: the IVF family's coarse codebook moved from
-# driver-collected lowest-id seed vectors to a Lloyd-trained centroid
-# relation (similarity.train_codebook), changing both the Spark plan
-# and the oracle SQL.
+# is replaced. (The round-6 pin of ivf_topk/ivf_recall_report was
+# wrong: their bodies and oracles had not changed. Pins below must be
+# backed by an actual diff to the named query's plan or oracle.)
 _PRIORITY: tuple[str, ...] = (
-    "ivf_topk",
-    "ivf_recall_report",
 )
 
 
