@@ -555,16 +555,19 @@ def l2_topk_nano(
 
 
 # ---------------------------------------------------------------------
-# Relation-form codebooks (round 6): the coarse quantizer as a
-# DataFrame instead of a driver-collected Python literal. Training is
-# one Lloyd refinement seeded from the k lowest-id vectors — exact
-# fixed-point centroid means (nano-quantized integer sums ⇒
-# summation-order-free ⇒ oracle-portable doubles), exact integer
-# distances, deterministic tiebreaks. Consumers collapse the k-row
-# codebook to a single nested row and broadcast it, so assignment
-# stays entirely map-side with ZERO driver collects on the query path
-# — at 100 TB the codebook is a (re)trained table, not something the
-# driver can hold in a Python list.
+# Relation-form codebooks: the coarse quantizer as a DataFrame instead
+# of a driver-collected Python literal. Training is one Lloyd
+# refinement seeded from the k lowest-id vectors — exact fixed-point
+# centroid means (nano-quantized integer sums ⇒ summation-order-free ⇒
+# oracle-portable doubles), exact integer distances, deterministic
+# tiebreaks. Consumers collapse the k-row codebook to a single nested
+# row and broadcast it, so assignment stays entirely map-side with
+# ZERO driver collects on the query path — at 100 TB the codebook is a
+# (re)trained table, not something the driver can hold in a Python
+# list. Wired into the registered queries in round 7: the PQ family
+# and semdedup_verdicts train via ``train_codebook``; the query-vector
+# consumers (embedding_cosine_topk, ivf_topk, the recall reports) use
+# the ``*_rel`` variants with a 1-row query relation.
 # ---------------------------------------------------------------------
 
 
@@ -595,6 +598,12 @@ def train_codebook(
     """One Lloyd step from the ``k`` lowest-id vectors → a trained
     coarse codebook relation ``(c int, centroid array<double>)``.
 
+    Seeding is the ACTUAL k lowest ids (``orderBy(id).limit(k)``, then
+    rank within the k-row slice as the centroid id c ∈ 0..k-1) — not a
+    ``id < k`` filter — so gapped or non-zero-based id spaces still
+    yield exactly k contiguous cells (consumers index the collapsed
+    codebook positionally; see pq_adc_topk_rel's size guard).
+
     Plan shape: the k-row init collapses to ONE nested row and
     broadcasts, so assignment is map-side (no shuffle of the corpus);
     the update is one posexplode + (c, dim) integer aggregation (k·d
@@ -605,8 +614,17 @@ def train_codebook(
     codebook's assignment; one step is what the oracle unrolls.
     """
     v = F.col(vec_col)
-    init = df.filter(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("c"), v.alias("cv")
+    # TakeOrdered(k) + posexplode of the id-sorted pack: rank-as-c
+    # without a global row_number window.
+    packed = (
+        df.orderBy(F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("_sid"), v.alias("cv"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("_sid", "cv"))).alias("_sv"))
+    )
+    init = packed.select(F.posexplode("_sv").alias("c", "_s")).select(
+        F.col("c").cast("int").alias("c"), F.col("_s.cv").alias("cv")
     )
     init1 = init.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("c", "cv"))).alias("_cb0")
@@ -729,7 +747,7 @@ def pq_adc_topk_rel(
     cells = cbq.select(
         "c", F.explode(F.array(*per_j)).alias("cell")
     ).select("c", F.col("cell.sub").alias("sub"), F.col("cell.d").alias("d"))
-    tbl1 = cells.groupBy().agg(
+    tbl0 = cells.groupBy().agg(
         F.transform(
             F.array_sort(
                 F.collect_list(
@@ -740,6 +758,32 @@ def pq_adc_topk_rel(
                 )
             ),
             lambda s: s["d"],
+        ).alias("_tbl"),
+        F.count_distinct("c").alias("_ncells"),
+        F.min("c").alias("_cmin"),
+        F.max("c").alias("_cmax"),
+    )
+    # element_at below indexes positionally, so the codebook MUST have
+    # exactly n_centroids contiguous cells 0..n_centroids-1 — a gapped
+    # or short codebook would silently shift every lookup. assert_true
+    # raises at runtime instead; the when() keeps the assert un-pruned.
+    tbl_ok = (
+        (F.size(F.col("_tbl")) == m * n_centroids)
+        & (F.col("_ncells") == n_centroids)
+        & (F.col("_cmin") == 0)
+        & (F.col("_cmax") == n_centroids - 1)
+    )
+    tbl1 = tbl0.select(
+        F.when(
+            F.assert_true(
+                tbl_ok,
+                F.lit(
+                    f"pq_adc_topk_rel: codebook must collapse to "
+                    f"{m * n_centroids} table cells from {n_centroids} "
+                    f"contiguous centroid ids"
+                ),
+            ).isNull(),
+            F.col("_tbl"),
         ).alias("_tbl")
     )
     codes = pq_codes_rel(df, codebook, m, dim, id_col, vec_col)

@@ -1911,14 +1911,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-20 vs the vec_id=0 embedding — the exact
-    ANN baseline. Left-fold double dot products on both engines ⇒
-    bit-identical scores."""
+    ANN baseline. The query vector is a 1-row broadcast RELATION
+    (similarity.cosine_topk_rel), not a driver-fetched literal; its
+    norm is computed once on the broadcast side. Left-fold double dot
+    products on both engines ⇒ bit-identical scores."""
     e = _t(spark, sf_dir, "embeddings", fanout=True)
-    qv = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
-    return similarity.cosine_topk(e, qv, k=20)
+    return similarity.cosine_topk_rel(e, e.filter(F.col("vec_id") == 0), k=20)
 
 
 @register(
@@ -2946,13 +2944,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query, probe the 3 nearest cells, exact cosine top-15 inside
     them. Fully deterministic (nano-quantized centroid + distance sums)
     so even the approximate index path is oracle-checked — the scale
-    story is partition-by-cell + partition pruning at the scan."""
+    story is partition-by-cell + partition pruning at the scan. The
+    query vector is a 1-row broadcast relation
+    (similarity.ivf_topk_rel) — no driver fetch."""
     e = _t(spark, sf_dir, "embeddings")
-    qv = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
-    return similarity.ivf_topk(e, qv, k=15, nprobe=3)
+    return similarity.ivf_topk_rel(
+        e, e.filter(F.col("vec_id") == 0), k=15, nprobe=3
+    )
 
 
 @register(
@@ -5236,14 +5234,12 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-15 vs the nprobe=3 IVF top-15, reporting overlap and recall@15.
     Rare for ANN — the whole measurement is deterministic (fixed-point
     centroids, ordered tiebreaks), so the recall number itself is
-    hash-checked, not just eyeballed."""
+    hash-checked, not just eyeballed. Query vector = 1-row broadcast
+    relation on both arms (similarity.*_rel) — no driver fetch."""
     e = _t(spark, sf_dir, "embeddings")
-    qv = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
-    brute = similarity.cosine_topk(e, qv, k=15).select("vec_id")
-    ivf = similarity.ivf_topk(e, qv, k=15, nprobe=3).select("vec_id")
+    q = e.filter(F.col("vec_id") == 0)
+    brute = similarity.cosine_topk_rel(e, q, k=15).select("vec_id")
+    ivf = similarity.ivf_topk_rel(e, q, k=15, nprobe=3).select("vec_id")
     overlap = brute.join(ivf, "vec_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_overlap")
     )
@@ -5394,14 +5390,12 @@ def int8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantization quality quantified under the oracle gate: top-10 by
     exact float cosine vs top-10 on the int8 codes (both excluding the
     query vector itself), reporting overlap and recall@10 — the number
-    that justifies (or vetoes) shipping the 4× smaller index."""
+    that justifies (or vetoes) shipping the 4× smaller index. The
+    exact arm's query vector is a 1-row broadcast relation
+    (similarity.cosine_topk_rel) — no driver fetch."""
     e = _t(spark, sf_dir, "embeddings")
-    qv = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
-    brute = similarity.cosine_topk(
-        e.filter(F.col("vec_id") != 0), qv, k=10
+    brute = similarity.cosine_topk_rel(
+        e.filter(F.col("vec_id") != 0), e.filter(F.col("vec_id") == 0), k=10
     ).select("vec_id")
     int8 = ann_int8_topk(spark, sf_dir).select("vec_id")
     return brute.join(int8, "vec_id").agg(
@@ -9470,10 +9464,10 @@ def verbatim_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_verdicts",
-    """
-    WITH seeds AS (
-        SELECT vec_id AS seed_id, embedding AS sv
-        FROM embeddings WHERE vec_id < 8
+    f"""
+    WITH {_codebook_cte(8)}, cbn AS (
+        SELECT c, centroid FROM cb
+        WHERE list_sum(list_transform(centroid, x -> x * x)) > 0
     ), base AS (
         SELECT vec_id, embedding,
                sqrt(list_sum(list_transform(list_zip(embedding, embedding),
@@ -9482,19 +9476,19 @@ def verbatim_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), nz AS (
         SELECT * FROM base WHERE norm > 0
     ), scored AS (
-        SELECT b.vec_id, s.seed_id,
-               list_sum(list_transform(list_zip(b.embedding, s.sv),
+        SELECT b.vec_id, s.c,
+               list_sum(list_transform(list_zip(b.embedding, s.centroid),
                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                / (b.norm
-                  * sqrt(list_sum(list_transform(list_zip(s.sv, s.sv),
+                  * sqrt(list_sum(list_transform(list_zip(s.centroid, s.centroid),
                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
                  AS cos
-        FROM nz b, seeds s
+        FROM nz b, cbn s
     ), assigned AS (
-        SELECT vec_id, CAST(seed_id AS INTEGER) AS cluster FROM (
-            SELECT vec_id, seed_id,
+        SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM (
+            SELECT vec_id, c,
                    row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY cos DESC, seed_id) AS rn
+                                      ORDER BY cos DESC, c) AS rn
             FROM scored) WHERE rn = 1
     ), dups AS (
         SELECT DISTINCT a2.vec_id AS dup_id
@@ -9514,20 +9508,16 @@ def verbatim_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=["semdedup", "similarity-blocked", "embedding-near-dup"],
 )
 def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: the 8 lowest-id vectors act
-    as the deterministic coarse codebook (a trained quantizer at
-    scale), assignment is map-side against the broadcast codebook, and
-    near-dup flags come from within-cluster exact cosine pairs
-    (operators/similarity.py:semdedup). One verdict row per vector."""
+    """SemDeDup over the embeddings table with a TRAINED coarse
+    codebook relation (one Lloyd step from the 8 lowest-id seeds —
+    operators/similarity.py:train_codebook): the k-row codebook
+    collapses to one broadcast row, assignment is map-side argmax
+    cosine, and near-dup flags come from within-cluster exact cosine
+    pairs (similarity.semdedup_rel). One verdict row per
+    non-degenerate vector; zero driver collects."""
     e = _t(spark, sf_dir, "embeddings", fanout=True)
-    seeds = [
-        [float(x) for x in r[0]]
-        for r in e.filter(F.col("vec_id") < 8)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    ]
-    return similarity.semdedup(e, seeds, threshold=0.4)
+    cb = similarity.train_codebook(e, k=8)
+    return similarity.semdedup_rel(e, cb, threshold=0.4)
 
 
 @register(
@@ -10424,20 +10414,66 @@ def jsonl_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_CODES_CTE = """
-    seeds AS (
-        SELECT vec_id AS c, embedding AS sv FROM embeddings WHERE vec_id < 4
-    ), dists AS (
-        SELECT e.vec_id, g.j AS sub, s.c,
+def _codebook_cte(k: int) -> str:
+    """Oracle twin of similarity.train_codebook(k): seed from the k
+    lowest-id vectors (rank-as-c), assign every vector to its nearest
+    seed by nano fixed-point L2 (ties → smaller c), then recompute
+    each centroid as the exact integer mean of its members' nano-
+    quantized components, falling back to the (quantized) seed for an
+    empty cell. Yields ``cb(c, centroid)`` with bit-identical DOUBLE
+    components on both engines."""
+    return f"""cb_init AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+               embedding AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {k})
+    ), cb_assign AS (
+        SELECT vec_id, c FROM (
+            SELECT e.vec_id, i.c,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY CAST(FLOOR(list_sum(list_transform(
+                                    list_zip(e.embedding, i.cv),
+                                    p -> (CAST(p[1] AS DOUBLE)
+                                          - CAST(p[2] AS DOUBLE))
+                                         * (CAST(p[1] AS DOUBLE)
+                                            - CAST(p[2] AS DOUBLE))))
+                                    * 1000000000) AS BIGINT), i.c) AS rn
+            FROM embeddings e CROSS JOIN cb_init i) WHERE rn = 1
+    ), cb_sums AS (
+        SELECT a.c, g.i AS dim,
+               SUM(CAST(FLOOR(CAST(e.embedding[g.i + 1] AS DOUBLE)
+                              * 1000000000) AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM cb_assign a JOIN embeddings e USING (vec_id)
+        CROSS JOIN generate_series(0, 63) g(i)
+        GROUP BY a.c, g.i
+    ), cb_comp AS (
+        SELECT i.c, g.i AS dim,
+               COALESCE(CAST(s.s AS DOUBLE) / s.n / 1000000000,
+                        CAST(CAST(FLOOR(CAST(i.cv[g.i + 1] AS DOUBLE)
+                                        * 1000000000) AS BIGINT) AS DOUBLE)
+                        / 1000000000) AS comp
+        FROM cb_init i CROSS JOIN generate_series(0, 63) g(i)
+        LEFT JOIN cb_sums s ON s.c = i.c AND s.dim = g.i
+    ), cb AS (
+        SELECT c, list(comp ORDER BY dim) AS centroid
+        FROM cb_comp GROUP BY c
+    )"""
+
+
+_PQ_CODES_CTE = f"""
+    {_codebook_cte(4)}, dists AS (
+        SELECT e.vec_id, g.j AS sub, b.c,
                CAST(FLOOR(list_sum(list_transform(range(1, 9),
                    i -> (CAST(e.embedding[g.j*8 + i] AS DOUBLE)
-                         - CAST(s.sv[g.j*8 + i] AS DOUBLE))
+                         - b.centroid[g.j*8 + i])
                         * (CAST(e.embedding[g.j*8 + i] AS DOUBLE)
-                           - CAST(s.sv[g.j*8 + i] AS DOUBLE))))
+                           - b.centroid[g.j*8 + i])))
                    * 1000000000) AS BIGINT) AS d
         FROM embeddings e
         CROSS JOIN generate_series(0, 7) g(j)
-        CROSS JOIN seeds s
+        CROSS JOIN cb b
     ), codes AS (
         SELECT vec_id, sub, c FROM (
             SELECT vec_id, sub, c,
@@ -10467,19 +10503,15 @@ _PQ_CODES_CTE = """
 )
 def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes (Jégou et al. 2011) over the
-    embeddings table: 8 subspaces × 4-centroid codebook (derived from
-    the 4 lowest-id vectors — a trained codebook at scale), nearest
-    centroid per subspace in exact nano fixed point
-    (operators/similarity.py:pq_codes). Entirely map-side."""
+    embeddings table: 8 subspaces × a 4-centroid coarse codebook
+    TRAINED in-plan (one Lloyd step from the 4 lowest-id seeds —
+    operators/similarity.py:train_codebook), nearest centroid per
+    subspace in exact nano fixed point (similarity.pq_codes_rel). The
+    codebook is a relation that collapses to one broadcast row, so
+    assignment is map-side with zero driver collects."""
     e = _t(spark, sf_dir, "embeddings", fanout=True)
-    seeds = [
-        [float(x) for x in r[0]]
-        for r in e.filter(F.col("vec_id") < 4)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    ]
-    return similarity.pq_codes(e, seeds, m=8)
+    cb = similarity.train_codebook(e, k=4)
+    return similarity.pq_codes_rel(e, cb, m=8, dim=64)
 
 
 @register(
@@ -10488,14 +10520,14 @@ def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_PQ_CODES_CTE}, q AS (
         SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
     ), tbl AS (
-        SELECT g.j AS sub, s.c,
+        SELECT g.j AS sub, b.c,
                CAST(FLOOR(list_sum(list_transform(range(1, 9),
                    i -> (CAST(q.qv[g.j*8 + i] AS DOUBLE)
-                         - CAST(s.sv[g.j*8 + i] AS DOUBLE))
+                         - b.centroid[g.j*8 + i])
                         * (CAST(q.qv[g.j*8 + i] AS DOUBLE)
-                           - CAST(s.sv[g.j*8 + i] AS DOUBLE))))
+                           - b.centroid[g.j*8 + i])))
                    * 1000000000) AS BIGINT) AS d
-        FROM q CROSS JOIN generate_series(0, 7) g(j) CROSS JOIN seeds s
+        FROM q CROSS JOIN generate_series(0, 7) g(j) CROSS JOIN cb b
     ), adc AS (
         SELECT cd.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist_nano
         FROM codes cd JOIN tbl t ON t.sub = cd.sub AND t.c = cd.c
@@ -10508,16 +10540,15 @@ def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric distance computation over the PQ codes: full-
-    precision query vs 8-code database rows via an in-plan constant-
-    folded m×k distance table, exact integer adds, deterministic
-    top-10 (operators/similarity.py:pq_adc_topk)."""
+    precision query (the vec_id=0 row, as a 1-row broadcast relation)
+    vs 8-code database rows via an in-plan m×k distance table built on
+    the broadcast side from the TRAINED codebook relation, exact
+    integer adds, deterministic top-10
+    (operators/similarity.py:pq_adc_topk_rel). Zero driver collects."""
     e = _t(spark, sf_dir, "embeddings", fanout=True)
-    rows = (
-        e.filter(F.col("vec_id") < 4).orderBy("vec_id").select("embedding").collect()
-    )
-    seeds = [[float(x) for x in r[0]] for r in rows]
-    qv = seeds[0]
-    return similarity.pq_adc_topk(e, seeds, qv, k=10, m=8)
+    cb = similarity.train_codebook(e, k=4)
+    q = e.filter(F.col("vec_id") == 0)
+    return similarity.pq_adc_topk_rel(e, cb, q, k=10, m=8, n_centroids=4)
 
 
 @register(
@@ -10526,14 +10557,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_PQ_CODES_CTE}, q AS (
         SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
     ), tbl AS (
-        SELECT g.j AS sub, s.c,
+        SELECT g.j AS sub, b.c,
                CAST(FLOOR(list_sum(list_transform(range(1, 9),
                    i -> (CAST(q.qv[g.j*8 + i] AS DOUBLE)
-                         - CAST(s.sv[g.j*8 + i] AS DOUBLE))
+                         - b.centroid[g.j*8 + i])
                         * (CAST(q.qv[g.j*8 + i] AS DOUBLE)
-                           - CAST(s.sv[g.j*8 + i] AS DOUBLE))))
+                           - b.centroid[g.j*8 + i])))
                    * 1000000000) AS BIGINT) AS d
-        FROM q CROSS JOIN generate_series(0, 7) g(j) CROSS JOIN seeds s
+        FROM q CROSS JOIN generate_series(0, 7) g(j) CROSS JOIN cb b
     ), adc AS (
         SELECT cd.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist_nano
         FROM codes cd JOIN tbl t ON t.sub = cd.sub AND t.c = cd.c
@@ -10566,15 +10597,16 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     full precision — operators/similarity.py:l2_topk_nano), completing
     the measured-recall family (IVF, int8, PQ). The deliberately tiny
     4-centroid codebook makes the quantization loss VISIBLE: the
-    report documents the trade, not a vacuous 100%."""
+    report documents the trade, not a vacuous 100%. Codebook and query
+    are both relations (similarity.train_codebook / *_rel) — zero
+    driver collects anywhere in the plan."""
     e = _t(spark, sf_dir, "embeddings", fanout=True)
-    rows = (
-        e.filter(F.col("vec_id") < 4).orderBy("vec_id").select("embedding").collect()
-    )
-    seeds = [[float(x) for x in r[0]] for r in rows]
-    qv = seeds[0]
-    approx = similarity.pq_adc_topk(e, seeds, qv, k=10, m=8).select("vec_id")
-    exact = similarity.l2_topk_nano(e, qv, k=10).select("vec_id")
+    cb = similarity.train_codebook(e, k=4)
+    q = e.filter(F.col("vec_id") == 0)
+    approx = similarity.pq_adc_topk_rel(
+        e, cb, q, k=10, m=8, n_centroids=4
+    ).select("vec_id")
+    exact = similarity.l2_topk_rel(e, q, k=10).select("vec_id")
     hit = approx.join(exact, "vec_id", "left_semi").agg(
         F.count(F.lit(1)).alias("n_overlap")
     )
