@@ -15,22 +15,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import iso3166
 from ..operators import cleaning, filters, joins, upsert, validate
 from ..schemas import LOAD_ORDER, NATURAL_KEYS
 
-# ISO2 → ISO3 static lookup incl. the Eurostat quirks the reference
-# handles via country_converter (crime_immigration_etl.py:271-276):
-# EL → GRC (Greece), UK → GBR. Public ISO-3166 data, trimmed to the
-# European scope of the reference queries; extend freely.
-ISO2_TO_ISO3 = {
-    "AT": "AUT", "BE": "BEL", "BG": "BGR", "CH": "CHE", "CY": "CYP",
-    "CZ": "CZE", "DE": "DEU", "DK": "DNK", "EE": "EST", "EL": "GRC",
-    "ES": "ESP", "FI": "FIN", "FR": "FRA", "GR": "GRC", "HR": "HRV",
-    "HU": "HUN", "IE": "IRL", "IS": "ISL", "IT": "ITA", "LI": "LIE",
-    "LT": "LTU", "LU": "LUX", "LV": "LVA", "MT": "MLT", "NL": "NLD",
-    "NO": "NOR", "PL": "POL", "PT": "PRT", "RO": "ROU", "SE": "SWE",
-    "SI": "SVN", "SK": "SVK", "TR": "TUR", "UK": "GBR", "GB": "GBR",
-}
+# ISO2 → ISO3 lookup over the FULL ISO 3166-1 universe (the pycountry
+# analog the reference builds in crime_immigration_etl.py:16-28), incl.
+# the Eurostat quirks it handles via country_converter (etl:271-276):
+# EL → GRC (Greece), UK → GBR. Rounds 1-7 carried only 35 European
+# codes, so non-European Eurostat input silently took the J2 fallback;
+# functions/iso3166.py restores all 249 countries.
+ISO2_TO_ISO3 = {a2: a3 for a2, a3, _, _ in iso3166.COUNTRIES}
+ISO2_TO_ISO3.update(
+    {alias.upper(): a3 for alias, a3 in iso3166.EXTRA_ALIASES}
+)
 
 MIN_YEAR, MAX_YEAR = 2018, 2022
 

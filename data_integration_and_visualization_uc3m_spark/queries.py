@@ -68,6 +68,7 @@ from .operators import (
     validate,
     zorder,
 )
+from .functions import geo, iso3166
 from .sources.readers import load_table, synthetic_dim as readers_synthetic_dim
 from .session import tune
 
@@ -109,6 +110,61 @@ def _t(
     in round 2 — see sources/readers.py bounds rationale)."""
     tune(spark)  # pin TZ/AQE even on driver-provided sessions
     return load_table(spark, sf_dir, name, respread=fanout)
+
+
+def _codebook_cte(k: int, dim: int = 64, table: str = "embeddings") -> str:
+    """Oracle twin of similarity.train_codebook(k): seed from the k
+    lowest-id vectors (rank-as-c), assign every vector to its nearest
+    seed by nano fixed-point L2 (ties → smaller c), then recompute
+    each centroid as the exact integer mean of its members' nano-
+    quantized components, falling back to the (quantized) seed for an
+    empty cell. Yields ``cb(c, centroid)`` with bit-identical DOUBLE
+    components on both engines.
+
+    ``dim``/``table`` default to the 64-dim ``embeddings`` testdata
+    table; pass them explicitly when reusing against another relation
+    (similarity.train_codebook is table/dim-generic on the Spark side).
+    Defined here, ABOVE every @register use — decorator f-strings
+    evaluate at import, so a forward reference is an ImportError
+    (round-7 postmortem)."""
+    return f"""cb_init AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+               embedding AS cv
+        FROM (SELECT vec_id, embedding FROM {table}
+              ORDER BY vec_id LIMIT {k})
+    ), cb_assign AS (
+        SELECT vec_id, c FROM (
+            SELECT e.vec_id, i.c,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY CAST(FLOOR(list_sum(list_transform(
+                                    list_zip(e.embedding, i.cv),
+                                    p -> (CAST(p[1] AS DOUBLE)
+                                          - CAST(p[2] AS DOUBLE))
+                                         * (CAST(p[1] AS DOUBLE)
+                                            - CAST(p[2] AS DOUBLE))))
+                                    * 1000000000) AS BIGINT), i.c) AS rn
+            FROM {table} e CROSS JOIN cb_init i) WHERE rn = 1
+    ), cb_sums AS (
+        SELECT a.c, g.i AS dim,
+               SUM(CAST(FLOOR(CAST(e.embedding[g.i + 1] AS DOUBLE)
+                              * 1000000000) AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM cb_assign a JOIN {table} e USING (vec_id)
+        CROSS JOIN generate_series(0, {dim - 1}) g(i)
+        GROUP BY a.c, g.i
+    ), cb_comp AS (
+        SELECT i.c, g.i AS dim,
+               COALESCE(CAST(s.s AS DOUBLE) / s.n / 1000000000,
+                        CAST(CAST(FLOOR(CAST(i.cv[g.i + 1] AS DOUBLE)
+                                        * 1000000000) AS BIGINT) AS DOUBLE)
+                        / 1000000000) AS comp
+        FROM cb_init i CROSS JOIN generate_series(0, {dim - 1}) g(i)
+        LEFT JOIN cb_sums s ON s.c = i.c AND s.dim = g.i
+    ), cb AS (
+        SELECT c, list(comp ORDER BY dim) AS centroid
+        FROM cb_comp GROUP BY c
+    )"""
 
 
 # =====================================================================
@@ -10414,54 +10470,6 @@ def jsonl_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _codebook_cte(k: int) -> str:
-    """Oracle twin of similarity.train_codebook(k): seed from the k
-    lowest-id vectors (rank-as-c), assign every vector to its nearest
-    seed by nano fixed-point L2 (ties → smaller c), then recompute
-    each centroid as the exact integer mean of its members' nano-
-    quantized components, falling back to the (quantized) seed for an
-    empty cell. Yields ``cb(c, centroid)`` with bit-identical DOUBLE
-    components on both engines."""
-    return f"""cb_init AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
-               embedding AS cv
-        FROM (SELECT vec_id, embedding FROM embeddings
-              ORDER BY vec_id LIMIT {k})
-    ), cb_assign AS (
-        SELECT vec_id, c FROM (
-            SELECT e.vec_id, i.c,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY CAST(FLOOR(list_sum(list_transform(
-                                    list_zip(e.embedding, i.cv),
-                                    p -> (CAST(p[1] AS DOUBLE)
-                                          - CAST(p[2] AS DOUBLE))
-                                         * (CAST(p[1] AS DOUBLE)
-                                            - CAST(p[2] AS DOUBLE))))
-                                    * 1000000000) AS BIGINT), i.c) AS rn
-            FROM embeddings e CROSS JOIN cb_init i) WHERE rn = 1
-    ), cb_sums AS (
-        SELECT a.c, g.i AS dim,
-               SUM(CAST(FLOOR(CAST(e.embedding[g.i + 1] AS DOUBLE)
-                              * 1000000000) AS BIGINT)) AS s,
-               COUNT(*) AS n
-        FROM cb_assign a JOIN embeddings e USING (vec_id)
-        CROSS JOIN generate_series(0, 63) g(i)
-        GROUP BY a.c, g.i
-    ), cb_comp AS (
-        SELECT i.c, g.i AS dim,
-               COALESCE(CAST(s.s AS DOUBLE) / s.n / 1000000000,
-                        CAST(CAST(FLOOR(CAST(i.cv[g.i + 1] AS DOUBLE)
-                                        * 1000000000) AS BIGINT) AS DOUBLE)
-                        / 1000000000) AS comp
-        FROM cb_init i CROSS JOIN generate_series(0, 63) g(i)
-        LEFT JOIN cb_sums s ON s.c = i.c AND s.dim = g.i
-    ), cb AS (
-        SELECT c, list(comp ORDER BY dim) AS centroid
-        FROM cb_comp GROUP BY c
-    )"""
-
-
 _PQ_CODES_CTE = f"""
     {_codebook_cte(4)}, dists AS (
         SELECT e.vec_id, g.j AS sub, b.c,
@@ -13992,6 +14000,372 @@ def orders_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round 8 — map/trace-spec egress (the reference's plotly layer),
+# full-universe country normalization, and the live JDBC round-trip.
+# =====================================================================
+
+# Per-nation alias probes (index = nation key 0-24): the identifier
+# shapes the reference's COUNTRIES_MAP absorbs — alpha-2 (upper/lower),
+# alpha-3, short names (any case, padded), official names, the
+# Eurostat EL/UK quirks — plus two that MISS ("Iran", "vietnam" are
+# not ISO short names) and must take the .get(k, default) fallback.
+_ALIAS_PROBES: tuple[str, ...] = (
+    "DZ", "Argentina", " brazil ", "CAN", "EG",
+    "ETH", "FRENCH REPUBLIC", "de", "India", "ID",
+    "Iran", "IRQ", "jp", "Jordan", "KE",
+    "ma", "Mozambique", "PER", "People's Republic of China", "ro",
+    "Russian Federation", "SAU", "UK", "United States of America",
+    "vietnam",
+)
+
+_ALIAS_PROBES_SQL = ", ".join(
+    f"({i}, '{p.replace(chr(39), chr(39) * 2)}')"
+    for i, p in enumerate(_ALIAS_PROBES)
+)
+
+
+@register(
+    "country_alias_normalize",
+    f"""
+    WITH cc AS (
+        SELECT c_nationkey, COUNT(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    ), probes AS (
+        SELECT * FROM (VALUES {_ALIAS_PROBES_SQL}) p(nationkey, probe_alias)
+    ), uni AS (
+        SELECT * FROM {iso3166.alias_values_sql()}
+    )
+    SELECT n.n_nationkey, p.probe_alias,
+           COALESCE(u.canonical_name, lower(trim(p.probe_alias)))
+               AS canonical_name,
+           u.iso3 AS iso3,
+           u.iso3 IS NOT NULL AS matched,
+           cc.n_customers
+    FROM nation n
+    JOIN probes p ON p.nationkey = n.n_nationkey
+    JOIN cc ON cc.c_nationkey = n.n_nationkey
+    LEFT JOIN uni u ON lower(trim(p.probe_alias)) = u.alias
+    """,
+    ops=["J2", "J3", "S8", "C1"],
+)
+def country_alias_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/J2/J3 over the FULL ISO 3166-1 universe — the pycountry
+    analog (crime_immigration_etl.py:16-34: every country's name,
+    alpha-2, alpha-3 and official name feed one lowercased alias map;
+    lookups fall back to the input). functions/iso3166.py carries all
+    249 countries (914 alias rows) + the Eurostat EL→GRC / UK→GBR
+    quirks (etl:271-276). The probe column exercises each alias shape
+    plus two misses that must take the fallback.
+
+    Scale shape: the universe is a ~few-KB broadcast; the only shuffle
+    is the customer-count aggregate (partial map-side combine on a
+    25-value key)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cc = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    probe = F.element_at(
+        F.array(*[F.lit(p) for p in _ALIAS_PROBES]),
+        (F.col("n_nationkey") + 1).cast("int"),
+    )
+    probed = (
+        n.join(cc, n.n_nationkey == cc.c_nationkey)
+        .withColumn("probe_alias", probe)
+        .withColumn("__alias", cleaning.normalize_string("probe_alias"))
+    )
+    uni = F.broadcast(iso3166.alias_relation(spark))
+    # uni["alias"], not uni.alias — .alias is the DataFrame METHOD
+    out = probed.join(uni, probed["__alias"] == uni["alias"], "left")
+    return out.select(
+        "n_nationkey",
+        "probe_alias",
+        F.coalesce("canonical_name", "__alias").alias("canonical_name"),
+        "iso3",
+        F.col("iso3").isNotNull().alias("matched"),
+        "n_customers",
+    )
+
+
+# The reference's Scattergeo constants (map-making/create-maps.py):
+# positional size-bucket limits (MAPS:15), one color per bucket
+# (MAPS:16), marker size divisor (MAPS:18), and the fixed marker/
+# layout attributes (MAPS:25-37).
+_GEO_LIMITS: tuple[tuple[int, int], ...] = ((0, 3), (3, 11), (11, 21), (21, 50), (50, 3000))
+_GEO_COLORS: tuple[str, ...] = (
+    "royalblue", "crimson", "lightseagreen", "orange", "lightgrey",
+)
+_GEO_SCALE = 5000
+
+
+@register(
+    "scattergeo_trace_specs",
+    f"""
+    WITH pts AS (
+        SELECT n_nationkey, n_name AS name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS immigration,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_nationkey, n_name
+    ), ranked AS (
+        SELECT *,
+               CAST(n_orders AS DOUBLE) / n_customers * 100000 AS crime_rate,
+               ROW_NUMBER() OVER (ORDER BY immigration DESC, name) AS rn
+        FROM pts
+    ), pos AS (
+        SELECT * FROM {geo.positions_values_sql()}
+    )
+    SELECT p.iso3, r.name, p.lon, p.lat,
+           CASE WHEN rn <= 3 THEN '0 - 3' WHEN rn <= 11 THEN '3 - 11'
+                WHEN rn <= 21 THEN '11 - 21' WHEN rn <= 50 THEN '21 - 50'
+                ELSE '50 - 3000' END AS trace_name,
+           CASE WHEN rn <= 3 THEN 'royalblue' WHEN rn <= 11 THEN 'crimson'
+                WHEN rn <= 21 THEN 'lightseagreen'
+                WHEN rn <= 50 THEN 'orange'
+                ELSE 'lightgrey' END AS marker_color,
+           r.immigration / 5000 AS marker_size,
+           r.name || '<br>Immigration '
+                  || CAST(CAST(r.immigration / 1000000 AS DECIMAL(18,2))
+                          AS VARCHAR)
+                  || chr(10) || ' Crime'
+                  || CAST(CAST(r.crime_rate AS DECIMAL(10,2)) AS VARCHAR)
+               AS text,
+           r.crime_rate,
+           'ISO-3' AS locationmode,
+           'rgb(40,40,40)' AS line_color,
+           CAST(0.5 AS DOUBLE) AS line_width,
+           'area' AS sizemode
+    FROM ranked r JOIN pos p ON p.nationkey = r.n_nationkey
+    """,
+    ops=["C8", "C9", "F8", "K5"],
+)
+def scattergeo_trace_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE viz egress — one row per map point carrying every
+    plotly Scattergeo attribute the reference sets
+    (map-making/create-maps.py:25-37): positional limit slices become
+    rank buckets over an explicit deterministic order (MAPS:15,22-24;
+    pandas df[lo:hi] slices file order — F8 discipline makes it a
+    row_number), per-bucket trace name '{{lo}} - {{hi}}' (MAPS:37) and
+    color (MAPS:16), marker size = metric/5000 (MAPS:18,30),
+    locationmode='ISO-3' (MAPS:26), line_color/line_width/sizemode
+    (MAPS:32-34), and the hover text concat (MAPS:14 — its exact
+    '<br>Immigration ' + metric/1e6 + '\\n Crime' + rate shape).
+    Metrics are the testdata analogs: immigration→revenue,
+    crime→orders-per-100k-customers; positions come from
+    functions/geo.py (the countries.txt analog, create-points.py:1).
+
+    Scale shape: one shuffle (the nation-level agg); positions and the
+    rank window run on 25 rows. A feed for go.Figure construction —
+    each trace_name group maps to one add_trace call."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pts = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_nationkey", F.col("n_name").alias("name"))
+        .agg(
+            F.sum(_dec2("o_totalprice")).cast("double").alias("immigration"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .withColumn(
+            "crime_rate",
+            F.col("n_orders").cast("double") / F.col("n_customers") * 100000,
+        )
+    )
+    w = Window.orderBy(F.col("immigration").desc(), F.col("name"))
+    ranked = pts.withColumn("rn", F.row_number().over(w))
+    trace_name = (
+        F.when(F.col("rn") <= 3, "0 - 3")
+        .when(F.col("rn") <= 11, "3 - 11")
+        .when(F.col("rn") <= 21, "11 - 21")
+        .when(F.col("rn") <= 50, "21 - 50")
+        .otherwise("50 - 3000")
+    )
+    marker_color = (
+        F.when(F.col("rn") <= 3, _GEO_COLORS[0])
+        .when(F.col("rn") <= 11, _GEO_COLORS[1])
+        .when(F.col("rn") <= 21, _GEO_COLORS[2])
+        .when(F.col("rn") <= 50, _GEO_COLORS[3])
+        .otherwise(_GEO_COLORS[4])
+    )
+    text = F.concat(
+        F.col("name"),
+        F.lit("<br>Immigration "),
+        (F.col("immigration") / 1000000).cast(DEC2).cast("string"),
+        F.lit("\n Crime"),
+        F.col("crime_rate").cast("decimal(10,2)").cast("string"),
+    )
+    pos = F.broadcast(geo.positions_relation(spark))
+    return (
+        ranked.join(pos, ranked.n_nationkey == pos.nationkey)
+        .select(
+            "iso3",
+            "name",
+            "lon",
+            "lat",
+            trace_name.alias("trace_name"),
+            marker_color.alias("marker_color"),
+            (F.col("immigration") / _GEO_SCALE).alias("marker_size"),
+            text.alias("text"),
+            "crime_rate",
+            F.lit("ISO-3").alias("locationmode"),
+            F.lit("rgb(40,40,40)").alias("line_color"),
+            F.lit(0.5).alias("line_width"),
+            F.lit("area").alias("sizemode"),
+        )
+    )
+
+
+@register(
+    "viz_point_specs",
+    f"""
+    WITH pts AS (
+        SELECT n_nationkey, n_name AS name,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS size_value,
+               COUNT(*) AS color_value
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_nationkey, n_name, order_year
+    ), pos AS (
+        SELECT * FROM {geo.positions_values_sql()}
+    )
+    SELECT pt.name, pt.order_year, p.lon, p.lat,
+           pt.size_value, pt.color_value,
+           'point in (' || CAST(CAST(p.lon AS DECIMAL(6,1)) AS VARCHAR)
+               || ', ' || CAST(CAST(p.lat AS DECIMAL(6,1)) AS VARCHAR)
+               || ') with size '
+               || CAST(CAST(pt.size_value AS DECIMAL(18,2)) AS VARCHAR)
+               || ' and color ' || CAST(pt.color_value AS VARCHAR)
+               AS point_spec
+    FROM pts pt JOIN pos p ON p.nationkey = pt.n_nationkey
+    """,
+    ops=["C8", "K5"],
+)
+def viz_point_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-country-year point specs — create-points.py:19-20 renders
+    'point in {{position}} with size {{immigration[year]}} and color
+    {{crime[year]}}' per country per year; here the position comes from
+    the functions/geo.py relation and the metrics are the per-year
+    testdata analogs (size→revenue, color→order count). Number
+    rendering goes through DECIMAL so both engines print identical
+    strings (the viz_hover_points convention)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pts = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(
+            "n_nationkey",
+            F.col("n_name").alias("name"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.sum(_dec2("o_totalprice")).cast("double").alias("size_value"),
+            F.count(F.lit(1)).alias("color_value"),
+        )
+    )
+    pos = F.broadcast(geo.positions_relation(spark))
+    spec = F.concat(
+        F.lit("point in ("),
+        F.col("lon").cast("decimal(6,1)").cast("string"),
+        F.lit(", "),
+        F.col("lat").cast("decimal(6,1)").cast("string"),
+        F.lit(") with size "),
+        F.col("size_value").cast(DEC2).cast("string"),
+        F.lit(" and color "),
+        F.col("color_value").cast("string"),
+    )
+    return pts.join(pos, pts.n_nationkey == pos.nationkey).select(
+        "name",
+        "order_year",
+        "lon",
+        "lat",
+        "size_value",
+        "color_value",
+        spec.alias("point_spec"),
+    )
+
+
+@register(
+    "jdbc_roundtrip_report",
+    """
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_revenue
+    FROM orders
+    GROUP BY o_orderstatus, order_year
+    """,
+    ops=["K1", "K2", "K3", "S5"],
+)
+def jdbc_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 executed LIVE — the reference's relational load
+    (crime_immigration_etl.py:314-380: execute_values page_size=1000
+    per-table) as a real df.write.jdbc with batchsize=1000 into an
+    embedded Apache Derby database (the JDBC engine that ships in
+    Spark's jars/), then read back over JDBC and aggregated. The oracle
+    computes the same aggregate straight from parquet, so a hash match
+    proves the round-trip was lossless end-to-end — types, batching,
+    and the overwrite (per-table replace) path all exercised against a
+    live database, not just writer construction.
+
+    Timestamps stay OUT of the round-trip (order_year is projected to
+    int pre-write): JDBC timestamp columns re-render through the
+    session timezone on both legs, a known cross-engine trap. At scale
+    the write parallelizes per-partition (one connection + batched
+    inserts each) and the read back uses a partitionColumn so the scan
+    is not single-threaded."""
+    from .sinks.writers import jdbc_writer
+
+    url = "jdbc:derby:memory:sg_roundtrip;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    staged = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
+    jdbc_writer(
+        staged, url, "SG_ORDERS", batchsize=1000, mode="overwrite",
+        properties=props,
+    ).save()
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "SG_ORDERS")
+        .option("driver", props["driver"])
+        # parallel read-back: year spans the testdata's 1992-1998
+        .option("partitionColumn", "order_year")
+        .option("lowerBound", "1990")
+        .option("upperBound", "2000")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return back.groupBy("o_orderstatus", "order_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.sum(_dec2("o_totalprice")).cast("double").alias("total_revenue"),
+    )
+
+
+# =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
 
@@ -14117,10 +14491,20 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
 
 # Queries whose implementation changed this round AFTER their last
 # driver verdict — pinned to the front of the window so the stale green
-# is replaced. (The round-6 pin of ivf_topk/ivf_recall_report was
-# wrong: their bodies and oracles had not changed. Pins below must be
-# backed by an actual diff to the named query's plan or oracle.)
+# is replaced. Pins below must be backed by an actual diff to the named
+# query's plan or oracle. These 8 were re-plumbed in round 7 onto the
+# trained-codebook relation (train_codebook / _codebook_cte) after
+# their round-2/6 greens, but round 7's gate crashed on import before
+# verifying any of them — their _PRIOR_VERIFIED greens are stale.
 _PRIORITY: tuple[str, ...] = (
+    "embedding_cosine_topk",
+    "ivf_topk",
+    "ivf_recall_report",
+    "int8_recall_report",
+    "semdedup_verdicts",
+    "pq_codes_embeddings",
+    "pq_adc_topk",
+    "pq_recall_report",
 )
 
 
@@ -14129,6 +14513,10 @@ _PRIORITY: tuple[str, ...] = (
 # longer-waiting query out of the window; they fill any spare window
 # slots in listed order.
 _NEW_PARITY_ONLY: tuple[str, ...] = (
+    "country_alias_normalize",
+    "scattergeo_trace_specs",
+    "viz_point_specs",
+    "jdbc_roundtrip_report",
 )
 
 def _rotated() -> list[str]:

@@ -11,7 +11,8 @@ Spark-side:
 - viz egress: single-file CSV (coalesce(1) — driver-bound by design,
   viz outputs are small by contract);
 - relational: ``df.write.jdbc`` with batchsize (K1's page_size analog);
-  config-only here since no JDBC driver jar ships in this image.
+  exercised LIVE against embedded Apache Derby (ships in Spark's
+  jars/) by queries.jdbc_roundtrip_report — write, read back, verify.
 """
 
 from __future__ import annotations

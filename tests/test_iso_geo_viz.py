@@ -1,0 +1,118 @@
+"""Round 8 additions: full ISO 3166-1 universe, map positions, viz
+trace/point specs, live Derby JDBC round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_and_visualization_uc3m_spark.functions import geo, iso3166
+from data_integration_and_visualization_uc3m_spark.operators import joins
+from data_integration_and_visualization_uc3m_spark.plans import star
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_universe_shape():
+    # the reference's pycountry loop yields 249 ISO 3166-1 countries
+    assert len(iso3166.COUNTRIES) == 249
+    rows = iso3166.alias_rows()
+    assert len(rows) == len({a for a, _, _ in rows})  # alias is a key
+    d = {a: (i, n) for a, i, n in rows}
+    # every alpha-2 and alpha-3 resolves to itself
+    for a2, a3, name, official in iso3166.COUNTRIES:
+        assert d[a2.lower()] == (a3, name)
+        assert d[a3.lower()] == (a3, name)
+        assert d[name.lower()] == (a3, name)
+        if official:
+            assert d[official.lower()][0] == a3
+    # Eurostat quirks (etl:271-276)
+    assert d["el"] == ("GRC", "Greece")
+    assert d["uk"] == ("GBR", "United Kingdom")
+
+
+def test_star_iso2_map_is_full_universe():
+    assert len(star.ISO2_TO_ISO3) == 251  # 249 + EL + UK
+    assert star.ISO2_TO_ISO3["EL"] == "GRC"
+    assert star.ISO2_TO_ISO3["UK"] == "GBR"
+    assert star.ISO2_TO_ISO3["JP"] == "JPN"  # non-European now resolves
+    assert star.ISO2_TO_ISO3["BR"] == "BRA"
+
+
+def test_alias_lookup_fallback_semantics(spark):
+    # COUNTRIES_MAP.get(k, default) — misses keep the normalized input
+    probe = spark.createDataFrame(
+        [("EL",), ("Deutschland",), (" france ",)], "geo string"
+    )
+    out = joins.lookup_join_with_fallback(
+        probe,
+        iso3166.alias_relation(spark).select(
+            F.col("alias"), F.col("canonical_name").alias("canonical")
+        ),
+        F.lower(F.trim("geo")),
+        "norm",
+    )
+    got = {r.geo: r.norm for r in out.collect()}
+    assert got["EL"] == "Greece"
+    assert got[" france "] == "France"
+    assert got["Deutschland"] == "deutschland"  # miss → fallback
+
+
+def test_positions_cover_all_nation_keys(spark):
+    assert [k for k, _, _, _ in geo.NATION_POSITIONS] == list(range(25))
+    assert geo.positions_relation(spark).count() == 25
+
+
+def test_scattergeo_trace_specs(spark):
+    from data_integration_and_visualization_uc3m_spark import queries
+
+    rows = queries.scattergeo_trace_specs(spark, SF).collect()
+    assert len(rows) == 25  # one point per nation
+    by_rank = sorted(rows, key=lambda r: -r.marker_size)
+    # positional limit buckets (MAPS:15): 3 / 8 / 10 / rest
+    traces = [r.trace_name for r in by_rank]
+    assert traces[:3] == ["0 - 3"] * 3
+    assert traces[3:11] == ["3 - 11"] * 8
+    assert traces[11:21] == ["11 - 21"] * 10
+    assert set(traces[21:]) == {"21 - 50"}
+    for r in rows:
+        assert r.locationmode == "ISO-3"
+        assert r.line_color == "rgb(40,40,40)"
+        assert r.line_width == 0.5
+        assert r.sizemode == "area"
+        assert "<br>Immigration " in r.text and "\n Crime" in r.text
+        assert len(r.iso3) == 3
+
+
+def test_viz_point_specs(spark):
+    from data_integration_and_visualization_uc3m_spark import queries
+
+    rows = queries.viz_point_specs(spark, SF).collect()
+    assert rows
+    r = rows[0]
+    assert r.point_spec.startswith("point in (")
+    assert f" and color {r.color_value}" in r.point_spec
+
+
+def test_jdbc_roundtrip_live_derby(spark):
+    from data_integration_and_visualization_uc3m_spark import queries
+
+    got = {
+        (r.o_orderstatus, r.order_year): (r.n_orders, r.total_revenue)
+        for r in queries.jdbc_roundtrip_report(spark, SF).collect()
+    }
+    # the same aggregate straight from parquet must agree — lossless
+    direct = (
+        queries._t(spark, SF, "orders")
+        .groupBy("o_orderstatus", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+    )
+    want = {
+        (r.o_orderstatus, r.order_year): (r.n_orders, r.total_revenue)
+        for r in direct.collect()
+    }
+    assert got == want
