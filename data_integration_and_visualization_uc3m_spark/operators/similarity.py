@@ -843,18 +843,17 @@ def cosine_topk_rel(
     )
 
 
-def ivf_topk_rel(
+def _probe_blocks(
     df: DataFrame,
     qdf: DataFrame,
-    k: int = 15,
-    nprobe: int = 3,
-    block_col: str = "label",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    nprobe: int,
+    block_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """ivf_topk with the query as a 1-row broadcast relation — same
-    fixed-point centroid ranking, probe-prune, exact cosine re-rank;
-    no driver fetch of the query vector."""
+    """IVF coarse phase: rank blocks by nano fixed-point L2 between the
+    (1-row broadcast) query and each block's nano-exact centroid; keep
+    the nprobe nearest. Returns a ``block`` relation — broadcast-sized,
+    so the candidate semi-join never shuffles the corpus."""
     q1 = qdf.select(F.col(vec_col).alias("_qv"))
     cents = label_centroids_nano(df, block_col, vec_col)
     comp = F.col("sum_nano").cast("double") / F.col("cnt") / NANO
@@ -869,11 +868,26 @@ def ivf_topk_rel(
         .groupBy("block")
         .agg(F.sum("term_nano").alias("dist_nano"))
     )
-    probed = (
+    return (
         dist.orderBy(F.col("dist_nano"), F.col("block"))
         .limit(nprobe)
         .select("block")
     )
+
+
+def ivf_topk_rel(
+    df: DataFrame,
+    qdf: DataFrame,
+    k: int = 15,
+    nprobe: int = 3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_topk with the query as a 1-row broadcast relation — same
+    fixed-point centroid ranking, probe-prune, exact cosine re-rank;
+    no driver fetch of the query vector."""
+    probed = _probe_blocks(df, qdf, nprobe, block_col, vec_col)
     qn = qdf.select(F.col(vec_col).alias("_qv")).select(
         "_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn")
     )
@@ -959,4 +973,91 @@ def semdedup_rel(
         F.col(id_col),
         F.col("cluster"),
         F.coalesce(F.col("_is_dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists — the
+    standard way to combine a lexical (BM25) and a vector (cosine)
+    retrieval arm without score calibration: each arm contributes
+    ``1 / (rrf_k + rank)`` and documents are re-ranked by the sum
+    (Cormack et al., SIGIR 2009). Inputs are ``(id_col, rank_col)``
+    relations with ranks starting at 1; a document missing from one
+    arm simply contributes 0 from it.
+
+    Scores are fixed-point: ``floor(1e9 / (rrf_k + rank))`` per arm,
+    summed as integers, so both engines produce bit-identical fusion
+    keys (the registry's float convention).
+
+    Scale shape: the fused join runs over the arms' top-N candidate
+    relations (already small by construction — each arm's top-N is the
+    expensive distributed part and happens UPSTREAM), so fusion itself
+    is a broadcast-sized full-outer join + limit. No window over the
+    corpus, no driver collect.
+    """
+
+    def fp(col: str) -> F.Column:
+        return F.when(
+            F.col(col).isNotNull(),
+            F.floor(F.lit(1e9) / (F.lit(rrf_k) + F.col(col))).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    a = ranked_a.select(F.col(id_col), F.col(rank_col).alias("_ra"))
+    b = ranked_b.select(F.col(id_col), F.col(rank_col).alias("_rb"))
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            F.col("_ra").alias("rank_a"),
+            F.col("_rb").alias("rank_b"),
+            (fp("_ra") + fp("_rb")).alias("rrf_fp9"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_fp9").desc(), F.col(id_col)).limit(k)
+
+
+def ivfpq_topk_rel(
+    df: DataFrame,
+    codebook: DataFrame,
+    qdf: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    m: int = 8,
+    dim: int = 64,
+    n_centroids: int = 4,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite ANN — the FAISS IndexIVFPQ architecture, which
+    is THE shape that survives 100 TB: the coarse quantizer
+    (_probe_blocks) prunes the corpus to nprobe cells (partition
+    pruning at the scan when the table is partitioned by cell), then
+    asymmetric-distance computation over PQ codes (pq_adc_topk_rel)
+    ranks only the surviving candidates — m integer adds per row
+    against a broadcast distance table, never the full-precision
+    vectors. Both stages are nano fixed-point deterministic, so the
+    composite stays oracle-checkable end to end.
+
+    Returns ``(id_col, block_col, adc_dist_nano)`` for the top-k.
+    """
+    probed = _probe_blocks(df, qdf, nprobe, block_col, vec_col)
+    cand = df.join(
+        F.broadcast(probed), df[block_col] == F.col("block"), "left_semi"
+    )
+    ranked = pq_adc_topk_rel(
+        cand, codebook, qdf, k=k, m=m, dim=dim,
+        n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+    )
+    return (
+        ranked.join(F.broadcast(df.select(id_col, block_col)), id_col)
+        .select(id_col, block_col, "adc_dist_nano")
+        .orderBy(F.col("adc_dist_nano"), F.col(id_col))
     )

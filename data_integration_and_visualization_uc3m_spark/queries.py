@@ -14365,6 +14365,207 @@ def jdbc_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hybrid_rrf_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), scal AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_toks
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE tok IN ('spark', 'vector', 'slow') GROUP BY doc_id, tok
+    ), dfs AS (
+        SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok
+    ), sc AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                   ln((CAST(n_docs - df_t AS DOUBLE) + 0.5)
+                      / (CAST(df_t AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                               / (CAST(total_toks AS DOUBLE) / n_docs))))
+                   * 1000000000) AS BIGINT) AS t_fp9
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN scal
+        JOIN dfs ON dfs.tok = tf.tok
+    ), bm AS (
+        SELECT doc_id, CAST(SUM(t_fp9) AS BIGINT) AS bm25_fp9
+        FROM sc GROUP BY doc_id
+    ), lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25_fp9 DESC, doc_id)
+                    AS INTEGER) AS lex_rank
+        FROM (SELECT * FROM bm ORDER BY bm25_fp9 DESC, doc_id LIMIT 50)
+    ), q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), cosd AS (
+        SELECT vec_id AS doc_id, cosine FROM (
+            SELECT vec_id,
+                   list_sum(list_transform(list_zip(embedding, qv),
+                            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+                            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(list_zip(qv, qv),
+                            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
+                     AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id LIMIT 50)
+    ), vec AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+                    AS INTEGER) AS vec_rank
+        FROM cosd
+    ), fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.lex_rank, v.vec_rank,
+               COALESCE(CAST(FLOOR(1000000000.0 / (60 + l.lex_rank))
+                             AS BIGINT), 0)
+             + COALESCE(CAST(FLOOR(1000000000.0 / (60 + v.vec_rank))
+                             AS BIGINT), 0) AS rrf_fp9
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_fp9
+    FROM fused ORDER BY rrf_fp9 DESC, doc_id LIMIT 20
+    """,
+    ops=["text-retrieval-bm25", "similarity-brute", "rank-fusion", "§2.8"],
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — BM25 lexical arm + brute-cosine vector arm,
+    fused by reciprocal-rank fusion (similarity.rrf_fuse; Cormack et
+    al. 2009): score = Σ 1/(60+rank), fixed-point so both engines agree
+    bit-for-bit. The RAG candidate-generation pattern over the
+    documents/embeddings twin tables (shared id space).
+
+    Scale shape: each arm does its heavy lifting distributed (BM25
+    postings shuffle keyed on doc/term; cosine scan broadcast-joined to
+    a 1-row query relation) and reduces to a top-50 via orderBy+limit —
+    Spark's TakeOrdered, a partial top-k per partition, NOT a global
+    sort. The rank windows and the full-outer fusion join then run on
+    ≤50-row relations."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    lex_top = (
+        text.bm25_scores(d, ["spark", "vector", "slow"])
+        .select("doc_id", "bm25_fp9")
+        .orderBy(F.col("bm25_fp9").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+    lex = lex_top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25_fp9").desc(), F.col("doc_id"))
+        ),
+    )
+    vec_top = similarity.cosine_topk_rel(
+        e, e.filter(F.col("vec_id") == 0), k=50
+    ).withColumnRenamed("vec_id", "doc_id")
+    vec = vec_top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+        ),
+    )
+    fused = similarity.rrf_fuse(lex, vec, id_col="doc_id", k=20)
+    return fused.select(
+        "doc_id",
+        F.col("rank_a").alias("lex_rank"),
+        F.col("rank_b").alias("vec_rank"),
+        "rrf_fp9",
+    )
+
+
+@register(
+    "ivfpq_topk",
+    f"""
+    WITH {_codebook_cte(4)}, q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), dims AS (
+        SELECT CAST(unnest(range(64)) AS INTEGER) AS dim
+    ), comp AS (
+        SELECT label, d.dim,
+               SUM(CAST(FLOOR(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000000000)
+                        AS BIGINT)) AS sum_nano,
+               COUNT(*) AS cnt
+        FROM embeddings, dims d
+        GROUP BY label, d.dim
+    ), diffs AS (
+        SELECT c.label,
+               CAST(q.qv[c.dim + 1] AS DOUBLE)
+                 - CAST(c.sum_nano AS DOUBLE) / c.cnt / 1000000000 AS diff
+        FROM comp c, q
+    ), cdist AS (
+        SELECT label,
+               SUM(CAST(FLOOR(diff * diff * 1000000000) AS BIGINT)) AS dist_nano
+        FROM diffs GROUP BY label
+    ), probe AS (
+        SELECT label FROM cdist ORDER BY dist_nano, label LIMIT 3
+    ), cand AS (
+        SELECT e.vec_id, e.embedding, e.label
+        FROM embeddings e JOIN probe USING (label)
+    ), cdists AS (
+        SELECT e.vec_id, g.j AS sub, b.c,
+               CAST(FLOOR(list_sum(list_transform(range(1, 9),
+                   i -> (CAST(e.embedding[g.j*8 + i] AS DOUBLE)
+                         - b.centroid[g.j*8 + i])
+                        * (CAST(e.embedding[g.j*8 + i] AS DOUBLE)
+                           - b.centroid[g.j*8 + i])))
+                   * 1000000000) AS BIGINT) AS d
+        FROM cand e
+        CROSS JOIN generate_series(0, 7) g(j)
+        CROSS JOIN cb b
+    ), codes AS (
+        SELECT vec_id, sub, c FROM (
+            SELECT vec_id, sub, c,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, c) AS rn
+            FROM cdists) WHERE rn = 1
+    ), tbl AS (
+        SELECT g.j AS sub, b.c,
+               CAST(FLOOR(list_sum(list_transform(range(1, 9),
+                   i -> (CAST(q.qv[g.j*8 + i] AS DOUBLE)
+                         - b.centroid[g.j*8 + i])
+                        * (CAST(q.qv[g.j*8 + i] AS DOUBLE)
+                           - b.centroid[g.j*8 + i])))
+                   * 1000000000) AS BIGINT) AS d
+        FROM q CROSS JOIN generate_series(0, 7) g(j) CROSS JOIN cb b
+    ), adc AS (
+        SELECT cd.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist_nano
+        FROM codes cd JOIN tbl t ON t.sub = cd.sub AND t.c = cd.c
+        GROUP BY cd.vec_id
+    )
+    SELECT a.vec_id, c.label, a.adc_dist_nano
+    FROM adc a JOIN cand c USING (vec_id)
+    ORDER BY adc_dist_nano, vec_id LIMIT 10
+    """,
+    ops=["similarity-ivf", "pq-adc", "similarity-ann"],
+)
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (similarity.ivfpq_topk_rel) — the FAISS
+    IndexIVFPQ shape and the architecture that actually holds at
+    100 TB: the coarse quantizer prunes to 3 probed cells (partition
+    pruning when the corpus is partitioned by cell), then PQ
+    asymmetric-distance ranks ONLY the survivors — m=8 integer adds
+    per candidate row against a broadcast distance table built from
+    the TRAINED codebook relation. Every stage is nano fixed-point
+    deterministic, so the full composite is oracle-checked — cell
+    ranking, candidate pruning, code assignment, and ADC ranking."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    cb = similarity.train_codebook(e, k=4)
+    q = e.filter(F.col("vec_id") == 0)
+    return similarity.ivfpq_topk_rel(
+        e, cb, q, k=10, nprobe=3, m=8, n_centroids=4
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -14512,11 +14713,17 @@ _PRIORITY: tuple[str, ...] = (
 # and queue BEHIND the pending-verdict block so they can't push a
 # longer-waiting query out of the window; they fill any spare window
 # slots in listed order.
+# Ordered by verification value: the live-JDBC round-trip (the K1
+# execution proof rounds 5-7 asked for) first; viz_point_specs last —
+# at 273 registered queries the 50-slot window reaches only 3 of these
+# 4 this round, and scattergeo_trace_specs covers the same egress path.
 _NEW_PARITY_ONLY: tuple[str, ...] = (
+    "jdbc_roundtrip_report",
     "country_alias_normalize",
     "scattergeo_trace_specs",
     "viz_point_specs",
-    "jdbc_roundtrip_report",
+    "hybrid_rrf_topk",
+    "ivfpq_topk",
 )
 
 def _rotated() -> list[str]:

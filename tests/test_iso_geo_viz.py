@@ -116,3 +116,50 @@ def test_jdbc_roundtrip_live_derby(spark):
         for r in direct.collect()
     }
     assert got == want
+
+
+def test_hybrid_rrf_fusion(spark):
+    from data_integration_and_visualization_uc3m_spark import queries
+    from data_integration_and_visualization_uc3m_spark.operators import similarity
+
+    out = queries.hybrid_rrf_topk(spark, SF).collect()
+    assert 0 < len(out) <= 20
+    # fused order is by descending rrf score, doc_id tiebreak
+    scores = [r.rrf_fp9 for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        assert r.lex_rank is not None or r.vec_rank is not None
+        want = 0
+        if r.lex_rank is not None:
+            want += int(1e9 // (60 + r.lex_rank))
+        if r.vec_rank is not None:
+            want += int(1e9 // (60 + r.vec_rank))
+        assert r.rrf_fp9 == want
+
+    # operator semantics on a toy pair of arms: doc 1 in both arms
+    # must outrank docs appearing in only one
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(1, 2), (3, 1)], "doc_id long, rank int")
+    fused = {r.doc_id: r.rrf_fp9 for r in similarity.rrf_fuse(a, b).collect()}
+    assert fused[1] == int(1e9 // 61) + int(1e9 // 62)
+    assert fused[1] > fused[3] > 0
+
+
+def test_ivfpq_composite(spark):
+    from data_integration_and_visualization_uc3m_spark import queries
+    from data_integration_and_visualization_uc3m_spark.operators import similarity
+
+    out = queries.ivfpq_topk(spark, SF).collect()
+    assert len(out) == 10
+    dists = [r.adc_dist_nano for r in out]
+    assert dists == sorted(dists)  # ranked ascending by ADC distance
+    # every survivor must come from one of the 3 probed cells
+    e = queries._t(spark, SF, "embeddings")
+    probed = {
+        r.block
+        for r in similarity._probe_blocks(
+            e, e.filter(F.col("vec_id") == 0), 3, "label", "embedding"
+        ).collect()
+    }
+    assert len(probed) == 3
+    assert {r.label for r in out} <= probed

@@ -39,6 +39,12 @@ GLOBAL_WINDOW_OK = {
     "pps_doc_sample",
     # windows over the <=31-row lifetime axis, not the data
     "kaplan_meier_user_lifetime",
+    # rank over the 25-row nation-level aggregate (the reference's
+    # positional df[lo:hi] trace slices made deterministic)
+    "scattergeo_trace_specs",
+    # rank windows over the two ≤50-row top-k candidate relations
+    # (each arm reduces via TakeOrdered BEFORE the window)
+    "hybrid_rrf_topk",
 }
 # Queries whose nested-loop join is DELIBERATE over a provably-small
 # input: the skyline global phase runs a quadratic dominance check over
@@ -101,6 +107,17 @@ SCALAR_OK: set[str] = {
     "temperature_mixing_plan",  # 1-row weight-normalizer broadcast
     "nation_trade_k_core",      # 1-row median-threshold broadcast
     "source_term_kl",           # 1-row support-mass scalar broadcast
+    # r7 re-plumb: the query vector / trained codebook became 1-row
+    # (or k-row) broadcast RELATIONS instead of driver-fetched
+    # literals — the crossJoin(broadcast(q)) is the intended plan
+    "embedding_cosine_topk",    # 1-row query-vector broadcast
+    "ivf_topk",                 # 1-row query-vector broadcast (probe + re-rank)
+    "semdedup_verdicts",        # k-row trained-codebook broadcast
+    "pq_codes_embeddings",      # k-row trained-codebook broadcast
+    "pq_adc_topk",              # k-row codebook + 1-row query broadcast
+    "pq_recall_report",         # same arms as pq_adc_topk + brute twin
+    "hybrid_rrf_topk",          # 1-row query-vector broadcast (cosine arm)
+    "ivfpq_topk",               # k-row codebook + 1-row query broadcast
 }
 
 
