@@ -151,3 +151,61 @@ def write_jsonl(df: DataFrame, path: str) -> None:
         .option("timestampFormat", JSONL_TS_FORMAT)
         .json(path)
     )
+
+
+def jdbc_atomic_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = 1000,
+    properties: dict[str, str] | None = None,
+    staging: str | None = None,
+) -> int:
+    """K3 — per-table commit/rollback against a LIVE database.
+
+    The reference wraps each table's load in one transaction and rolls
+    the whole table back on any error (``crime_immigration_etl.py:
+    322-331``). Plain ``df.write.jdbc(mode="append")`` cannot promise
+    that: each partition task commits its own transaction, so a
+    mid-load failure leaves the partitions that already committed.
+    The warehouse-correct shape is STAGE-THEN-SWAP:
+
+    1. executors bulk-load a staging table (parallel, batched — the
+       K1 path; a failure here never touched the target), then
+    2. the driver runs ONE transactional ``INSERT INTO target
+       SELECT * FROM staging`` inside the database — constraint
+       violations roll back the entire statement, so the target is
+       all-or-nothing exactly like the reference's per-table commit.
+
+    Driver involvement is DDL/DML orchestration only — no data flows
+    through it (the INSERT..SELECT executes inside the DB engine), so
+    the pattern holds at any scale the database itself can load.
+    Returns the number of rows swapped in. The staging table is
+    dropped on both success and failure.
+    """
+    stg = staging or f"{table}_STG"
+    jdbc_writer(
+        df, url, stg, batchsize=batchsize, mode="overwrite",
+        properties=properties,
+    ).save()
+    jvm = df.sparkSession._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        try:
+            n = st.executeUpdate(f"INSERT INTO {table} SELECT * FROM {stg}")
+            conn.commit()
+            return n
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.setAutoCommit(True)
+            try:
+                st.execute(f"DROP TABLE {stg}")
+            except Exception:
+                pass
+            st.close()
+    finally:
+        conn.close()

@@ -163,3 +163,115 @@ def test_ivfpq_composite(spark):
     }
     assert len(probed) == 3
     assert {r.label for r in out} <= probed
+
+
+def test_jdbc_upsert_ignore_live_pk_constraint(spark):
+    """K2 executed against a LIVE PRIMARY KEY: the anti-join
+    conflict-ignore path must let a second batch with overlapping keys
+    load into a Derby table whose PK would reject a blind append —
+    the ON CONFLICT DO NOTHING semantics of etl:332-345, proven
+    against a real constraint instead of only the DataFrame twin."""
+    from py4j.java_gateway import java_import
+
+    from data_integration_and_visualization_uc3m_spark.operators import upsert
+    from data_integration_and_visualization_uc3m_spark.sinks.writers import jdbc_writer
+
+    url = "jdbc:derby:memory:sg_upsert;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jvm = spark._jvm
+    java_import(jvm, "java.sql.DriverManager")
+    conn = jvm.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    try:
+        st.execute("DROP TABLE SG_DIM")
+    except Exception:
+        pass
+    st.execute(
+        "CREATE TABLE SG_DIM (K BIGINT NOT NULL PRIMARY KEY, V DOUBLE)"
+    )
+    conn.close()
+
+    batch1 = spark.range(1, 11).selectExpr("id as K", "cast(id * 1.5 as double) as V")
+    jdbc_writer(batch1, url, "SG_DIM", batchsize=1000, mode="append", properties=props).save()
+
+    def read_back():
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "SG_DIM")
+            .option("driver", props["driver"])
+            .load()
+        )
+
+    # a blind append of overlapping keys must be REJECTED by the live PK
+    batch2 = spark.range(6, 16).selectExpr("id as K", "cast(id * 2.0 as double) as V")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        jdbc_writer(batch2, url, "SG_DIM", mode="append", properties=props).save()
+
+    # the K2 path: anti-join against current target, append only fresh keys
+    target = read_back()
+    fresh = upsert.upsert_ignore(target, batch2, keys=["K"]).join(
+        target.select("K"), "K", "left_anti"
+    )
+    jdbc_writer(fresh, url, "SG_DIM", mode="append", properties=props).save()
+
+    final = read_back().collect()
+    assert len(final) == 15
+    byk = {r.K: r.V for r in final}
+    assert len(byk) == 15
+    assert byk[6] == 9.0   # conflict ignored — original batch1 value kept
+    assert byk[15] == 30.0  # fresh key loaded from batch2
+
+
+def test_jdbc_atomic_append_all_or_nothing(spark):
+    """K3 live: stage-then-swap makes the target table all-or-nothing —
+    a batch with ONE conflicting key must change NOTHING (the
+    reference's per-table rollback, etl:322-331), then a clean batch
+    loads fully."""
+    from py4j.java_gateway import java_import
+
+    from data_integration_and_visualization_uc3m_spark.sinks.writers import (
+        jdbc_atomic_append,
+        jdbc_writer,
+    )
+
+    url = "jdbc:derby:memory:sg_atomic;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jvm = spark._jvm
+    java_import(jvm, "java.sql.DriverManager")
+    conn = jvm.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    try:
+        st.execute("DROP TABLE SG_FACT")
+    except Exception:
+        pass
+    st.execute("CREATE TABLE SG_FACT (K BIGINT NOT NULL PRIMARY KEY, V DOUBLE)")
+    conn.close()
+
+    base = spark.range(1, 6).selectExpr("id as K", "cast(id as double) as V")
+    assert jdbc_atomic_append(base, url, "SG_FACT", properties=props) == 5
+
+    def read_back():
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "SG_FACT")
+            .option("driver", props["driver"])
+            .load()
+        )
+
+    # poisoned batch: keys 6-9 are fresh, key 5 conflicts → whole batch out
+    poisoned = spark.range(5, 10).selectExpr("id as K", "cast(id * 10 as double) as V")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        jdbc_atomic_append(poisoned, url, "SG_FACT", properties=props)
+    after_fail = read_back().collect()
+    assert sorted(r.K for r in after_fail) == [1, 2, 3, 4, 5]  # unchanged
+    assert {r.K: r.V for r in after_fail}[5] == 5.0
+
+    clean = spark.range(6, 10).selectExpr("id as K", "cast(id * 10 as double) as V")
+    assert jdbc_atomic_append(clean, url, "SG_FACT", properties=props) == 4
+    assert read_back().count() == 9

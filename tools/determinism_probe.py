@@ -55,6 +55,13 @@ DEFAULT = [
     "event_gap_slo_report",
     "snm_part_name_pairs",
     "synthetic_sku_profile",
+    # round 8: fused ranks and the two-stage ANN composite — integer
+    # fixed-point end-to-end, but rank ties and probe pruning are the
+    # partitioning surface worth probing
+    "hybrid_rrf_topk",
+    "ivfpq_topk",
+    "semdedup_verdicts",
+    "scattergeo_trace_specs",
 ]
 
 PARTITION_SETTINGS = ["3", "32"]
