@@ -14566,6 +14566,98 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lsh_recall_report",
+    f"""
+    WITH {_SHINGLES_CTE}, sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    ), truth AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE)
+              / (sa.set_size + sb.set_size - n_common) >= 0.5
+    ), sigs AS (
+        SELECT doc_id,
+               {_MH_MINS}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        {_MH_BANDS}
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), hits AS (
+        SELECT c.id_a, c.id_b
+        FROM cands c JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+    ), s AS (
+        SELECT (SELECT COUNT(*) FROM truth) AS n_truth_pairs,
+               (SELECT COUNT(*) FROM cands) AS n_candidates,
+               (SELECT COUNT(*) FROM hits) AS n_candidates_true
+    )
+    SELECT n_truth_pairs, n_candidates, n_candidates_true,
+           CASE WHEN n_truth_pairs = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(FLOOR(CAST(n_candidates_true AS DOUBLE)
+                                / n_truth_pairs * 1000000) AS BIGINT)
+           END AS recall_fp6,
+           CASE WHEN n_candidates = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(FLOOR(CAST(n_candidates_true AS DOUBLE)
+                                / n_candidates * 1000000) AS BIGINT)
+           END AS precision_fp6
+    FROM s
+    """,
+    ops=["dedup-minhash-lsh", "dedup-jaccard", "recall-report"],
+)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality report for MinHash-LSH banding — the dedup
+    twin of the ANN family's recall reports (int8/ivf/pq): ground
+    truth is the EXACT word-3-gram Jaccard ≥ 0.5 pair set (shared-
+    shingle join — complete, since j ≥ 0.5 implies a shared shingle);
+    the LSH arm is the 16-hash / 4×4-band candidate set. Reports
+    banding recall (truth pairs surfaced as candidates) and candidate
+    precision (candidates that are true near-dups) as fixed-point
+    integers — the measured S-curve operating point, engine-exact.
+
+    Scale shape: both arms are the production shapes (grouped
+    pair-explode for truth, band-bucket join for candidates); the
+    report itself is three 1-row counts cross-joined (scalar
+    broadcasts)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    sets = dedup.ngram_set(d, n=3)
+    truth = dedup.jaccard_pairs(
+        sets, item_col="shingle", threshold=0.5
+    ).select("id_a", "id_b")
+    sigs = dedup.minhash_signatures(sets, num_hashes=16, item_col="shingle")
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = cands.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_candidates_true")
+    )
+    row = n_truth.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_hit))
+
+    def fp6(num: str, den: str) -> F.Column:
+        return (
+            F.when(F.col(den) > 0,
+                   F.floor(F.col(num).cast("double") / F.col(den) * 1000000)
+                   .cast("long"))
+            .otherwise(F.lit(-1).cast("long"))
+        )
+
+    return row.select(
+        "n_truth_pairs",
+        "n_candidates",
+        "n_candidates_true",
+        fp6("n_candidates_true", "n_truth_pairs").alias("recall_fp6"),
+        fp6("n_candidates_true", "n_candidates").alias("precision_fp6"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -14724,6 +14816,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "viz_point_specs",
     "hybrid_rrf_topk",
     "ivfpq_topk",
+    "lsh_recall_report",
 )
 
 def _rotated() -> list[str]:

@@ -275,3 +275,15 @@ def test_jdbc_atomic_append_all_or_nothing(spark):
     clean = spark.range(6, 10).selectExpr("id as K", "cast(id * 10 as double) as V")
     assert jdbc_atomic_append(clean, url, "SG_FACT", properties=props) == 4
     assert read_back().count() == 9
+
+
+def test_lsh_recall_report(spark):
+    from data_integration_and_visualization_uc3m_spark import queries
+
+    [r] = queries.lsh_recall_report(spark, SF).collect()
+    assert r.n_truth_pairs > 0  # non-vacuous on the synthetic corpus
+    assert 0 <= r.n_candidates_true <= r.n_candidates
+    assert r.n_candidates_true <= r.n_truth_pairs
+    # fp6 ratios recompute exactly from the counts
+    assert r.recall_fp6 == int(r.n_candidates_true * 1e6) // r.n_truth_pairs
+    assert r.precision_fp6 == int(r.n_candidates_true * 1e6) // r.n_candidates

@@ -118,6 +118,7 @@ SCALAR_OK: set[str] = {
     "pq_recall_report",         # same arms as pq_adc_topk + brute twin
     "hybrid_rrf_topk",          # 1-row query-vector broadcast (cosine arm)
     "ivfpq_topk",               # k-row codebook + 1-row query broadcast
+    "lsh_recall_report",        # three 1-row counters cross-joined
 }
 
 
