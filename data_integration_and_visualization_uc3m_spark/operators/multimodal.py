@@ -188,3 +188,66 @@ def audio_chunk_plan(
             F.col("n_bytes") - F.col("chunk_index") * chunk_bytes,
         ).alias("byte_length"),
     )
+
+
+# --- real (lib-free) binary header codec: PNG signature + IHDR -------
+#
+# The decode paths above stub CODEC calls (pixel decoding needs PIL et
+# al.), but container-header parsing needs nothing beyond byte ops —
+# and at 100 TB it is the multimodal step that should run JVM-side
+# anyway: dimension/format extraction over billions of images must not
+# pay a Python round-trip per row. These two operators are the real
+# thing: bytes in, bytes parsed, zero Python, zero libraries.
+
+_PNG_SIG_HEX = "89504E470D0A1A0A"  # \x89PNG\r\n\x1a\n
+_IHDR_HEX = "49484452"             # "IHDR"
+
+
+def synthesize_png(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width_col: str = "width_px",
+    height_col: str = "height_px",
+) -> DataFrame:
+    """Build a REAL minimal PNG byte stream per row — 8-byte signature
+    + IHDR chunk (length, type, 4-byte big-endian width/height, bit
+    depth 8 / RGBA / default compression-filter-interlace, zeroed CRC)
+    — entirely JVM-side: hex assembly via format_string, then one
+    unhex to binary. 33 bytes per payload."""
+    hex_str = F.concat(
+        F.lit(_PNG_SIG_HEX),
+        F.lit("0000000D"),          # IHDR data length = 13
+        F.lit(_IHDR_HEX),
+        F.format_string("%08x", F.col(width_col)),
+        F.format_string("%08x", F.col(height_col)),
+        F.lit("0806000000"),        # bit depth 8, color type 6, c/f/i 0
+        F.lit("00000000"),          # CRC (not validated by the parser)
+    )
+    return df.select(
+        F.col(id_col), F.unhex(F.upper(hex_str)).alias("payload")
+    )
+
+
+def png_header_dims(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Parse PNG dimensions from raw bytes — signature check, IHDR
+    chunk-type check, big-endian width/height extraction — with binary
+    substring + hex + base-16 conv only (whole-stage-codegen'd; the
+    shape that scans a billion thumbnails without leaving the JVM).
+    Returns (id, n_bytes, png_sig_ok, width_px, height_px); dims are
+    null when either check fails."""
+    p = F.col(payload_col)
+    sig_ok = (
+        F.substring(p, 1, 8) == F.unhex(F.lit(_PNG_SIG_HEX))
+    ) & (F.substring(p, 13, 4) == F.unhex(F.lit(_IHDR_HEX)))
+    be32 = lambda pos: F.conv(F.hex(F.substring(p, pos, 4)), 16, 10).cast("long")
+    return media.select(
+        F.col(id_col),
+        F.length(p).alias("n_bytes"),
+        sig_ok.alias("png_sig_ok"),
+        F.when(sig_ok, be32(17)).alias("width_px"),
+        F.when(sig_ok, be32(21)).alias("height_px"),
+    )

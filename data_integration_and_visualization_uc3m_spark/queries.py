@@ -14658,6 +14658,51 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "png_header_report",
+    """
+    SELECT doc_id AS media_id,
+           CAST(33 AS BIGINT) AS n_bytes,
+           TRUE AS png_sig_ok,
+           CAST(doc_id % 640 + 16 AS BIGINT) AS width_px,
+           CAST(doc_id % 480 + 16 AS BIGINT) AS height_px,
+           CAST((doc_id % 640 + 16) * (doc_id % 480 + 16) AS BIGINT)
+               AS n_pixels
+    FROM documents
+    """,
+    ops=["multimodal-binary", "binary-codec"],
+)
+def png_header_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary codec round-trip, zero Python, zero libraries:
+    per-document PNG bytes are SYNTHESIZED in-plan (signature + IHDR
+    with big-endian dims derived from doc_id — multimodal.
+    synthesize_png, hex assembly + unhex) and then PARSED back with
+    binary substring/hex/conv (multimodal.png_header_dims). The oracle
+    states the dims directly from the same derivation, so a hash match
+    proves the byte-level encode→parse round-trip is the identity —
+    the multimodal family's header-extraction step is not a stub.
+
+    Scale shape: both steps are whole-stage-codegen'd column
+    expressions over the scan — the 100 TB pattern for format/dimension
+    sweeps over billions of stored images (no Arrow hop, no UDF)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    dims = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 640 + 16).alias("width_px"),
+        (F.col("doc_id") % 480 + 16).alias("height_px"),
+    )
+    media = multimodal.synthesize_png(dims)
+    parsed = multimodal.png_header_dims(media)
+    return parsed.select(
+        "media_id",
+        "n_bytes",
+        "png_sig_ok",
+        "width_px",
+        "height_px",
+        (F.col("width_px") * F.col("height_px")).alias("n_pixels"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -14817,6 +14862,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "hybrid_rrf_topk",
     "ivfpq_topk",
     "lsh_recall_report",
+    "png_header_report",
 )
 
 def _rotated() -> list[str]:

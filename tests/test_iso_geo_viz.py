@@ -287,3 +287,44 @@ def test_lsh_recall_report(spark):
     # fp6 ratios recompute exactly from the counts
     assert r.recall_fp6 == int(r.n_candidates_true * 1e6) // r.n_truth_pairs
     assert r.precision_fp6 == int(r.n_candidates_true * 1e6) // r.n_candidates
+
+
+def test_png_synthesis_is_real_png_header(spark):
+    """Independent check of the binary codec: the synthesized payload
+    must parse with plain Python struct exactly as a PNG header —
+    proving the engine-side bytes are the real format, not a private
+    convention."""
+    import struct
+
+    from data_integration_and_visualization_uc3m_spark.operators import multimodal
+
+    dims = spark.createDataFrame(
+        [(1, 640, 360), (2, 17, 4000)],
+        "media_id long, width_px long, height_px long",
+    )
+    rows = {r.media_id: bytes(r.payload)
+            for r in multimodal.synthesize_png(dims).collect()}
+    for mid, (w, h) in {1: (640, 360), 2: (17, 4000)}.items():
+        b = rows[mid]
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        length, ctype = struct.unpack(">I4s", b[8:16])
+        assert (length, ctype) == (13, b"IHDR")
+        pw, ph, depth, color = struct.unpack(">IIBB", b[16:26])
+        assert (pw, ph, depth, color) == (w, h, 8, 6)
+    # and the engine-side parser inverts it
+    parsed = {
+        r.media_id: (r.width_px, r.height_px, r.png_sig_ok)
+        for r in multimodal.png_header_dims(
+            multimodal.synthesize_png(dims)
+        ).collect()
+    }
+    assert parsed == {1: (640, 360, True), 2: (17, 4000, True)}
+    # corrupted signature → sig not ok, dims null
+    from pyspark.sql import functions as F2
+
+    bad = multimodal.synthesize_png(dims).select(
+        "media_id",
+        F2.concat(F2.unhex(F2.lit("00")), F2.substring("payload", 2, 32)).alias("payload"),
+    )
+    for r in multimodal.png_header_dims(bad).collect():
+        assert r.png_sig_ok is False and r.width_px is None
