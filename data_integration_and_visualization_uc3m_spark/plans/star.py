@@ -202,3 +202,47 @@ def load_star(
         else:
             out[name] = upsert.dedup_batch_first_wins(batch, keys)
     return out
+
+
+def ddl_statements() -> list[str]:
+    """The reference warehouse DDL (``database/initdb/schema.sql:23-117``)
+    re-emitted in embedded-ANSI dialect (Derby-compatible): dimension
+    PRIMARY KEYs, fact surrogate keys as GENERATED IDENTITY (the SERIAL
+    analog, schema.sql:38,62,85), NOT NULL rate/population columns,
+    both FOREIGN KEYs per fact with ON DELETE CASCADE
+    (schema.sql:44-54,68-78,91-101), the per-fact UNIQUE
+    (country, year) natural key (schema.sql:57,81,104), and the seeded
+    year dimension 2018-2022 (schema.sql:111-117). Statement order is
+    LOAD_ORDER-safe: dims before facts.
+
+    Executed live against embedded Derby in the warehouse e2e test —
+    the constraints these statements declare are the same surface
+    ``validate_star`` checks engine-side before a load.
+    """
+    fact = (
+        "CREATE TABLE {name} ("
+        "{name}_id INT NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY, "
+        "{measure} NOT NULL, "
+        "country_iso3_id VARCHAR(3) NOT NULL, "
+        "year_id INT NOT NULL, "
+        "CONSTRAINT fk_{name}_country FOREIGN KEY (country_iso3_id) "
+        "REFERENCES country (country_iso3_id) ON DELETE CASCADE, "
+        "CONSTRAINT fk_{name}_year FOREIGN KEY (year_id) "
+        'REFERENCES "year" (year_id) ON DELETE CASCADE, '
+        "CONSTRAINT uq_{name} UNIQUE (country_iso3_id, year_id))"
+    )
+    return [
+        "CREATE TABLE country ("
+        "country_iso3_id VARCHAR(3) NOT NULL PRIMARY KEY, "
+        "country_name VARCHAR(255) NOT NULL)",
+        # YEAR is a reserved word in Derby (unlike Postgres) — quote
+        # the identifier; consumers must quote it too.
+        'CREATE TABLE "year" (year_id INT NOT NULL PRIMARY KEY)',
+        fact.format(name="population", measure="population BIGINT"),
+        fact.format(name="crime", measure="convicts_per_100000 NUMERIC(10, 2)"),
+        fact.format(
+            name="immigration", measure="immigration_per_100000 NUMERIC(10, 2)"
+        ),
+        'INSERT INTO "year" (year_id) '
+        "VALUES (2018), (2019), (2020), (2021), (2022)",
+    ]

@@ -182,19 +182,32 @@ def jdbc_atomic_append(
     the pattern holds at any scale the database itself can load.
     Returns the number of rows swapped in. The staging table is
     dropped on both success and failure.
+
+    The INSERT names the DataFrame's columns explicitly, so targets
+    with database-generated columns (SERIAL / GENERATED IDENTITY
+    surrogate keys, schema.sql:38,62,85) fill them automatically.
+    Identifier-case note: Spark's JDBC writer QUOTES column names when
+    creating the staging table (case preserved), while a DDL-created
+    target folds unquoted identifiers — so the SELECT side quotes the
+    DataFrame's column names verbatim and the INSERT side leaves them
+    unquoted to match an unquoted-DDL target.
     """
     stg = staging or f"{table}_STG"
     jdbc_writer(
         df, url, stg, batchsize=batchsize, mode="overwrite",
         properties=properties,
     ).save()
+    tcols = ", ".join(df.columns)
+    scols = ", ".join(f'"{c}"' for c in df.columns)
     jvm = df.sparkSession._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         conn.setAutoCommit(False)
         st = conn.createStatement()
         try:
-            n = st.executeUpdate(f"INSERT INTO {table} SELECT * FROM {stg}")
+            n = st.executeUpdate(
+                f"INSERT INTO {table} ({tcols}) SELECT {scols} FROM {stg}"
+            )
             conn.commit()
             return n
         except Exception:
