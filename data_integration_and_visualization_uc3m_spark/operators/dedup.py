@@ -940,9 +940,10 @@ def tfidf_cosine_pairs(
 
     Scale: identical candidate shape to dedup_jaccard_df_capped —
     the df cap bounds Σdf² fan-out, the pair dot-product is one
-    grouped self-join on the term key, and the 1-row corpus count
-    rides a broadcast. Zero-weight-norm documents (all terms at
-    df = N) are excluded (cosine undefined).
+    grouped self-join on the term key (measured FASTER than the
+    pair-explode here; see the note at the join below), and the
+    1-row corpus count rides a broadcast. Zero-weight-norm documents
+    (all terms at df = N) are excluded (cosine undefined).
     """
     toks = tokens(text_col)
     ngrams = F.filter(
@@ -983,6 +984,12 @@ def tfidf_cosine_pairs(
         .agg(F.sum(F.col("wt") * F.col("wt")).cast("long").alias("norm2"))
         .filter(F.col("norm2") > 0)
     )
+    # NB: the a⨯b self-join form is KEPT deliberately. The grouped
+    # pair-explode that won for the unweighted Jaccard core
+    # (_pair_intersections, 2.8 s → 1.6 s) was tried here in round 8
+    # and MEASURED WORSE (2.6 s → 4.5 s at sf0.1): carrying (id, wt)
+    # structs through collect_list/array_sort/flatten costs more than
+    # the join, whose two identical sides share one ReusedExchange.
     a = w.select(
         F.col("shingle"),
         F.col(id_col).alias("id_a"),

@@ -297,3 +297,35 @@ def test_global_rank_equals_sorted_property(spark, vals, parts):
         for rank, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
     }
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=0, max_size=15, unique=True),
+    st.lists(st.integers(0, 30), min_size=0, max_size=15, unique=True),
+    st.integers(1, 10),
+)
+def test_rrf_fuse_matches_reference_model(spark, ids_a, ids_b, k):
+    """rrf_fuse == the textbook RRF computed in plain Python: per-arm
+    floor(1e9/(60+rank)) summed, missing arm contributes 0, ties broken
+    by id ascending."""
+    from data_integration_and_visualization_uc3m_spark.operators import similarity
+
+    a = [(d, r + 1) for r, d in enumerate(ids_a)]
+    b = [(d, r + 1) for r, d in enumerate(ids_b)]
+    dfa = spark.createDataFrame(a, "doc_id long, rank int") if a else \
+        spark.createDataFrame([], "doc_id long, rank int")
+    dfb = spark.createDataFrame(b, "doc_id long, rank int") if b else \
+        spark.createDataFrame([], "doc_id long, rank int")
+    got = [
+        (r.doc_id, r.rrf_fp9)
+        for r in similarity.rrf_fuse(dfa, dfb, k=k).collect()
+    ]
+    ra, rb = dict(a), dict(b)
+    model = {
+        d: (int(1e9) // (60 + ra[d]) if d in ra else 0)
+        + (int(1e9) // (60 + rb[d]) if d in rb else 0)
+        for d in set(ra) | set(rb)
+    }
+    expect = sorted(model.items(), key=lambda t: (-t[1], t[0]))[:k]
+    assert got == expect
