@@ -914,3 +914,86 @@ def bpe_encode_stats(
             ).cast("long").alias("compression_fp6"),
         )
     )
+
+
+def feature_hash_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-free text EMBEDDING GENERATION via the hashing trick
+    (Weinberger et al. 2009's feature hashing / count-sketch): every
+    token hashes to one of ``dim`` buckets with a ±1 sign, and the
+    document vector is the signed token-count per bucket — the
+    vectorizer that links the text tables to the ANN/similarity family
+    when no model is available, and the classic at-scale baseline
+    (sklearn's HashingVectorizer) because it needs no vocabulary build
+    and no driver state.
+
+    Determinism/portability: bucket and sign come from md5 hex-char
+    parities (the rademacher_component construction — identical in any
+    engine with md5), components are exact integer sums, and the
+    squared L2 norm is an exact integer. ``dim`` must be a power of
+    two ≤ 2^14 (parity bits are drawn per hex char).
+
+    Scale shape: one token explode → one (id, bucket) aggregation →
+    one per-document map assembly. No vocabulary relation, no
+    broadcast, no UDF; output is dim longs per document.
+
+    Returns ``(id_col, embedding array<long>, n_tokens, nnz,
+    norm2)``.
+    """
+    n_bits = (dim - 1).bit_length()
+    assert dim == 1 << n_bits and n_bits <= 14, "dim must be a power of 2"
+    tok = F.explode(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    ).alias("tok")
+    h = F.md5(F.col("tok"))
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+    def bit(c: int) -> F.Column:
+        return F.when(F.substring(h, c, 1).isin(*odd), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+
+    bucket = F.lit(0)
+    for k in range(n_bits):
+        bucket = bucket + bit(k + 1) * F.lit(1 << k)
+    sign = F.when(bit(n_bits + 1) == 1, F.lit(1)).otherwise(F.lit(-1))
+    comps = (
+        df.select(F.col(id_col), tok)
+        .select(
+            id_col,
+            bucket.cast("int").alias("bucket"),
+            sign.cast("long").alias("sign"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").alias("comp"), F.count(F.lit(1)).alias("n_tok"))
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(
+            F.element_at(F.col("_m"), d.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return (
+        comps.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("bucket"), F.col("comp")))
+                )
+            ).alias("_m"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.count(F.lit(1)).alias("nnz_buckets"),
+            F.sum(F.col("comp") * F.col("comp")).alias("norm2"),
+        )
+        .select(
+            F.col(id_col),
+            vec.alias("embedding"),
+            "n_tokens",
+            "nnz_buckets",
+            "norm2",
+        )
+    )

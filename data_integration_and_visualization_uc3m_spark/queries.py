@@ -14703,6 +14703,61 @@ def png_header_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FH_ODD = "('1','3','5','7','9','b','d','f')"
+_FH_BUCKET = " + ".join(
+    f"{1 << k} * (CASE WHEN substr(h, {k + 1}, 1) IN {_FH_ODD} "
+    "THEN 1 ELSE 0 END)"
+    for k in range(6)
+)
+
+
+@register(
+    "feature_hash_embeddings",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+        FROM documents
+    ), hb AS (
+        SELECT doc_id, md5(tok) AS h FROM toks
+    ), comps AS (
+        SELECT doc_id,
+               CAST({_FH_BUCKET} AS INTEGER) AS bucket,
+               CAST(SUM(CASE WHEN substr(h, 7, 1) IN {_FH_ODD}
+                        THEN 1 ELSE -1 END) AS BIGINT) AS comp,
+               COUNT(*) AS n_tok
+        FROM hb GROUP BY doc_id, bucket
+    ), dims AS (
+        SELECT CAST(unnest(range(64)) AS INTEGER) AS d
+    ), stats AS (
+        SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               COUNT(*) AS nnz_buckets,
+               CAST(SUM(comp * comp) AS BIGINT) AS norm2
+        FROM comps GROUP BY doc_id
+    ), vecs AS (
+        SELECT s.doc_id, list(COALESCE(c.comp, 0) ORDER BY d.d) AS embedding
+        FROM stats s CROSS JOIN dims d
+        LEFT JOIN comps c ON c.doc_id = s.doc_id AND c.bucket = d.d
+        GROUP BY s.doc_id
+    )
+    SELECT v.doc_id, v.embedding, s.n_tokens, s.nnz_buckets, s.norm2
+    FROM vecs v JOIN stats s ON s.doc_id = v.doc_id
+    """,
+    ops=["embedding-generation", "feature-hashing", "text-vectorize"],
+)
+def feature_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding GENERATION from raw text — the hashing trick
+    (operators.text.feature_hash_embedding): every token md5-hashes to
+    one of 64 signed buckets, the document vector is the exact signed
+    count per bucket. The model-free vectorizer that links the text
+    tables to the ANN family (HashingVectorizer semantics): no
+    vocabulary build, no broadcast state, exact integers end to end —
+    so the whole embedding MATRIX is oracle-checked element-wise."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return text.feature_hash_embedding(d, dim=64)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -14863,6 +14918,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "ivfpq_topk",
     "lsh_recall_report",
     "png_header_report",
+    "feature_hash_embeddings",
 )
 
 def _rotated() -> list[str]:

@@ -328,3 +328,34 @@ def test_png_synthesis_is_real_png_header(spark):
     )
     for r in multimodal.png_header_dims(bad).collect():
         assert r.png_sig_ok is False and r.width_px is None
+
+
+def test_feature_hash_embedding_matches_python_model(spark):
+    """The engine's hashing-trick vectorizer equals a plain-Python
+    reference: md5-parity bucket/sign, signed counts, exact ints."""
+    import hashlib
+
+    from data_integration_and_visualization_uc3m_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "a b a  c"), (2, "b"), (3, "x y z x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in t.feature_hash_embedding(docs, dim=64).collect()}
+
+    odd = set("13579bdf")
+
+    def model(words):
+        vec = [0] * 64
+        for w in words:
+            h = hashlib.md5(w.encode()).hexdigest()
+            bucket = sum((1 << k) for k in range(6) if h[k] in odd)
+            vec[bucket] += 1 if h[6] in odd else -1
+        return vec
+
+    for doc_id, words in {1: ["a", "b", "a", "c"], 2: ["b"], 3: ["x", "y", "z", "x"]}.items():
+        v = model(words)
+        r = got[doc_id]
+        assert list(r.embedding) == v
+        assert r.n_tokens == len(words)
+        assert r.norm2 == sum(c * c for c in v if c)
