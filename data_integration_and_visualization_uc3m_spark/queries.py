@@ -14758,6 +14758,97 @@ def feature_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.feature_hash_embedding(d, dim=64)
 
 
+@register(
+    "cluster_aware_split",
+    f"""
+    WITH {_SHINGLES_CTE}, sigs AS (
+        SELECT doc_id,
+               {_MH_MINS}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        {_MH_BANDS}
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), verified AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cands c
+        JOIN sh ta ON ta.doc_id = c.id_a
+        JOIN sh tb ON tb.doc_id = c.id_b AND tb.shingle = ta.shingle
+        GROUP BY c.id_a, c.id_b
+    ), pairs AS (
+        SELECT v.id_a, v.id_b FROM verified v
+        JOIN sizes sa ON sa.doc_id = v.id_a
+        JOIN sizes sb ON sb.doc_id = v.id_b
+        WHERE CAST(v.n_common AS DOUBLE)
+              / (sa.set_size + sb.set_size - v.n_common) >= 0.5
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(u, label) AS (
+        SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ), comp AS (
+        SELECT u AS doc_id, MIN(label) AS cluster_id
+        FROM reach GROUP BY u
+    ), roots AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_root
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_root,
+           CASE WHEN CAST(('0x' || substring(
+                    md5('split:' || CAST(cluster_root AS VARCHAR)), 1, 8))
+                    AS BIGINT)
+                    < CAST(FLOOR(0.2 * 4294967296) AS BIGINT)
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM roots
+    """.replace("WITH ", "WITH RECURSIVE ", 1),
+    ops=["hash-split", "dedup-clusters", "split-leakage", "iterative"],
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX for what split_leakage_audit detects: a train/holdout
+    split that cannot leak near-duplicates. Documents are clustered by
+    connected components over the MinHash-LSH verified near-dup graph,
+    the deterministic md5 hash-split (sampling.hash_bucket, 80/20) is
+    decided per CLUSTER ROOT, and every member inherits it — so a
+    near-dup pair can never straddle the boundary. Singletons (no
+    near-dup) root to themselves and split exactly as the naive hash
+    split would.
+
+    Scale shape: inherits the LSH pipeline's bounds; the split itself
+    is one map-side hash of the root — no extra shuffle beyond the
+    cluster join. The test asserts zero cross-split pairs under this
+    split while the naive audit reports >0 on the same corpus."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    from .operators.sampling import HASH_SPACE, hash_bucket
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    roots = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_root"
+            ),
+        )
+    )
+    thr = int(0.2 * HASH_SPACE)
+    split = (
+        F.when(
+            hash_bucket(F.col("cluster_root"), "split") < F.lit(thr),
+            F.lit("holdout"),
+        )
+        .otherwise(F.lit("train"))
+    )
+    return roots.withColumn("split", split)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -14919,6 +15010,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "lsh_recall_report",
     "png_header_report",
     "feature_hash_embeddings",
+    "cluster_aware_split",
 )
 
 def _rotated() -> list[str]:

@@ -359,3 +359,27 @@ def test_feature_hash_embedding_matches_python_model(spark):
         assert list(r.embedding) == v
         assert r.n_tokens == len(words)
         assert r.norm2 == sum(c * c for c in v if c)
+
+
+def test_cluster_aware_split_has_zero_leakage(spark):
+    """The cluster-aware split must produce ZERO cross-split near-dup
+    pairs, on a corpus where the naive hash split audit finds >0."""
+    from data_integration_and_visualization_uc3m_spark import queries
+
+    naive_leaks = queries.split_leakage_audit(spark, SF).count()
+    assert naive_leaks > 0  # corpus genuinely has cross-split dups
+
+    split = {
+        r.doc_id: (r.cluster_root, r.split)
+        for r in queries.cluster_aware_split(spark, SF).collect()
+    }
+    pairs = queries.dedup_minhash_lsh(spark, SF).select("id_a", "id_b").collect()
+    assert pairs  # non-vacuous
+    for p in pairs:
+        assert split[p.id_a][1] == split[p.id_b][1]  # never straddles
+        assert split[p.id_a][0] == split[p.id_b][0]  # same cluster root
+    # singletons root to themselves
+    clustered = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    for doc, (root, _) in split.items():
+        if doc not in clustered:
+            assert root == doc
