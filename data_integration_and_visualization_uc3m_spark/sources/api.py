@@ -145,3 +145,25 @@ def retry(fn: Callable, retries: int = 5, delay_s: float = 3.0, sleep=None):
             if attempt < retries - 1:
                 sleep(delay_s)
     raise IngestError(f"failed after {retries} attempts") from last
+
+
+def http_fetch(url: str, timeout_s: float = 30.0):
+    """Production fetch callable on the stdlib only: GET → parsed JSON,
+    any transport/HTTP/parse failure normalized to IngestError so the
+    all-or-nothing contract of ingest_indicator_per_year holds
+    unchanged. Swap in requests/httpx freely — the contract is just
+    ``url -> parsed JSON | raise IngestError``. Driven against a LIVE
+    local HTTP server in tests/test_api_live.py."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+            if resp.status != 200:
+                raise IngestError(f"HTTP {resp.status} for {url}")
+            return _json.loads(resp.read().decode("utf-8"))
+    except IngestError:
+        raise
+    except (urllib.error.URLError, OSError, ValueError) as ex:
+        raise IngestError(f"fetch failed for {url}: {ex}") from ex
