@@ -142,3 +142,34 @@ def test_live_retry_against_flaky_endpoint(server):
     )
     assert api.parse_envelope(out) == [{"v": 42}]
     assert _Handler.flaky_hits == 3 and len(slept) == 2
+
+
+def test_live_distributed_datasource_ingest(spark, server):
+    """The SCALE path live: the Spark 4 Python DataSource fetches each
+    year's page ON EXECUTORS over real sockets (fetcher resolved
+    executor-side to sources.api:http_fetch), with year_id injection —
+    distributed HTTP ingest end to end, not a driver loop."""
+    from data_integration_and_visualization_uc3m_spark.sources.pyds import (
+        PaginatedRestDataSource,
+    )
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    df = (
+        spark.read.format("paginated_rest")
+        .schema("countryiso3code string, value string, year_id int")
+        .option("url_template", server + "/pop?date={year}")
+        .option("years", "2019,2020")
+        .option(
+            "fetcher",
+            "data_integration_and_visualization_uc3m_spark.sources.api:http_fetch",
+        )
+        .load()
+    )
+    got = {(r.countryiso3code, r.year_id): r.value for r in df.collect()}
+    assert got == {
+        ("ESP", 2019): "47000000",
+        ("FRA", 2019): "67000000",
+        ("ESP", 2020): "47500000",
+    }
+    # two partitions — one per year URL — really ran
+    assert df.rdd.getNumPartitions() == 2
