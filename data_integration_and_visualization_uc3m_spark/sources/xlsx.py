@@ -70,8 +70,9 @@ def parse_xlsx_rows(path: str, sheet: int = 0) -> list[list]:
             for si in root.findall(f"{_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
         sheets = sorted(
-            n for n in names
-            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            (n for n in names
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
         )
         if not sheets:
             raise XlsxUnavailable(f"no worksheets found in {path}")
@@ -111,6 +112,11 @@ def parse_xlsx_rows(path: str, sheet: int = 0) -> list[list]:
         rows.append(cells)
     width = max((len(r) for r in rows), default=0)
     return [r + [None] * (width - len(r)) for r in rows]
+
+
+def _xml_attr(s: str) -> str:
+    return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
 
 
 def write_xlsx(rows: list[list], path: str, sheet_name: str = "Sheet1") -> None:
@@ -153,7 +159,7 @@ def write_xlsx(rows: list[list], path: str, sheet_name: str = "Sheet1") -> None:
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
             'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-            f'<sheets><sheet name="{sheet_name}" sheetId="1" r:id="rId1"/></sheets>'
+            f'<sheets><sheet name="{_xml_attr(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
             "</workbook>"
         ),
         "xl/_rels/workbook.xml.rels": (

@@ -134,6 +134,42 @@ def test_xlsx_stdlib_parser_types_and_gaps(spark, tmp_path):
         assert xlsx._col_index(f"{xlsx._col_letter(i)}9") == i
 
 
+def test_xlsx_sheet_order_numeric_and_name_escaping(tmp_path):
+    """Sheet selection sorts by numeric suffix (sheet2 < sheet10, where
+    lexicographic ordering would invert them), and write_xlsx escapes
+    XML-special characters in the sheet name."""
+    import shutil
+    import zipfile
+
+    from data_integration_and_visualization_uc3m_spark.sources import xlsx
+
+    p = str(tmp_path / "esc.xlsx")
+    xlsx.write_xlsx([["a&b"], [1]], p, sheet_name='P&L <"2024">')
+    assert xlsx.parse_xlsx_rows(p) == [["a&b"], [1]]
+    with zipfile.ZipFile(p) as zf:
+        wb = zf.read("xl/workbook.xml").decode()
+    assert "&amp;" in wb and "<\"" not in wb
+
+    # Build a 12-sheet workbook by cloning sheet1.xml under new member
+    # names: sheet index 2 must resolve to sheet3.xml, not sheet10.xml.
+    base = str(tmp_path / "one.xlsx")
+    multi = str(tmp_path / "multi.xlsx")
+    xlsx.write_xlsx([["s1"]], base)
+    shutil.copy(base, multi)
+    with zipfile.ZipFile(base) as zin:
+        sheet_xml = zin.read("xl/worksheets/sheet1.xml").decode()
+    with zipfile.ZipFile(multi, "a") as zout:
+        for i in range(2, 13):
+            zout.writestr(
+                f"xl/worksheets/sheet{i}.xml",
+                sheet_xml.replace(">s1<", f">s{i}<"),
+            )
+    # the inline string payload is per-sheet, so ordering is observable
+    assert xlsx.parse_xlsx_rows(multi, sheet=2)[0] == ["s3"]
+    assert xlsx.parse_xlsx_rows(multi, sheet=9)[0] == ["s10"]
+    assert xlsx.parse_xlsx_rows(multi, sheet=11)[0] == ["s12"]
+
+
 def test_read_json_with_nested_schema(spark, tmp_path):
     from data_integration_and_visualization_uc3m_spark.schemas import RAW_POPULATION
     from data_integration_and_visualization_uc3m_spark.sources.readers import read_json
