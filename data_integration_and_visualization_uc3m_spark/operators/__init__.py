@@ -25,4 +25,5 @@ idiomatic, Catalyst-friendly Spark:
     mixing      corpus composition plan + md5-threshold materialization
     graph       fixed-point weighted PageRank (iterative, bit-exact)
     linkage     entity resolution: length-band blocked fuzzy value match
+    web         URL canonicalization, re-crawl dedup, domain profiling
 """

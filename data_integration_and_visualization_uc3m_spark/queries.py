@@ -66,6 +66,7 @@ from .operators import (
     timeseries,
     upsert,
     validate,
+    web,
     zorder,
 )
 from .functions import geo, iso3166
@@ -14849,6 +14850,100 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roots.withColumn("split", split)
 
 
+def _url_canon_sql(expr: str) -> str:
+    """DuckDB twin of web.canonical_url, generated from the SAME
+    rewrite table so the two engines cannot drift."""
+    out = f"lower({expr})"
+    for pat, rep in web.CANONICAL_REWRITES:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+# Synthetic dirty-URL derivation + canonicalization, shared by the URL
+# family below. Mirrors web.with_synthetic_urls(n_groups=97, n_hosts=10)
+# column for column.
+_URL_CTE = f"""hu AS (
+        SELECT doc_id,
+               'site' || CAST((doc_id % 97) % 10 AS VARCHAR)
+                      || '.example.org' AS h
+        FROM documents
+    ), u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+               || '://'
+               || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN upper(h) ELSE h END)
+               || '/docs/' || CAST(doc_id % 97 AS VARCHAR)
+               || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 6 = 0
+                        THEN '?utm_source=rss&utm_medium=feed' ELSE '' END)
+               || (CASE WHEN doc_id % 8 = 0 THEN '#section-1' ELSE '' END)
+                   AS raw_url
+        FROM hu
+    ), c AS (
+        SELECT doc_id, raw_url,
+               {_url_canon_sql('raw_url')} AS canonical_url
+        FROM u
+    )"""
+
+
+@register(
+    "url_canonical_dedup",
+    f"""
+    WITH {_URL_CTE}
+    SELECT canonical_url,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT raw_url) AS n_raw_variants,
+           MIN(doc_id) AS survivor_doc_id
+    FROM c GROUP BY canonical_url
+    """,
+    ops=["url-canonicalize", "dedup-exact", "A1"],
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene, step 1 of every web-corpus pipeline: canonicalize
+    crawl URLs (force https, strip www/fragments/utm params/trailing
+    slashes — web.CANONICAL_REWRITES, the identical table generates the
+    oracle) and collapse exact re-crawl groups with a deterministic
+    min-id survivor. The dirty URLs are derived per-doc
+    (web.with_synthetic_urls) since the corpus carries no URL column;
+    six residue classes of doc_id produce the classic crawl-noise
+    variants, so the canonicalizer's convergence is what's tested.
+    Pure codegen'd string expressions + ONE shuffle on the (uniform,
+    host-embedding) canonical key — the 100 TB shape."""
+    d = _t(spark, sf_dir, "documents")
+    urls = web.canonicalize_urls(web.with_synthetic_urls(d))
+    return web.url_dedup_stats(urls)
+
+
+@register(
+    "domain_crawl_profile",
+    f"""
+    WITH {_URL_CTE}, per AS (
+        SELECT regexp_extract(canonical_url, '^https://([^/]+)', 1)
+                   AS host,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT canonical_url) AS n_urls
+        FROM c GROUP BY 1
+    )
+    SELECT host, n_docs, n_urls,
+           CAST(n_docs AS DOUBLE) / CAST(n_urls AS DOUBLE) AS docs_per_url,
+           CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)
+               AS corpus_share
+    FROM per
+    """,
+    ops=["url-canonicalize", "frequency-cap", "A3"],
+)
+def domain_crawl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl profile over canonical URLs: doc count,
+    distinct pages, docs-per-URL (re-crawl rate) and corpus share —
+    the inputs a head-domain cap policy (source_frequency_cap's URL
+    twin) reads. The corpus total is a window over the domain-count-
+    sized aggregate, never over raw rows (web.domain_profile)."""
+    d = _t(spark, sf_dir, "documents")
+    urls = web.canonicalize_urls(web.with_synthetic_urls(d))
+    return web.domain_profile(urls)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -15011,6 +15106,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "png_header_report",
     "feature_hash_embeddings",
     "cluster_aware_split",
+    "url_canonical_dedup",
+    "domain_crawl_profile",
 )
 
 def _rotated() -> list[str]:
