@@ -57,6 +57,21 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     force(qs["pricing_summary"](spark, SF_DIR))
 
+    # Machine-speed yardstick: a fixed CPU-bound workload (hash-reduce
+    # over 2e8 synthetic rows, no I/O, all cores) timed median-of-3 and
+    # recorded with every run. Query times on this box vary up to ~35%
+    # run-to-run under host contention (observed round 8: identical
+    # code, roster totals 194.5 s vs 258.7 s); the calibration scalar
+    # makes that visible so series comparisons can be deflated.
+    calib_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS s"  # xor-reduce: overflow-free under ANSI
+        ).collect()
+        calib_runs.append(time.perf_counter() - t0)
+    calib = round(sorted(calib_runs)[1], 3)
+
     names = [n for n in qs if n not in BENCH_EXCLUDE]
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -100,6 +115,7 @@ def main() -> None:
         "n_queries": len(times),
         "total_median": round(sum(times.values()), 3),
         "total_warm": round(sum(warm.values()), 3),
+        "calib_sec": calib,
         "queries": times,
         "queries_cold": cold,
         "queries_warm": warm,
@@ -130,6 +146,7 @@ def main() -> None:
                   " full detail in BENCH_DETAIL.json" % len(times),
         "value": round(sum(times.values()), 3),
         "unit": "sec",
+        "calib_sec": calib,
         "queries": shown,
         "sf": sf_val,
     }
