@@ -41,6 +41,7 @@ BENCH_EXCLUDE = frozenset({
     "streaming_lsh_dedup_e2e",
     "streaming_enrich_e2e",
     "streaming_curate_e2e",
+    "streaming_rest_poll_e2e",
 })
 
 

@@ -14850,6 +14850,60 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roots.withColumn("split", split)
 
 
+@register(
+    "streaming_rest_poll_e2e",
+    """
+    WITH pages AS (
+        SELECT CAST(unnest(range(1, 13)) AS INTEGER) AS p
+    ), urls AS (
+        SELECT p, 'http://api.local/data/' || CAST(p AS VARCHAR)
+                  || '?fmt=json' AS url
+        FROM pages
+    ), syn AS (
+        SELECT u.p,
+               CAST(u.p AS VARCHAR) || '-r' || CAST(i.i AS VARCHAR)
+                   AS indicator,
+               CAST((i.i * length(u.url)) % 97 AS DOUBLE) AS value
+        FROM urls u CROSS JOIN (SELECT unnest(range(0, 10)) AS i) i
+    )
+    SELECT p AS page_id,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT indicator) AS n_indicators,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM syn GROUP BY p
+    """,
+    ops=["S1", "S2", "streaming-e2e", "python-datasource", "V6"],
+)
+def streaming_rest_poll_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's paginated REST ingest as a CONTINUOUS feed:
+    Spark 4 Python streaming DataSource (sources/pyds.py
+    RestPollStreamReader — offset = page cursor, micro-batch = 3 pages,
+    replay via readBetweenOffsets) polls 12 synthetic pages to
+    exhaustion into an append-mode memory sink, then aggregates per
+    page. The oracle reconstructs every synthetic row from the URL
+    formula alone, so the hash-match proves each page landed exactly
+    once across micro-batch (and potential replay) boundaries —
+    the streaming twin of S1/S2's batch union-fold
+    (crime_immigration_etl.py:88-132 is the driver-side original)."""
+    tune(spark)
+    from .sources.pyds import run_rest_poll_stream
+
+    raw = run_rest_poll_stream(
+        spark,
+        "http://api.local/data/{page}?fmt=json",
+        "indicator string, value double, page_id int",
+        last_page=12,
+        pages_per_batch=3,
+        fetcher="synthetic:10",
+        query_name="rest_poll_e2e",
+    )
+    return raw.groupBy("page_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("indicator").alias("n_indicators"),
+        F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+    )
+
+
 def _url_canon_sql(expr: str) -> str:
     """DuckDB twin of web.canonical_url, generated from the SAME
     rewrite table so the two engines cannot drift."""
@@ -15108,6 +15162,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "cluster_aware_split",
     "url_canonical_dedup",
     "domain_crawl_profile",
+    "streaming_rest_poll_e2e",
 )
 
 def _rotated() -> list[str]:

@@ -35,7 +35,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .api import parse_envelope
 
@@ -107,6 +112,54 @@ class PaginatedRestReader(DataSourceReader):
             yield tuple(r.get(k) for k in names)
 
 
+class RestPollStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch REST polling (the STREAMING shape of the same
+    ingest): the offset is a page cursor ``{"page": N}``; each batch
+    fetches up to ``pages_per_batch`` pages and advances the cursor,
+    and an exhausted cursor (past ``last_page``) yields empty batches
+    without advancing, so ``processAllAvailable`` terminates.
+    ``readBetweenOffsets`` re-fetches a committed page range verbatim —
+    the replay path Spark drives on recovery, which is deterministic
+    here because a page's content is a pure function of its URL."""
+
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.url_template = options["url_template"]
+        self.fetcher_spec = options.get("fetcher", "synthetic:10")
+        self.first = int(options.get("first_page", "1"))
+        self.last = int(options["last_page"])
+        self.per_batch = int(options.get("pages_per_batch", "1"))
+
+    def initialOffset(self) -> dict:
+        return {"page": self.first}
+
+    def read(self, start: dict):
+        lo = int(start["page"])
+        hi = min(lo + self.per_batch, self.last + 1)
+        if hi <= lo:  # exhausted: empty batch, cursor stays put
+            return iter([]), {"page": lo}
+        # iter(list), not a generator: the prefetching wrapper pickles
+        # the batch into the checkpoint for replay-on-recovery, and a
+        # list_iterator is both an iterator and picklable
+        return iter(self._fetch_range(lo, hi)), {"page": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(self._fetch_range(int(start["page"]), int(end["page"])))
+
+    def _fetch_range(self, lo: int, hi: int) -> list[tuple]:
+        fetch = _resolve_fetcher(self.fetcher_spec)
+        names = [f.name for f in self.schema.fields]
+        out: list[tuple] = []
+        for page in range(lo, hi):
+            rows = parse_envelope(fetch(self.url_template.format(page=page)))
+            for r in rows:
+                r = dict(r)
+                if "page_id" in names:
+                    r["page_id"] = page
+                out.append(tuple(r.get(k) for k in names))
+        return out
+
+
 class PaginatedRestDataSource(DataSource):
     """format("paginated_rest") — see module docstring."""
 
@@ -116,3 +169,44 @@ class PaginatedRestDataSource(DataSource):
 
     def reader(self, schema) -> PaginatedRestReader:
         return PaginatedRestReader(schema, self.options)
+
+    def simpleStreamReader(self, schema) -> RestPollStreamReader:
+        return RestPollStreamReader(schema, self.options)
+
+
+def run_rest_poll_stream(
+    spark,
+    url_template: str,
+    schema: str,
+    last_page: int,
+    first_page: int = 1,
+    pages_per_batch: int = 1,
+    fetcher: str = "synthetic:10",
+    query_name: str = "rest_poll_stream",
+):
+    """Drive the REST-poll stream to exhaustion into a memory sink
+    (append mode — every fetched row lands exactly once; duplicates
+    from a replayed batch would double-count and fail the oracle).
+    Synchronous: processAllAvailable + stop. Returns the raw rows."""
+    spark.dataSource.register(PaginatedRestDataSource)
+    stream = (
+        spark.readStream.format("paginated_rest")
+        .schema(schema)
+        .option("url_template", url_template)
+        .option("first_page", str(first_page))
+        .option("last_page", str(last_page))
+        .option("pages_per_batch", str(pages_per_batch))
+        .option("fetcher", fetcher)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

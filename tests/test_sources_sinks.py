@@ -321,6 +321,57 @@ def test_python_datasource_paginated_rest(spark):
     assert all(r.indicator.startswith("2") and "-r" in r.indicator for r in rows)
 
 
+def test_python_streaming_datasource_rest_poll(spark):
+    """Spark 4 Python STREAMING DataSource: page-cursor offsets, bounded
+    exhaustion, exactly-once landing across micro-batches."""
+    from data_integration_and_visualization_uc3m_spark.sources.pyds import run_rest_poll_stream
+
+    df = run_rest_poll_stream(
+        spark,
+        "http://api.local/d/{page}?fmt=json",
+        "indicator string, value double, page_id int",
+        last_page=7,
+        pages_per_batch=2,
+        fetcher="synthetic:4",
+        query_name="t_rest_poll_unit",
+    )
+    rows = df.collect()
+    assert len(rows) == 28  # 7 pages x 4 rows, no batch double-counted
+    assert {r.page_id for r in rows} == set(range(1, 8))
+
+
+def test_rest_poll_reader_offsets_and_replay():
+    """Reader contract, no Spark: the cursor advances per batch, parks
+    at exhaustion, and readBetweenOffsets replays a committed range
+    bit-identically (the recovery path)."""
+    from pyspark.sql.types import StructType
+
+    from data_integration_and_visualization_uc3m_spark.sources.pyds import RestPollStreamReader
+
+    schema = StructType.fromDDL("indicator string, value double, page_id int")
+    r = RestPollStreamReader(
+        schema,
+        {
+            "url_template": "http://api.local/d/{page}",
+            "last_page": "3",
+            "pages_per_batch": "2",
+            "fetcher": "synthetic:4",
+        },
+    )
+    o0 = r.initialOffset()
+    assert o0 == {"page": 1}
+    batch1, o1 = r.read(o0)
+    assert o1 == {"page": 3} and len(list(batch1)) == 8
+    batch2, o2 = r.read(o1)
+    assert o2 == {"page": 4} and len(list(batch2)) == 4
+    empty, o3 = r.read(o2)
+    assert o3 == o2 and list(empty) == []  # parked, stream drains
+    # replay of the committed [1,3) range is bit-identical
+    replay = list(r.readBetweenOffsets(o0, o1))
+    fresh, _ = r.read(o0)
+    assert replay == list(fresh)
+
+
 def test_python_datasource_bad_fetcher_spec(spark):
     from data_integration_and_visualization_uc3m_spark.sources.pyds import PaginatedRestDataSource
 
