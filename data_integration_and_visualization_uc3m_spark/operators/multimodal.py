@@ -251,3 +251,108 @@ def png_header_dims(
         F.when(sig_ok, be32(17)).alias("width_px"),
         F.when(sig_ok, be32(21)).alias("height_px"),
     )
+
+
+# --- real (lib-free) binary header codec: WAV/RIFF, little-endian ----
+#
+# The PNG codec above parses big-endian fields; WAV's RIFF container is
+# LITTLE-endian, which needs an explicit byte-swap — done on the hex
+# string (pair reordering via substring+concat), still 100% JVM column
+# expressions. Same 100 TB rationale: audio-format sweeps over billions
+# of clips must not pay a Python round-trip for header fields.
+
+_RIFF_HEX = "52494646"       # "RIFF"
+_WAVEFMT_HEX = "57415645666D7420"  # "WAVEfmt "
+_DATA_HEX = "64617461"       # "data"
+
+
+def _le32_hex(v: F.Column) -> F.Column:
+    """8-hex-digit little-endian encoding of an integer column."""
+    be = F.format_string("%08x", v)
+    return F.concat(
+        F.substring(be, 7, 2), F.substring(be, 5, 2),
+        F.substring(be, 3, 2), F.substring(be, 1, 2),
+    )
+
+
+def _le16_hex(v: F.Column) -> F.Column:
+    be = F.format_string("%04x", v)
+    return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+
+def _le_read(payload: F.Column, pos: int, nbytes: int) -> F.Column:
+    """Read an unsigned little-endian integer from binary: hex the byte
+    slice, reorder pairs to big-endian, conv base16 → long."""
+    h = F.hex(F.substring(payload, pos, nbytes))
+    swapped = F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+    )
+    return F.conv(swapped, 16, 10).cast("long")
+
+
+def synthesize_wav(
+    df: DataFrame,
+    id_col: str = "media_id",
+    rate_col: str = "sample_rate_hz",
+    channels_col: str = "n_channels",
+    bits_col: str = "bits_per_sample",
+    samples_col: str = "n_samples",
+) -> DataFrame:
+    """Build a REAL canonical 44-byte PCM WAV header per row (RIFF size,
+    WAVEfmt, PCM fmt chunk with channels/rate/byte-rate/block-align/
+    bits, data chunk size as if ``n_samples`` frames followed) —
+    header-only payload; sample data stays out of scope like the other
+    decode stubs. Hex assembly + one unhex, entirely JVM-side."""
+    ch = F.col(channels_col)
+    rate = F.col(rate_col)
+    bits = F.col(bits_col)
+    block_align = ch * (bits / F.lit(8)).cast("long")
+    byte_rate = rate * block_align
+    data_size = F.col(samples_col) * block_align
+    hex_str = F.concat(
+        F.lit(_RIFF_HEX),
+        _le32_hex(data_size + F.lit(36)),
+        F.lit(_WAVEFMT_HEX),
+        _le32_hex(F.lit(16)),          # PCM fmt chunk length
+        _le16_hex(F.lit(1)),           # audio format 1 = PCM
+        _le16_hex(ch),
+        _le32_hex(rate),
+        _le32_hex(byte_rate),
+        _le16_hex(block_align),
+        _le16_hex(bits),
+        F.lit(_DATA_HEX),
+        _le32_hex(data_size),
+    )
+    return df.select(
+        F.col(id_col), F.unhex(F.upper(hex_str)).alias("payload")
+    )
+
+
+def wav_header_meta(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Parse WAV/RIFF header fields from raw bytes — RIFF/WAVEfmt/data
+    magic checks plus little-endian u16/u32 extraction (hex byte-swap +
+    conv), whole-stage-codegen'd. Returns (id, n_bytes, wav_sig_ok,
+    n_channels, sample_rate_hz, bits_per_sample, byte_rate,
+    block_align, data_bytes); fields are null when the checks fail."""
+    p = F.col(payload_col)
+    sig_ok = (
+        (F.substring(p, 1, 4) == F.unhex(F.lit(_RIFF_HEX)))
+        & (F.substring(p, 9, 8) == F.unhex(F.lit(_WAVEFMT_HEX)))
+        & (F.substring(p, 37, 4) == F.unhex(F.lit(_DATA_HEX)))
+        & (_le_read(p, 21, 2) == 1)  # PCM only
+    )
+    return media.select(
+        F.col(id_col),
+        F.length(p).alias("n_bytes"),
+        sig_ok.alias("wav_sig_ok"),
+        F.when(sig_ok, _le_read(p, 23, 2)).alias("n_channels"),
+        F.when(sig_ok, _le_read(p, 25, 4)).alias("sample_rate_hz"),
+        F.when(sig_ok, _le_read(p, 35, 2)).alias("bits_per_sample"),
+        F.when(sig_ok, _le_read(p, 29, 4)).alias("byte_rate"),
+        F.when(sig_ok, _le_read(p, 33, 2)).alias("block_align"),
+        F.when(sig_ok, _le_read(p, 41, 4)).alias("data_bytes"),
+    )

@@ -14851,6 +14851,66 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wav_header_report",
+    """
+    WITH src AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                    ELSE 48000 END AS rate,
+               doc_id % 2 + 1 AS ch,
+               (doc_id % 2 + 1) * 8 AS bits,
+               doc_id % 1000 + 1 AS ns
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(44 AS BIGINT) AS n_bytes,
+           TRUE AS wav_sig_ok,
+           CAST(ch AS BIGINT) AS n_channels,
+           CAST(rate AS BIGINT) AS sample_rate_hz,
+           CAST(bits AS BIGINT) AS bits_per_sample,
+           CAST(rate * ch * (bits // 8) AS BIGINT) AS byte_rate,
+           CAST(ch * (bits // 8) AS BIGINT) AS block_align,
+           CAST(ns * ch * (bits // 8) AS BIGINT) AS data_bytes,
+           CAST(ns AS BIGINT) AS n_frames
+    FROM src
+    """,
+    ops=["multimodal-binary", "binary-codec"],
+)
+def wav_header_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG codec's LITTLE-endian twin, same zero-Python contract:
+    canonical 44-byte PCM WAV headers are SYNTHESIZED in-plan
+    (multimodal.synthesize_wav — little-endian hex assembly + unhex)
+    and PARSED back with byte-swapped hex reads
+    (multimodal.wav_header_meta). The oracle restates every field from
+    the same derivation, so a hash match proves the LE encode→parse
+    round-trip is the identity — including the derived byte-rate/
+    block-align/data-size arithmetic the header carries redundantly.
+    Whole-stage-codegen'd column expressions over the scan: the
+    audio-format sweep shape for billions of clips at 100 TB."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    i = F.col("doc_id")
+    src = d.select(
+        i.alias("media_id"),
+        F.when(i % 5 == 0, 8000)
+        .when(i % 5 == 1, 16000)
+        .when(i % 5 == 2, 22050)
+        .when(i % 5 == 3, 44100)
+        .otherwise(48000)
+        .cast("long")
+        .alias("sample_rate_hz"),
+        (i % 2 + 1).alias("n_channels"),
+        ((i % 2 + 1) * 8).alias("bits_per_sample"),
+        (i % 1000 + 1).alias("n_samples"),
+    )
+    media = multimodal.synthesize_wav(src)
+    parsed = multimodal.wav_header_meta(media)
+    return parsed.withColumn(
+        "n_frames", F.expr("data_bytes div block_align")
+    )
+
+
+@register(
     "streaming_rest_poll_e2e",
     """
     WITH pages AS (
@@ -15163,6 +15223,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "url_canonical_dedup",
     "domain_crawl_profile",
     "streaming_rest_poll_e2e",
+    "wav_header_report",
 )
 
 def _rotated() -> list[str]:
