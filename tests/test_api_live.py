@@ -173,3 +173,25 @@ def test_live_distributed_datasource_ingest(spark, server):
     }
     # two partitions — one per year URL — really ran
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_live_streaming_rest_poll(spark, server):
+    """The STREAMING shape live: the Spark 4 Python streaming
+    DataSource polls real HTTP pages micro-batch by micro-batch
+    (page-cursor offsets) until exhaustion — the continuous twin of
+    test_live_distributed_datasource_ingest."""
+    from data_integration_and_visualization_uc3m_spark.sources.pyds import (
+        run_rest_poll_stream,
+    )
+
+    df = run_rest_poll_stream(
+        spark,
+        server + "/paged?page={page}",
+        "v int, page_id int",
+        last_page=3,
+        pages_per_batch=1,
+        fetcher="data_integration_and_visualization_uc3m_spark.sources.api:http_fetch",
+        query_name="t_live_rest_poll",
+    )
+    got = sorted((r.v, r.page_id) for r in df.collect())
+    assert got == [(1, 1), (2, 1), (3, 2)]  # page 3 served empty
