@@ -26,4 +26,5 @@ idiomatic, Catalyst-friendly Spark:
     graph       fixed-point weighted PageRank (iterative, bit-exact)
     linkage     entity resolution: length-band blocked fuzzy value match
     web         URL canonicalization, re-crawl dedup, domain profiling
+    telemetry   observed-metrics quality counters (zero-extra-scan V1/V4)
 """
