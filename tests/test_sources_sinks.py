@@ -435,3 +435,50 @@ def test_synthetic_dim_deterministic_and_shaped(spark):
     # a different seed draws different rows
     c = synthetic_dim(spark, 500, seed="other").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_rest_poll_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across RESTARTS: a second run sharing the first
+    run's checkpoint resumes from the committed page cursor — earlier
+    pages are not re-fetched, later pages land exactly once."""
+    from data_integration_and_visualization_uc3m_spark.sources.pyds import (
+        PaginatedRestDataSource,
+    )
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(last_page: int) -> None:
+        stream = (
+            spark.readStream.format("paginated_rest")
+            .schema("indicator string, value double, page_id int")
+            .option("url_template", "http://api.local/d/{page}")
+            .option("last_page", str(last_page))
+            .option("pages_per_batch", "2")
+            .option("fetcher", "synthetic:4")
+            .load()
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(last_page=3)
+    first = spark.read.parquet(out).groupBy("page_id").count().collect()
+    assert {r.page_id: r["count"] for r in first} == {1: 4, 2: 4, 3: 4}
+
+    # "restart" with more pages now available: same checkpoint, the
+    # committed cursor (page 4) is where ingestion resumes
+    run(last_page=6)
+    second = spark.read.parquet(out).groupBy("page_id").count().collect()
+    assert {r.page_id: r["count"] for r in second} == {
+        1: 4, 2: 4, 3: 4, 4: 4, 5: 4, 6: 4,
+    }  # pages 1-3 NOT duplicated, 4-6 exactly once
