@@ -197,6 +197,136 @@ def run_stream_stateful_totals(
         q.stop()
 
 
+class TransformWithStateUnavailable(ImportError):
+    """transformWithStateInPandas needs the ``protobuf`` package (its
+    state-server protocol is protobuf-framed); raise eagerly with a
+    clear message instead of a mid-stream worker crash."""
+
+
+def _require_tws() -> None:
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise TransformWithStateUnavailable(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pip install protobuf); running_user_totals_exact is the "
+            "dependency-free applyInPandasWithState equivalent"
+        ) from exc
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """:func:`running_user_totals_exact` re-expressed on Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API
+    (typed state handles, timers, TTL, initial-state support; requires
+    the RocksDB state store provider AND the protobuf package — gated
+    by :func:`_require_tws`). Same fixed-point contract: the per-user
+    state is (count, Σ floor(value·1e6)) int64s, so the final emission
+    is bit-identical to batch SQL whatever the batch boundaries.
+    Emits the cumulative row per user per batch."""
+    _require_tws()
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_micros", T.LongType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, tot BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+            import pandas as pd
+
+            n, tot = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                tot += int(
+                    np.floor(pdf["value"].to_numpy() * 1e6)
+                    .astype("int64")
+                    .sum()
+                )
+            self._state.update((n, tot))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_micros": [tot],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_stream_tws_totals(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drive :func:`running_user_totals_tws` over a file stream into the
+    same replace-upsert sink as the applyInPandasWithState runner.
+    transformWithState requires the RocksDB state store — set at
+    RUNTIME (never at session build, per the driver-session contract)
+    and restored afterwards so sibling streams keep their provider."""
+    from ..operators.upsert import write_upsert_parquet
+    from ..session import tune
+
+    tune(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+
+        def sink(batch_df, epoch_id: int) -> None:
+            write_upsert_parquet(
+                target_path, batch_df, ["user_id"], mode="replace"
+            )
+
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def sliding_agg(
     events: DataFrame,
     size: str = "1 hour",

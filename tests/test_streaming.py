@@ -477,3 +477,46 @@ def test_curate_stream_batch_parity_and_gate(spark):
     # stateless: applying twice is identical (deterministic)
     again = {r.doc_id for r in curate_stream(d, 0.5, "scur", 0.25).collect()}
     assert ids == again
+
+
+def test_tws_totals_runs_or_gates_cleanly(spark, tmp_path):
+    """The transformWithStateInPandas twin of the running-totals
+    operator: when protobuf is present it must hash-match the batch
+    GROUP BY exactly (same fixed-point contract as the
+    applyInPandasWithState path); when absent it must raise the
+    explicit gate, not crash a worker mid-stream."""
+    import pyspark.sql.functions as F
+
+    from data_integration_and_visualization_uc3m_spark.operators.upsert import read_upsert_parquet
+    from data_integration_and_visualization_uc3m_spark.sources.readers import load_table
+    from data_integration_and_visualization_uc3m_spark.streaming import events as se
+
+    try:
+        se._require_tws()
+    except se.TransformWithStateUnavailable:
+        import pytest as _pytest
+
+        with _pytest.raises(se.TransformWithStateUnavailable, match="protobuf"):
+            se.running_user_totals_tws(
+                load_table(spark, "/root/testdata/sf0.001", "events")
+            )
+        return
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    se.run_stream_tws_totals(
+        spark, src, str(tmp_path / "target"), str(tmp_path / "ckpt")
+    )
+    got = read_upsert_parquet(spark, str(tmp_path / "target")).select(
+        "user_id", "n_events", "total_micros"
+    )
+    batch = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias(
+            "total_micros"
+        ),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
