@@ -151,3 +151,89 @@ def length_bucket_stats(
             ).alias("waste_frac"),
         )
     )
+
+
+def packing_length_sweep(
+    df: DataFrame,
+    lengths: list[int],
+    tokens_col: str,
+    shard_col: str,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """The max_len PLANNING question: for each candidate sequence
+    length, what does contiguous packing cost in (a) tail padding (the
+    final partial sequence per shard) and (b) document fragmentation
+    (docs straddling a sequence boundary get split across training
+    sequences)? Bigger budgets pad more per shard tail but fragment
+    fewer documents — this sweep quantifies both sides so the trainer
+    can pick the knee.
+
+    One window pass computes the start offsets; the candidate lengths
+    are exploded AFTER the (shard-count-sized) aggregation inputs are
+    formed, so the sweep costs one scan + two small shuffles however
+    many lengths are probed. Exact integer arithmetic throughout.
+
+    Returns one row per max_len: doc/token totals, sequences produced,
+    pad tokens + pad fraction, boundary-straddling docs, and the extra
+    fragments splitting creates."""
+    w = Window.partitionBy(shard_col).orderBy(order_col)
+    off = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("long")
+    base = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(tokens_col).cast("long").alias("tok"),
+        off.alias("off"),
+    )
+    swept = base.withColumn(
+        "max_len",
+        F.explode(F.array(*[F.lit(int(n)).cast("long") for n in lengths])),
+    )
+    start_bin = F.expr("off div max_len")
+    end_bin = F.expr("(off + tok - 1) div max_len")
+    per_shard = (
+        swept.groupBy("max_len", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.max(F.col("off") + F.col("tok")).cast("long").alias(
+                "stream_len"
+            ),
+            F.sum((end_bin > start_bin).cast("long")).alias(
+                "n_boundary_docs"
+            ),
+            F.sum(end_bin - start_bin).cast("long").alias(
+                "n_extra_fragments"
+            ),
+        )
+        .withColumn(
+            "n_seqs", F.expr("(stream_len + max_len - 1) div max_len")
+        )
+        .withColumn(
+            "pad", F.col("n_seqs") * F.col("max_len") - F.col("stream_len")
+        )
+    )
+    return (
+        per_shard.groupBy("max_len")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_seqs").cast("long").alias("n_seqs"),
+            F.sum("pad").cast("long").alias("pad_tokens"),
+            F.sum("n_boundary_docs").cast("long").alias("n_boundary_docs"),
+            F.sum("n_extra_fragments")
+            .cast("long")
+            .alias("n_extra_fragments"),
+        )
+        .select(
+            "max_len",
+            "n_docs",
+            "total_tokens",
+            "n_seqs",
+            "pad_tokens",
+            (
+                F.col("pad_tokens").cast("double")
+                / (F.col("n_seqs") * F.col("max_len")).cast("double")
+            ).alias("pad_frac"),
+            "n_boundary_docs",
+            "n_extra_fragments",
+        )
+    )

@@ -14851,6 +14851,77 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "packing_length_sweep",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens
+        FROM documents
+    ), o AS (
+        SELECT lang, tokens,
+               CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                    - tokens AS BIGINT) AS off
+        FROM t
+    ), lens AS (
+        SELECT CAST(unnest(list_value(512, 1024, 2048, 4096)) AS BIGINT)
+                   AS max_len
+    ), per AS (
+        SELECT max_len, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(off + tokens) AS BIGINT) AS stream_len,
+               CAST(SUM(CASE WHEN (off + tokens - 1) // max_len
+                                  > off // max_len
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boundary_docs,
+               CAST(SUM((off + tokens - 1) // max_len - off // max_len)
+                    AS BIGINT) AS n_extra_fragments
+        FROM o CROSS JOIN lens
+        GROUP BY max_len, lang
+    ), per2 AS (
+        SELECT max_len, n_docs, total_tokens, n_boundary_docs,
+               n_extra_fragments,
+               (stream_len + max_len - 1) // max_len AS n_seqs,
+               ((stream_len + max_len - 1) // max_len) * max_len
+                   - stream_len AS pad
+        FROM per
+    )
+    SELECT max_len,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(total_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+           CAST(SUM(pad) AS BIGINT) AS pad_tokens,
+           CAST(SUM(pad) AS DOUBLE)
+               / CAST(SUM(n_seqs) * max_len AS DOUBLE) AS pad_frac,
+           CAST(SUM(n_boundary_docs) AS BIGINT) AS n_boundary_docs,
+           CAST(SUM(n_extra_fragments) AS BIGINT) AS n_extra_fragments
+    FROM per2 GROUP BY max_len
+    """,
+    ops=["pack-contiguous", "pack-length-sweep", "W1", "A3"],
+)
+def packing_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The max_len planning sweep over the contiguous packer
+    (operators/packing.py:packing_length_sweep): per candidate budget
+    {512,1024,2048,4096}, sequences produced, tail-padding tokens and
+    fraction, and how many documents a boundary would split (plus the
+    extra fragments splitting creates). Pad shrinks and fragmentation
+    grows as the budget falls — the sweep exposes the knee. One scan,
+    exact integers, candidate lengths exploded AFTER the window pass."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("tokens"),
+    )
+    return packing.packing_length_sweep(
+        toks,
+        lengths=[512, 1024, 2048, 4096],
+        tokens_col="tokens",
+        shard_col="lang",
+    )
+
+
+@register(
     "wav_header_report",
     """
     WITH src AS (
@@ -15224,6 +15295,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "domain_crawl_profile",
     "streaming_rest_poll_e2e",
     "wav_header_report",
+    "packing_length_sweep",
 )
 
 def _rotated() -> list[str]:

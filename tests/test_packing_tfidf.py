@@ -193,3 +193,32 @@ def test_inverted_index_caps_postings(spark):
     r = T.inverted_index(df, postings_cap=5).collect()[0]
     assert (r.cf, r.df) == (30, 30)
     assert r.postings_head == "0,1,2,3,4"  # sorted head, capped
+
+
+def test_packing_length_sweep_tradeoff_and_exact_numbers(spark):
+    """Hand-checked tiny shard + the tradeoff direction: padding grows
+    and fragmentation shrinks as the budget grows."""
+    from data_integration_and_visualization_uc3m_spark.operators.packing import packing_length_sweep
+
+    df = spark.createDataFrame(
+        [(1, "en", 300), (2, "en", 300), (3, "en", 500), (4, "de", 900)],
+        "doc_id long, lang string, tokens long",
+    )
+    rows = {
+        r.max_len: r
+        for r in packing_length_sweep(
+            df, [512, 1024], tokens_col="tokens", shard_col="lang"
+        ).collect()
+    }
+    r512 = rows[512]
+    # en stream = 1100 -> 3 seqs, pad 436; de stream = 900 -> 2 seqs, pad 124
+    assert (r512.n_seqs, r512.pad_tokens) == (5, 560)
+    # en: doc2 spans 300..600 (crosses 512), doc3 spans 600..1100
+    # (crosses 1024); de: doc4 spans 0..900 (crosses 512) -> 3 split docs
+    assert r512.n_boundary_docs == 3 and r512.n_extra_fragments == 3
+    r1024 = rows[1024]
+    assert (r1024.n_seqs, r1024.pad_tokens) == (3, 1072)
+    assert r1024.n_boundary_docs == 1  # only doc3 (600..1100) crosses
+    assert r1024.pad_tokens > r512.pad_tokens
+    assert r1024.n_extra_fragments < r512.n_extra_fragments
+    assert abs(r512.pad_frac - 560 / (5 * 512)) < 1e-15
