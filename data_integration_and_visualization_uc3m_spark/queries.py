@@ -15140,12 +15140,14 @@ def domain_crawl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verdicts onto every query, `all_queries()` emits not-yet-verified
 # queries first (registration order preserved within each group) and
 # already-green ones last; freshly-verified names move into
-# _PRIOR_VERIFIED each round. After round 6 the green union
-# (CORRECTNESS_r02..r06) covers 230/269 registered queries; the
-# remaining 39 never-driver-verified names form the round-7 front
-# (behind any _PRIORITY re-pins for queries whose plan/oracle actually
-# changed this round, and ahead of brand-new _NEW_PARITY_ONLY names),
-# so the 50-slot window reaches all of them.
+# _PRIOR_VERIFIED each round. Round-8 state: the green union
+# (CORRECTNESS_r02..r06; round 7's gate crashed on import and verified
+# nothing) covers 230 of 284 registered queries. The round-8 window is
+# 8 _PRIORITY re-pins (plan/oracle changed in r7 after their last
+# green) + the 39 never-driver-verified names + the first 3
+# _NEW_PARITY_ONLY entries = 50. The remaining _NEW_PARITY_ONLY names
+# carry tools/parity.py evidence (every one exact at sf0.001/0.01/0.1
+# this round) and queue for round 9's window.
 _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "ann_int8_topk", "anti_join_inactive_customers", "approx_sketches",
     "asof_last_purchase", "balanced_lang_mix", "basket_part_lift",
