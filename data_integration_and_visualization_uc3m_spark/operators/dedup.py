@@ -1026,3 +1026,58 @@ def tfidf_cosine_pairs(
         .select("id_a", "id_b", "n_common", cos_fp6.alias("cos_fp6"))
         .filter(F.col("cos_fp6") >= F.lit(threshold_fp6))
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary scheme of
+    storage dedup / rsync / FastCDC): a chunk boundary falls after
+    position p whenever the hash of the length-``window`` text window
+    ending at p starts with hex '0' (expected cut rate 1/16, so ~16-char
+    expected chunks at window=8). Because boundaries depend on CONTENT,
+    an insertion re-chunks only its neighborhood — unlike fixed-width
+    windows where one shifted byte changes every downstream chunk; the
+    shared-chunk rate across a corpus is therefore a shift-robust
+    duplication signal and the basis of dedup storage estimates.
+
+    All boundary detection, chunk slicing and chunk hashing happen
+    IN-ROW (sequence → filter → zip_with → md5 per slice, whole-stage
+    codegen); the relation leaves the row only as (id, clen, chash)
+    explode — same zero-pre-shuffle contract as the other set relations
+    in this module. md5 keeps it oracle-portable.
+
+    Returns (id_col, clen, chash), one row per chunk occurrence."""
+    txt = F.col(text_col)
+    n = F.length(txt)
+    # boundary candidates p in [window, n-1] (a cut AT the end would
+    # create an empty trailing chunk); sequence() reverses when
+    # start > stop, so guard short docs to an empty array
+    pos = F.when(
+        n > window, F.sequence(F.lit(window), n - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(
+        pos,
+        lambda p: F.substring(
+            F.md5(F.substr(txt, p - (window - 1), F.lit(window))), 1, 1
+        )
+        == "0",
+    )
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(cuts, lambda p: p + 1)
+    )
+    ends = F.concat(F.transform(cuts, lambda p: p), F.array(n))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            (e - s + 1).alias("clen"),
+            F.md5(F.substr(txt, s, e - s + 1)).alias("chash"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    ).select(id_col, F.col("_c.clen").cast("long").alias("clen"), "_c.chash")

@@ -14851,6 +14851,76 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_chunk_dedup_histogram",
+    """
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+    ), pos AS (
+        -- fixed unroll bound (max text length is <600 in this corpus);
+        -- DuckDB rejects lateral args to range(), so bound + filter
+        SELECT CAST(unnest(range(8, 601)) AS INTEGER) AS p
+    ), bounds AS (
+        SELECT d.doc_id, p
+        FROM docs d JOIN pos ON p < d.n
+        WHERE substring(md5(substring(d.text, p - 7, 8)), 1, 1) = '0'
+    ), starts AS (
+        SELECT doc_id, 1 AS s FROM docs
+        UNION ALL SELECT doc_id, p + 1 FROM bounds
+    ), ordered AS (
+        SELECT st.doc_id, st.s,
+               LEAD(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s)
+                   AS next_s,
+               d.n, d.text
+        FROM starts st JOIN docs d USING (doc_id)
+    ), chunks AS (
+        SELECT doc_id,
+               COALESCE(next_s - 1, n) - s + 1 AS clen,
+               md5(substring(text, s, COALESCE(next_s - 1, n) - s + 1))
+                   AS chash
+        FROM ordered
+    ), per AS (
+        SELECT chash, COUNT(*) AS n_occurrences, MIN(clen) AS clen
+        FROM chunks GROUP BY chash
+    )
+    SELECT n_occurrences,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(clen) AS BIGINT) AS distinct_chars,
+           CAST(SUM(clen * n_occurrences) AS BIGINT) AS total_chars,
+           CAST(SUM(clen * (n_occurrences - 1)) AS BIGINT)
+               AS dedup_savings_chars
+    FROM per GROUP BY n_occurrences
+    """,
+    ops=["dedup-cdc-chunks", "binary-codec", "A3"],
+)
+def cdc_chunk_dedup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rsync/FastCDC-style rolling-hash
+    boundaries — operators/dedup.py:content_defined_chunks) as a
+    storage-dedup estimate: chunks whose boundaries depend on content
+    survive byte shifts, so the occurrence histogram of chunk hashes
+    (with the char savings a dedup store would realize per occurrence
+    class) is the shift-robust duplication profile of the corpus. The
+    oracle rebuilds the identical chunking with a bounded position
+    unroll + LEAD window; the Spark side stays in-row until the single
+    chunk-hash shuffle."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    chunks = dedup.content_defined_chunks(d, window=8)
+    per = chunks.groupBy("chash").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("clen").alias("clen"),
+    )
+    return per.groupBy("n_occurrences").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("clen").cast("long").alias("distinct_chars"),
+        F.sum(F.col("clen") * F.col("n_occurrences"))
+        .cast("long")
+        .alias("total_chars"),
+        F.sum(F.col("clen") * (F.col("n_occurrences") - 1))
+        .cast("long")
+        .alias("dedup_savings_chars"),
+    )
+
+
+@register(
     "packing_length_sweep",
     """
     WITH t AS (
@@ -15298,6 +15368,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "streaming_rest_poll_e2e",
     "wav_header_report",
     "packing_length_sweep",
+    "cdc_chunk_dedup_histogram",
 )
 
 def _rotated() -> list[str]:

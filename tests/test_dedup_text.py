@@ -541,3 +541,40 @@ def test_dsir_score_prefers_target_like_docs(spark):
     # the mixed doc's scored bigrams are the same target-supported ones,
     # so its per-bigram ratio matches — but total mass is smaller
     assert got[5].diff_fp9 <= got[1].diff_fp9
+
+
+def test_content_defined_chunks_shift_robust(spark):
+    """The CDC property: prepending one character re-chunks only the
+    neighborhood of the edit — most chunk hashes survive, which is why
+    shared-chunk rate is a shift-robust duplication signal (fixed-width
+    windows would share zero full chunks after the shift)."""
+    from data_integration_and_visualization_uc3m_spark.operators.dedup import content_defined_chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the pipeline chunks bytes by content not by position "
+        "so a single shifted byte cannot cascade through the stream"
+    ) * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, "X" + base)], "doc_id long, text string"
+    )
+    chunks = content_defined_chunks(df, window=8).collect()
+    a = [r.chash for r in chunks if r.doc_id == 1]
+    b = [r.chash for r in chunks if r.doc_id == 2]
+    assert len(a) > 5  # the boundary rate actually fired
+    shared = set(a) & set(b)
+    # everything after the first boundary re-synchronizes, so all
+    # DISTINCT chunks except the edited head chunk are shared (the
+    # repeated base text collapses occurrences within each doc)
+    assert len(shared) >= len(set(a)) - 2
+    # chunk lengths tile the document exactly
+    assert sum(r.clen for r in chunks if r.doc_id == 1) == len(base)
+    assert sum(r.clen for r in chunks if r.doc_id == 2) == len(base) + 1
+
+
+def test_content_defined_chunks_short_doc_single_chunk(spark):
+    from data_integration_and_visualization_uc3m_spark.operators.dedup import content_defined_chunks
+
+    df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    rows = content_defined_chunks(df, window=8).collect()
+    assert len(rows) == 1 and rows[0].clen == 4
