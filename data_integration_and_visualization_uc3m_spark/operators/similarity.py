@@ -1061,3 +1061,95 @@ def ivfpq_topk_rel(
         .select(id_col, block_col, "adc_dist_nano")
         .orderBy(F.col("adc_dist_nano"), F.col(id_col))
     )
+
+
+def maxsim_topk(
+    docs: DataFrame,
+    query_doc_id: int = 0,
+    k: int = 10,
+    chunk_words: int = 32,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim scoring shape,
+    model-free): documents are split into ``chunk_words``-word chunks,
+    each chunk gets a signed feature-hash vector (same md5 parity
+    construction as text.feature_hash_embedding — exact integers), and
+    a candidate's score against the query document is
+    ``Σ_query-chunk max(0, max_candidate-chunk ⟨q, c⟩)`` — fine-grained
+    chunk-to-chunk matching instead of one pooled vector per document,
+    which is what lets a long document match on one relevant passage.
+
+    The relu on the inner max makes the score exactly well-defined
+    under the SPARSE evaluation used here: chunk pairs sharing no hash
+    bucket have dot 0 and are never materialized, and relu folds
+    missing pairs and negative dots to the same 0 contribution.
+
+    Scale shape: dots come from a bucket-key join against the
+    BROADCAST query-chunk components (a query is a handful of chunks ×
+    ≤dim buckets), so the corpus side is one scan + one aggregation —
+    never a dense per-pair loop. Exact integer scores end to end.
+
+    Returns (rank, id_col, score), the top ``k`` by (score desc, id).
+    """
+    n_bits = (dim - 1).bit_length()
+    assert dim == 1 << n_bits and n_bits <= 14, "dim must be a power of 2"
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = docs.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "tok")
+    ).select(
+        id_col,
+        F.expr(f"pos div {int(chunk_words)}").alias("chunk_id"),
+        F.md5("tok").alias("h"),
+    )
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+    def bit(c: int) -> F.Column:
+        return (
+            F.when(F.substring("h", c, 1).isin(*odd), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    bucket = F.lit(0)
+    for kk in range(n_bits):
+        bucket = bucket + bit(kk + 1) * F.lit(1 << kk)
+    sign = F.when(bit(n_bits + 1) == 1, F.lit(1)).otherwise(F.lit(-1))
+    comps = (
+        toks.select(
+            id_col,
+            "chunk_id",
+            bucket.cast("int").alias("bucket"),
+            sign.cast("long").alias("sign"),
+        )
+        .groupBy(id_col, "chunk_id", "bucket")
+        .agg(F.sum("sign").alias("comp"))
+    )
+    q = (
+        comps.filter(F.col(id_col) == query_doc_id)
+        .select(
+            F.col("chunk_id").alias("q_chunk"),
+            "bucket",
+            F.col("comp").alias("q_comp"),
+        )
+    )
+    dots = (
+        comps.filter(F.col(id_col) != query_doc_id)
+        .join(F.broadcast(q), "bucket")
+        .groupBy(id_col, "chunk_id", "q_chunk")
+        .agg(F.sum(F.col("comp") * F.col("q_comp")).alias("dot"))
+    )
+    ms = dots.groupBy(id_col, "q_chunk").agg(
+        F.greatest(F.max("dot"), F.lit(0).cast("long")).alias("m")
+    )
+    scores = ms.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", id_col, "score")
+    )

@@ -14851,6 +14851,68 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maxsim_late_interaction_topk",
+    f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), toks AS (
+        -- bounded unroll (max 100 words in this corpus; DuckDB range()
+        -- rejects lateral arguments)
+        SELECT w.doc_id, (i.i - 1) // 32 AS chunk_id, md5(w.ws[i.i]) AS h
+        FROM words w
+        CROSS JOIN (SELECT unnest(range(1, 129)) AS i) i
+        WHERE i.i <= len(w.ws)
+    ), comps AS (
+        SELECT doc_id, chunk_id,
+               CAST({_FH_BUCKET} AS INTEGER) AS bucket,
+               CAST(SUM(CASE WHEN substr(h, 7, 1) IN {_FH_ODD}
+                        THEN 1 ELSE -1 END) AS BIGINT) AS comp
+        FROM toks GROUP BY doc_id, chunk_id, bucket
+    ), q AS (
+        SELECT chunk_id AS q_chunk, bucket, comp AS q_comp
+        FROM comps WHERE doc_id = 0
+    ), dots AS (
+        SELECT c.doc_id, c.chunk_id, q.q_chunk,
+               CAST(SUM(c.comp * q.q_comp) AS BIGINT) AS dot
+        FROM comps c JOIN q ON c.bucket = q.bucket
+        WHERE c.doc_id <> 0
+        GROUP BY c.doc_id, c.chunk_id, q.q_chunk
+    ), ms AS (
+        SELECT doc_id, q_chunk, GREATEST(MAX(dot), 0) AS m
+        FROM dots GROUP BY doc_id, q_chunk
+    ), scores AS (
+        SELECT doc_id, CAST(SUM(m) AS BIGINT) AS score
+        FROM ms GROUP BY doc_id
+    ), ranked AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM scores
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, doc_id, score
+    FROM ranked WHERE rank <= 10
+    """,
+    ops=["ann-maxsim", "late-interaction", "feature-hashing", "top-k"],
+)
+def maxsim_late_interaction_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim scoring shape,
+    model-free — operators/similarity.py:maxsim_topk): 32-word chunks
+    get signed feature-hash vectors, candidates score
+    Σ_query-chunk relu(max chunk dot) against doc 0's chunks, top-10 by
+    (score desc, id). The dots come from a bucket-key join against the
+    BROADCAST query components — sparse evaluation, never a dense pair
+    loop — and every score is an exact integer, so the whole retrieval
+    ranking is oracle-checked."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return similarity.maxsim_topk(
+        d, query_doc_id=0, k=10, chunk_words=32, dim=64
+    )
+
+
+@register(
     "cdc_chunk_dedup_histogram",
     """
     WITH docs AS (
@@ -15369,6 +15431,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "wav_header_report",
     "packing_length_sweep",
     "cdc_chunk_dedup_histogram",
+    "maxsim_late_interaction_topk",
 )
 
 def _rotated() -> list[str]:

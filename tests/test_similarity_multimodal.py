@@ -210,3 +210,30 @@ def test_semdedup_rejects_zero_norm_seed(spark):
     e = vecs(spark, [(1, [1.0, 0.0])])
     with pytest.raises(ValueError, match="zero norm"):
         similarity.semdedup(e, [[1.0, 0.0], [0.0, 0.0]])
+
+
+def test_maxsim_topk_ranks_passage_matches(spark):
+    """Late-interaction property: an exact copy outranks a one-passage
+    match, which outranks an unrelated document — and a long document
+    matching on ONE passage still scores (what pooled single-vector
+    cosine dilutes away)."""
+    from data_integration_and_visualization_uc3m_spark.operators.similarity import maxsim_topk
+
+    passage = " ".join(f"tok{i}" for i in range(32))
+    other = " ".join(f"oth{i}" for i in range(32))
+    noise = " ".join(f"nz{i}" for i in range(96))
+    df = spark.createDataFrame(
+        [
+            (0, passage + " " + other),        # query: 2 chunks
+            (1, passage + " " + other),        # exact copy
+            (2, passage + " " + noise),        # one-passage match + noise
+            (3, " ".join(f"x{i}" for i in range(64))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    rows = maxsim_topk(df, query_doc_id=0, k=3, chunk_words=32).collect()
+    order = [r.doc_id for r in sorted(rows, key=lambda r: r.rank)]
+    scores = {r.doc_id: r.score for r in rows}
+    assert order[0] == 1 and order[1] == 2
+    assert scores[1] > scores[2] > scores.get(3, 0)
+    assert all(r.score >= 0 for r in rows)  # relu semantics
