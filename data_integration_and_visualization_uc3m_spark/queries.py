@@ -14851,6 +14851,115 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spearman_price_qty_by_nation",
+    """
+    WITH base AS (
+        SELECT s.s_nationkey,
+               CAST(l.l_extendedprice AS DECIMAL(18,2)) AS x,
+               CAST(l.l_quantity AS DECIMAL(18,2)) AS y
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ), ranked AS (
+        -- doubled average rank (2*rank + ties - 1) stays an exact
+        -- integer under ties, so every moment below is exact
+        SELECT s_nationkey,
+               2 * RANK() OVER (PARTITION BY s_nationkey ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY s_nationkey, x) - 1
+                   AS dx,
+               2 * RANK() OVER (PARTITION BY s_nationkey ORDER BY y)
+                   + COUNT(*) OVER (PARTITION BY s_nationkey, y) - 1
+                   AS dy
+        FROM base
+    ), sums AS (
+        SELECT s_nationkey,
+               COUNT(*) AS n_lines,
+               CAST(SUM(dx) AS BIGINT) AS sx,
+               CAST(SUM(dy) AS BIGINT) AS sy,
+               CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+               CAST(SUM(dy * dy) AS BIGINT) AS syy,
+               CAST(SUM(dx * dy) AS BIGINT) AS sxy
+        FROM ranked GROUP BY s_nationkey
+    )
+    SELECT n_name, n_lines,
+           CAST(FLOOR(
+               (CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n_lines AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS spearman_fp6
+    FROM sums JOIN nation ON s_nationkey = n_nationkey
+    """,
+    ops=["A3", "stats-corr", "stats-rank", "J1"],
+)
+def spearman_price_qty_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation per nation — the robust (monotone,
+    outlier-insensitive) sibling of nation_price_qty_corr's Pearson.
+    Average ranks under ties are carried DOUBLED (2·rank + ties − 1),
+    which keeps them integers, so all five moment sums are exact
+    BIGINTs; the correlation itself is the same fixed-order double
+    expression as the Pearson query (IEEE sqrt is correctly rounded,
+    so both engines produce the identical double), surfaced as
+    floor(ρ·10^6). Two rank windows per nation = two partition sorts,
+    no driver state."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    base = l.join(
+        F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select(
+        "s_nationkey",
+        _dec2("l_extendedprice").alias("x"),
+        _dec2("l_quantity").alias("y"),
+    )
+    wx = Window.partitionBy("s_nationkey").orderBy("x")
+    wy = Window.partitionBy("s_nationkey").orderBy("y")
+    tx = Window.partitionBy("s_nationkey", "x")
+    ty = Window.partitionBy("s_nationkey", "y")
+    ranked = base.select(
+        "s_nationkey",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(tx) - 1)
+        .cast("long")
+        .alias("dx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(ty) - 1)
+        .cast("long")
+        .alias("dy"),
+    )
+    sums = ranked.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    n_ = F.col("n_lines").cast("double")
+    num = n_ * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = n_ * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = n_ * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return sums.join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(
+        "n_name",
+        "n_lines",
+        F.floor(num / (F.sqrt(vx) * F.sqrt(vy)) * 1000000.0)
+        .cast("long")
+        .alias("spearman_fp6"),
+    )
+
+
+@register(
     "maxsim_late_interaction_topk",
     f"""
     WITH words AS (
@@ -15432,6 +15541,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "packing_length_sweep",
     "cdc_chunk_dedup_histogram",
     "maxsim_late_interaction_topk",
+    "spearman_price_qty_by_nation",
 )
 
 def _rotated() -> list[str]:

@@ -205,6 +205,30 @@ def test_nation_corr_perfectly_linear_is_one(spark, tmp_path):
     assert out[0].corr_fp6 == 1_000_000
 
 
+def test_spearman_monotone_invariance(spark, tmp_path):
+    """Spearman is rank-based: y = x^3 (monotone but wildly nonlinear)
+    gives exactly rho = 1, where Pearson on the same data falls well
+    below 1 — the property that motivates the robust sibling."""
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, 1, float(i + 1), float((i + 1) ** 3)) for i in range(10)],
+        "l_orderkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 7)], "s_suppkey long, s_nationkey int"
+    ).write.parquet(f"{sf}/supplier.parquet")
+    spark.createDataFrame(
+        [(7, "CUBICA")], "n_nationkey int, n_name string"
+    ).write.parquet(f"{sf}/nation.parquet")
+    rho = Q.REGISTRY["spearman_price_qty_by_nation"].fn(spark, sf).collect()
+    assert len(rho) == 1 and rho[0].spearman_fp6 == 1_000_000
+    pearson = Q.REGISTRY["nation_price_qty_corr"].fn(spark, sf).collect()
+    assert pearson[0].corr_fp6 < 1_000_000
+
+
 def test_nation_trend_exact_slope(spark, tmp_path):
     """Revenue rises exactly 100.00/customer-year -> slope 10000 cents."""
     from data_integration_and_visualization_uc3m_spark import queries as Q
