@@ -14851,6 +14851,100 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mannwhitney_value_by_event_type",
+    """
+    WITH pairs AS (
+        SELECT unnest(list_value('click','error','purchase','signup'))
+                   AS pair
+    ), pool AS (
+        SELECT event_type AS pair, 1 AS grp, value
+        FROM events WHERE event_type <> 'view'
+        UNION ALL
+        SELECT p.pair, 0 AS grp, e.value
+        FROM events e CROSS JOIN pairs p
+        WHERE e.event_type = 'view'
+    ), ranked AS (
+        SELECT pair, grp,
+               2 * RANK() OVER (PARTITION BY pair ORDER BY value)
+                 + COUNT(*) OVER (PARTITION BY pair, value) - 1 AS dr
+        FROM pool
+    ), sums AS (
+        SELECT pair,
+               CAST(SUM(CASE WHEN grp = 1 THEN dr ELSE 0 END) AS BIGINT)
+                   AS r1_x2,
+               CAST(SUM(grp) AS BIGINT) AS n1,
+               CAST(SUM(1 - grp) AS BIGINT) AS n2
+        FROM ranked GROUP BY pair
+    )
+    SELECT pair AS event_type, n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CASE WHEN n1 * n2 > 0
+                THEN CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+                     / CAST(n1 * n2 AS DOUBLE)
+                     - CAST(1 AS DOUBLE)
+           END AS rank_biserial
+    FROM sums
+    """,
+    ops=["stats-rank", "ab-test", "A3"],
+)
+def mannwhitney_value_by_event_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U — the NONPARAMETRIC arm of the A/B family
+    (ab_test_welch/ab_test_cuped assume normal-ish means; U compares
+    whole distributions): each non-view event type is tested against
+    the 'view' baseline on pooled value ranks. Doubled average ranks
+    keep everything integer under ties, so U is surfaced exactly as
+    2·U1 (a BIGINT) together with the rank-biserial effect size
+    2U1/(n1·n2) − 1 (+1 when the arm fully dominates the baseline),
+    a division of exact integers. The view baseline
+    replicates once per comparison via an explode — one pooled rank
+    window per pair, no non-equi join."""
+    e = _t(spark, sf_dir, "events")
+    arms = ("click", "error", "purchase", "signup")
+    arm = e.filter(F.col("event_type") != "view").select(
+        F.col("event_type").alias("pair"),
+        F.lit(1).alias("grp"),
+        "value",
+    )
+    base = e.filter(F.col("event_type") == "view").select(
+        F.explode(F.array(*[F.lit(t) for t in arms])).alias("pair"),
+        F.lit(0).alias("grp"),
+        "value",
+    )
+    pool = arm.unionByName(base)
+    wr = Window.partitionBy("pair").orderBy("value")
+    wt = Window.partitionBy("pair", "value")
+    ranked = pool.select(
+        "pair",
+        "grp",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+        .cast("long")
+        .alias("dr"),
+    )
+    sums = ranked.groupBy("pair").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("dr")).otherwise(0))
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum("grp").cast("long").alias("n1"),
+        F.sum(1 - F.col("grp")).cast("long").alias("n2"),
+    )
+    u1_x2 = (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("long")
+    return sums.select(
+        F.col("pair").alias("event_type"),
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        F.when(
+            F.col("n1") * F.col("n2") > 0,
+            u1_x2.cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+            - F.lit(1.0),
+        ).alias("rank_biserial"),
+    )
+
+
+@register(
     "spearman_price_qty_by_nation",
     """
     WITH base AS (
@@ -15542,6 +15636,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "cdc_chunk_dedup_histogram",
     "maxsim_late_interaction_topk",
     "spearman_price_qty_by_nation",
+    "mannwhitney_value_by_event_type",
 )
 
 def _rotated() -> list[str]:

@@ -344,3 +344,39 @@ def test_holt_linear_single_obs_and_partitioning(spark):
     single = spark.createDataFrame([("s", 1, 4.0)], "k string, t int, y double")
     r = timeseries.holt_linear_pandas(single, "k", "t", "y").collect()[0]
     assert (r.n_obs, r.level_fp6, r.trend_fp6) == (1, 4_000_000, 0)
+
+
+def test_mannwhitney_dominance_and_ties(spark, tmp_path):
+    """Known answers: an arm fully above the baseline gives U1 = n1*n2
+    and rank-biserial +1; an identical arm gives U1 = n1*n2/2 and 0."""
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    sf = str(tmp_path)
+    rows = (
+        [(i, "2020-01-01 00:00:00", 1, "view", float(v), "{}")
+         for i, v in enumerate([1.0, 2.0, 3.0])]
+        + [(10 + i, "2020-01-01 00:00:00", 1, "click", float(v), "{}")
+           for i, v in enumerate([4.0, 5.0, 6.0])]      # dominates
+        + [(20 + i, "2020-01-01 00:00:00", 1, "error", float(v), "{}")
+           for i, v in enumerate([1.0, 2.0, 3.0])]      # identical
+    )
+    spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.event_type: r
+        for r in Q.REGISTRY["mannwhitney_value_by_event_type"].fn(
+            spark, sf
+        ).collect()
+    }
+    click = got["click"]
+    assert (click.n1, click.n2) == (3, 3)
+    assert click.u1_x2 == 2 * 9 and click.rank_biserial == 1.0
+    error = got["error"]  # identical distributions, all ties
+    assert error.u1_x2 == 9  # 2*U1 = n1*n2 -> U1 = 4.5
+    assert error.rank_biserial == 0.0
