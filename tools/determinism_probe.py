@@ -62,6 +62,13 @@ DEFAULT = [
     "ivfpq_topk",
     "semdedup_verdicts",
     "scattergeo_trace_specs",
+    # round 8 late additions: doubled-rank statistics (rank windows +
+    # sqrt/division scalar tails), the sparse MaxSim join, and the
+    # in-row CDC chunker feeding a two-level aggregation
+    "spearman_price_qty_by_nation",
+    "mannwhitney_value_by_event_type",
+    "maxsim_late_interaction_topk",
+    "cdc_chunk_dedup_histogram",
 ]
 
 PARTITION_SETTINGS = ["3", "32"]
