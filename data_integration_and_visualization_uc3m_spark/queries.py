@@ -29,6 +29,12 @@ ORACLE-DETERMINISM CONVENTIONS
    Spark (HALF_UP) and DuckDB round those ties differently — observed
    on real data. ``floor(x * 10^k)`` has no tie semantics: identical
    doubles in, identical BIGINTs out, exact integer sums after.
+8. **Rank statistics carry DOUBLED average ranks.** Average ranks
+   under ties are half-integers; ``2·rank() + count_ties − 1`` is the
+   same quantity doubled and stays a BIGINT, so rank moments (Spearman,
+   Mann-Whitney U) accumulate exactly and only the final scalar
+   expression touches doubles (IEEE sqrt/division are correctly
+   rounded, so identical exact operands give identical doubles).
 
 Queries are tagged with the SURVEY §2 operator ids they exercise, and
 they call the operator library (this is how the library itself gets
