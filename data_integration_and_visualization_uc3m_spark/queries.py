@@ -14857,6 +14857,121 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wilcoxon_signed_rank_purchase_vs_view",
+    """
+    WITH per AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'view'
+                        THEN CAST(value AS DECIMAL(18,6)) END) AS sv,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,6)) END) AS sp,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nv,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS np
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id
+    ), diffs AS (
+        -- mean_p > mean_v  <=>  sp*nv > sv*np: the cross-product form
+        -- keeps the paired difference EXACT in DECIMAL (no mean floats)
+        SELECT sp * nv - sv * np AS d
+        FROM per WHERE nv > 0 AND np > 0
+    ), nz AS (
+        SELECT d, ABS(d) AS ad FROM diffs WHERE d <> 0
+    ), ranked AS (
+        SELECT d,
+               2 * RANK() OVER (ORDER BY ad)
+                 + COUNT(*) OVER (PARTITION BY ad) - 1 AS dr
+        FROM nz
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN d > 0 THEN dr ELSE 0 END) AS BIGINT)
+               AS w_plus_x2,
+           CAST(SUM(CASE WHEN d < 0 THEN dr ELSE 0 END) AS BIGINT)
+               AS w_minus_x2,
+           CASE WHEN SUM(dr) > 0 THEN
+               CAST(SUM(CASE WHEN d > 0 THEN dr ELSE -dr END) AS DOUBLE)
+                   / CAST(SUM(dr) AS DOUBLE) END AS signed_rank_effect
+    FROM ranked
+    """,
+    ops=["stats-rank", "ab-test", "A3"],
+)
+def wilcoxon_signed_rank_purchase_vs_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank — the PAIRED nonparametric test (each user
+    is their own control): per user, does purchase value run above
+    view value? The paired difference is kept EXACT by comparing
+    decimal cross-products (sp·nv − sv·np has the sign and ordering of
+    the mean difference without ever forming a float mean), then
+    doubled average ranks of |d| make W⁺/W⁻ exact BIGINTs; the effect
+    size (W⁺−W⁻)/(W⁺+W⁻) is one division of exact integers. Completes
+    the A/B family: Welch (parametric), CUPED (variance-reduced),
+    Mann-Whitney (independent), Wilcoxon (paired)."""
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "view",
+                    F.col("value").cast(DEC6),
+                )
+            ).alias("sv"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast(DEC6),
+                )
+            ).alias("sp"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).cast("long").alias("nv"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("np"),
+        )
+    )
+    diffs = per.filter((F.col("nv") > 0) & (F.col("np") > 0)).select(
+        (F.col("sp") * F.col("nv") - F.col("sv") * F.col("np")).alias("d")
+    )
+    nz = diffs.filter(F.col("d") != 0).withColumn("ad", F.abs(F.col("d")))
+    wr = Window.orderBy("ad")
+    wt = Window.partitionBy("ad")
+    ranked = nz.select(
+        "d",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+        .cast("long")
+        .alias("dr"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("d") > 0, F.col("dr")).otherwise(0))
+        .cast("long")
+        .alias("w_plus_x2"),
+        F.sum(F.when(F.col("d") < 0, F.col("dr")).otherwise(0))
+        .cast("long")
+        .alias("w_minus_x2"),
+        F.sum(
+            F.when(F.col("d") > 0, F.col("dr")).otherwise(-F.col("dr"))
+        )
+        .cast("long")
+        .alias("_signed"),
+        F.sum("dr").cast("long").alias("_total"),
+    )
+    return agg.select(
+        "n_pairs",
+        "w_plus_x2",
+        "w_minus_x2",
+        F.when(
+            F.col("_total") > 0,
+            F.col("_signed").cast("double") / F.col("_total"),
+        ).alias("signed_rank_effect"),
+    )
+
+
+@register(
     "mannwhitney_value_by_event_type",
     """
     WITH pairs AS (
@@ -15643,6 +15758,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "maxsim_late_interaction_topk",
     "spearman_price_qty_by_nation",
     "mannwhitney_value_by_event_type",
+    "wilcoxon_signed_rank_purchase_vs_view",
 )
 
 def _rotated() -> list[str]:

@@ -380,3 +380,36 @@ def test_mannwhitney_dominance_and_ties(spark, tmp_path):
     error = got["error"]  # identical distributions, all ties
     assert error.u1_x2 == 9  # 2*U1 = n1*n2 -> U1 = 4.5
     assert error.rank_biserial == 0.0
+
+
+def test_wilcoxon_signed_rank_known_answers(spark, tmp_path):
+    """Hand-checked: one user where purchase dominates (d=+8), one
+    where view dominates (|d|=18), one exact tie (excluded), one
+    unpaired user (excluded)."""
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    sf = str(tmp_path)
+    rows = [
+        (1, 1, "view", 1.0), (2, 1, "view", 1.0), (3, 1, "purchase", 5.0),
+        (4, 2, "view", 10.0), (5, 2, "purchase", 1.0),
+        (6, 2, "purchase", 1.0),
+        (7, 3, "view", 2.0), (8, 3, "purchase", 2.0),
+        (9, 4, "view", 9.0),
+    ]
+    spark.createDataFrame(
+        [(i, "2020-01-01 00:00:00", u, t, v, "{}") for i, u, t, v in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = Q.REGISTRY["wilcoxon_signed_rank_purchase_vs_view"].fn(
+        spark, sf
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # d1 = 5*2 - 2*1 = +8 (rank 1, dr 2); d2 = 2*1 - 10*2 = -18 (rank 2,
+    # dr 4); tie and unpaired users drop out
+    assert (r.n_pairs, r.w_plus_x2, r.w_minus_x2) == (2, 2, 4)
+    assert abs(r.signed_rank_effect - (2 - 4) / 6) < 1e-15
