@@ -14907,7 +14907,12 @@ def wilcoxon_signed_rank_purchase_vs_view(
     doubled average ranks of |d| make W⁺/W⁻ exact BIGINTs; the effect
     size (W⁺−W⁻)/(W⁺+W⁻) is one division of exact integers. Completes
     the A/B family: Welch (parametric), CUPED (variance-reduced),
-    Mann-Whitney (independent), Wilcoxon (paired)."""
+    Mann-Whitney (independent), Wilcoxon (paired).
+
+    Scale note: the |d| rank is a GLOBAL window, but its input is the
+    per-user diff relation — one row per paired user, already reduced
+    from the event volume — so the single-partition sort is bounded by
+    the user count, the same budget as the global-rank family."""
     e = _t(spark, sf_dir, "events")
     per = (
         e.filter(F.col("event_type").isin("view", "purchase"))
