@@ -15382,6 +15382,114 @@ def packing_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_canon_sql(expr: str) -> str:
+    """DuckDB twin of web.canonical_url, generated from the SAME
+    rewrite table so the two engines cannot drift."""
+    out = f"lower({expr})"
+    for pat, rep in web.CANONICAL_REWRITES:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+# Synthetic dirty-URL derivation + canonicalization, shared by the URL
+# family below. Mirrors web.with_synthetic_urls(n_groups=97, n_hosts=10)
+# column for column.
+_URL_CTE = f"""hu AS (
+        SELECT doc_id,
+               'site' || CAST((doc_id % 97) % 10 AS VARCHAR)
+                      || '.example.org' AS h
+        FROM documents
+    ), u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+               || '://'
+               || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN upper(h) ELSE h END)
+               || '/docs/' || CAST(doc_id % 97 AS VARCHAR)
+               || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 6 = 0
+                        THEN '?utm_source=rss&utm_medium=feed' ELSE '' END)
+               || (CASE WHEN doc_id % 8 = 0 THEN '#section-1' ELSE '' END)
+                   AS raw_url
+        FROM hu
+    ), c AS (
+        SELECT doc_id, raw_url,
+               {_url_canon_sql('raw_url')} AS canonical_url
+        FROM u
+    )"""
+
+
+@register(
+    "corpus_build_v3_e2e",
+    f"""
+    WITH {_URL_CTE}, surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM c GROUP BY canonical_url
+    ), t AS (
+        SELECT d.doc_id, d.lang,
+               CAST(ceil(length(d.text) / 4.0) AS BIGINT) AS tokens
+        FROM documents d JOIN surv USING (doc_id)
+    ), o AS (
+        SELECT doc_id, lang, tokens,
+               CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                    - tokens AS BIGINT) AS off
+        FROM t
+    ), per AS (
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(off + tokens) AS BIGINT) AS stream_len
+        FROM o GROUP BY lang
+    )
+    SELECT lang, n_docs, total_tokens,
+           CAST((stream_len + 1023) // 1024 AS BIGINT) AS n_seqs,
+           CAST(((stream_len + 1023) // 1024) * 1024 - stream_len
+                AS BIGINT) AS pad_tokens
+    FROM per
+    """,
+    ops=["corpus-build-e2e", "url-canonicalize", "dedup-exact",
+         "pack-contiguous"],
+)
+def corpus_build_v3_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus build v3, composing the round-8 web-hygiene stage with
+    the packer in ONE lazy plan: canonicalize crawl URLs → keep the
+    min-id survivor per canonical page (exact re-crawl dedup) →
+    tokenize → contiguous 1024-budget packing per language shard →
+    per-shard doc/token/sequence/pad budget. Like v1/v2, no
+    intermediate materialization: the whole chain is a single Catalyst
+    plan (scan → string expressions → two shuffles: canonical-URL
+    group + lang window)."""
+    d = _t(spark, sf_dir, "documents")
+    urls = web.canonicalize_urls(web.with_synthetic_urls(d))
+    surv = web.url_dedup_stats(urls).select(
+        F.col("survivor_doc_id").alias("doc_id")
+    )
+    toks = d.join(surv, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("tokens"),
+    )
+    packed = packing.pack_contiguous(
+        toks, budget=1024, tokens_col="tokens", shard_col="lang"
+    )
+    per = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        F.max(F.col("seq_offset") + F.col("tokens"))
+        .cast("long")
+        .alias("stream_len"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.expr("(stream_len + 1023) div 1024").alias("n_seqs"),
+        (
+            F.expr("(stream_len + 1023) div 1024") * 1024
+            - F.col("stream_len")
+        ).alias("pad_tokens"),
+    )
+
+
 @register(
     "wav_header_report",
     """
@@ -15494,43 +15602,6 @@ def streaming_rest_poll_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("indicator").alias("n_indicators"),
         F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
     )
-
-
-def _url_canon_sql(expr: str) -> str:
-    """DuckDB twin of web.canonical_url, generated from the SAME
-    rewrite table so the two engines cannot drift."""
-    out = f"lower({expr})"
-    for pat, rep in web.CANONICAL_REWRITES:
-        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
-    return out
-
-
-# Synthetic dirty-URL derivation + canonicalization, shared by the URL
-# family below. Mirrors web.with_synthetic_urls(n_groups=97, n_hosts=10)
-# column for column.
-_URL_CTE = f"""hu AS (
-        SELECT doc_id,
-               'site' || CAST((doc_id % 97) % 10 AS VARCHAR)
-                      || '.example.org' AS h
-        FROM documents
-    ), u AS (
-        SELECT doc_id,
-               (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
-               || '://'
-               || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
-               || (CASE WHEN doc_id % 5 = 0 THEN upper(h) ELSE h END)
-               || '/docs/' || CAST(doc_id % 97 AS VARCHAR)
-               || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-               || (CASE WHEN doc_id % 6 = 0
-                        THEN '?utm_source=rss&utm_medium=feed' ELSE '' END)
-               || (CASE WHEN doc_id % 8 = 0 THEN '#section-1' ELSE '' END)
-                   AS raw_url
-        FROM hu
-    ), c AS (
-        SELECT doc_id, raw_url,
-               {_url_canon_sql('raw_url')} AS canonical_url
-        FROM u
-    )"""
 
 
 @register(
@@ -15764,6 +15835,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "spearman_price_qty_by_nation",
     "mannwhitney_value_by_event_type",
     "wilcoxon_signed_rank_purchase_vs_view",
+    "corpus_build_v3_e2e",
 )
 
 def _rotated() -> list[str]:
