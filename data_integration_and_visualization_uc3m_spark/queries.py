@@ -5314,6 +5314,126 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_COS = (
+    "list_sum(list_transform(list_zip(e.embedding, q.qv),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(list_zip(q.qv, q.qv),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))"
+)
+
+
+def _ivf_arm_cte(n: int) -> str:
+    """One IVF arm at nprobe=n over the shared q/cdist CTEs (same
+    construction as ivf_recall_report's fixed arm)."""
+    return f"""probe{n} AS (
+        SELECT label FROM cdist ORDER BY dist_nano, label LIMIT {n}
+    ), ivf{n} AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {_IVF_COS} AS cosine
+            FROM embeddings e JOIN probe{n} USING (label), q
+            WHERE list_sum(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+            ORDER BY cosine DESC, e.vec_id
+            LIMIT 15)
+    )"""
+
+
+_IVF_SWEEP_ARMS = ", ".join(_ivf_arm_cte(n) for n in (1, 2, 3, 4))
+_IVF_SWEEP_SELECTS = "\n    UNION ALL\n".join(
+    f"""    SELECT CAST({n} AS BIGINT) AS nprobe,
+           CAST((SELECT COUNT(*) FROM ivf{n}) AS BIGINT) AS k_ivf,
+           CAST((SELECT COUNT(*) FROM brute b JOIN ivf{n} i
+                 ON b.vec_id = i.vec_id) AS BIGINT) AS n_overlap,
+           CAST((SELECT COUNT(*) FROM brute b JOIN ivf{n} i
+                 ON b.vec_id = i.vec_id) AS BIGINT) / 15.0
+               AS recall_at_15"""
+    for n in (1, 2, 3, 4)
+)
+
+
+@register(
+    "ivf_nprobe_recall_sweep",
+    f"""
+    WITH q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), brute AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {_IVF_COS} AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, e.vec_id
+            LIMIT 15)
+    ), dims AS (
+        SELECT CAST(unnest(range(64)) AS INTEGER) AS dim
+    ), comp AS (
+        SELECT label, d.dim,
+               SUM(CAST(FLOOR(CAST(embedding[d.dim + 1] AS DOUBLE)
+                        * 1000000000) AS BIGINT)) AS sum_nano,
+               COUNT(*) AS cnt
+        FROM embeddings, dims d
+        GROUP BY label, d.dim
+    ), diffs AS (
+        SELECT c.label,
+               CAST(q.qv[c.dim + 1] AS DOUBLE)
+                 - CAST(c.sum_nano AS DOUBLE) / c.cnt / 1000000000 AS diff
+        FROM comp c, q
+    ), cdist AS (
+        SELECT label,
+               SUM(CAST(FLOOR(diff * diff * 1000000000) AS BIGINT))
+                   AS dist_nano
+        FROM diffs GROUP BY label
+    ), {_IVF_SWEEP_ARMS}
+{_IVF_SWEEP_SELECTS}
+    """,
+    ops=["similarity-ivf", "ann-recall", "ann-sweep"],
+)
+def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF operating curve: recall@15 vs brute-force truth at
+    nprobe ∈ {1,2,3,4} in one relation — the quality/latency knob a
+    100 TB deployment actually tunes (each probed cell is a partition
+    scan; recall climbs with probes). Like ivf_recall_report, the
+    entire measurement is deterministic (fixed-point centroids,
+    ordered tiebreaks), so the CURVE itself is hash-checked. The brute
+    arm is computed once and each IVF arm reuses the shared
+    centroid-distance relation."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    brute = similarity.cosine_topk_rel(e, q, k=15).select("vec_id")
+    arms = None
+    for n in (1, 2, 3, 4):
+        arm = similarity.ivf_topk_rel(e, q, k=15, nprobe=n).select(
+            F.lit(n).cast("long").alias("nprobe"), "vec_id"
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    k_ivf = arms.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("k_ivf")
+    )
+    n_over = (
+        arms.join(brute, "vec_id")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    grid = spark.range(1, 5).select(F.col("id").alias("nprobe"))
+    return (
+        grid.join(k_ivf, "nprobe", "left")
+        .join(n_over, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce(F.col("k_ivf"), F.lit(0).cast("long")).alias(
+                "k_ivf"
+            ),
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias(
+                "n_overlap"
+            ),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+                / F.lit(15.0)
+            ).alias("recall_at_15"),
+        )
+    )
+
+
 @register(
     "partitioned_warehouse_prune",
     """
@@ -15836,6 +15956,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "mannwhitney_value_by_event_type",
     "wilcoxon_signed_rank_purchase_vs_view",
     "corpus_build_v3_e2e",
+    "ivf_nprobe_recall_sweep",
 )
 
 def _rotated() -> list[str]:
