@@ -119,6 +119,9 @@ SCALAR_OK: set[str] = {
     "hybrid_rrf_topk",          # 1-row query-vector broadcast (cosine arm)
     "ivfpq_topk",               # k-row codebook + 1-row query broadcast
     "lsh_recall_report",        # three 1-row counters cross-joined
+    "ivf_nprobe_recall_sweep",  # four IVF arms, each a 1-row
+                                # query-vector broadcast (same shape as
+                                # ivf_topk / ivf_recall_report)
 }
 
 
