@@ -69,6 +69,9 @@ DEFAULT = [
     "mannwhitney_value_by_event_type",
     "maxsim_late_interaction_topk",
     "cdc_chunk_dedup_histogram",
+    "wilcoxon_signed_rank_purchase_vs_view",
+    "ivf_nprobe_recall_sweep",
+    "corpus_build_v3_e2e",
 ]
 
 PARTITION_SETTINGS = ["3", "32"]
