@@ -14785,6 +14785,144 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_bands_cte(bands: int, rows: int, suffix: str) -> str:
+    """Banding CTE for an arbitrary (bands × rows) split of the 16
+    minhashes — the parameterized form of _MH_BANDS."""
+    body = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs".format(
+            b=b,
+            cat=" || '|' || ".join(
+                f"mh_{b * rows + r}" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"bands{suffix} AS (\n        {body}\n    )"
+
+
+_LSH_SWEEP_CFGS = ((2, 8), (4, 4), (8, 2))
+_LSH_SWEEP_ARMS = ", ".join(
+    f"""{_mh_bands_cte(b, r, f'_{b}x{r}')}, cands_{b}x{r} AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands_{b}x{r} a JOIN bands_{b}x{r} b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ), hits_{b}x{r} AS (
+        SELECT c.id_a FROM cands_{b}x{r} c
+        JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )"""
+    for b, r in _LSH_SWEEP_CFGS
+)
+_LSH_SWEEP_SELECTS = "\n    UNION ALL\n".join(
+    f"""    SELECT CAST({b} AS BIGINT) AS bands,
+           CAST({r} AS BIGINT) AS rows_per_band,
+           (SELECT COUNT(*) FROM truth) AS n_truth_pairs,
+           (SELECT COUNT(*) FROM cands_{b}x{r}) AS n_candidates,
+           (SELECT COUNT(*) FROM hits_{b}x{r}) AS n_candidates_true,
+           CASE WHEN (SELECT COUNT(*) FROM truth) = 0
+                THEN CAST(-1 AS BIGINT)
+                ELSE CAST(FLOOR(
+                    CAST((SELECT COUNT(*) FROM hits_{b}x{r}) AS DOUBLE)
+                    / (SELECT COUNT(*) FROM truth) * 1000000) AS BIGINT)
+           END AS recall_fp6,
+           CASE WHEN (SELECT COUNT(*) FROM cands_{b}x{r}) = 0
+                THEN CAST(-1 AS BIGINT)
+                ELSE CAST(FLOOR(
+                    CAST((SELECT COUNT(*) FROM hits_{b}x{r}) AS DOUBLE)
+                    / (SELECT COUNT(*) FROM cands_{b}x{r}) * 1000000)
+                    AS BIGINT)
+           END AS precision_fp6"""
+    for b, r in _LSH_SWEEP_CFGS
+)
+
+
+@register(
+    "lsh_band_sweep",
+    f"""
+    WITH {_SHINGLES_CTE}, sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    ), truth AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE)
+              / (sa.set_size + sb.set_size - n_common) >= 0.5
+    ), sigs AS (
+        SELECT doc_id,
+               {_MH_MINS}
+        FROM sh GROUP BY doc_id
+    ), {_LSH_SWEEP_ARMS}
+{_LSH_SWEEP_SELECTS}
+    """,
+    ops=["dedup-minhash-lsh", "recall-report", "ann-sweep"],
+)
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve made operational: at a fixed 16 minhashes, the
+    (bands × rows) split is THE recall/precision knob — more, shorter
+    bands catch lower-similarity pairs (recall up, candidate volume
+    up); fewer, longer bands are stricter. This sweep reports
+    recall/precision vs exact-Jaccard truth (t=0.5) at 2×8, 4×4 and
+    8×2 in one relation, each number hash-checked like
+    lsh_recall_report. Signatures and the truth arm are computed once;
+    each banding arm is one band-bucket self-join."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    sets = dedup.ngram_set(d, n=3)
+    truth = dedup.jaccard_pairs(
+        sets, item_col="shingle", threshold=0.5
+    ).select("id_a", "id_b")
+    sigs = dedup.minhash_signatures(sets, num_hashes=16, item_col="shingle")
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth_pairs")
+    )
+    out = None
+    for b, r in _LSH_SWEEP_CFGS:
+        cands = dedup.lsh_candidate_pairs(sigs, bands=b, rows_per_band=r)
+        n_c = cands.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        n_h = cands.join(truth, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates_true")
+        )
+        row = (
+            n_c.crossJoin(F.broadcast(n_h))
+            .crossJoin(F.broadcast(n_truth))
+            .select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "n_truth_pairs",
+                "n_candidates",
+                "n_candidates_true",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+
+    def fp6(num: str, den: str) -> F.Column:
+        return (
+            F.when(
+                F.col(den) > 0,
+                F.floor(
+                    F.col(num).cast("double") / F.col(den) * 1000000
+                ).cast("long"),
+            )
+            .otherwise(F.lit(-1).cast("long"))
+        )
+
+    return out.select(
+        "bands",
+        "rows_per_band",
+        "n_truth_pairs",
+        "n_candidates",
+        "n_candidates_true",
+        fp6("n_candidates_true", "n_truth_pairs").alias("recall_fp6"),
+        fp6("n_candidates_true", "n_candidates").alias("precision_fp6"),
+    )
+
+
 @register(
     "png_header_report",
     """
@@ -15957,6 +16095,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "wilcoxon_signed_rank_purchase_vs_view",
     "corpus_build_v3_e2e",
     "ivf_nprobe_recall_sweep",
+    "lsh_band_sweep",
 )
 
 def _rotated() -> list[str]:

@@ -122,6 +122,8 @@ SCALAR_OK: set[str] = {
     "ivf_nprobe_recall_sweep",  # four IVF arms, each a 1-row
                                 # query-vector broadcast (same shape as
                                 # ivf_topk / ivf_recall_report)
+    "lsh_band_sweep",           # three 1-row counter triples
+                                # cross-joined (lsh_recall_report × 3)
 }
 
 
