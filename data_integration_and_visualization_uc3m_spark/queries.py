@@ -14924,6 +14924,75 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jaccard_threshold_sweep",
+    f"""
+    WITH {_SHINGLES_CTE}, sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    ), pairs AS (
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE)
+                 / (sa.set_size + sb.set_size - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    ), thr AS (
+        SELECT CAST(t AS DOUBLE) AS t
+        FROM (SELECT unnest(list_value(0.3, 0.5, 0.7)) AS t)
+    ), hits AS (
+        SELECT t, id_a, id_b FROM pairs JOIN thr ON jaccard >= t
+    ), np AS (
+        SELECT t, COUNT(*) AS n_pairs FROM hits GROUP BY t
+    ), nd AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_docs_involved FROM (
+            SELECT DISTINCT t, d FROM (
+                SELECT t, id_a AS d FROM hits
+                UNION ALL SELECT t, id_b FROM hits)
+        ) GROUP BY t
+    )
+    SELECT np.t AS threshold, n_pairs, n_docs_involved
+    FROM np JOIN nd ON np.t = nd.t
+    """,
+    ops=["dedup-jaccard", "threshold-sweep", "A3"],
+)
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup POLICY curve: near-dup pair volume and docs-implicated
+    count at Jaccard thresholds 0.3/0.5/0.7 — what moving the knob
+    would delete. The pair relation (with its exact-rational jaccard)
+    is computed ONCE; each threshold is a filter over it, so the sweep
+    costs one pair generation regardless of how many thresholds are
+    probed."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    sets = dedup.ngram_set(d, n=3)
+    pairs = dedup.jaccard_pairs(
+        sets, item_col="shingle", threshold=0.0
+    ).select("id_a", "id_b", "jaccard")
+    thr = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(F.lit(0.3), F.lit(0.5), F.lit(0.7))
+            ).alias("t")
+        )
+    )
+    hits = pairs.join(F.broadcast(thr), F.col("jaccard") >= F.col("t"))
+    per = hits.groupBy("t").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs = (
+        hits.select("t", F.col("id_a").alias("d"))
+        .unionByName(hits.select("t", F.col("id_b").alias("d")))
+        .distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_involved"))
+    )
+    return per.join(docs, "t").select(
+        F.col("t").alias("threshold"), "n_pairs", "n_docs_involved"
+    )
+
+
+@register(
     "png_header_report",
     """
     SELECT doc_id AS media_id,
@@ -16096,6 +16165,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "corpus_build_v3_e2e",
     "ivf_nprobe_recall_sweep",
     "lsh_band_sweep",
+    "jaccard_threshold_sweep",
 )
 
 def _rotated() -> list[str]:
