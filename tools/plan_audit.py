@@ -124,6 +124,8 @@ SCALAR_OK: set[str] = {
                                 # ivf_topk / ivf_recall_report)
     "lsh_band_sweep",           # three 1-row counter triples
                                 # cross-joined (lsh_recall_report × 3)
+    "jaccard_threshold_sweep",  # pair relation vs a 3-row broadcast
+                                # threshold dim (theta-join by design)
 }
 
 
