@@ -72,6 +72,8 @@ DEFAULT = [
     "wilcoxon_signed_rank_purchase_vs_view",
     "ivf_nprobe_recall_sweep",
     "corpus_build_v3_e2e",
+    "lsh_band_sweep",
+    "jaccard_threshold_sweep",
 ]
 
 PARTITION_SETTINGS = ["3", "32"]
