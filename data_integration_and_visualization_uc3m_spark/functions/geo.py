@@ -42,11 +42,11 @@ NATION_POSITIONS: tuple[tuple[int, str, float, float], ...] = (
     (17, "PER", -76.0, -10.0), # PERU
     (18, "CHN", 104.0, 35.0),  # CHINA
     (19, "ROU", 25.0, 46.0),   # ROMANIA
-    (20, "RUS", 100.0, 60.0),  # RUSSIA
-    (21, "SAU", 45.0, 24.0),   # SAUDI ARABIA
-    (22, "GBR", -2.0, 54.0),   # UNITED KINGDOM
-    (23, "USA", -98.0, 39.0),  # UNITED STATES
-    (24, "VNM", 106.0, 16.0),  # VIETNAM
+    (20, "SAU", 45.0, 24.0),   # SAUDI ARABIA
+    (21, "VNM", 106.0, 16.0),  # VIETNAM
+    (22, "RUS", 100.0, 60.0),  # RUSSIA
+    (23, "GBR", -2.0, 54.0),   # UNITED KINGDOM
+    (24, "USA", -98.0, 39.0),  # UNITED STATES
 )
 
 

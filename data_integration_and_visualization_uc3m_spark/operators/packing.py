@@ -188,7 +188,11 @@ def packing_length_sweep(
         F.explode(F.array(*[F.lit(int(n)).cast("long") for n in lengths])),
     )
     start_bin = F.expr("off div max_len")
-    end_bin = F.expr("(off + tok - 1) div max_len")
+    # A zero-token doc sitting exactly on a boundary has
+    # (off-1) div max_len < start_bin; greatest(..., 0) keeps such
+    # degenerate docs from contributing NEGATIVE fragments (it spans
+    # no tokens, so it neither straddles nor fragments).
+    end_bin = F.expr("greatest((off + tok - 1) div max_len, off div max_len)")
     per_shard = (
         swept.groupBy("max_len", "shard")
         .agg(

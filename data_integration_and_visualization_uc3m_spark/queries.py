@@ -15199,12 +15199,16 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type IN ('view', 'purchase')
         GROUP BY user_id
     ), diffs AS (
-        -- mean_p > mean_v  <=>  sp*nv > sv*np: the cross-product form
-        -- keeps the paired difference EXACT in DECIMAL (no mean floats)
-        SELECT sp * nv - sv * np AS d
+        -- sign(mean_p - mean_v) = sign(sp*nv - sv*np) exactly; the
+        -- rank MAGNITUDE is the mean difference itself at 1e-6
+        -- fixed point: |d| carries scale 6, so |d|*1e6 // (nv*np) is
+        -- floor(|mean_p - mean_v| * 1e6) in exact integer arithmetic
+        SELECT sp * nv - sv * np AS d,
+               CAST(ABS(sp * nv - sv * np) * 1000000 AS HUGEINT)
+                   // (nv * np) AS ad
         FROM per WHERE nv > 0 AND np > 0
     ), nz AS (
-        SELECT d, ABS(d) AS ad FROM diffs WHERE d <> 0
+        SELECT d, ad FROM diffs WHERE d <> 0
     ), ranked AS (
         SELECT d,
                2 * RANK() OVER (ORDER BY ad)
@@ -15228,13 +15232,17 @@ def wilcoxon_signed_rank_purchase_vs_view(
 ) -> DataFrame:
     """Wilcoxon signed-rank — the PAIRED nonparametric test (each user
     is their own control): per user, does purchase value run above
-    view value? The paired difference is kept EXACT by comparing
-    decimal cross-products (sp·nv − sv·np has the sign and ordering of
-    the mean difference without ever forming a float mean), then
-    doubled average ranks of |d| make W⁺/W⁻ exact BIGINTs; the effect
-    size (W⁺−W⁻)/(W⁺+W⁻) is one division of exact integers. Completes
-    the A/B family: Welch (parametric), CUPED (variance-reduced),
-    Mann-Whitney (independent), Wilcoxon (paired).
+    view value? The paired difference d_i = mean_p − mean_v keeps its
+    SIGN exact via the decimal cross-product (sign(sp·nv − sv·np));
+    its rank MAGNITUDE is the mean difference itself, represented as
+    floor(|d_i|·1e6) by exact integer division (|sp·nv − sv·np|·1e6
+    div nv·np — never a float mean), i.e. fixed point at the input
+    data's own 1e-6 resolution. Ranking the raw cross-product would
+    weight each user by nv·np, a count-weighted variant, not the
+    Wilcoxon statistic. Doubled average ranks of |d| make W⁺/W⁻ exact
+    BIGINTs; the effect size (W⁺−W⁻)/(W⁺+W⁻) is one division of exact
+    integers. Completes the A/B family: Welch (parametric), CUPED
+    (variance-reduced), Mann-Whitney (independent), Wilcoxon (paired).
 
     Scale note: the |d| rank is a GLOBAL window, but its input is the
     per-user diff relation — one row per paired user, already reduced
@@ -15266,9 +15274,13 @@ def wilcoxon_signed_rank_purchase_vs_view(
         )
     )
     diffs = per.filter((F.col("nv") > 0) & (F.col("np") > 0)).select(
-        (F.col("sp") * F.col("nv") - F.col("sv") * F.col("np")).alias("d")
+        (F.col("sp") * F.col("nv") - F.col("sv") * F.col("np")).alias("d"),
+        F.expr(
+            "CAST(ABS(sp * nv - sv * np) * 1000000 AS DECIMAL(38,0))"
+            " div (nv * np)"
+        ).alias("ad"),
     )
-    nz = diffs.filter(F.col("d") != 0).withColumn("ad", F.abs(F.col("d")))
+    nz = diffs.filter(F.col("d") != 0)
     wr = Window.orderBy("ad")
     wt = Window.partitionBy("ad")
     ranked = nz.select(
@@ -15658,11 +15670,15 @@ def cdc_chunk_dedup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_docs,
                CAST(SUM(tokens) AS BIGINT) AS total_tokens,
                CAST(MAX(off + tokens) AS BIGINT) AS stream_len,
-               CAST(SUM(CASE WHEN (off + tokens - 1) // max_len
+               -- GREATEST guard mirrors packing.py: a zero-token doc
+               -- exactly on a boundary must not count as -1 fragments
+               CAST(SUM(CASE WHEN GREATEST((off + tokens - 1) // max_len,
+                                           off // max_len)
                                   > off // max_len
                              THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_boundary_docs,
-               CAST(SUM((off + tokens - 1) // max_len - off // max_len)
+               CAST(SUM(GREATEST((off + tokens - 1) // max_len,
+                                 off // max_len) - off // max_len)
                     AS BIGINT) AS n_extra_fragments
         FROM o CROSS JOIN lens
         GROUP BY max_len, lang

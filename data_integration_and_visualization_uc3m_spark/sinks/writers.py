@@ -200,7 +200,20 @@ def jdbc_atomic_append(
     tcols = ", ".join(df.columns)
     scols = ", ".join(f'"{c}"' for c in df.columns)
     jvm = df.sparkSession._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # The swap connection must authenticate exactly like the staging
+    # bulk-load did: build java.util.Properties from the same dict
+    # (user/password/any vendor options) and load the driver class if
+    # one was named — mirroring Spark's own JDBC writer. A bare
+    # getConnection(url) only works for embedded/driverless URLs like
+    # Derby and would fail the swap AFTER the staging load succeeded
+    # on any authenticated target.
+    jprops = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        if k == "driver":
+            jvm.java.lang.Class.forName(v)
+        else:
+            jprops.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         conn.setAutoCommit(False)
         st = conn.createStatement()

@@ -222,3 +222,27 @@ def test_packing_length_sweep_tradeoff_and_exact_numbers(spark):
     assert r1024.pad_tokens > r512.pad_tokens
     assert r1024.n_extra_fragments < r512.n_extra_fragments
     assert abs(r512.pad_frac - 560 / (5 * 512)) < 1e-15
+
+
+def test_packing_length_sweep_zero_token_doc_on_boundary(spark):
+    """A zero-token document whose offset sits exactly on a max_len
+    boundary must contribute 0 fragments (not -1) and must not count
+    as a boundary doc; totals stay identical to the corpus without it
+    except n_docs."""
+    from data_integration_and_visualization_uc3m_spark.operators.packing import packing_length_sweep
+
+    base = [(1, "en", 512), (3, "en", 100)]
+    with_empty = base + [(2, "en", 0)]  # doc 2: off=512, tokens=0
+    def sweep(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, tokens long"
+        )
+        return packing_length_sweep(
+            df, [512], tokens_col="tokens", shard_col="lang"
+        ).collect()[0]
+
+    r0, r1 = sweep(base), sweep(with_empty)
+    assert r1.n_extra_fragments == r0.n_extra_fragments == 0
+    assert r1.n_boundary_docs == r0.n_boundary_docs == 0
+    assert (r1.n_seqs, r1.pad_tokens) == (r0.n_seqs, r0.pad_tokens)
+    assert r1.n_docs == r0.n_docs + 1
