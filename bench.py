@@ -122,8 +122,18 @@ def main() -> None:
         "queries_warm": warm,
         "sf": sf_val,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    # Preserve the streaming-family section bench_streaming.py merged
+    # in — the two harnesses share this file but own disjoint keys.
+    try:
+        with open(detail_path) as f:
+            prior = json.load(f)
+        if "streaming" in prior:
+            detail["streaming"] = prior["streaming"]
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     # Printed subset: the BASELINE.md round-1 20-query series (the 2x
