@@ -43,6 +43,7 @@ oracle coverage, not just unit tests).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -16004,6 +16005,437 @@ def domain_crawl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.domain_profile(urls)
 
 
+# ---------------------------------------------------------------------
+# Retrieval ranking metrics (MRR / MAP / nDCG / recall over an ANN arm)
+# ---------------------------------------------------------------------
+
+# Binary-gain DCG weights in micro-units, floor(1e6 / log2(rank+1)) for
+# ranks 1..10. Computed HERE (host Python, module import) and inlined
+# as literals into BOTH engines, so neither engine's log2 is on the
+# hash path — cross-engine identical by construction.
+_DCG_W = [math.floor(1_000_000 / math.log2(i + 1)) for i in range(1, 11)]
+_IDCG = sum(_DCG_W)  # ideal DCG@10 under binary gains (all 10 relevant)
+_DCG_W_SQL = "[" + ", ".join(str(w) for w in _DCG_W) + "]"
+
+
+@register(
+    "retrieval_ranking_metrics",
+    f"""
+    WITH vd AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), data AS (
+        SELECT vec_id, v,
+               list_sum(list_transform(v, x -> x * x)) AS n2
+        FROM vd
+    ), qrel AS (
+        SELECT vec_id AS qid, v AS qv, n2 AS qn2
+        FROM data WHERE vec_id < 4 AND n2 > 0
+    ), tsc AS (
+        SELECT q.qid, d.vec_id,
+               list_sum(list_transform(list_zip(d.v, q.qv),
+                        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+                 / (sqrt(d.n2) * sqrt(q.qn2)) AS cos
+        FROM data d, qrel q
+        WHERE d.n2 > 0 AND d.vec_id <> q.qid
+    ), truth AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, vec_id) AS r
+            FROM tsc) WHERE r <= 10
+    ), staged AS (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM vd
+    ), quant AS (
+        SELECT vec_id,
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(floor(x / scale * 127)
+                                                    AS INTEGER))
+               END AS codes
+        FROM staged
+    ), qd AS (
+        SELECT vec_id, codes, list_dot_product(codes, codes) AS na2
+        FROM quant
+    ), iq AS (
+        SELECT vec_id AS qid, codes AS qc, na2 AS nb2
+        FROM qd WHERE vec_id < 4 AND na2 > 0
+    ), asc8 AS (
+        SELECT q.qid, d.vec_id,
+               list_dot_product(d.codes, q.qc)
+                 / (sqrt(d.na2) * sqrt(q.nb2)) AS cos8
+        FROM qd d, iq q
+        WHERE d.na2 > 0 AND d.vec_id <> q.qid
+    ), approx AS (
+        SELECT qid, vec_id, r AS arank FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos8 DESC, vec_id) AS r
+            FROM asc8) WHERE r <= 10
+    ), flagged AS (
+        SELECT a.qid, a.arank,
+               CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS is_rel
+        FROM approx a
+        LEFT JOIN truth t ON a.qid = t.qid AND a.vec_id = t.vec_id
+    ), cum AS (
+        SELECT qid, arank, is_rel,
+               SUM(is_rel) OVER (PARTITION BY qid ORDER BY arank
+                                 ROWS UNBOUNDED PRECEDING) AS hits_upto
+        FROM flagged
+    ), per AS (
+        SELECT qid,
+               CAST(SUM(is_rel) AS BIGINT) AS n_hits,
+               CAST(COALESCE(MIN(CASE WHEN is_rel = 1 THEN arank END), 0)
+                    AS BIGINT) AS rank_first,
+               CAST(SUM(CASE WHEN is_rel = 1
+                             THEN (1000000 * hits_upto) // arank
+                             ELSE 0 END) // 10 AS BIGINT) AS ap_micro,
+               CAST(SUM(CASE WHEN is_rel = 1
+                             THEN {_DCG_W_SQL}[arank] ELSE 0 END)
+                    AS BIGINT) AS dcg_raw
+        FROM cum GROUP BY qid
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, n_hits, rank_first,
+           n_hits * 100000 AS recall_micro,
+           CAST(CASE WHEN rank_first > 0 THEN 1000000 // rank_first
+                     ELSE 0 END AS BIGINT) AS mrr_micro,
+           ap_micro,
+           CAST((dcg_raw * 1000000) // {_IDCG} AS BIGINT) AS ndcg_micro
+    FROM per ORDER BY qid
+    """,
+    ops=["retrieval-metrics", "ann-int8", "ranking-eval"],
+)
+def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full retrieval-eval harness UNDER the oracle gate: exact-cosine
+    truth top-10 vs the int8-quantized approximate top-10 for four
+    query vectors, scored with recall@10, MRR, MAP@10, and binary-gain
+    nDCG@10 — every metric a scaled BIGINT (micro-units, integer
+    ``div``), so the quality numbers themselves are hash-checked.
+    DCG's irrational log2 discounts are a 10-entry host-computed
+    literal table in both engines (nothing transcendental on the hash
+    path); ranks carry the (score desc, vec_id) tiebreak.
+
+    Scale shape: both arms are data×(4-row broadcast query relation)
+    scored map-side; per-query top-10 goes through the window-rank
+    filter Spark 4 rewrites into WindowGroupLimit (partial per-
+    partition top-k before the qid shuffle), so no single-reducer
+    bottleneck at 100 TB. Self-matches excluded; zero-norm vectors
+    dropped from both arms."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def ddot(a: F.Column, b: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def idot(a: F.Column, b: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+
+    vd = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    data = vd.withColumn("n2", ddot(F.col("v"), F.col("v"))).filter(
+        F.col("n2") > 0
+    )
+    qrel = data.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    truth = (
+        data.crossJoin(F.broadcast(qrel))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                ddot(F.col("v"), F.col("qv"))
+                / (F.sqrt("n2") * F.sqrt("qn2"))
+            ).alias("cos"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("cos").desc(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("r") <= 10)
+        .select("qid", "vec_id")
+    )
+    quant = similarity.quantize_embeddings(e).select("vec_id", "codes")
+    qd = quant.withColumn(
+        "na2", idot(F.col("codes"), F.col("codes"))
+    ).filter(F.col("na2") > 0)
+    iq = qd.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("codes").alias("qc"),
+        F.col("na2").alias("nb2"),
+    )
+    approx = (
+        qd.crossJoin(F.broadcast(iq))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                idot(F.col("codes"), F.col("qc"))
+                / (F.sqrt("na2") * F.sqrt("nb2"))
+            ).alias("cos8"),
+        )
+        .withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("cos8").desc(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("arank") <= 10)
+        .select("qid", "vec_id", "arank")
+    )
+    flagged = approx.join(
+        truth.withColumn("is_rel", F.lit(1)), ["qid", "vec_id"], "left"
+    ).select("qid", "arank", F.coalesce("is_rel", F.lit(0)).alias("is_rel"))
+    cum = flagged.withColumn(
+        "hits_upto",
+        F.sum("is_rel").over(
+            Window.partitionBy("qid")
+            .orderBy("arank")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_arr = F.array(*[F.lit(w) for w in _DCG_W])
+    per = cum.groupBy("qid").agg(
+        F.sum("is_rel").cast("long").alias("n_hits"),
+        F.coalesce(
+            F.min(F.when(F.col("is_rel") == 1, F.col("arank"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rank_first"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_rel = 1"
+            "         THEN (1000000 * hits_upto) div arank"
+            "         ELSE 0 END) div 10 AS BIGINT)"
+        ).alias("ap_micro"),
+        F.sum(
+            F.when(
+                F.col("is_rel") == 1,
+                F.element_at(w_arr, F.col("arank").cast("int")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg_raw"),
+    )
+    return per.select(
+        F.col("qid").cast("long").alias("qid"),
+        "n_hits",
+        "rank_first",
+        (F.col("n_hits") * 100000).cast("long").alias("recall_micro"),
+        F.expr(
+            "CAST(CASE WHEN rank_first > 0 THEN 1000000 div rank_first"
+            "          ELSE 0 END AS BIGINT)"
+        ).alias("mrr_micro"),
+        "ap_micro",
+        F.expr(f"CAST((dcg_raw * 1000000) div {_IDCG} AS BIGINT)").alias(
+            "ndcg_micro"
+        ),
+    ).orderBy("qid")
+
+
+# ---------------------------------------------------------------------
+# Differential-privacy aggregates (seeded quantized-Laplace mechanism)
+# ---------------------------------------------------------------------
+
+_DP_EPS = [("eps_0_5", 0.5), ("eps_2_0", 2.0)]
+_DP_BUCKETS = 256
+_DP_CAP_CENTS = 30_000_000  # per-order contribution bound ($300k)
+
+
+def _dp_noise_rows() -> list[tuple[str, int, int, int]]:
+    """Inverse-CDF table of Laplace(0, 1/eps) at 256 mid-bucket
+    quantiles, host-computed once and inlined as literals into BOTH
+    engines (like the DCG weights: nothing transcendental on the hash
+    path). ``noise_count`` is the sensitivity-1 draw rounded to whole
+    counts; ``noise_sum_cents`` the same draw scaled by the
+    contribution cap (sensitivity of the clamped sum)."""
+    rows = []
+    for label, eps in _DP_EPS:
+        b_scale = 1.0 / eps
+        for b in range(_DP_BUCKETS):
+            u = (b + 0.5) / _DP_BUCKETS
+            q = -b_scale * math.copysign(1.0, u - 0.5) * math.log1p(
+                -2.0 * abs(u - 0.5)
+            )
+            rows.append((label, b, round(q), round(q * _DP_CAP_CENTS)))
+    return rows
+
+
+_DP_NOISE_SQL = ", ".join(
+    f"('{label}', {b}, {nc}, {ns})" for label, b, nc, ns in _dp_noise_rows()
+)
+
+
+@register(
+    "dp_nation_order_stats",
+    f"""
+    WITH noise(eps_label, bucket, noise_count, noise_sum_cents) AS (
+        VALUES {_DP_NOISE_SQL}
+    ), eps AS (
+        SELECT DISTINCT eps_label FROM noise
+    ), base AS (
+        SELECT n.n_name AS nation_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(LEAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT),
+                              {_DP_CAP_CENTS})) AS BIGINT) AS revenue_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ), keyed AS (
+        SELECT b.*, e.eps_label,
+               CAST(('0x' || substr(md5('dpcount:' || e.eps_label || ':'
+                                        || b.nation_name), 1, 8))
+                    AS BIGINT) % {_DP_BUCKETS} AS bucket_c,
+               CAST(('0x' || substr(md5('dpsum:' || e.eps_label || ':'
+                                        || b.nation_name), 1, 8))
+                    AS BIGINT) % {_DP_BUCKETS} AS bucket_s
+        FROM base b, eps e
+    )
+    SELECT k.nation_name, k.eps_label, k.n_orders,
+           k.n_orders + nc.noise_count AS dp_n_orders,
+           k.revenue_cents,
+           k.revenue_cents + ns.noise_sum_cents AS dp_revenue_cents
+    FROM keyed k
+    JOIN noise nc ON nc.eps_label = k.eps_label AND nc.bucket = k.bucket_c
+    JOIN noise ns ON ns.eps_label = k.eps_label AND ns.bucket = k.bucket_s
+    ORDER BY k.nation_name, k.eps_label
+    """,
+    ops=["dp-aggregate", "contribution-bounding", "A3"],
+)
+def dp_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release shape for per-nation order count
+    and revenue, swept over two epsilons. The mechanism is the full
+    production pattern — per-record contribution bounding (order value
+    clamped to a cap BEFORE summing, the step that bounds sum
+    sensitivity), then additive Laplace noise at scale
+    sensitivity/epsilon — with the draw made SEEDED and hash-checkable:
+    a 256-bucket inverse-CDF quantile table of Laplace(0, 1/eps)
+    (host-computed literals in both engines) indexed by an md5-derived
+    bucket per (stat, eps, key). Documented honestly: quantized
+    seeded noise is a *pedagogical/reproducible* variant — a real
+    release would draw fresh continuous noise per publication and
+    account the privacy budget across releases.
+
+    Scale shape: one shuffle for the orders→customer key join, one
+    25-key aggregate, then broadcast joins against the 512-row noise
+    dim and 2-row epsilon dim. Noise columns are precomputed integers
+    (count units / cap-scaled cents), so the runtime path is pure
+    BIGINT adds — no float, no runtime division."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    noise = spark.createDataFrame(
+        _dp_noise_rows(),
+        "eps_label string, bucket long, noise_count long, "
+        "noise_sum_cents long",
+    )
+    eps = spark.createDataFrame(
+        [(label,) for label, _ in _DP_EPS], "eps_label string"
+    )
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn(
+            "cents",
+            F.least(
+                (_dec2("o_totalprice") * 100).cast("long"),
+                F.lit(_DP_CAP_CENTS).cast("long"),
+            ),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+    def bucket(tag: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(tag),
+                            F.col("eps_label"),
+                            F.col("nation_name"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _DP_BUCKETS
+        )
+
+    keyed = (
+        base.crossJoin(F.broadcast(eps))
+        .withColumn("bucket_c", bucket("dpcount"))
+        .withColumn("bucket_s", bucket("dpsum"))
+    )
+    nc = F.broadcast(
+        noise.select(
+            F.col("eps_label").alias("nc_eps"),
+            F.col("bucket").alias("nc_bucket"),
+            "noise_count",
+        )
+    )
+    ns = F.broadcast(
+        noise.select(
+            F.col("eps_label").alias("ns_eps"),
+            F.col("bucket").alias("ns_bucket"),
+            "noise_sum_cents",
+        )
+    )
+    return (
+        keyed.join(
+            nc,
+            (F.col("eps_label") == F.col("nc_eps"))
+            & (F.col("bucket_c") == F.col("nc_bucket")),
+        )
+        .join(
+            ns,
+            (F.col("eps_label") == F.col("ns_eps"))
+            & (F.col("bucket_s") == F.col("ns_bucket")),
+        )
+        .select(
+            "nation_name",
+            "eps_label",
+            "n_orders",
+            (F.col("n_orders") + F.col("noise_count"))
+            .cast("long")
+            .alias("dp_n_orders"),
+            "revenue_cents",
+            (F.col("revenue_cents") + F.col("noise_sum_cents"))
+            .cast("long")
+            .alias("dp_revenue_cents"),
+        )
+        .orderBy("nation_name", "eps_label")
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -16296,10 +16728,14 @@ _PRIORITY: tuple[str, ...] = ()
 
 # Queries ADDED this round (construction parity evidence only). They
 # queue BEHIND the pending-verdict block so they can't push a
-# longer-waiting query out of the window. Round 9: empty — the 21
-# round-8 additions are simply not in _PRIOR_VERIFIED yet, so they form
-# the front of the window by the default rule.
-_NEW_PARITY_ONLY: tuple[str, ...] = ()
+# longer-waiting query out of the window. Round 9: the 21 round-8
+# additions are not in _PRIOR_VERIFIED yet and form the front of the
+# window by the default rule; the two round-9 additions queue behind
+# them (21 + 2 + 27 oldest greens = the 50-slot window).
+_NEW_PARITY_ONLY: tuple[str, ...] = (
+    "retrieval_ranking_metrics",
+    "dp_nation_order_stats",
+)
 
 
 def _rotated() -> list[str]:

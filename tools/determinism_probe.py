@@ -10,7 +10,16 @@ accumulation shows up as a diff here before it shows up as a
 once-in-N-runs oracle flake.
 
 Usage: python tools/determinism_probe.py [sf_dir] [q1 q2 ...]
+       python tools/determinism_probe.py [sf_dir] --auto-fp
 Defaults: sf0.01, the queries with the most float/partition surface.
+``--auto-fp`` probes the union of the curated list and every registered
+query whose OUTPUT SCHEMA carries a float/double anywhere (top-level or
+nested in array/map/struct) — mechanically discovered from the built
+(lazy) DataFrames, so the coverage claim regenerates itself as queries
+are added instead of rotting as a hand list. The 8 streaming e2e
+queries are excluded (building them runs a real stream; their
+determinism is covered by the replay-idempotence tests in
+tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -74,9 +83,52 @@ DEFAULT = [
     "corpus_build_v3_e2e",
     "lsh_band_sweep",
     "jaccard_threshold_sweep",
+    # round 9: the retrieval-eval harness ranks by float cosine inside
+    # (all-BIGINT output, so --auto-fp misses it — the rank order IS
+    # the partitioning surface); the DP release is integer-only but
+    # rides the same window/groupBy machinery, cheap to pin
+    "retrieval_ranking_metrics",
+    "dp_nation_order_stats",
 ]
 
 PARTITION_SETTINGS = ["3", "32"]
+
+STREAMING_SKIP = frozenset({
+    "streaming_batch_parity_e2e", "streaming_dedup_e2e",
+    "streaming_stateful_totals_e2e", "streaming_attribution_e2e",
+    "streaming_lsh_dedup_e2e", "streaming_enrich_e2e",
+    "streaming_curate_e2e", "streaming_rest_poll_e2e",
+})
+
+
+def _has_fp(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_fp(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_fp(dt.keyType) or _has_fp(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_has_fp(f.dataType) for f in dt.fields)
+    return False
+
+
+def fp_surface_names(spark, qs, sf_dir) -> list[str]:
+    """Every registered query with a float/double in its output schema.
+
+    Builds each DataFrame lazily (no execution) and walks the schema;
+    queries whose oracle hash touches float-derived bytes are exactly
+    the ones where order-dependent accumulation could flake.
+    """
+    names = []
+    for name in sorted(qs):
+        if name in STREAMING_SKIP:
+            continue
+        if _has_fp(qs[name](spark, sf_dir).schema):
+            names.append(name)
+    return names
 
 
 def canon(rows) -> list[tuple]:
@@ -103,11 +155,20 @@ def main() -> None:
     args = sys.argv[1:]
     if args and "/" in args[0]:
         sf_dir, args = args[0], args[1:]
+    auto_fp = "--auto-fp" in args
+    args = [a for a in args if a != "--auto-fp"]
     names = args or DEFAULT
 
     spark = get_spark("determinism")
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
+    if auto_fp:
+        fp = fp_surface_names(spark, qs, sf_dir)
+        merged = list(dict.fromkeys(list(names) + fp))
+        print(f"auto-fp: {len(fp)} fp-surface queries discovered; "
+              f"probing {len(merged)} total "
+              f"({len(merged) - len(set(names))} beyond the curated list)")
+        names = merged
     failures = []
     for name in names:
         results = []

@@ -126,6 +126,11 @@ SCALAR_OK: set[str] = {
                                 # cross-joined (lsh_recall_report × 3)
     "jaccard_threshold_sweep",  # pair relation vs a 3-row broadcast
                                 # threshold dim (theta-join by design)
+    # r9 additions
+    "retrieval_ranking_metrics",  # 4-row query-relation broadcast
+                                  # (both arms score data x queries)
+    "dp_nation_order_stats",      # 2-row epsilon dim broadcast over
+                                  # the 25-row nation aggregate
 }
 
 
