@@ -356,3 +356,122 @@ def wav_header_meta(
         F.when(sig_ok, _le_read(p, 33, 2)).alias("block_align"),
         F.when(sig_ok, _le_read(p, 41, 4)).alias("data_bytes"),
     )
+
+
+def synthesize_wav_pcm(
+    df: DataFrame,
+    id_col: str = "media_id",
+    rate_col: str = "sample_rate_hz",
+    samples_col: str = "n_samples",
+    amp_col: str = "amp",
+    step_col: str = "step",
+    phase_col: str = "phase",
+) -> DataFrame:
+    """Build a complete mono 16-bit PCM WAV per row — the real 44-byte
+    header AND real sample data: a deterministic integer sawtooth
+    ``s_i = ((i*step + phase) % (2*amp)) - amp`` encoded as signed
+    little-endian int16 (two's complement via +65536 on negatives).
+    Entirely JVM column expressions: per-sample hex via a bounded
+    ``transform`` over ``sequence``, one concat, one unhex. Extends
+    ``synthesize_wav`` (header-only) so downstream DSP operators have
+    actual PCM bytes to decode — no Python, no audio libs."""
+    rate = F.col(rate_col)
+    ns = F.col(samples_col).cast("long")
+    amp = F.col(amp_col).cast("long")
+    step = F.col(step_col).cast("long")
+    phase = F.col(phase_col).cast("long")
+    data_size = ns * 2  # mono, 16-bit
+    block_align = F.lit(2).cast("long")
+    byte_rate = rate * 2
+
+    def sample16(i: F.Column) -> F.Column:
+        s = (i * step + phase) % (2 * amp) - amp
+        u = F.when(s < 0, s + 65536).otherwise(s)
+        return _le16_hex(u)
+
+    data_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0).cast("long"), ns - 1), sample16),
+        "",
+    )
+    hex_str = F.concat(
+        F.lit(_RIFF_HEX),
+        _le32_hex(data_size + F.lit(36)),
+        F.lit(_WAVEFMT_HEX),
+        _le32_hex(F.lit(16)),
+        _le16_hex(F.lit(1)),           # PCM
+        _le16_hex(F.lit(1)),           # mono
+        _le32_hex(rate),
+        _le32_hex(byte_rate),
+        _le16_hex(block_align),
+        _le16_hex(F.lit(16)),          # bits per sample
+        F.lit(_DATA_HEX),
+        _le32_hex(data_size),
+        data_hex,
+    )
+    return df.select(
+        F.col(id_col), F.unhex(F.upper(hex_str)).alias("payload")
+    )
+
+
+def wav_pcm_stats(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode a mono 16-bit PCM WAV's samples FROM ITS BYTES and
+    compute exact DSP statistics, all in-row (no explode — per-clip
+    work is bounded by the clip itself, the shape that scales to
+    billions of clips): peak absolute amplitude, exact integer energy
+    (sum of squares), zero-crossing count, and RMS in milli-units
+    (``floor(sqrt(sum_sq/n)*1000)`` — identical exact integer operands
+    give identical IEEE doubles cross-engine, and floor has no tie
+    semantics). Sample decode is the hex byte-swap + two's-complement
+    read over a ``transform``; the whole path is whole-stage-codegen'd
+    column expressions."""
+    p = F.col(payload_col)
+    hx = F.hex(p)
+    n = (_le_read(p, 41, 4) / F.lit(2)).cast("long")
+
+    def sample_at(j: F.Column) -> F.Column:
+        # sample j (1-based) occupies bytes 44+2(j-1)..+1 → hex chars
+        # at position 4j+85, length 4 (1-based); LE pair swap, then
+        # two's complement
+        chunk = F.substr(hx, j * 4 + 85, F.lit(4))
+        swapped = F.concat(
+            F.substring(chunk, 3, 2), F.substring(chunk, 1, 2)
+        )
+        u = F.conv(swapped, 16, 10).cast("long")
+        return F.when(u < 32768, u).otherwise(u - 65536)
+
+    samples = F.transform(
+        F.sequence(F.lit(1).cast("long"), n), sample_at
+    )
+    sum_sq = F.aggregate(
+        samples,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    zc = F.aggregate(
+        F.zip_with(
+            F.slice(samples, F.lit(1), n - 1),
+            F.slice(samples, F.lit(2), n - 1),
+            lambda a, b: F.when(a * b < 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return media.select(
+        F.col(id_col),
+        _le_read(p, 25, 4).alias("sample_rate_hz"),
+        n.alias("n_samples"),
+        F.array_max(F.transform(samples, lambda x: F.abs(x))).alias(
+            "peak_abs"
+        ),
+        sum_sq.alias("sum_sq"),
+        zc.alias("zero_crossings"),
+        F.floor(
+            F.sqrt(sum_sq.cast("double") / n.cast("double")) * 1000
+        )
+        .cast("long")
+        .alias("rms_milli"),
+    )

@@ -16436,6 +16436,77 @@ def dp_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wav_pcm_stats",
+    """
+    WITH src AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                    ELSE 48000 END AS rate,
+               doc_id % 193 + 8 AS ns,
+               500 + (doc_id % 997) * 29 AS amp,
+               1 + doc_id % 37 AS step,
+               doc_id % 101 AS phase
+        FROM documents
+    ), decoded AS (
+        SELECT doc_id, rate, ns,
+               list_transform(range(0, ns),
+                              i -> (i * step + phase) % (2 * amp) - amp)
+                   AS samples
+        FROM src
+    )
+    SELECT doc_id AS media_id,
+           CAST(rate AS BIGINT) AS sample_rate_hz,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(list_max(list_transform(samples, x -> abs(x)))
+                AS BIGINT) AS peak_abs,
+           CAST(list_sum(list_transform(samples, x -> x * x))
+                AS BIGINT) AS sum_sq,
+           CAST(list_sum(list_transform(range(1, ns),
+                    j -> CASE WHEN samples[j] * samples[j + 1] < 0
+                              THEN 1 ELSE 0 END)) AS BIGINT)
+               AS zero_crossings,
+           CAST(FLOOR(sqrt(CAST(list_sum(list_transform(samples,
+                                             x -> x * x)) AS DOUBLE)
+                           / ns) * 1000) AS BIGINT) AS rms_milli
+    FROM decoded
+    """,
+    ops=["multimodal-binary", "binary-codec", "audio-dsp"],
+)
+def wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio DSP on real bytes: full mono 16-bit PCM WAVs are
+    SYNTHESIZED in-plan (multimodal.synthesize_wav_pcm — header + a
+    deterministic integer sawtooth encoded as signed LE int16), then
+    the samples are DECODED BACK FROM THE PAYLOAD BYTES
+    (multimodal.wav_pcm_stats — hex byte-swap + two's-complement
+    reads) and reduced to peak amplitude, exact integer energy,
+    zero-crossing count, and fixed-point RMS. The oracle restates the
+    statistics from the sawtooth's closed form, so a hash match proves
+    the byte encode→decode→DSP chain equals the pure arithmetic — the
+    WAV twin of the PNG round-trip, extended from header fields to the
+    sample data itself. In-row transform/aggregate only (no explode):
+    per-clip cost is bounded by the clip, the 100 TB shape."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    i = F.col("doc_id")
+    src = d.select(
+        i.alias("media_id"),
+        F.when(i % 5 == 0, 8000)
+        .when(i % 5 == 1, 16000)
+        .when(i % 5 == 2, 22050)
+        .when(i % 5 == 3, 44100)
+        .otherwise(48000)
+        .cast("long")
+        .alias("sample_rate_hz"),
+        (i % 193 + 8).alias("n_samples"),
+        (F.lit(500) + (i % 997) * 29).alias("amp"),
+        (F.lit(1) + i % 37).alias("step"),
+        (i % 101).alias("phase"),
+    )
+    media = multimodal.synthesize_wav_pcm(src)
+    return multimodal.wav_pcm_stats(media)
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -16735,6 +16806,7 @@ _PRIORITY: tuple[str, ...] = ()
 _NEW_PARITY_ONLY: tuple[str, ...] = (
     "retrieval_ranking_metrics",
     "dp_nation_order_stats",
+    "wav_pcm_stats",
 )
 
 

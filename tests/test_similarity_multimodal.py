@@ -237,3 +237,51 @@ def test_maxsim_topk_ranks_passage_matches(spark):
     assert order[0] == 1 and order[1] == 2
     assert scores[1] > scores[2] > scores.get(3, 0)
     assert all(r.score >= 0 for r in rows)  # relu semantics
+
+
+def test_wav_pcm_roundtrip_matches_python_reference(spark):
+    """Byte-level ground truth: synthesize_wav_pcm's payload must be a
+    valid mono 16-bit PCM WAV whose samples, decoded by PYTHON (struct
+    over the raw bytes, no Spark), equal the sawtooth closed form —
+    and wav_pcm_stats' decode must agree with that same reference."""
+    import struct
+
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        synthesize_wav_pcm,
+        wav_pcm_stats,
+    )
+
+    cases = [(7, 8000, 12, 500, 3, 5), (8, 44100, 9, 30000, 17, 100)]
+    src = spark.createDataFrame(
+        cases,
+        "media_id long, sample_rate_hz long, n_samples long, "
+        "amp long, step long, phase long",
+    )
+    media = synthesize_wav_pcm(src)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    stats = {r["media_id"]: r.asDict()
+             for r in wav_pcm_stats(media).collect()}
+
+    for mid, rate, ns, amp, step, phase in cases:
+        raw = payloads[mid]
+        assert raw[:4] == b"RIFF" and raw[8:16] == b"WAVEfmt "
+        assert raw[36:40] == b"data"
+        assert len(raw) == 44 + 2 * ns
+        (data_size,) = struct.unpack("<I", raw[40:44])
+        assert data_size == 2 * ns
+        decoded = struct.unpack(f"<{ns}h", raw[44:])
+        expect = tuple((i * step + phase) % (2 * amp) - amp
+                       for i in range(ns))
+        assert decoded == expect
+
+        s = stats[mid]
+        assert s["sample_rate_hz"] == rate and s["n_samples"] == ns
+        assert s["peak_abs"] == max(abs(x) for x in expect)
+        assert s["sum_sq"] == sum(x * x for x in expect)
+        assert s["zero_crossings"] == sum(
+            1 for a, b in zip(expect, expect[1:]) if a * b < 0
+        )
+        import math
+        assert s["rms_milli"] == math.floor(
+            math.sqrt(s["sum_sq"] / ns) * 1000
+        )
