@@ -42,6 +42,7 @@ BENCH_EXCLUDE = frozenset({
     "streaming_enrich_e2e",
     "streaming_curate_e2e",
     "streaming_rest_poll_e2e",
+    "streaming_sessionize_e2e",
 })
 
 

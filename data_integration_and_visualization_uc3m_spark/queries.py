@@ -16437,6 +16437,78 @@ def dp_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sessionize_e2e",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+        SELECT user_id,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+    ops=["streaming-e2e", "sessionization", "session-window"],
+)
+def streaming_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming SESSIONIZATION under the oracle gate: events
+    staged as 3 files stream through ``session_window`` (30-min gap,
+    append mode, exactly-once parquet sink), with two trailing
+    sentinel files whose far-future event-times push the watermark
+    past every real session end so the final micro-batches flush the
+    session state. The oracle is the BATCH lag-gap sessionization SQL
+    (same as `sessionize_events`): a hash match proves the streaming
+    session merge — including sessions bridged across micro-batches by
+    out-of-order file replay — reproduces the batch semantics exactly
+    (the exact-gap boundary is pinned to merge on both sides). Final
+    read re-aggregates emitted sessions per user and drops the
+    sentinel."""
+    import datetime as dt
+    import tempfile
+
+    from .streaming.events import run_stream_sessionized_to_parquet
+
+    e = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="sg_stream_sess_")
+    src = f"{work}/src"
+    e.repartition(3).write.mode("overwrite").parquet(src)
+    bounds = e.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    span_days = (bounds["hi"] - bounds["lo"]).days + 2
+    wm = f"{span_days} days"
+    # sentinels: beyond max_ts + gap + watermark (+1 day slack) so the
+    # watermark they advance finalizes every real session
+    s1 = bounds["hi"] + dt.timedelta(days=span_days + 1, minutes=31)
+    s2 = s1 + dt.timedelta(hours=1)
+    for i, ts in enumerate((s1, s2)):
+        spark.createDataFrame(
+            [(-(i + 1), ts, -1, "sentinel", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    run_stream_sessionized_to_parquet(
+        spark, src, f"{work}/out", f"{work}/ckpt",
+        gap="30 minutes", watermark=wm,
+    )
+    return (
+        spark.read.parquet(f"{work}/out")
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        )
+    )
+
+
+@register(
     "wav_pcm_stats",
     """
     WITH src AS (
@@ -16807,6 +16879,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "retrieval_ranking_metrics",
     "dp_nation_order_stats",
     "wav_pcm_stats",
+    "streaming_sessionize_e2e",
 )
 
 

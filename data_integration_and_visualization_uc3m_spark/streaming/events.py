@@ -620,3 +620,61 @@ def run_stream_enrich_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_stream_sessionized_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 days",
+) -> None:
+    """Streaming sessionization end-to-end: file stream →
+    ``session_window(gap)`` per user → APPEND-mode parquet sink.
+    Append mode only emits a session once the watermark passes its
+    end, so a bounded replay must (a) keep the watermark delay ≥ the
+    staged span (files replay unordered — a narrower delay would drop
+    old files' events as late), and (b) ship sentinel rows with
+    event-times far past ``max_ts + gap + watermark`` in the LAST
+    files staged, so the final micro-batches advance the watermark
+    beyond every real session end and flush the state (callers filter
+    the sentinel user back out). `streaming_sessionize_e2e` stages
+    exactly this shape. Production instead runs continuously — the
+    watermark advances with live data and sessions emit as they close.
+
+    Session merge semantics pinned by test: an event exactly ``gap``
+    after the previous one still MERGES (closed end), identical to the
+    batch lag-gap rule "new session only when gap is strictly
+    greater" — so the batch oracle and this stream agree bit-for-bit.
+    """
+    from ..session import tune
+
+    tune(spark)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -98,6 +98,7 @@ STREAMING_SKIP = frozenset({
     "streaming_stateful_totals_e2e", "streaming_attribution_e2e",
     "streaming_lsh_dedup_e2e", "streaming_enrich_e2e",
     "streaming_curate_e2e", "streaming_rest_poll_e2e",
+    "streaming_sessionize_e2e",
 })
 
 
