@@ -475,3 +475,112 @@ def wav_pcm_stats(
         .cast("long")
         .alias("rms_milli"),
     )
+
+
+# --- real (lib-free) binary codec #3: JPEG/JFIF, marker-walking ------
+#
+# PNG and WAV parse FIXED offsets; JPEG's container is a sequence of
+# VARIABLE-LENGTH segments (FFxx marker, u16 big-endian length, data),
+# so finding SOF0 (frame dimensions) requires actually WALKING the
+# segment chain. The walk is a bounded fold (F.aggregate over a small
+# sequence) carrying (pos, h, w) struct state — still 100% JVM column
+# expressions, whole-stage-codegen'd, no Python per row.
+
+_JPEG_APP0_HEX = "FFE000104A46494600010100004800480000"  # APP0/JFIF, len 16
+
+
+def synthesize_jpeg(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width_col: str = "width_px",
+    height_col: str = "height_px",
+    comment_len_col: str = "comment_len",
+) -> DataFrame:
+    """Build a minimal JFIF byte stream per row: SOI, APP0/JFIF, a
+    VARIABLE-length COM segment (``comment_len`` bytes — the hurdle
+    that forces real marker walking), a 3-byte DQT stub (length field
+    honest, table bytes stubbed — this is a container test, not an
+    entropy coder), an SOF0 with real big-endian height/width and 3
+    components, and EOI. Hex assembly + one unhex, JVM-side."""
+    nc = F.col(comment_len_col).cast("long")
+    com_char = F.format_string("%02x", F.lit(0x41) + F.col(id_col) % 26)
+    com_hex = F.substr(F.repeat(com_char, 32), F.lit(1), nc * 2)
+    hex_str = F.concat(
+        F.lit("FFD8"),                      # SOI
+        F.lit(_JPEG_APP0_HEX),
+        F.lit("FFFE"),                      # COM
+        F.format_string("%04x", nc + 2),
+        com_hex,
+        F.lit("FFDB0005000102"),            # DQT stub, len 5
+        F.lit("FFC00011"),                  # SOF0, len 17
+        F.lit("08"),                        # precision
+        F.format_string("%04x", F.col(height_col)),
+        F.format_string("%04x", F.col(width_col)),
+        F.lit("03011100021101031101"),      # 3 components
+        F.lit("FFD9"),                      # EOI
+    )
+    return df.select(
+        F.col(id_col), F.unhex(F.upper(hex_str)).alias("payload")
+    )
+
+
+def jpeg_sof_dims(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_segments: int = 8,
+) -> DataFrame:
+    """Parse JPEG frame dimensions by WALKING the segment chain from
+    raw bytes: verify SOI, then fold up to ``max_segments`` steps of
+    "read FFxx marker + u16 BE length; if SOF0 capture height/width,
+    else skip length bytes". State is a (pos, h, w) struct through
+    ``F.aggregate`` — variable-length container parsing as a pure
+    column expression. Returns (id, n_bytes, jpeg_sig_ok, sof_pos,
+    height_px, width_px); sof_pos is the 1-based byte offset of the
+    SOF0 marker, which proves the walk crossed every variable-length
+    segment before it. Null dims when SOI is absent or SOF0 isn't
+    found within the fold bound."""
+    p = F.col(payload_col)
+
+    def u8(pos: F.Column) -> F.Column:
+        return F.conv(F.hex(F.substr(p, pos, F.lit(1))), 16, 10).cast("long")
+
+    def be16(pos: F.Column) -> F.Column:
+        return F.conv(F.hex(F.substr(p, pos, F.lit(2))), 16, 10).cast("long")
+
+    sig_ok = F.substring(p, 1, 2) == F.unhex(F.lit("FFD8"))
+
+    def step(acc: F.Column, _: F.Column) -> F.Column:
+        pos = acc["pos"]
+        done = acc["h"].isNotNull() | (pos < 0)
+        valid = u8(pos) == 0xFF
+        is_sof = valid & (u8(pos + 1) == 0xC0)
+        seglen = be16(pos + 2)
+        newpos = (
+            F.when(done | is_sof, pos)
+            .when(~valid, F.lit(-1).cast("long"))
+            .otherwise(pos + 2 + seglen)
+        )
+        newh = F.when(done, acc["h"]).when(is_sof, be16(pos + 5))
+        neww = F.when(done, acc["w"]).when(is_sof, be16(pos + 7))
+        return F.struct(
+            newpos.alias("pos"), newh.alias("h"), neww.alias("w")
+        )
+
+    init = F.struct(
+        F.lit(3).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("h"),
+        F.lit(None).cast("long").alias("w"),
+    )
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_segments)), init, step
+    )
+    found = sig_ok & state["h"].isNotNull()
+    return media.select(
+        F.col(id_col),
+        F.length(p).alias("n_bytes"),
+        sig_ok.alias("jpeg_sig_ok"),
+        F.when(found, state["pos"]).alias("sof_pos"),
+        F.when(found, state["h"]).alias("height_px"),
+        F.when(found, state["w"]).alias("width_px"),
+    )

@@ -16437,6 +16437,44 @@ def dp_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_sof_report",
+    """
+    SELECT doc_id AS media_id,
+           CAST(52 + doc_id % 23 + 1 AS BIGINT) AS n_bytes,
+           TRUE AS jpeg_sig_ok,
+           CAST(32 + doc_id % 23 + 1 AS BIGINT) AS sof_pos,
+           CAST(16 + doc_id % 1000 AS BIGINT) AS height_px,
+           CAST(16 + (doc_id * 7) % 2000 AS BIGINT) AS width_px
+    FROM documents
+    """,
+    ops=["multimodal-binary", "binary-codec", "marker-walk"],
+)
+def jpeg_sof_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third real codec, and the first with VARIABLE-length
+    structure: minimal JFIF streams (SOI, APP0, a per-row
+    variable-length COM segment, DQT stub, SOF0 with real big-endian
+    dims, EOI) are synthesized in-plan and parsed back by WALKING the
+    marker chain — a bounded (pos, h, w)-struct fold that reads each
+    FFxx marker's u16 length and skips it until SOF0
+    (multimodal.jpeg_sof_dims). The oracle restates byte total, SOF
+    offset, and dims from the closed form, so the hash match proves
+    the walk crossed every variable-length segment correctly for every
+    row (sof_pos shifts with the COM length — a fixed-offset parser
+    cannot fake it). Pure column expressions; the shape that sniffs a
+    billion images' dimensions without leaving the JVM."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    i = F.col("doc_id")
+    src = d.select(
+        i.alias("media_id"),
+        (F.lit(16) + (i * 7) % 2000).alias("width_px"),
+        (F.lit(16) + i % 1000).alias("height_px"),
+        (i % 23 + 1).alias("comment_len"),
+    )
+    media = multimodal.synthesize_jpeg(src)
+    return multimodal.jpeg_sof_dims(media)
+
+
+@register(
     "streaming_sessionize_e2e",
     """
     WITH e AS (
@@ -16880,6 +16918,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "dp_nation_order_stats",
     "wav_pcm_stats",
     "streaming_sessionize_e2e",
+    "jpeg_sof_report",
 )
 
 

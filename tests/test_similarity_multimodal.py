@@ -285,3 +285,41 @@ def test_wav_pcm_roundtrip_matches_python_reference(spark):
         assert s["rms_milli"] == math.floor(
             math.sqrt(s["sum_sq"] / ns) * 1000
         )
+
+
+def test_jpeg_marker_walk_roundtrip_and_rejects(spark):
+    """The marker walk must (a) locate SOF0 across variable-length
+    segments — byte-level ground truth built in PYTHON, not by the
+    Spark synthesizer — and (b) return null dims for a non-JPEG, a
+    stream with no SOF0, and dims past the walk bound."""
+    import struct
+
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        jpeg_sof_dims,
+    )
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00H\x00H\x00\x00")
+    sof = seg(0xC0, b"\x08" + struct.pack(">HH", 480, 640)
+              + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    good = b"\xff\xd8" + app0 + seg(0xFE, b"x" * 9) + sof + b"\xff\xd9"
+    no_sof = b"\xff\xd8" + app0 + b"\xff\xd9"  # EOI has no length; walk aborts
+    not_jpeg = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    too_deep = (b"\xff\xd8" + b"".join(seg(0xFE, b"y") for _ in range(9))
+                + sof + b"\xff\xd9")
+
+    media = spark.createDataFrame(
+        [(1, good), (2, no_sof), (3, not_jpeg), (4, too_deep)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r.asDict() for r in jpeg_sof_dims(media).collect()}
+
+    g = rows[1]
+    assert g["jpeg_sig_ok"] and g["height_px"] == 480 and g["width_px"] == 640
+    # SOI(2) + APP0(18) + COM(2+2+9) => SOF marker at 1-based byte 34
+    assert g["sof_pos"] == 2 + len(app0) + 13 + 1
+    assert rows[2]["height_px"] is None and rows[2]["jpeg_sig_ok"]
+    assert rows[3]["height_px"] is None and not rows[3]["jpeg_sig_ok"]
+    assert rows[4]["height_px"] is None  # 9 segments > max_segments=8
