@@ -1153,3 +1153,39 @@ def maxsim_topk(
         .filter(F.col("rank") <= k)
         .select("rank", id_col, "score")
     )
+
+
+def assign_to_codebook(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest codebook centroid WITHOUT
+    retraining — the index-maintenance primitive (new data arrives, the
+    trained coarse quantizer stays frozen). Nearest by the shared
+    nano fixed-point L2 convention, ties to the smaller cell id (the
+    same (d, c) struct-min train_codebook uses, so assignments are
+    bit-stable cross-engine). The k-row codebook collapses to one
+    nested broadcast row; assignment is map-side over the data — no
+    shuffle of the corpus. Returns (id, c, dist_nano)."""
+    cb1 = codebook.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("c", "centroid"))).alias("_cb")
+    )
+    staged = df.crossJoin(F.broadcast(cb1)).select(
+        F.col(id_col), F.col(vec_col).alias("_v"), F.col("_cb")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cb"),
+            lambda s: F.struct(
+                _l2_nano(F.col("_v"), s["centroid"]).alias("d"),
+                s["c"].alias("c"),
+            ),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        best.getField("c").alias("c"),
+        best.getField("d").cast("long").alias("dist_nano"),
+    )

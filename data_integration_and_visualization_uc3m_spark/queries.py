@@ -16437,6 +16437,110 @@ def dp_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_incremental_assign",
+    f"""
+    WITH old AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+    ), newb AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+    ), {_codebook_cte(8, 64, "old")}, scored_old AS (
+        SELECT e.vec_id, cb.c,
+               CAST(FLOOR(list_sum(list_transform(
+                        list_zip(e.embedding, cb.centroid),
+                        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                             * (CAST(p[1] AS DOUBLE)
+                                - CAST(p[2] AS DOUBLE))))
+                    * 1000000000) AS BIGINT) AS d
+        FROM old e CROSS JOIN cb
+    ), scored_new AS (
+        SELECT e.vec_id, cb.c,
+               CAST(FLOOR(list_sum(list_transform(
+                        list_zip(e.embedding, cb.centroid),
+                        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                             * (CAST(p[1] AS DOUBLE)
+                                - CAST(p[2] AS DOUBLE))))
+                    * 1000000000) AS BIGINT) AS d
+        FROM newb e CROSS JOIN cb
+    ), assign_old AS (
+        SELECT c, d FROM (
+            SELECT c, d, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d, c) AS rn
+            FROM scored_old) WHERE rn = 1
+    ), assign_new AS (
+        SELECT c, d FROM (
+            SELECT c, d, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d, c) AS rn
+            FROM scored_new) WHERE rn = 1
+    ), ao AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS n_old,
+               CAST(SUM(d) AS BIGINT) AS dist_nano_old
+        FROM assign_old GROUP BY c
+    ), an AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS n_new,
+               CAST(SUM(d) AS BIGINT) AS dist_nano_new
+        FROM assign_new GROUP BY c
+    )
+    SELECT cb.c,
+           COALESCE(ao.n_old, 0) AS n_old,
+           COALESCE(an.n_new, 0) AS n_new,
+           COALESCE(ao.dist_nano_old, 0) AS dist_nano_old,
+           COALESCE(an.dist_nano_new, 0) AS dist_nano_new
+    FROM cb LEFT JOIN ao ON ao.c = cb.c LEFT JOIN an ON an.c = cb.c
+    ORDER BY cb.c
+    """,
+    ops=["similarity-ivf", "index-maintenance"],
+)
+def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index MAINTENANCE under the oracle gate: a coarse codebook
+    trained on the even-id half of the corpus stays frozen while the
+    odd-id half arrives as a "new batch" and is assigned to the
+    existing cells (similarity.assign_to_codebook — broadcast
+    codebook, map-side nearest-cell, no retrain, no corpus shuffle).
+    The report is the drift audit an index operator reads before
+    deciding to retrain: per-cell old vs new occupancy and exact
+    nano fixed-point assignment-distance totals (a cell whose new
+    members sit much farther than its old ones has drifted). All
+    BIGINT — the drift numbers themselves are hash-checked."""
+    e = _t(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 2 == 0)
+    newb = e.filter(F.col("vec_id") % 2 == 1)
+    cb = similarity.train_codebook(old, k=8)
+    ao = (
+        similarity.assign_to_codebook(old, cb)
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_old"),
+            F.sum("dist_nano").cast("long").alias("dist_nano_old"),
+        )
+    )
+    an = (
+        similarity.assign_to_codebook(newb, cb)
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.sum("dist_nano").cast("long").alias("dist_nano_new"),
+        )
+    )
+    return (
+        cb.select("c")
+        .join(ao, "c", "left")
+        .join(an, "c", "left")
+        .select(
+            "c",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("dist_nano_old", F.lit(0))
+            .cast("long")
+            .alias("dist_nano_old"),
+            F.coalesce("dist_nano_new", F.lit(0))
+            .cast("long")
+            .alias("dist_nano_new"),
+        )
+        .orderBy("c")
+    )
+
+
+@register(
     "jpeg_sof_report",
     """
     SELECT doc_id AS media_id,
@@ -16919,6 +17023,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "wav_pcm_stats",
     "streaming_sessionize_e2e",
     "jpeg_sof_report",
+    "ivf_incremental_assign",
 )
 
 

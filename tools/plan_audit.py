@@ -131,6 +131,8 @@ SCALAR_OK: set[str] = {
                                   # (both arms score data x queries)
     "dp_nation_order_stats",      # 2-row epsilon dim broadcast over
                                   # the 25-row nation aggregate
+    "ivf_incremental_assign",     # 1-row collapsed-codebook broadcast
+                                  # (train + two frozen assignments)
 }
 
 
