@@ -584,3 +584,114 @@ def jpeg_sof_dims(
         F.when(found, state["h"]).alias("height_px"),
         F.when(found, state["w"]).alias("width_px"),
     )
+
+
+# --- real (lib-free) binary codec #4: MP4/ISO-BMFF box walk ----------
+#
+# Completes the image(PNG fixed / JPEG marker-walk) + audio(WAV) +
+# VIDEO triad. ISO-BMFF is a sequence of (u32 big-endian size, 4-char
+# type) boxes; finding the movie header means walking top-level boxes
+# to 'moov' and reading its first child 'mvhd' (version, timescale,
+# duration). Same bounded-fold shape as the JPEG walk.
+
+_FTYP_HEX = "000000106674797069736F6D00000000"  # 16-byte ftyp/isom
+
+
+def synthesize_mp4(
+    df: DataFrame,
+    id_col: str = "media_id",
+    timescale_col: str = "timescale",
+    duration_col: str = "duration",
+    pad_col: str = "pad_len",
+) -> DataFrame:
+    """Build a minimal ISO-BMFF stream per row: ftyp, a VARIABLE-size
+    ``free`` box (``pad_len`` filler bytes — forces real box walking),
+    and a moov whose first child is an mvhd carrying version/flags,
+    create/modify times (zeroed), and real big-endian timescale +
+    duration. The mvhd is truncated after the duration field with an
+    honest size field (28) — a container-walk test, not a full movie
+    header (spec v0 is 100 data bytes). Hex assembly + one unhex."""
+    nc = F.col(pad_col).cast("long")
+    pad_hex = F.substr(F.repeat(F.lit("00"), 64), F.lit(1), nc * 2)
+    mvhd_hex = F.concat(
+        F.lit("0000001C6D766864"),           # size 28, 'mvhd'
+        F.lit("00000000"),                    # version 0 + flags
+        F.lit("00000000" "00000000"),         # ctime, mtime
+        F.format_string("%08x", F.col(timescale_col)),
+        F.format_string("%08x", F.col(duration_col)),
+    )
+    hex_str = F.concat(
+        F.lit(_FTYP_HEX),
+        F.format_string("%08x", nc + 8),      # free box size
+        F.lit("66726565"),                    # 'free'
+        pad_hex,
+        F.lit("000000246D6F6F76"),            # moov: size 36, 'moov'
+        mvhd_hex,
+    )
+    return df.select(
+        F.col(id_col), F.unhex(F.upper(hex_str)).alias("payload")
+    )
+
+
+def mp4_mvhd_meta(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_boxes: int = 8,
+) -> DataFrame:
+    """Parse movie-header fields by WALKING top-level ISO-BMFF boxes
+    from raw bytes: verify the stream opens with ftyp, fold up to
+    ``max_boxes`` steps of "read u32 size + 4cc type; stop at moov,
+    else skip size bytes" (aborting on size < 8, which would loop),
+    then require moov's first child to be mvhd and read big-endian
+    timescale/duration. Returns (id, n_bytes, mp4_sig_ok, moov_pos,
+    timescale, duration, duration_ms); nulls when the walk fails."""
+    p = F.col(payload_col)
+
+    def be32(pos: F.Column) -> F.Column:
+        return F.conv(F.hex(F.substr(p, pos, F.lit(4))), 16, 10).cast("long")
+
+    sig_ok = F.substring(p, 5, 4) == F.unhex(F.lit("66747970"))
+
+    def step(acc: F.Column, _: F.Column) -> F.Column:
+        pos = acc["pos"]
+        done = acc["moov"].isNotNull() | (pos < 0)
+        size = be32(pos)
+        is_moov = F.substr(p, pos + 4, F.lit(4)) == F.unhex(
+            F.lit("6D6F6F76")
+        )
+        bad = (size < 8) | (pos + size > F.length(p) + 1)
+        newpos = (
+            F.when(done, pos)
+            .when(is_moov, pos)
+            .when(bad, F.lit(-1).cast("long"))
+            .otherwise(pos + size)
+        )
+        newmoov = F.when(done, acc["moov"]).when(is_moov, pos)
+        return F.struct(newpos.alias("pos"), newmoov.alias("moov"))
+
+    init = F.struct(
+        F.lit(1).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("moov"),
+    )
+    state = F.aggregate(F.sequence(F.lit(1), F.lit(max_boxes)), init, step)
+    moov = state["moov"]
+    mvhd_ok = F.substr(p, moov + 12, F.lit(4)) == F.unhex(
+        F.lit("6D766864")
+    )
+    found = sig_ok & moov.isNotNull() & mvhd_ok
+    ts = be32(moov + 28)
+    dur = be32(moov + 32)
+    return media.select(
+        F.col(id_col),
+        F.length(p).alias("n_bytes"),
+        sig_ok.alias("mp4_sig_ok"),
+        F.when(found, moov).alias("moov_pos"),
+        F.when(found, ts).alias("timescale"),
+        F.when(found, dur).alias("duration"),
+        # exact integer floor-division: subtract the remainder first so
+        # the double divide is exact (numerator divisible by ts)
+        F.when(found & (ts > 0), (dur * 1000 - (dur * 1000) % ts) / ts)
+        .cast("long")
+        .alias("duration_ms"),
+    )

@@ -16437,6 +16437,45 @@ def dp_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mp4_mvhd_report",
+    """
+    SELECT doc_id AS media_id,
+           CAST(60 + doc_id % 41 AS BIGINT) AS n_bytes,
+           TRUE AS mp4_sig_ok,
+           CAST(25 + doc_id % 41 AS BIGINT) AS moov_pos,
+           CAST(600 + doc_id % 1000 AS BIGINT) AS timescale,
+           CAST((doc_id * 13) % 100000 + 600 AS BIGINT) AS duration,
+           CAST((((doc_id * 13) % 100000 + 600) * 1000)
+                // (600 + doc_id % 1000) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    ops=["multimodal-binary", "binary-codec", "box-walk"],
+)
+def mp4_mvhd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth real codec — VIDEO container, completing the
+    image/audio/video triad: minimal ISO-BMFF streams (ftyp, a per-row
+    variable-size free box, moov/mvhd with real big-endian timescale
+    and duration) are synthesized in-plan and parsed back by WALKING
+    the top-level box chain (u32 size + 4cc fold, abort on degenerate
+    sizes — multimodal.mp4_mvhd_meta), then deriving the clip length
+    in milliseconds by exact integer floor-division. The oracle
+    restates bytes/offsets/fields from the closed form; moov_pos
+    shifts with the free-box padding, so the hash only matches if the
+    walk really skipped the variable-size box. The shape that reads a
+    billion videos' durations without a demuxer library."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    i = F.col("doc_id")
+    src = d.select(
+        i.alias("media_id"),
+        (F.lit(600) + i % 1000).alias("timescale"),
+        ((i * 13) % 100000 + 600).alias("duration"),
+        (i % 41).alias("pad_len"),
+    )
+    media = multimodal.synthesize_mp4(src)
+    return multimodal.mp4_mvhd_meta(media)
+
+
+@register(
     "ivf_incremental_assign",
     f"""
     WITH old AS (
@@ -17015,8 +17054,8 @@ _PRIORITY: tuple[str, ...] = ()
 # queue BEHIND the pending-verdict block so they can't push a
 # longer-waiting query out of the window. Round 9: the 21 round-8
 # additions are not in _PRIOR_VERIFIED yet and form the front of the
-# window by the default rule; the two round-9 additions queue behind
-# them (21 + 2 + 27 oldest greens = the 50-slot window).
+# window by the default rule; the six round-9 additions queue behind
+# them (21 + 6 + 23 oldest greens = the 50-slot window).
 _NEW_PARITY_ONLY: tuple[str, ...] = (
     "retrieval_ranking_metrics",
     "dp_nation_order_stats",
@@ -17024,6 +17063,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "streaming_sessionize_e2e",
     "jpeg_sof_report",
     "ivf_incremental_assign",
+    "mp4_mvhd_report",
 )
 
 

@@ -323,3 +323,42 @@ def test_jpeg_marker_walk_roundtrip_and_rejects(spark):
     assert rows[2]["height_px"] is None and rows[2]["jpeg_sig_ok"]
     assert rows[3]["height_px"] is None and not rows[3]["jpeg_sig_ok"]
     assert rows[4]["height_px"] is None  # 9 segments > max_segments=8
+
+
+def test_mp4_box_walk_roundtrip_and_rejects(spark):
+    """Box walk ground truth from PYTHON-built ISO-BMFF payloads:
+    locate moov across several variable-size boxes, reject a stream
+    with no ftyp, abort on a degenerate (size<8) box, and null out a
+    moov whose first child is not mvhd."""
+    import struct
+
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        mp4_mvhd_meta,
+    )
+
+    def box(typ, data):
+        return struct.pack(">I", len(data) + 8) + typ + data
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x00\x00")
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + struct.pack(">II", 1000, 7500))
+    good = (ftyp + box(b"free", b"\x00" * 5) + box(b"skip", b"x" * 11)
+            + box(b"moov", mvhd))
+    no_ftyp = box(b"junk", b"a" * 4) + box(b"moov", mvhd)
+    degenerate = ftyp + struct.pack(">I", 3) + b"free" + box(b"moov", mvhd)
+    no_mvhd = ftyp + box(b"moov", box(b"trak", b"\x00" * 20))
+
+    media = spark.createDataFrame(
+        [(1, good), (2, no_ftyp), (3, degenerate), (4, no_mvhd)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r.asDict() for r in mp4_mvhd_meta(media).collect()}
+
+    g = rows[1]
+    assert g["mp4_sig_ok"]
+    assert g["moov_pos"] == len(ftyp) + 13 + 19 + 1  # walked both boxes
+    assert g["timescale"] == 1000 and g["duration"] == 7500
+    assert g["duration_ms"] == 7500  # 7500/1000 * 1000
+    assert not rows[2]["mp4_sig_ok"] and rows[2]["timescale"] is None
+    assert rows[3]["timescale"] is None  # size<8 aborts, no infinite skip
+    assert rows[4]["moov_pos"] is None   # moov found but first child != mvhd
