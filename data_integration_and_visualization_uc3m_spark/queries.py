@@ -16437,6 +16437,104 @@ def dp_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "readability_report",
+    """
+    WITH per_doc AS (
+        SELECT lang,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences,
+               GREATEST(len(regexp_extract_all(lower(text),
+                                               '[a-z]+')), 1) AS n_words,
+               GREATEST(len(regexp_extract_all(lower(text),
+                                               '[aeiouy]+')), 1)
+                   AS n_syllables
+        FROM documents
+    ), scored AS (
+        SELECT lang, n_sentences, n_words, n_syllables,
+               206835 - (1015 * n_words) // n_sentences
+                      - (84600 * n_syllables) // n_words AS flesch_milli,
+               (390 * n_words) // n_sentences
+                   + (11800 * n_syllables) // n_words - 15590
+                   AS fk_grade_milli
+        FROM per_doc
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_syllables) AS BIGINT) AS total_syllables,
+           CAST(SUM(flesch_milli) // COUNT(*) AS BIGINT)
+               AS mean_flesch_milli,
+           CAST(SUM(fk_grade_milli) // COUNT(*) AS BIGINT)
+               AS mean_fk_grade_milli
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    ops=["text-quality", "readability", "A3"],
+)
+def readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring for the curation stack: Flesch reading ease
+    and Flesch-Kincaid grade per document (syllables ≈ non-overlapping
+    vowel groups, words ≈ letter runs, sentences ≈ terminal-punct
+    runs — the standard regex heuristics), rolled up per language. All
+    fixed-point: the 206.835/1.015/84.6/0.39/11.8/15.59 constants are
+    milli-scaled integers and every ratio is an integer floor-division,
+    so the scores are hash-exact cross-engine. Map-side regexp_count
+    over the scan + one small group-by — no tokenizer, no UDF, linear
+    at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    lo = F.lower(F.col("text"))
+    per_doc = d.select(
+        "lang",
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        ).alias("n_sentences"),
+        F.greatest(
+            F.regexp_count(lo, F.lit(r"[a-z]+")), F.lit(1)
+        ).alias("n_words"),
+        F.greatest(
+            F.regexp_count(lo, F.lit(r"[aeiouy]+")), F.lit(1)
+        ).alias("n_syllables"),
+    )
+    scored = per_doc.select(
+        "lang",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.expr(
+            "206835 - (1015 * n_words) div n_sentences"
+            " - (84600 * n_syllables) div n_words"
+        ).alias("flesch_milli"),
+        F.expr(
+            "(390 * n_words) div n_sentences"
+            " + (11800 * n_syllables) div n_words - 15590"
+        ).alias("fk_grade_milli"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_syllables").cast("long").alias("total_syllables"),
+            # FLOOR division, not `div`: the milli sums can be negative
+            # (dense text drives Flesch below zero) and Spark's `div`
+            # truncates toward zero while DuckDB's `//` floors — the
+            # pmod form subtracts the positive remainder so the double
+            # divide is exact and floors like the oracle
+            F.expr(
+                "CAST((SUM(flesch_milli)"
+                " - pmod(SUM(flesch_milli), COUNT(*))) / COUNT(*)"
+                " AS BIGINT)"
+            ).alias("mean_flesch_milli"),
+            F.expr(
+                "CAST((SUM(fk_grade_milli)"
+                " - pmod(SUM(fk_grade_milli), COUNT(*))) / COUNT(*)"
+                " AS BIGINT)"
+            ).alias("mean_fk_grade_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "mp4_mvhd_report",
     """
     SELECT doc_id AS media_id,
@@ -17064,6 +17162,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "jpeg_sof_report",
     "ivf_incremental_assign",
     "mp4_mvhd_report",
+    "readability_report",
 )
 
 
