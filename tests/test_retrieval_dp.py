@@ -95,3 +95,13 @@ def test_dp_release_reproducible_and_bounded(spark):
         assert abs(m["dp_revenue_cents"] - m["revenue_cents"]) <= max_ns
         # contribution bound: clamped revenue can't exceed cap * count
         assert m["revenue_cents"] <= _DP_CAP_CENTS * m["n_orders"]
+
+
+def test_ranking_metrics_plan_uses_window_group_limit(spark):
+    """Scale-shape pin: the per-query top-k must compile to
+    WindowGroupLimit (partial per-partition top-k BEFORE the qid
+    shuffle) — if a refactor degrades it to a full window sort, this
+    catches the regression before it costs anything at scale."""
+    df = retrieval_ranking_metrics(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
