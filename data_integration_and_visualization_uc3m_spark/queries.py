@@ -16858,6 +16858,425 @@ def wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.wav_pcm_stats(media)
 
 
+@register(
+    "gif_header_report",
+    """
+    SELECT doc_id AS media_id,
+           CAST(13 AS BIGINT) AS n_bytes,
+           TRUE AS gif_sig_ok,
+           CAST(doc_id % 320 + 8 AS BIGINT) AS width_px,
+           CAST(doc_id % 200 + 8 AS BIGINT) AS height_px,
+           CAST(doc_id % 8 AS BIGINT) AS color_res,
+           CAST(power(2, (doc_id // 8) % 8 + 1) AS BIGINT) AS gct_entries,
+           CAST(doc_id % 256 AS BIGINT) AS bg_index
+    FROM documents
+    """,
+    ops=["multimodal-binary", "binary-codec"],
+)
+def gif_header_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth real codec — GIF89a, the mixed-endian image header: ASCII
+    signature, LITTLE-endian u16 logical-screen dims (the RIFF
+    byte-swap path, vs PNG's big-endian), and a BIT-packed flags byte
+    (GCT flag = bit 7, color resolution = bits 6-4, GCT size exponent
+    = bits 2-0) that the parser decodes with exact mod/divide
+    arithmetic — the one header shape PNG/WAV/MP4 don't exercise.
+    Bytes are synthesized in-plan from doc_id (multimodal.
+    synthesize_gif) and parsed back (multimodal.gif_screen_meta); the
+    oracle restates the closed form, so a hash match proves the
+    encode→parse round-trip INCLUDING the bit-field split (color_res
+    and gct_exp are driven by different phases of doc_id, so a wrong
+    shift would mismatch). Whole-stage-codegen'd column expressions
+    over the scan — the 100 TB shape for format sweeps over billions
+    of stored images."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    i = F.col("doc_id")
+    src = d.select(
+        i.alias("media_id"),
+        (i % 320 + 8).alias("width_px"),
+        (i % 200 + 8).alias("height_px"),
+        (i % 8).alias("color_res"),
+        F.expr("(doc_id div 8) % 8").alias("gct_exp"),
+        (i % 256).alias("bg_index"),
+    )
+    media = multimodal.synthesize_gif(src)
+    return multimodal.gif_screen_meta(media)
+
+
+@register(
+    "roc_auc_length_vs_dup",
+    """
+    WITH lab AS (
+        SELECT n_chars AS score,
+               CASE WHEN COUNT(*) OVER (PARTITION BY text) > 1
+                    THEN 1 ELSE 0 END AS y
+        FROM documents
+    ), g AS (
+        SELECT score, COUNT(*) AS n, SUM(y) AS pos FROM lab GROUP BY score
+    ), cum AS (
+        SELECT score, n, pos,
+               COALESCE(SUM(n) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cum_before
+        FROM g
+    ), acc AS (
+        SELECT SUM(pos * (2 * cum_before + n + 1)) AS s2,
+               SUM(pos) AS npos, SUM(n) AS ntot
+        FROM cum
+    )
+    SELECT CAST(npos AS BIGINT) AS n_pos,
+           CAST(ntot - npos AS BIGINT) AS n_neg,
+           CAST(s2 - npos * (npos + 1) AS BIGINT) AS u_doubled,
+           CAST(CASE WHEN npos > 0 AND ntot > npos
+                THEN ((s2 - npos * (npos + 1)) * 1000000)
+                     // (2 * npos * (ntot - npos)) END AS BIGINT)
+               AS auc_micro,
+           CAST(CASE WHEN npos > 0 AND ntot > npos
+                THEN ((s2 - npos * (npos + 1)) * 1000000)
+                     // (npos * (ntot - npos)) - 1000000 END AS BIGINT)
+               AS gini_micro
+    FROM acc
+    """,
+    ops=["ml-eval", "roc-auc", "stats-rank"],
+)
+def roc_auc_length_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney identity: scoring documents
+    by length as a (deliberately weak) exact-duplicate classifier,
+    AUC = U / (n_pos * n_neg) where U comes from tie-corrected rank
+    sums. Ranks use the repo's doubled-rank convention (average rank
+    with ties = (2*min_rank + n - 1)/2, so DOUBLED ranks are integers)
+    — every intermediate is an exact BIGINT and the AUC/Gini land as
+    floor'd micro-units on the hash path. gini_micro is computed as
+    floor(2e6*AUC) - 1e6 (NOT 2*auc_micro - 1e6 — the two floors can
+    differ by 1; both engines mirror the former).
+
+    Scale shape: labels are one count-window over the text partition
+    (the exact-dedup shuffle), then everything collapses to the
+    DISTINCT-SCORE aggregate — the cumulative window runs over at most
+    |distinct n_chars| rows (bounded by document length range, not
+    corpus size), the classic evaluate-on-aggregates trick. Micro
+    scaling of U needs DECIMAL widening past ~1e12 rows — noted, not
+    hit at any testdata SF."""
+    d = _t(spark, sf_dir, "documents")
+    lab = d.select(
+        F.col("n_chars").alias("score"),
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("text")) > 1
+        ).cast("long").alias("y"),
+    )
+    g = lab.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    acc = cum.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("cum_before") + F.col("n") + 1)
+        ).alias("s2"),
+        F.sum("pos").alias("npos"),
+        F.sum("n").alias("ntot"),
+    )
+    return acc.select(
+        F.col("npos").cast("long").alias("n_pos"),
+        F.expr("CAST(ntot - npos AS BIGINT)").alias("n_neg"),
+        F.expr("CAST(s2 - npos * (npos + 1) AS BIGINT)").alias(
+            "u_doubled"
+        ),
+        F.expr(
+            "CAST(CASE WHEN npos > 0 AND ntot > npos"
+            " THEN ((s2 - npos * (npos + 1)) * 1000000)"
+            " div (2 * npos * (ntot - npos)) END AS BIGINT)"
+        ).alias("auc_micro"),
+        F.expr(
+            "CAST(CASE WHEN npos > 0 AND ntot > npos"
+            " THEN ((s2 - npos * (npos + 1)) * 1000000)"
+            " div (npos * (ntot - npos)) - 1000000 END AS BIGINT)"
+        ).alias("gini_micro"),
+    )
+
+
+@register(
+    "brier_calibration_report",
+    """
+    WITH lab AS (
+        SELECT (1000 * CAST(n_chars AS BIGINT))
+                   // (CAST(n_chars AS BIGINT) + 500) AS p_milli,
+               CASE WHEN COUNT(*) OVER (PARTITION BY text) > 1
+                    THEN 1 ELSE 0 END AS y
+        FROM documents
+    )
+    SELECT CAST(p_milli // 100 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(p_milli) AS BIGINT) AS sum_pred_milli,
+           CAST((1000 * SUM(y)) // COUNT(*) AS BIGINT)
+               AS event_rate_milli,
+           CAST(SUM((p_milli - 1000 * y) * (p_milli - 1000 * y))
+                // COUNT(*) AS BIGINT) AS brier_micro
+    FROM lab GROUP BY bin ORDER BY bin
+    """,
+    ops=["ml-eval", "calibration", "A3"],
+)
+def brier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration diagnostics for a probabilistic classifier, exact:
+    the predicted duplicate-probability is a saturating integer squash
+    of length (p = 1000*n/(n+500) milli-units — monotone, bounded
+    below 1000, model-free), the label is exact-duplicate membership,
+    and each decile bin reports count, positives, mean prediction
+    mass, empirical event rate, and the per-bin Brier score — all
+    integer floor arithmetic (milli² = micro units), hash-exact. The
+    reliability-diagram table every trained quality/dedup classifier
+    needs before its threshold is trusted.
+
+    Scale shape: one count-window over the text partition for labels,
+    then a single 10-bin hash aggregate — map-side partials, no
+    windows over raw data, linear at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    lab = d.select(
+        F.expr(
+            "(1000 * CAST(n_chars AS BIGINT))"
+            " div (CAST(n_chars AS BIGINT) + 500)"
+        ).alias("p_milli"),
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("text")) > 1
+        ).cast("long").alias("y"),
+    )
+    return (
+        lab.groupBy(F.expr("p_milli div 100").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("p_milli").cast("long").alias("sum_pred_milli"),
+            F.expr("CAST((1000 * SUM(y)) div COUNT(*) AS BIGINT)").alias(
+                "event_rate_milli"
+            ),
+            F.expr(
+                "CAST(SUM((p_milli - 1000 * y) * (p_milli - 1000 * y))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("brier_micro"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_docs",
+            "n_pos",
+            "sum_pred_milli",
+            "event_rate_milli",
+            "brier_micro",
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "forecast_backtest_mase",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY day
+    ), bounds AS (
+        SELECT MAX(day) AS md FROM daily
+    ), methods AS (
+        SELECT * FROM (VALUES ('naive1', 1), ('snaive7', 7))
+            AS t(method, lag)
+    ), test_err AS (
+        SELECT m.method, COUNT(*) AS n_test,
+               SUM(ABS(t.cents - f.cents)) AS sum_abs_err
+        FROM daily t
+        CROSS JOIN methods m
+        JOIN daily f ON f.day = t.day - CAST(m.lag AS INTEGER)
+        CROSS JOIN bounds b
+        WHERE t.day > b.md - 28
+        GROUP BY m.method
+    ), scale AS (
+        SELECT COUNT(*) AS n_train,
+               SUM(ABS(a.cents - p.cents)) AS sum_scale
+        FROM daily a
+        JOIN daily p ON p.day = a.day - 1
+        CROSS JOIN bounds b
+        WHERE a.day <= b.md - 28
+    )
+    SELECT method,
+           CAST(n_test AS BIGINT) AS n_test_days,
+           CAST(sum_abs_err AS BIGINT) AS sum_abs_err_cents,
+           CAST(n_train AS BIGINT) AS n_train_diffs,
+           CAST(sum_scale AS BIGINT) AS scale_abs_diff_cents,
+           CAST(CASE WHEN sum_scale > 0 AND n_test > 0
+                THEN ((1000000 * sum_abs_err) // n_test) * n_train
+                     // sum_scale END AS BIGINT) AS mase_micro
+    FROM test_err CROSS JOIN scale
+    ORDER BY method
+    """,
+    ops=["timeseries-backtest", "forecast-eval", "A3"],
+)
+def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest with MASE (mean absolute
+    scaled error) — the standard scale-free forecast-accuracy metric:
+    naive (lag-1) and seasonal-naive (lag-7) forecasts are evaluated
+    on the final 28 days of daily revenue, each error an exact cents
+    difference (DECIMAL(18,2) sums, so the money path never touches
+    doubles), scaled by the in-sample mean absolute one-day change.
+    mase_micro is the mirrored two-step floor ((1e6*err)//n_test *
+    n_train // scale — staged to stay inside int64; both engines
+    compute the identical expression). Completes the forecast family
+    (EWMA/Holt/STL/ACF produce forecasts; this grades them).
+
+    Scale shape: daily is a one-shuffle date aggregate (bounded by
+    calendar span); lag pairing is an EQUI-join on day+offset against
+    a 2-row broadcast method dim (the ACF recipe — no window over the
+    raw series, no range join); the train/test cut uses a 1-row
+    broadcast max-day scalar. Nothing grows with order count past the
+    first aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(_dec2("o_totalprice")) * 100).cast("long").alias("cents")
+    )
+    bounds = daily.agg(F.max("day").alias("md"))
+    methods = spark.createDataFrame(
+        [("naive1", 1), ("snaive7", 7)], "method string, lag int"
+    )
+    t = (
+        daily.crossJoin(F.broadcast(methods))
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") > F.date_sub(F.col("md"), 28))
+        .select(
+            "method",
+            F.expr("date_sub(day, lag)").alias("jday"),
+            F.col("cents").alias("tc"),
+        )
+    )
+    f = daily.select(F.col("day").alias("jday"), F.col("cents").alias("fc"))
+    test_err = t.join(f, "jday").groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.abs(F.col("tc") - F.col("fc"))).alias("sum_abs_err"),
+    )
+    a = (
+        daily.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.date_sub(F.col("md"), 28))
+        .select(
+            F.expr("date_sub(day, 1)").alias("jday"),
+            F.col("cents").alias("ac"),
+        )
+    )
+    p = daily.select(F.col("day").alias("jday"), F.col("cents").alias("pc"))
+    scale = a.join(p, "jday").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.abs(F.col("ac") - F.col("pc"))).alias("sum_scale"),
+    )
+    return (
+        test_err.crossJoin(F.broadcast(scale))
+        .select(
+            "method",
+            F.col("n_test").cast("long").alias("n_test_days"),
+            F.col("sum_abs_err").cast("long").alias("sum_abs_err_cents"),
+            F.col("n_train").cast("long").alias("n_train_diffs"),
+            F.col("sum_scale").cast("long").alias("scale_abs_diff_cents"),
+            F.expr(
+                "CAST(CASE WHEN sum_scale > 0 AND n_test > 0"
+                " THEN ((1000000 * sum_abs_err) div n_test) * n_train"
+                " div sum_scale END AS BIGINT)"
+            ).alias("mase_micro"),
+        )
+        .orderBy("method")
+    )
+
+
+@register(
+    "l_diversity_report",
+    """
+    WITH grp AS (
+        SELECT lang, CAST(n_chars AS BIGINT) // 100 AS size_bucket,
+               COUNT(*) AS k, COUNT(DISTINCT source) AS l
+        FROM documents GROUP BY lang, size_bucket
+    )
+    SELECT CAST(l AS BIGINT) AS l_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_docs,
+           CAST(MIN(k) AS BIGINT) AS min_group_size
+    FROM grp GROUP BY l ORDER BY l_distinct
+    """,
+    ops=["privacy-audit", "l-diversity", "A3"],
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion to k_anonymity_report: within
+    each quasi-identifier equivalence class (lang × length-centile
+    bucket), count distinct values of the sensitive attribute
+    (source) — a class where every document shares one source leaks
+    it even when k is large. The histogram over l (group count, doc
+    mass, smallest class per l) is the release-readiness table: rows
+    at l=1 are the re-identification exposure.
+
+    Scale shape: two hash aggregates (QI group-by with a
+    distinct-count, then the tiny l histogram) — partial aggregation
+    both stages, no windows, no joins; linear at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    grp = d.groupBy(
+        "lang", F.expr("CAST(n_chars AS BIGINT) div 100").alias("size_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("source").alias("l"),
+    )
+    return (
+        grp.groupBy(F.col("l").cast("long").alias("l_distinct"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_docs"),
+            F.min("k").cast("long").alias("min_group_size"),
+        )
+        .orderBy("l_distinct")
+    )
+
+
+@register(
+    "source_lang_simpson",
+    """
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(CASE WHEN SUM(n) > 1
+                THEN ((SUM(n) * (SUM(n) - 1) - SUM(n * (n - 1)))
+                      * 1000000) // (SUM(n) * (SUM(n) - 1))
+                END AS BIGINT) AS simpson_micro
+    FROM c GROUP BY source ORDER BY source
+    """,
+    ops=["corpus-diversity", "simpson-index", "A3"],
+)
+def source_lang_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language diversity as the unbiased Simpson index
+    (probability two documents drawn without replacement differ in
+    language: 1 - Σn_i(n_i-1)/(N(N-1))) — the mixing-health number a
+    corpus curator reads before trusting a source's language balance,
+    exact in micro-units (pure integer arithmetic on group counts; no
+    logarithms, unlike the entropy family). Complements
+    corpus_ngram_diversity (token-level) with a label-level index.
+
+    Scale shape: one (source, lang) hash aggregate then a per-source
+    fold over its language rows — both map-side-partial aggregates,
+    no windows, no joins; linear at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.expr(
+                "CAST(CASE WHEN SUM(n) > 1"
+                " THEN ((SUM(n) * (SUM(n) - 1) - SUM(n * (n - 1)))"
+                " * 1000000) div (SUM(n) * (SUM(n) - 1))"
+                " END AS BIGINT)"
+            ).alias("simpson_micro"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -17163,6 +17582,12 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "ivf_incremental_assign",
     "mp4_mvhd_report",
     "readability_report",
+    "gif_header_report",
+    "roc_auc_length_vs_dup",
+    "brier_calibration_report",
+    "forecast_backtest_mase",
+    "l_diversity_report",
+    "source_lang_simpson",
 )
 
 

@@ -45,6 +45,9 @@ GLOBAL_WINDOW_OK = {
     # rank windows over the two ≤50-row top-k candidate relations
     # (each arm reduces via TakeOrdered BEFORE the window)
     "hybrid_rrf_topk",
+    # cumulative window over the DISTINCT-SCORE aggregate (bounded by
+    # |distinct n_chars|, not corpus size — evaluate-on-aggregates)
+    "roc_auc_length_vs_dup",
 }
 # Queries whose nested-loop join is DELIBERATE over a provably-small
 # input: the skyline global phase runs a quadratic dominance check over
@@ -107,6 +110,9 @@ SCALAR_OK: set[str] = {
     "temperature_mixing_plan",  # 1-row weight-normalizer broadcast
     "nation_trade_k_core",      # 1-row median-threshold broadcast
     "source_term_kl",           # 1-row support-mass scalar broadcast
+    "forecast_backtest_mase",   # 1-row max-day cutoff + 1-row in-sample
+                                # scale broadcasts (2-row method dim is
+                                # an equi-join after the date offset)
     # r7 re-plumb: the query vector / trained codebook became 1-row
     # (or k-row) broadcast RELATIONS instead of driver-fetched
     # literals — the crossJoin(broadcast(q)) is the intended plan
