@@ -690,6 +690,60 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_probe_pairs(
+    index_sigs: DataFrame,
+    query_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a FROZEN LSH band index with a new batch's signatures —
+    the incremental-ingest shape of ``lsh_candidate_pairs``: the index
+    side's band buckets are already materialized in a store, and each
+    arriving document only joins its own ``bands`` bucket rows against
+    it (never re-pairing old-vs-old). Candidate = any shared band
+    bucket; first-shared-band emission keeps each (new, old) pair
+    single without a distinct() shuffle over the candidate set.
+
+    Returns (new_id, old_id). Scale: the probe join is |new|·bands
+    rows against the index relation on (band, bucket) — incremental
+    cost is proportional to the BATCH, not the corpus, which is what
+    makes continuous dedup of a growing 100 TB corpus affordable."""
+    iw = index_sigs.select(
+        F.col(id_col).alias("old_id"), *_band_exprs(bands, rows_per_band)
+    )
+    qw = query_sigs.select(
+        F.col(id_col).alias("new_id"), *_band_exprs(bands, rows_per_band)
+    )
+    stack = ", ".join(f"{b}, band_{b}" for b in range(bands))
+    carried = [f"band_{b}" for b in range(bands)]
+    o = iw.selectExpr(
+        "old_id", *carried, f"stack({bands}, {stack}) AS (band, bucket)"
+    ).alias("o")
+    q = qw.selectExpr(
+        "new_id", *carried, f"stack({bands}, {stack}) AS (band, bucket)"
+    ).alias("q")
+    first_match = F.lit(True)
+    for k in range(1, bands):
+        earlier_differ = F.lit(True)
+        for j in range(k):
+            earlier_differ = earlier_differ & (
+                F.col(f"q.band_{j}") != F.col(f"o.band_{j}")
+            )
+        first_match = F.when(F.col("q.band") == k, earlier_differ).otherwise(
+            first_match
+        )
+    return (
+        q.join(
+            o,
+            (F.col("q.band") == F.col("o.band"))
+            & (F.col("q.bucket") == F.col("o.bucket")),
+        )
+        .filter(first_match)
+        .select("new_id", "old_id")
+    )
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
 ) -> DataFrame:

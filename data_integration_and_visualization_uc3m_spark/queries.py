@@ -17277,6 +17277,260 @@ def source_lang_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_dedup_assign",
+    f"""
+    WITH {_SHINGLES_CTE}, sigs AS (
+        SELECT doc_id,
+               {_MH_MINS}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        {_MH_BANDS}
+    ), cands AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n JOIN bands o
+          ON n.band = o.band AND n.bucket = o.bucket
+         AND n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+    ), ncand AS (
+        SELECT new_id, COUNT(*) AS n_candidates FROM cands GROUP BY new_id
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), verified AS (
+        SELECT c.new_id, c.old_id, COUNT(*) AS n_common
+        FROM cands c
+        JOIN sh ta ON ta.doc_id = c.new_id
+        JOIN sh tb ON tb.doc_id = c.old_id AND tb.shingle = ta.shingle
+        GROUP BY c.new_id, c.old_id
+    ), scored AS (
+        SELECT v.new_id, v.old_id,
+               (1000000 * v.n_common)
+                   // (sa.set_size + sb.set_size - v.n_common) AS j_micro
+        FROM verified v
+        JOIN sizes sa ON sa.doc_id = v.new_id
+        JOIN sizes sb ON sb.doc_id = v.old_id
+    ), best AS (
+        SELECT new_id, old_id, j_micro FROM (
+            SELECT new_id, old_id, j_micro,
+                   row_number() OVER (PARTITION BY new_id
+                                      ORDER BY j_micro DESC, old_id) AS rn
+            FROM scored) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(b.old_id AS BIGINT) AS best_match_id,
+           CAST(b.j_micro AS BIGINT) AS best_j_micro,
+           COALESCE(b.j_micro >= 500000, FALSE) AS is_dup
+    FROM documents d
+    LEFT JOIN ncand nc ON nc.new_id = d.doc_id
+    LEFT JOIN best b ON b.new_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+    ops=["dedup-minhash-lsh", "incremental-ingest"],
+)
+def incremental_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup ingest — the text twin of
+    ivf_incremental_assign: the even-id half of the corpus is the
+    FROZEN LSH index (signatures + band buckets, the shape a store
+    persists), the odd-id half arrives as a new batch, and every new
+    document is assigned a verdict by probing the index only
+    (dedup.lsh_probe_pairs: first-shared-band emission, never
+    old-vs-old re-pairing), exact-Jaccard-verifying the candidates,
+    and keeping the best match (j_micro desc, old_id tiebreak). Every
+    new doc reports its candidate fan-out, best match, exact Jaccard
+    in micro-units, and the ≥0.5 duplicate verdict — the continuous-
+    crawl dedup loop where per-batch cost tracks the batch, not the
+    corpus.
+
+    Oracle twin restates the probe as the parity-filtered bucket join
+    with DISTINCT; the Spark side's per-row first-match predicate is
+    the same pair set by construction."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    sets = dedup.ngram_set(d, n=3)
+    sigs = dedup.minhash_signatures(sets, num_hashes=16, item_col="shingle")
+    old_sigs = sigs.filter(F.col("doc_id") % 2 == 0)
+    new_sigs = sigs.filter(F.col("doc_id") % 2 == 1)
+    cands = dedup.lsh_probe_pairs(old_sigs, new_sigs)
+    ncand = cands.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    ta = sets.select(F.col("doc_id").alias("new_id"), "shingle")
+    tb = sets.select(F.col("doc_id").alias("old_id"), "shingle")
+    verified = (
+        cands.join(ta, "new_id")
+        .join(tb, ["old_id", "shingle"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_id"),
+                      F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("old_id"),
+                      F.col("set_size").alias("size_b"))
+    scored = (
+        verified.join(sa, "new_id")
+        .join(sb, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.expr(
+                "(1000000 * n_common) div (size_a + size_b - n_common)"
+            ).alias("j_micro"),
+        )
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("new_id").orderBy(
+                    F.col("j_micro").desc(), "old_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    new_docs = d.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    return (
+        new_docs.join(
+            ncand.withColumnRenamed("new_id", "doc_id"), "doc_id", "left"
+        )
+        .join(best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.col("old_id").cast("long").alias("best_match_id"),
+            F.col("j_micro").cast("long").alias("best_j_micro"),
+            F.coalesce(F.col("j_micro") >= 500000, F.lit(False)).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+@register(
+    "zone_map_skipping_report",
+    """
+    WITH c AS (
+        SELECT o_orderkey // 4096 AS file_id,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+        FROM orders
+    ), f AS (
+        SELECT file_id, COUNT(*) AS n_rows,
+               MIN(cents) AS min_c, MAX(cents) AS max_c,
+               SUM(CASE WHEN cents > 10000000 THEN 1 ELSE 0 END) AS m1,
+               SUM(CASE WHEN cents > 30000000 THEN 1 ELSE 0 END) AS m2,
+               SUM(CASE WHEN cents > 50000000 THEN 1 ELSE 0 END) AS m3
+        FROM c GROUP BY file_id
+    ), agg AS (
+        SELECT COUNT(*) AS n_files, SUM(n_rows) AS n_rows,
+               SUM(CASE WHEN max_c <= 10000000 THEN 1 ELSE 0 END) AS s1,
+               SUM(CASE WHEN max_c <= 10000000 THEN n_rows ELSE 0 END)
+                   AS r1,
+               SUM(m1) AS k1,
+               SUM(CASE WHEN max_c <= 30000000 THEN 1 ELSE 0 END) AS s2,
+               SUM(CASE WHEN max_c <= 30000000 THEN n_rows ELSE 0 END)
+                   AS r2,
+               SUM(m2) AS k2,
+               SUM(CASE WHEN max_c <= 50000000 THEN 1 ELSE 0 END) AS s3,
+               SUM(CASE WHEN max_c <= 50000000 THEN n_rows ELSE 0 END)
+                   AS r3,
+               SUM(m3) AS k3
+        FROM f
+    )
+    SELECT 'cents_gt_10000000' AS predicate,
+           CAST(n_files AS BIGINT) AS n_files,
+           CAST(s1 AS BIGINT) AS n_files_skipped,
+           CAST((1000000 * s1) // n_files AS BIGINT) AS skip_files_micro,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(r1 AS BIGINT) AS n_rows_skipped,
+           CAST(k1 AS BIGINT) AS n_rows_matching
+    FROM agg
+    UNION ALL
+    SELECT 'cents_gt_30000000', CAST(n_files AS BIGINT),
+           CAST(s2 AS BIGINT), CAST((1000000 * s2) // n_files AS BIGINT),
+           CAST(n_rows AS BIGINT), CAST(r2 AS BIGINT), CAST(k2 AS BIGINT)
+    FROM agg
+    UNION ALL
+    SELECT 'cents_gt_50000000', CAST(n_files AS BIGINT),
+           CAST(s3 AS BIGINT), CAST((1000000 * s3) // n_files AS BIGINT),
+           CAST(n_rows AS BIGINT), CAST(r3 AS BIGINT), CAST(k3 AS BIGINT)
+    FROM agg
+    """,
+    ops=["data-layout", "zone-map", "file-skipping"],
+)
+def zone_map_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file-statistics) skipping audit — the
+    measurement companion to zorder_clustering_report: rows are binned
+    into synthetic 4096-key files (the row-group analog), each file
+    keeps min/max of the price column exactly in cents, and three
+    threshold predicates report how many files/rows a zone-map-aware
+    scan PROVABLY skips (max <= threshold) vs the rows that actually
+    match. The skip fraction is what decides whether a layout change
+    (sort, z-order) pays for itself at 100 TB — this query makes it a
+    hash-checked number.
+
+    Scale shape: one (file_id) hash aggregate with conditional
+    sums, one file-count-sized global fold, then a 3-arm stack — the
+    per-arm metrics are CONDITIONAL COLUMNS of a single aggregate, so
+    adding predicates costs zero extra scans, no joins anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        F.expr("o_orderkey div 4096").alias("file_id"),
+        (_dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    thresholds = (10_000_000, 30_000_000, 50_000_000)
+    f = c.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("min_c"),
+        F.max("cents").alias("max_c"),
+        *[
+            F.sum(F.when(F.col("cents") > t, 1).otherwise(0)).alias(
+                f"m{i + 1}"
+            )
+            for i, t in enumerate(thresholds)
+        ],
+    )
+    agg = f.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("n_rows"),
+        *[
+            e
+            for i, t in enumerate(thresholds)
+            for e in (
+                F.sum(F.when(F.col("max_c") <= t, 1).otherwise(0)).alias(
+                    f"s{i + 1}"
+                ),
+                F.sum(
+                    F.when(F.col("max_c") <= t, F.col("n_rows")).otherwise(0)
+                ).alias(f"r{i + 1}"),
+                F.sum(f"m{i + 1}").alias(f"k{i + 1}"),
+            )
+        ],
+    )
+    arms = ", ".join(
+        f"'cents_gt_{t}', s{i + 1}, r{i + 1}, k{i + 1}"
+        for i, t in enumerate(thresholds)
+    )
+    return agg.selectExpr(
+        "n_files",
+        "n_rows",
+        f"stack(3, {arms}) AS (predicate, s, r, k)",
+    ).select(
+        "predicate",
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("s").cast("long").alias("n_files_skipped"),
+        F.expr("CAST((1000000 * s) div n_files AS BIGINT)").alias(
+            "skip_files_micro"
+        ),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("r").cast("long").alias("n_rows_skipped"),
+        F.col("k").cast("long").alias("n_rows_matching"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -17588,6 +17842,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "forecast_backtest_mase",
     "l_diversity_report",
     "source_lang_simpson",
+    "incremental_dedup_assign",
+    "zone_map_skipping_report",
 )
 
 

@@ -578,3 +578,40 @@ def test_content_defined_chunks_short_doc_single_chunk(spark):
     df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
     rows = content_defined_chunks(df, window=8).collect()
     assert len(rows) == 1 and rows[0].clen == 4
+
+
+def test_incremental_dedup_assign_known_answers(spark, tmp_path):
+    """Frozen-index probe: odd doc 1 duplicates BOTH even docs 0 and 2
+    (identical text, so all four bands match each) -> n_candidates must
+    be 2 (one per OLD DOC, not per band — pins first-shared-band
+    emission), best match is the smaller old id at exact Jaccard 1.
+    Odd doc 3 is unique -> zero candidates, null match, not a dup."""
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    sf = str(tmp_path)
+    t1 = "the quick brown fox jumps over the lazy dog"
+    t3 = "nothing here matches any other sentence at all whatsoever"
+    spark.createDataFrame(
+        [
+            (0, t1, "en", "s1", len(t1)),
+            (2, t1, "en", "s1", len(t1)),
+            (4, "completely different filler words occupy this row",
+             "en", "s1", 49),
+            (1, t1, "en", "s1", len(t1)),
+            (3, t3, "en", "s1", len(t3)),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = {r.doc_id: r for r in
+            Q.REGISTRY["incremental_dedup_assign"].fn(spark, sf).collect()}
+    assert set(rows) == {1, 3}  # only the new (odd) batch is reported
+    d1 = rows[1]
+    assert d1.n_candidates == 2
+    assert d1.best_match_id == 0  # Jaccard tie -> smaller old id
+    assert d1.best_j_micro == 1_000_000
+    assert d1.is_dup is True
+    d3 = rows[3]
+    assert d3.n_candidates == 0
+    assert d3.best_match_id is None and d3.best_j_micro is None
+    assert d3.is_dup is False

@@ -100,3 +100,41 @@ def test_zorder_write_tightens_both_dims_footer_stats(spark, tmp_path):
     # and the data survives the rewrite intact
     back = sorted(map(tuple, spark.read.parquet(zpath).collect()))
     assert back == sorted(rows)
+
+
+def test_zone_map_skipping_known_answers(spark, tmp_path):
+    """Three synthetic files with hand-placed min/max: file 0 (all $50)
+    is skippable for every predicate, file 1 (all $400k) only for the
+    $500k predicate, file 2 (all $600k) never."""
+    import datetime
+
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    d0 = datetime.datetime(2021, 1, 1)
+    rows = (
+        [(k, 1, "O", 50.0, d0, "1-X") for k in (10, 20)]
+        + [(4096 + k, 1, "O", 400_000.0, d0, "1-X") for k in (1, 2)]
+        + [(8192 + 5, 1, "O", 600_000.0, d0, "1-X")]
+    )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(f"{str(tmp_path)}/orders.parquet")
+    out = {r.predicate: r for r in
+           Q.REGISTRY["zone_map_skipping_report"].fn(
+               spark, str(tmp_path)).collect()}
+    assert set(out) == {"cents_gt_10000000", "cents_gt_30000000",
+                        "cents_gt_50000000"}
+    p1 = out["cents_gt_10000000"]   # > $100k: files {1,2} match
+    assert (p1.n_files, p1.n_rows) == (3, 5)
+    assert (p1.n_files_skipped, p1.n_rows_skipped) == (1, 2)
+    assert p1.n_rows_matching == 3
+    assert p1.skip_files_micro == 333_333
+    p2 = out["cents_gt_30000000"]   # > $300k: same matches, same skips
+    assert (p2.n_files_skipped, p2.n_rows_matching) == (1, 3)
+    p3 = out["cents_gt_50000000"]   # > $500k: only file 2 matches
+    assert (p3.n_files_skipped, p3.n_rows_skipped) == (2, 4)
+    assert p3.n_rows_matching == 1
+    assert p3.skip_files_micro == 666_666
