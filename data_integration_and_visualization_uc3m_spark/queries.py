@@ -17544,11 +17544,13 @@ def zone_map_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last, oldest green first; freshly-verified names move into
 # _PRIOR_VERIFIED each round via ``python tools/rotate.py
 # CORRECTNESS_rNN.json`` (which prints these literals — the counts
-# below are generated, not hand-maintained). Round-9 state: 293
+# below are generated, not hand-maintained). Round-9 state: 309
 # registered queries, 272 driver-green across rounds 2-8 (r8: 50/50
-# green, 0 red), 21 never driver-verified (all round-8 additions, each
-# exact-match in the independent sf0.01 parity run). The round-9
-# window = those 21 + the 29 oldest greens (round-2 vintage) = 50.
+# green, 0 red), 37 never driver-verified: the 21 round-8 additions
+# (front of the window by the default rule) plus the 16 round-9
+# additions queued in _NEW_PARITY_ONLY — every one exact-match in
+# this round's independent sf0.01 parity runs. The round-9 window =
+# 21 + 16 + the 13 oldest greens (round-2 vintage) = 50.
 _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "ab_test_cuped", "ab_test_welch", "ann_int8_topk",
     "anova_order_value_by_segment", "anti_join_inactive_customers",
@@ -17825,8 +17827,8 @@ _PRIORITY: tuple[str, ...] = ()
 # queue BEHIND the pending-verdict block so they can't push a
 # longer-waiting query out of the window. Round 9: the 21 round-8
 # additions are not in _PRIOR_VERIFIED yet and form the front of the
-# window by the default rule; the six round-9 additions queue behind
-# them (21 + 6 + 23 oldest greens = the 50-slot window).
+# window by the default rule; the 16 round-9 additions below queue
+# behind them (21 + 16 + 13 oldest greens = the 50-slot window).
 _NEW_PARITY_ONLY: tuple[str, ...] = (
     "retrieval_ranking_metrics",
     "dp_nation_order_stats",
