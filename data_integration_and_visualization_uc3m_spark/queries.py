@@ -17531,6 +17531,117 @@ def zone_map_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "theil_sen_region_trend",
+    """
+    WITH monthly AS (
+        SELECT r_name,
+               (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+                   AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, m
+    ), slopes AS (
+        SELECT a.r_name,
+               ((b.cents - a.cents) * 1000000) // (b.m - a.m)
+                   AS slope_micro
+        FROM monthly a
+        JOIN monthly b ON a.r_name = b.r_name AND a.m < b.m
+    ), ranked AS (
+        SELECT r_name, slope_micro,
+               row_number() OVER (PARTITION BY r_name
+                                  ORDER BY slope_micro) AS rn,
+               COUNT(*) OVER (PARTITION BY r_name) AS n_pairs
+        FROM slopes
+    )
+    SELECT r_name,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(slope_micro AS BIGINT) AS median_slope_micro_cents
+    FROM ranked
+    WHERE rn = (n_pairs + 1) // 2
+    ORDER BY r_name
+    """,
+    ops=["stats-robust", "theil-sen", "timeseries-trend"],
+)
+def theil_sen_region_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per region: the median of all pairwise
+    slopes of monthly revenue — the breakdown-resistant alternative to
+    the least-squares trend (region_revenue_quad_trend), immune to up
+    to ~29% outlier months. Every slope is an exact FLOOR-division
+    integer (micro-cents per month; slopes can be negative, so the
+    Spark side spells DuckDB's floor `//` as a sign-split CASE — `div`
+    truncates toward zero and would disagree on every negative slope),
+    and the median is the LOWER median (value at sorted position
+    ⌈n/2⌉), chosen positionally so ties need no tiebreak column.
+
+    Scale shape: the month aggregate is bounded by calendar span × 5
+    regions (~420 rows at any SF); the pair self-join and the ranking
+    window are over that aggregate, partitioned by region — the
+    evaluate-on-aggregates pattern, no window or join ever touches raw
+    order rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(
+            "r_name",
+            F.expr(
+                "(year(o_orderdate) - 1992) * 12"
+                " + month(o_orderdate) - 1"
+            ).alias("m"),
+        )
+        .agg((F.sum(_dec2("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    a = monthly.select("r_name", F.col("m").alias("ma"),
+                       F.col("cents").alias("ca"))
+    b = monthly.select("r_name", F.col("m").alias("mb"),
+                       F.col("cents").alias("cb"))
+    slopes = (
+        a.join(b, "r_name")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            "r_name",
+            # floor division with a possibly-negative numerator:
+            # mirror DuckDB's `//` (floors) — Spark's `div` truncates
+            F.expr(
+                "CASE WHEN (cb - ca) >= 0"
+                " THEN ((cb - ca) * 1000000) div (mb - ma)"
+                " ELSE -((-(cb - ca) * 1000000 + (mb - ma) - 1)"
+                "        div (mb - ma)) END"
+            ).alias("slope_micro"),
+        )
+    )
+    wr = Window.partitionBy("r_name").orderBy("slope_micro")
+    wc = Window.partitionBy("r_name")
+    ranked = slopes.select(
+        "r_name",
+        "slope_micro",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_pairs"),
+    )
+    return (
+        ranked.filter(F.expr("rn = (n_pairs + 1) div 2"))
+        .select(
+            "r_name",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_micro").cast("long").alias(
+                "median_slope_micro_cents"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -17846,6 +17957,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "source_lang_simpson",
     "incremental_dedup_assign",
     "zone_map_skipping_report",
+    "theil_sen_region_trend",
 )
 
 

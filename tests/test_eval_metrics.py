@@ -224,3 +224,36 @@ def test_source_lang_simpson_known_answers(spark, tmp_path):
     assert s1.simpson_micro == 666_666  # floor(2/3 * 1e6)
     assert rows["s2"].simpson_micro == 0
     assert rows["s3"].simpson_micro is None
+
+
+def test_theil_sen_robust_to_outlier_month(spark, tmp_path):
+    """Five months at a perfect +$100/month line, with the last month
+    a 25x outlier: 6 of 10 pairwise slopes are exactly $100/month, so
+    the lower median stays 1e10 micro-cents/month — the robustness the
+    least-squares trend lacks."""
+    import datetime
+
+    sf = str(tmp_path)
+    spark.createDataFrame([(0, "AMERICA")], "r_regionkey int, r_name string"
+                          ).write.parquet(f"{sf}/region.parquet")
+    spark.createDataFrame([(0, "BRAZIL", 0)],
+                          "n_nationkey int, n_name string, n_regionkey int"
+                          ).write.parquet(f"{sf}/nation.parquet")
+    spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{sf}/customer.parquet")
+    vals = [100.0, 200.0, 300.0, 400.0, 10_000.0]
+    spark.createDataFrame(
+        [(m, 1, "O", v, datetime.datetime(2021, m + 1, 15), "1-X")
+         for m, v in enumerate(vals)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    out = Q.REGISTRY["theil_sen_region_trend"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.r_name, r.n_pairs) == ("AMERICA", 10)
+    assert r.median_slope_micro_cents == 10_000 * 1_000_000
