@@ -779,3 +779,77 @@ def gif_screen_meta(
             sig_ok, F.conv(F.hex(F.substring(p, 12, 1)), 16, 10).cast("long")
         ).alias("bg_index"),
     )
+
+
+# --- real (lib-free) perceptual hash: dHash over raw grayscale -------
+#
+# The PNG/JPEG/GIF codecs parse container HEADERS; this pair goes one
+# level deeper and computes a real perceptual hash over PIXEL BYTES: a
+# difference hash (dHash) — bit (r,c) set iff pixel(r,c) < pixel(r,c+1)
+# on an 8-row × 9-column grayscale strip, the standard 64-bit
+# near-duplicate-image fingerprint. Payloads are raw 72-byte strips
+# (the shape a resize/grayscale preprocessing stage emits), and both
+# synthesis and hashing are whole-stage JVM column expressions — the
+# 100 TB pattern for perceptual dedup over billions of thumbnails.
+
+
+def synthesize_gray8x9(
+    df: DataFrame, id_col: str = "media_id", seed_col: str = "img_seed"
+) -> DataFrame:
+    """Build a REAL 72-byte raw grayscale strip (8 rows × 9 cols,
+    row-major) per row: pixel(r,c) = (seed*7 + r*9 + c*13) % 256 — a
+    deterministic gradient pattern whose dHash is seed-dependent, so
+    equal seeds give byte-identical images (near-dup clusters by
+    construction). Hex assembly via one bounded transform + unhex."""
+    seed = F.col(seed_col).cast("long")
+
+    def px(i: F.Column) -> F.Column:
+        r = ((i - i % 9) / 9).cast("long")
+        c = i % 9
+        return F.format_string("%02x", (seed * 7 + r * 9 + c * 13) % 256)
+
+    hex_str = F.array_join(
+        F.transform(F.sequence(F.lit(0).cast("long"), F.lit(71).cast("long")), px),
+        "",
+    )
+    return df.select(
+        F.col(id_col), F.unhex(F.upper(hex_str)).alias("payload")
+    )
+
+
+def gray_dhash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Compute the 64-bit dHash from raw 8×9 grayscale bytes — 64
+    adjacent-pixel comparisons, each reading two payload bytes with
+    binary substring + hex + conv. Returned as two BIGINTs (rows 0-3 →
+    dhash_lo bits 0-31, rows 4-7 → dhash_hi bits 0-31) so no bit ever
+    lands in the int64 sign position. Static 64-term column
+    expressions; intended for well-formed 72-byte payloads — a
+    truncated payload's missing bytes read as unset bits (n_bytes
+    exposes the length for callers that need to gate)."""
+    p = F.col(payload_col)
+
+    def byte_at(r: int, c: int) -> F.Column:
+        return F.conv(
+            F.hex(F.substring(p, r * 9 + c + 1, 1)), 16, 10
+        ).cast("long")
+
+    def half(rows: range) -> F.Column:
+        acc = F.lit(0).cast("long")
+        for r in rows:
+            for c in range(8):
+                k = (r % 4) * 8 + c
+                acc = acc + F.when(
+                    byte_at(r, c) < byte_at(r, c + 1), F.lit(1 << k)
+                ).otherwise(0).cast("long")
+        return acc
+
+    return media.select(
+        F.col(id_col),
+        F.length(p).alias("n_bytes"),
+        half(range(0, 4)).alias("dhash_lo"),
+        half(range(4, 8)).alias("dhash_hi"),
+    )

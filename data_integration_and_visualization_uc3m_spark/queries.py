@@ -17642,6 +17642,71 @@ def theil_sen_region_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dHash closed-form oracle: the same 64 adjacent-pixel comparisons the
+# Spark side performs on PAYLOAD BYTES, restated on the generator
+# formula pixel(r,c) = (seed*7 + r*9 + c*13) % 256 with seed =
+# doc_id % 50. Generated HERE (host Python, module import) so the bit
+# weights are identical by construction in both engines.
+def _dhash_half_sql(rows: range) -> str:
+    terms = []
+    for r in rows:
+        for c in range(8):
+            k = (r % 4) * 8 + c
+            a = r * 9 + c * 13
+            b = r * 9 + (c + 1) * 13
+            terms.append(
+                f"(CASE WHEN ((doc_id % 50) * 7 + {a}) % 256"
+                f" < ((doc_id % 50) * 7 + {b}) % 256"
+                f" THEN {1 << k} ELSE 0 END)"
+            )
+    return " + ".join(terms)
+
+
+@register(
+    "image_dhash_clusters",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST({_dhash_half_sql(range(0, 4))} AS BIGINT) AS dhash_lo,
+               CAST({_dhash_half_sql(range(4, 8))} AS BIGINT) AS dhash_hi
+        FROM documents
+    )
+    SELECT dhash_hi, dhash_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_media_id
+    FROM h GROUP BY dhash_hi, dhash_lo
+    """,
+    ops=["multimodal-binary", "perceptual-hash", "dedup-image"],
+)
+def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup on REAL pixel bytes: 72-byte raw
+    grayscale strips (8×9, the post-resize shape) are synthesized
+    in-plan with a seed-driven gradient (seed = doc_id % 50, so ~50
+    byte-identical image classes exist by construction —
+    multimodal.synthesize_gray8x9), the standard 64-bit difference
+    hash is computed by READING THE BYTES BACK (64 adjacent-pixel
+    comparisons via binary substring — multimodal.gray_dhash, split
+    into two 32-bit BIGINT halves clear of the sign bit), and
+    duplicates are clustered by exact dHash equality. The oracle
+    restates the comparisons on the generator's closed form, so a hash
+    match proves the byte-level pixel decode — not just the clustering
+    shuffle. One hash aggregate after map-side expressions; at 100 TB
+    this is the dedup-by-fingerprint shape for billions of thumbnails
+    (Hamming-near matching on these halves is simhash_near_pairs'
+    band trick, already covered there)."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    src = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 50).alias("img_seed"),
+    )
+    media = multimodal.synthesize_gray8x9(src)
+    hashed = multimodal.gray_dhash(media)
+    return hashed.groupBy("dhash_hi", "dhash_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("media_id").cast("long").alias("min_media_id"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -17958,6 +18023,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "incremental_dedup_assign",
     "zone_map_skipping_report",
     "theil_sen_region_trend",
+    "image_dhash_clusters",
 )
 
 

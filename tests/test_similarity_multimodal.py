@@ -362,3 +362,53 @@ def test_mp4_box_walk_roundtrip_and_rejects(spark):
     assert not rows[2]["mp4_sig_ok"] and rows[2]["timescale"] is None
     assert rows[3]["timescale"] is None  # size<8 aborts, no infinite skip
     assert rows[4]["moov_pos"] is None   # moov found but first child != mvhd
+
+
+def test_gray_dhash_matches_python_reference(spark):
+    """Byte-level ground truth: synthesize_gray8x9's payload must be
+    the 72-byte row-major gradient, and gray_dhash's two halves must
+    equal a pure-Python dHash over those same bytes — including a
+    hand-mangled payload built in Python (not by the synthesizer), so
+    the hash provably comes from the bytes, not the closed form."""
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        gray_dhash,
+        synthesize_gray8x9,
+    )
+
+    def py_dhash(raw):
+        lo = hi = 0
+        for r in range(8):
+            for c in range(8):
+                k = (r % 4) * 8 + c
+                if raw[r * 9 + c] < raw[r * 9 + c + 1]:
+                    if r < 4:
+                        lo += 1 << k
+                    else:
+                        hi += 1 << k
+        return lo, hi
+
+    src = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 31)], "media_id long, img_seed long"
+    )
+    media = synthesize_gray8x9(src)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, seed in ((1, 7), (2, 7), (3, 31)):
+        raw = payloads[mid]
+        assert len(raw) == 72
+        assert raw == bytes(
+            (seed * 7 + r * 9 + c * 13) % 256
+            for r in range(8) for c in range(9)
+        )
+    assert payloads[1] == payloads[2] != payloads[3]
+
+    mangled = bytes((b + 17 * (i % 3)) % 256
+                    for i, b in enumerate(payloads[3]))
+    media2 = spark.createDataFrame(
+        [(1, bytearray(payloads[1])), (4, bytearray(mangled))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: (r["dhash_lo"], r["dhash_hi"])
+           for r in gray_dhash(media2).collect()}
+    assert got[1] == py_dhash(payloads[1])
+    assert got[4] == py_dhash(mangled)
+    assert got[4] != got[1]
