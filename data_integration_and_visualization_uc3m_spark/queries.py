@@ -16514,20 +16514,18 @@ def readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_words").cast("long").alias("total_words"),
             F.sum("n_syllables").cast("long").alias("total_syllables"),
-            # FLOOR division, not `div`: the milli sums can be negative
-            # (dense text drives Flesch below zero) and Spark's `div`
-            # truncates toward zero while DuckDB's `//` floors — the
-            # pmod form subtracts the positive remainder so the double
-            # divide is exact and floors like the oracle
+            # plain `div`: DuckDB's integer `//` TRUNCATES toward zero
+            # exactly like Spark's `div` (measured: -7 // 2 = -3), so
+            # truncating division is the cross-engine-exact form even
+            # when dense text drives a language's Flesch sum negative
+            # (an earlier pmod-floor form here would mismatch by 1 on
+            # any negative non-divisible sum — caught by the same
+            # semantics probe that fixed theil_sen_region_trend)
             F.expr(
-                "CAST((SUM(flesch_milli)"
-                " - pmod(SUM(flesch_milli), COUNT(*))) / COUNT(*)"
-                " AS BIGINT)"
+                "CAST(SUM(flesch_milli) div COUNT(*) AS BIGINT)"
             ).alias("mean_flesch_milli"),
             F.expr(
-                "CAST((SUM(fk_grade_milli)"
-                " - pmod(SUM(fk_grade_milli), COUNT(*))) / COUNT(*)"
-                " AS BIGINT)"
+                "CAST(SUM(fk_grade_milli) div COUNT(*) AS BIGINT)"
             ).alias("mean_fk_grade_milli"),
         )
         .orderBy("lang")
@@ -17571,12 +17569,12 @@ def theil_sen_region_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend per region: the median of all pairwise
     slopes of monthly revenue — the breakdown-resistant alternative to
     the least-squares trend (region_revenue_quad_trend), immune to up
-    to ~29% outlier months. Every slope is an exact FLOOR-division
-    integer (micro-cents per month; slopes can be negative, so the
-    Spark side spells DuckDB's floor `//` as a sign-split CASE — `div`
-    truncates toward zero and would disagree on every negative slope),
-    and the median is the LOWER median (value at sorted position
-    ⌈n/2⌉), chosen positionally so ties need no tiebreak column.
+    to ~29% outlier months. Every slope is an exact integer division
+    in micro-cents per month — both engines TRUNCATE toward zero
+    (DuckDB's integer `//` behaves like Spark's `div`, measured on
+    negatives at sf0.1 where flooring mismatched by 1), and the median
+    is the LOWER median (value at sorted position ⌈n/2⌉), chosen
+    positionally so ties need no tiebreak column.
 
     Scale shape: the month aggregate is bounded by calendar span × 5
     regions (~420 rows at any SF); the pair self-join and the ranking
@@ -17611,13 +17609,11 @@ def theil_sen_region_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ma") < F.col("mb"))
         .select(
             "r_name",
-            # floor division with a possibly-negative numerator:
-            # mirror DuckDB's `//` (floors) — Spark's `div` truncates
+            # DuckDB's integer `//` TRUNCATES toward zero exactly like
+            # Spark's `div` (measured: -7 // 2 = -3), so plain div is
+            # the cross-engine-exact form for negative slopes too
             F.expr(
-                "CASE WHEN (cb - ca) >= 0"
-                " THEN ((cb - ca) * 1000000) div (mb - ma)"
-                " ELSE -((-(cb - ca) * 1000000 + (mb - ma) - 1)"
-                "        div (mb - ma)) END"
+                "((cb - ca) * 1000000) div (mb - ma)"
             ).alias("slope_micro"),
         )
     )

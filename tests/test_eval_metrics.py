@@ -257,3 +257,27 @@ def test_theil_sen_robust_to_outlier_month(spark, tmp_path):
     r = out[0]
     assert (r.r_name, r.n_pairs) == ("AMERICA", 10)
     assert r.median_slope_micro_cents == 10_000 * 1_000_000
+
+
+def test_readability_negative_sum_truncates_like_duckdb(spark, tmp_path):
+    """Vowel-run words make Flesch strongly negative; with a 3-doc
+    count that doesn't divide the sum, the mean must TRUNCATE toward
+    zero (both engines' integer division semantics), not floor."""
+    sf = str(tmp_path)
+    texts = [" ".join(["aaa"] * w) for w in (300, 301, 304)]
+    _write_docs(spark, sf, [
+        (i, t, "xx", "s1", len(t)) for i, t in enumerate(texts)
+    ])
+    out = {r.lang: r for r in
+           Q.REGISTRY["readability_report"].fn(spark, sf).collect()}
+    r = out["xx"]
+
+    def flesch(w):
+        # s = 1 (no terminal punctuation), syllables == words
+        return 206835 - (1015 * w) // 1 - (84600 * w) // w
+
+    total = sum(flesch(w) for w in (300, 301, 304))
+    assert total < 0 and total % 3 != 0  # the case that exposes floor
+    trunc = int(total / 3)  # truncation toward zero
+    assert r.mean_flesch_milli == trunc
+    assert r.mean_flesch_milli == -(-total // 3)  # == trunc, not floor
