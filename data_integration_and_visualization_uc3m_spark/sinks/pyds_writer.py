@@ -1,0 +1,129 @@
+"""Spark 4 Python DataSource WRITER: an atomic JSONL directory sink.
+
+Completes the Python DataSource surface next to sources/pyds.py (the
+executor-side REST reader + streaming poller): this is the WRITE half
+of the API — per-task `write(iterator)` running ON EXECUTORS, a typed
+`WriterCommitMessage` per task, and the driver-side `commit`/`abort`
+two-phase protocol. The visibility rule mirrors what a warehouse sink
+must do (sinks/writers.py's stage-then-swap JDBC load, K3): tasks
+write uniquely-named ``*.jsonl.tmp`` part files, and ONLY the driver's
+commit renames them and writes the ``_MANIFEST.json`` — a reader that
+honors the manifest can never observe a half-written dataset, and a
+failed job (abort) leaves no visible parts behind.
+
+Scale notes: each task streams its partition to its own part file
+(no driver collect, no cross-task coordination until the O(#tasks)
+commit-message list); on a real cluster ``path`` must be shared
+storage (object store / DFS), which is the same contract every file
+sink has. Values are JSON-encoded with ``default=str`` so timestamps
+and decimals degrade to ISO strings rather than failing the task.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST = "_MANIFEST.json"
+
+
+@dataclass
+class PartFileCommit(WriterCommitMessage):
+    """One per successful task: where the tmp part landed, how many
+    rows it holds, and which partition wrote it."""
+
+    tmp_path: str
+    n_rows: int
+    partition_id: int
+
+
+class JsonlDirWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir sink requires option 'path'")
+        self.overwrite = overwrite
+        # test hook: raise inside the task for this partition id, to
+        # exercise the abort path (negative = never)
+        self.fail_partition = int(options.get("fail_partition", -1))
+
+    # -- executor side -------------------------------------------------
+    def write(self, iterator: Iterator) -> PartFileCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path,
+            f"part-{pid:05d}-{ctx.taskAttemptId() if ctx else 0}.jsonl.tmp",
+        )
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                if pid == self.fail_partition:
+                    raise RuntimeError(
+                        f"injected failure in partition {pid}"
+                    )
+                fh.write(
+                    json.dumps(row.asDict(), default=str, sort_keys=True)
+                )
+                fh.write("\n")
+                n += 1
+        return PartFileCommit(tmp_path=tmp, n_rows=n, partition_id=pid)
+
+    # -- driver side -----------------------------------------------------
+    def commit(self, messages) -> None:
+        parts = []
+        total = 0
+        for m in messages:
+            final = m.tmp_path[: -len(".tmp")]
+            os.replace(m.tmp_path, final)
+            parts.append(
+                {
+                    "file": os.path.basename(final),
+                    "n_rows": m.n_rows,
+                    "partition_id": m.partition_id,
+                }
+            )
+            total += m.n_rows
+        parts.sort(key=lambda p: p["file"])
+        manifest = {"n_rows": total, "n_parts": len(parts), "parts": parts}
+        tmp = os.path.join(self.path, MANIFEST + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, MANIFEST))
+
+    def abort(self, messages) -> None:
+        # messages can contain None for tasks that never returned
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class JsonlDirDataSource(DataSource):
+    """``df.write.format("jsonl_dir").option("path", d).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        return JsonlDirWriter(self.options, overwrite)
+
+
+def register_jsonl_dir(spark) -> None:
+    spark.dataSource.register(JsonlDirDataSource)
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        return json.load(fh)

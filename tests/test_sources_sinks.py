@@ -482,3 +482,62 @@ def test_rest_poll_stream_resumes_from_checkpoint(spark, tmp_path):
     assert {r.page_id: r["count"] for r in second} == {
         1: 4, 2: 4, 3: 4, 4: 4, 5: 4, 6: 4,
     }  # pages 1-3 NOT duplicated, 4-6 exactly once
+
+
+def test_jsonl_dir_writer_commit_roundtrip(spark, tmp_path):
+    """The Python DataSource writer's two-phase protocol: tasks write
+    tmp parts on executors, the driver commit renames them and writes
+    the manifest — data and counts round-trip exactly."""
+    import json
+    import os
+
+    from data_integration_and_visualization_uc3m_spark.sinks.pyds_writer import (
+        read_manifest,
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(0, 100).selectExpr(
+        "id", "concat('u', id % 7) AS user", "id * 11 AS score"
+    ).repartition(4)
+    df.write.format("jsonl_dir").option("path", out).mode("append").save()
+
+    man = read_manifest(out)
+    assert man["n_rows"] == 100 and man["n_parts"] == 4
+    assert sum(p["n_rows"] for p in man["parts"]) == 100
+    names = sorted(os.listdir(out))
+    assert not any(n.endswith(".tmp") for n in names)
+    rows = []
+    for p in man["parts"]:
+        with open(os.path.join(out, p["file"]), encoding="utf-8") as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert all(r["score"] == r["id"] * 11 for r in rows)
+
+
+def test_jsonl_dir_writer_abort_leaves_nothing_visible(spark, tmp_path):
+    """A task failure must fail the save, and the abort hook must
+    leave NO manifest and NO visible part files — the atomicity
+    contract a manifest-honoring reader depends on."""
+    import os
+
+    import pytest as _pytest
+
+    from data_integration_and_visualization_uc3m_spark.sinks.pyds_writer import (
+        MANIFEST,
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    out = str(tmp_path / "sink_abort")
+    df = spark.range(0, 40).repartition(4)
+    with _pytest.raises(Exception):
+        (df.write.format("jsonl_dir")
+         .option("path", out)
+         .option("fail_partition", "2")
+         .mode("append").save())
+    if os.path.isdir(out):
+        names = os.listdir(out)
+        assert MANIFEST not in names
+        assert not any(n.endswith(".jsonl") for n in names)

@@ -89,6 +89,17 @@ DEFAULT = [
     # rides the same window/groupBy machinery, cheap to pin
     "retrieval_ranking_metrics",
     "dp_nation_order_stats",
+    # round 9 additions with a genuine partitioning surface: the AUC
+    # cumulative window over the distinct-score aggregate, the MASE
+    # lag-join + broadcast-cutoff chain, the Theil-Sen rank window
+    # with tied slopes, the LSH probe's first-shared-band emission,
+    # and the dHash cluster aggregate (all-BIGINT, so --auto-fp
+    # misses them; rank/emission order is the surface)
+    "roc_auc_length_vs_dup",
+    "forecast_backtest_mase",
+    "theil_sen_region_trend",
+    "incremental_dedup_assign",
+    "image_dhash_clusters",
 ]
 
 PARTITION_SETTINGS = ["3", "32"]
