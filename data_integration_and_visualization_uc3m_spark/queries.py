@@ -17703,6 +17703,104 @@ def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CMS width-sweep oracle arms, generated host-side so Spark and DuckDB
+# share the exact widths and the seeded-md5 cell construction
+# (hash_bucket's '0x'||first-8-hex-chars parity, as heavy_hitters_cms).
+_CMS_WIDTHS = (64, 256, 1024)
+_CMS_ARM_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT CAST({w} AS BIGINT) AS width,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(exact_n) AS BIGINT) AS sum_exact,
+           CAST(SUM(est) AS BIGINT) AS sum_est,
+           CAST(SUM(est - exact_n) AS BIGINT) AS total_overcount,
+           CAST(MAX(est - exact_n) AS BIGINT) AS max_overcount
+    FROM (
+        SELECT p.user_id, p.exact_n, MIN(sk.c) AS est
+        FROM (
+            SELECT t.user_id, t.exact_n, rs.r,
+                   CAST(('0x'||substr(md5('cms' || rs.r || ':'
+                        || CAST(t.user_id AS VARCHAR)),1,8))
+                        AS BIGINT) % {w} AS col
+            FROM top t, rs
+        ) p
+        JOIN (
+            SELECT rs.r AS r,
+                   CAST(('0x'||substr(md5('cms' || rs.r || ':'
+                        || CAST(user_id AS VARCHAR)),1,8))
+                        AS BIGINT) % {w} AS col,
+                   COUNT(*) AS c
+            FROM events, rs GROUP BY r, col
+        ) sk ON p.r = sk.r AND p.col = sk.col
+        GROUP BY p.user_id, p.exact_n
+    )"""
+    for w in _CMS_WIDTHS
+)
+
+
+@register(
+    "cms_width_error_sweep",
+    f"""
+    WITH rs AS (SELECT unnest(range(4)) AS r),
+    top AS (
+        SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id LIMIT 20
+    )
+{_CMS_ARM_SQL}
+    ORDER BY width
+    """,
+    ops=["sketch-countmin", "operating-curve", "topk"],
+)
+def cms_width_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min OPERATING CURVE — the sketch-family twin of
+    lsh_band_sweep: the same depth-4 seeded-md5 CMS built at widths
+    64/256/1024, each point-estimating the exact top-20 event users,
+    reporting total and worst-case overcount per width (CMS never
+    undercounts, so these are ≥ 0 and shrink as width grows — the
+    memory/accuracy trade a capacity planner reads before sizing a
+    production sketch). Deterministic md5 cells mean the oracle
+    reproduces every estimate exactly, so the CURVE itself is
+    hash-checked, not just each sketch.
+
+    Scale shape: each arm is one bounded depth-explode into a
+    depth×width-cell aggregate (map-side mergeable — the property that
+    makes CMS a streaming structure) probed by a broadcast 20-key
+    relation; three arms = three scans, each independently partial-
+    aggregated, no arm ever materializes more than depth·width
+    rows."""
+    e = _t(spark, sf_dir, "events")
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+    )
+    arms = []
+    for w in _CMS_WIDTHS:
+        sketch = sketches.cms_build(e, "user_id", depth=4, width=w)
+        est = sketches.cms_estimate(
+            sketch, top.select("user_id"), "user_id", depth=4, width=w
+        )
+        joined = top.join(est, "user_id")
+        arms.append(
+            joined.agg(
+                F.lit(w).cast("long").alias("width"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("exact_n").cast("long").alias("sum_exact"),
+                F.sum("cms_est").cast("long").alias("sum_est"),
+                F.sum(F.col("cms_est") - F.col("exact_n"))
+                .cast("long")
+                .alias("total_overcount"),
+                F.max(F.col("cms_est") - F.col("exact_n"))
+                .cast("long")
+                .alias("max_overcount"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("width")
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -18020,6 +18118,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "zone_map_skipping_report",
     "theil_sen_region_trend",
     "image_dhash_clusters",
+    "cms_width_error_sweep",
 )
 
 

@@ -70,3 +70,24 @@ def test_bloom_bits_bounded(spark):
     bits = sketches.bloom_build(members, "k", n_bits=128, k=3)
     n = bits.count()
     assert n <= 128
+
+
+def test_cms_width_sweep_consistent_with_heavy_hitters(spark):
+    """The sweep's width-256 arm must aggregate exactly the per-key
+    rows heavy_hitters_cms reports (same seed, depth, probe set), and
+    every arm must respect the never-undercounts invariant."""
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    sweep = {r.width: r for r in
+             Q.REGISTRY["cms_width_error_sweep"].fn(spark, sf).collect()}
+    assert sorted(sweep) == [64, 256, 1024]
+    hh = Q.REGISTRY["heavy_hitters_cms"].fn(spark, sf).collect()
+    assert len(hh) == sweep[256].n_keys
+    assert sweep[256].sum_exact == sum(r.exact_n for r in hh)
+    assert sweep[256].sum_est == sum(r.cms_est for r in hh)
+    assert sweep[256].total_overcount == sum(r.overcount for r in hh)
+    assert sweep[256].max_overcount == max(r.overcount for r in hh)
+    for w, r in sweep.items():
+        assert r.total_overcount >= 0 and r.max_overcount >= 0
+        assert r.sum_est >= r.sum_exact
