@@ -389,10 +389,19 @@ def synthesize_wav_pcm(
         u = F.when(s < 0, s + 65536).otherwise(s)
         return _le16_hex(u)
 
-    data_hex = F.array_join(
-        F.transform(F.sequence(F.lit(0).cast("long"), ns - 1), sample16),
-        "",
-    )
+    # Guard ns=0: sequence(0, -1) is a DESCENDING 2-element array
+    # [0,-1] in Spark, which would emit 4 bogus sample bytes while the
+    # header's data_size said 0 (and amp=0 would null the payload via
+    # modulo-by-zero) — an empty clip must be header-only.
+    data_hex = F.when(
+        ns > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), ns - 1), sample16
+            ),
+            "",
+        ),
+    ).otherwise(F.lit(""))
     hex_str = F.concat(
         F.lit(_RIFF_HEX),
         _le32_hex(data_size + F.lit(36)),

@@ -15076,7 +15076,9 @@ _FH_BUCKET = " + ".join(
         LEFT JOIN comps c ON c.doc_id = s.doc_id AND c.bucket = d.d
         GROUP BY s.doc_id
     )
-    SELECT v.doc_id, v.embedding, s.n_tokens, s.nnz_buckets, s.norm2
+    SELECT v.doc_id,
+           array_to_string(v.embedding, ',') AS embedding_csv,
+           s.n_tokens, s.nnz_buckets, s.norm2
     FROM vecs v JOIN stats s ON s.doc_id = v.doc_id
     """,
     ops=["embedding-generation", "feature-hashing", "text-vectorize"],
@@ -15088,9 +15090,24 @@ def feature_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     count per bucket. The model-free vectorizer that links the text
     tables to the ANN family (HashingVectorizer semantics): no
     vocabulary build, no broadcast state, exact integers end to end —
-    so the whole embedding MATRIX is oracle-checked element-wise."""
+    so the whole embedding MATRIX is oracle-checked element-wise.
+
+    The internal operator returns ``embedding array<long>`` for
+    composition; the REGISTERED relation stringifies it
+    (``embedding_csv``) because top-level array columns cannot be
+    canonicalized by hash-based result comparators (r9 driver red:
+    "unhashable type: numpy.ndarray"). Element-wise exactness is
+    preserved — long→string is lossless decimal both engines."""
     d = _t(spark, sf_dir, "documents", fanout=True)
-    return text.feature_hash_embedding(d, dim=64)
+    emb = text.feature_hash_embedding(d, dim=64)
+    return emb.select(
+        "doc_id",
+        F.concat_ws(",", F.col("embedding").cast("array<string>"))
+        .alias("embedding_csv"),
+        "n_tokens",
+        "nnz_buckets",
+        "norm2",
+    )
 
 
 @register(
@@ -17814,28 +17831,32 @@ def cms_width_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last, oldest green first; freshly-verified names move into
 # _PRIOR_VERIFIED each round via ``python tools/rotate.py
 # CORRECTNESS_rNN.json`` (which prints these literals — the counts
-# below are generated, not hand-maintained). Round-9 state: 309
-# registered queries, 272 driver-green across rounds 2-8 (r8: 50/50
-# green, 0 red), 37 never driver-verified: the 21 round-8 additions
-# (front of the window by the default rule) plus the 16 round-9
-# additions queued in _NEW_PARITY_ONLY — every one exact-match in
-# this round's independent sf0.01 parity runs. The round-9 window =
-# 21 + 16 + the 13 oldest greens (round-2 vintage) = 50.
+# below are generated, not hand-maintained). Round-10 state: 312
+# registered at round start, 311 driver-green across rounds 2-9
+# (r9: 49/50 green, 1 red). The one red, feature_hash_embeddings,
+# is FIXED this round (array→string output) and pinned first in
+# _PRIORITY, followed by scattergeo_trace_specs whose round-8 green
+# went stale when commit 6e4c566 reordered geo.NATION_POSITIONS
+# (keys 20-24 changed iso3/lon/lat after verification — ADVICE r9).
+# The rest of the window = round-10 additions (_NEW_PARITY_ONLY) +
+# the oldest greens (round-2/3 vintage).
 _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "ab_test_cuped", "ab_test_welch", "ann_int8_topk",
     "anova_order_value_by_segment", "anti_join_inactive_customers",
     "approx_quantile_report", "approx_sketches", "asof_last_purchase",
     "balanced_lang_mix", "basket_part_lift", "benford_order_totals",
     "bloom_prefilter_orders", "bm25_topk", "bpe_encode_stats",
-    "bpe_merge_table", "bpe_token_estimate",
+    "bpe_merge_table", "bpe_token_estimate", "brier_calibration_report",
     "bucketed_colocated_revenue", "bucketize_acctbal",
-    "canonical_part_names", "cdc_order_changes", "chunk_dup_profile",
-    "cleaning_corners", "coerce_missing_markers", "cohort_ltv_curve",
+    "canonical_part_names", "cdc_chunk_dedup_histogram",
+    "cdc_order_changes", "chunk_dup_profile", "cleaning_corners",
+    "cluster_aware_split", "cms_width_error_sweep",
+    "coerce_missing_markers", "cohort_ltv_curve",
     "column_histogram_orders", "column_profile_lineitem",
     "conjunctive_slice", "consistent_user_sample", "containment_pairs",
     "contrastive_pairs_dataset", "corpus_bigram_lift",
-    "corpus_build_e2e", "corpus_build_v2_e2e", "corpus_mix_apply",
-    "corpus_mix_plan", "corpus_ngram_diversity",
+    "corpus_build_e2e", "corpus_build_v2_e2e", "corpus_build_v3_e2e",
+    "corpus_mix_apply", "corpus_mix_plan", "corpus_ngram_diversity",
     "corpus_release_readiness", "corpus_vocabulary_topk",
     "corpus_zipf_slope", "country_alias_normalize",
     "cross_source_ngram_overlap", "cube_orders_status_year",
@@ -17851,7 +17872,8 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "distinct_rollup_hierarchy", "doc_bigram_logprob",
     "doc_char_entropy", "doc_chunks_512", "doc_fingerprint",
     "doc_quality_score", "doc_repetition_stats", "doc_winnowing",
-    "dominant_part_suppliers", "dsir_selection_report",
+    "domain_crawl_profile", "dominant_part_suppliers",
+    "dp_nation_order_stats", "dsir_selection_report",
     "dup_rate_by_source", "embedding_cosine_topk",
     "embedding_coverage_audit", "embedding_drift_report",
     "embedding_gram_power", "embedding_int8_quantization",
@@ -17865,25 +17887,31 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "export_manifest_report", "fd_discovery_audit",
     "feature_information_gain", "fingerprint_diff_report",
     "fk_and_null_audit", "flagship_nation_year_rate",
-    "forecast_revenue_change", "funnel_view_click_purchase",
-    "fuzzy_name_matching", "fuzzy_part_name_pairs",
-    "global_rank_orders", "gopher_quality_rules",
-    "grouping_sets_revenue", "hard_negative_mining", "hash_sample_docs",
+    "forecast_backtest_mase", "forecast_revenue_change",
+    "funnel_view_click_purchase", "fuzzy_name_matching",
+    "fuzzy_part_name_pairs", "gif_header_report", "global_rank_orders",
+    "gopher_quality_rules", "grouping_sets_revenue",
+    "hard_negative_mining", "hash_sample_docs",
     "having_large_volume_orders", "heavy_hitters_cms",
     "holt_forecast_region_revenue", "hot_key_share_report",
-    "important_parts_share", "incremental_agg_maintenance",
+    "hybrid_rrf_topk", "image_dhash_clusters", "important_parts_share",
+    "incremental_agg_maintenance", "incremental_dedup_assign",
     "incremental_join_maintenance", "int8_recall_report",
     "interval_bucket_join", "inverted_index_postings",
-    "ivf_recall_report", "ivf_topk", "jdbc_roundtrip_report",
-    "json_props_extract", "jsonl_roundtrip_report",
+    "ivf_incremental_assign", "ivf_nprobe_recall_sweep",
+    "ivf_recall_report", "ivf_topk", "ivfpq_topk",
+    "jaccard_threshold_sweep", "jdbc_roundtrip_report",
+    "jpeg_sof_report", "json_props_extract", "jsonl_roundtrip_report",
     "k_anonymity_report", "kaplan_meier_user_lifetime",
-    "keyed_dedup_first_wins", "ks_chars_by_lang", "label_centroids",
-    "lang_confusion_matrix", "lang_id_predict",
+    "keyed_dedup_first_wins", "ks_chars_by_lang", "l_diversity_report",
+    "label_centroids", "lang_confusion_matrix", "lang_id_predict",
     "lang_source_chisq_cells", "late_arrival_audit",
     "length_bucketed_batching", "lineitem_corr_matrix",
-    "lookup_join_fallback", "markov_event_stationary",
-    "median_imputation_report", "merge_orders_full",
-    "min_cost_supplier_per_part", "multiformat_join_report",
+    "lookup_join_fallback", "lsh_band_sweep", "lsh_recall_report",
+    "mannwhitney_value_by_event_type", "markov_event_stationary",
+    "maxsim_late_interaction_topk", "median_imputation_report",
+    "merge_orders_full", "min_cost_supplier_per_part",
+    "mp4_mvhd_report", "multiformat_join_report",
     "multimodal_audio_chunks", "multimodal_binary_meta",
     "multimodal_frame_sample", "multimodal_shard_plan",
     "nation_market_share", "nation_pair_volume",
@@ -17897,18 +17925,21 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "orders_above_customer_avg", "orders_equidepth_deciles",
     "orders_seasonality_yoy", "outer_join_order_counts",
     "pack_payloads_per_seq", "pack_sequences", "pack_stats_per_lang",
-    "partitioned_warehouse_prune", "parts_supplier_breadth",
-    "perplexity_buckets", "pii_redaction_report", "pivot_event_matrix",
+    "packing_length_sweep", "partitioned_warehouse_prune",
+    "parts_supplier_breadth", "perplexity_buckets",
+    "pii_redaction_report", "pivot_event_matrix", "png_header_report",
     "pps_doc_sample", "pq_adc_topk", "pq_codes_embeddings",
     "pq_recall_report", "pricing_summary", "priority_lines_matrix",
     "promo_revenue_share", "props_variant_histogram", "psi_price_drift",
     "quality_classifier_filter", "quality_quantile_align",
     "quality_weighted_sample", "quantiles_order_value",
-    "quota_sample_per_lang", "range_violations", "region_revenue",
-    "region_revenue_quad_trend", "returned_item_customers",
-    "revenue_gini_by_nation", "rolling_corr_nation_global",
-    "rolling_distinct_users", "rolling_median_daily_revenue",
-    "rollup_region_nation", "rounding_contract", "salted_event_totals",
+    "quota_sample_per_lang", "range_violations", "readability_report",
+    "region_revenue", "region_revenue_quad_trend",
+    "retrieval_ranking_metrics", "returned_item_customers",
+    "revenue_gini_by_nation", "roc_auc_length_vs_dup",
+    "rolling_corr_nation_global", "rolling_distinct_users",
+    "rolling_median_daily_revenue", "rollup_region_nation",
+    "rounding_contract", "salted_event_totals",
     "salted_join_user_enrichment", "scattergeo_trace_specs",
     "scd2_point_in_time_join", "scd2_price_history",
     "schema_evolution_union", "self_join_blowup_events",
@@ -17917,17 +17948,19 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "sessionize_events", "set_ops_customers", "shipping_delay_profile",
     "shipping_priority", "simhash_near_pairs", "simhash_signatures",
     "skyline_customers", "small_quantity_orders", "snm_part_name_pairs",
-    "source_frequency_cap", "source_mix_report", "source_term_kl",
-    "spatial_grid_nn", "split_leakage_audit", "sql_api_revenue_rank",
-    "stl_daily_revenue", "stratified_lang_sample",
-    "streaming_attribution_e2e", "streaming_batch_parity_e2e",
-    "streaming_curate_e2e", "streaming_dedup_e2e",
-    "streaming_enrich_e2e", "streaming_lsh_dedup_e2e",
-    "streaming_stateful_totals_e2e", "string_normalize_profile",
-    "strip_boilerplate_tokens", "supplier_nation_volume",
-    "suppliers_kept_orders_waiting", "synthetic_sku_profile",
-    "table_fingerprint_orders", "temperature_mixing_plan",
-    "tfidf_cosine_pairs", "tfidf_top_terms", "token_count_profile",
+    "source_frequency_cap", "source_lang_simpson", "source_mix_report",
+    "source_term_kl", "spatial_grid_nn", "spearman_price_qty_by_nation",
+    "split_leakage_audit", "sql_api_revenue_rank", "stl_daily_revenue",
+    "stratified_lang_sample", "streaming_attribution_e2e",
+    "streaming_batch_parity_e2e", "streaming_curate_e2e",
+    "streaming_dedup_e2e", "streaming_enrich_e2e",
+    "streaming_lsh_dedup_e2e", "streaming_rest_poll_e2e",
+    "streaming_sessionize_e2e", "streaming_stateful_totals_e2e",
+    "string_normalize_profile", "strip_boilerplate_tokens",
+    "supplier_nation_volume", "suppliers_kept_orders_waiting",
+    "synthetic_sku_profile", "table_fingerprint_orders",
+    "temperature_mixing_plan", "tfidf_cosine_pairs", "tfidf_top_terms",
+    "theil_sen_region_trend", "token_count_profile",
     "tokenizer_fertility_by_lang", "top3_orders_per_priority",
     "top_k_orders", "top_orders_with_ties", "top_revenue_supplier",
     "trade_community_modularity", "train_holdout_split",
@@ -17935,37 +17968,30 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "uniqueness_violations", "unpivot_event_matrix",
     "upsert_conflict_ignore", "upsert_delete_keys",
     "upsert_history_report", "upsert_replace_orders",
-    "upsert_time_travel", "upsert_version_diff",
+    "upsert_time_travel", "upsert_version_diff", "url_canonical_dedup",
     "user_cooccurrence_pairs", "user_feature_store",
     "user_inactivity_gaps", "user_journey_prefixes",
     "validated_m2o_join", "verbatim_window_pairs", "viz_hover_points",
-    "vocab_coverage_report", "weekly_retention_cohorts",
-    "window_running_total", "winsorized_event_stats",
+    "viz_point_specs", "vocab_coverage_report", "wav_header_report",
+    "wav_pcm_stats", "weekly_retention_cohorts",
+    "wilcoxon_signed_rank_purchase_vs_view", "window_running_total",
+    "winsorized_event_stats", "zone_map_skipping_report",
     "zorder_clustering_report"
 })
 
-
-# Most recent driver-green round per query (generated by tools/rotate.py
-# from CORRECTNESS_r02..r08). _rotated() re-verifies oldest greens first,
-# so every green gets periodically refreshed instead of rotting.
 _LAST_GREEN: dict[str, int] = {}
-_LAST_GREEN.update(dict.fromkeys([  # round 2: 41 greens
+_LAST_GREEN.update(dict.fromkeys([  # round 2: 31 greens
     "asof_last_purchase", "bucketize_acctbal", "coerce_missing_markers",
-    "conjunctive_slice", "data_profile_orders", "dedup_clusters",
-    "dedup_exact_docs", "deterministic_slice", "doc_quality_score",
-    "embedding_lsh_buckets", "embedding_norms", "events_moving_sum",
-    "fk_and_null_audit", "flagship_nation_year_rate",
-    "forecast_revenue_change", "fuzzy_name_matching",
-    "keyed_dedup_first_wins", "lang_id_predict", "lookup_join_fallback",
-    "pivot_event_matrix", "pricing_summary", "quantiles_order_value",
-    "range_violations", "region_revenue", "rollup_region_nation",
-    "rounding_contract", "semi_join_active_customers",
-    "sessionize_events", "shipping_priority", "skyline_customers",
-    "small_quantity_orders", "string_normalize_profile",
-    "supplier_nation_volume", "token_count_profile",
-    "top3_orders_per_priority", "top_k_orders", "union_fold_by_year",
-    "uniqueness_violations", "validated_m2o_join", "viz_hover_points",
-    "window_running_total"
+    "data_profile_orders", "dedup_clusters", "dedup_exact_docs",
+    "deterministic_slice", "doc_quality_score", "embedding_lsh_buckets",
+    "embedding_norms", "events_moving_sum", "forecast_revenue_change",
+    "fuzzy_name_matching", "lang_id_predict", "pivot_event_matrix",
+    "quantiles_order_value", "region_revenue", "rollup_region_nation",
+    "rounding_contract", "sessionize_events", "shipping_priority",
+    "skyline_customers", "small_quantity_orders",
+    "string_normalize_profile", "supplier_nation_volume",
+    "token_count_profile", "top3_orders_per_priority", "top_k_orders",
+    "union_fold_by_year", "viz_hover_points", "window_running_total"
 ], 2))
 _LAST_GREEN.update(dict.fromkeys([  # round 3: 46 greens
     "ann_int8_topk", "approx_sketches", "bpe_token_estimate",
@@ -18083,43 +18109,53 @@ _LAST_GREEN.update(dict.fromkeys([  # round 8: 50 greens
     "tfidf_cosine_pairs", "trade_community_modularity",
     "user_feature_store"
 ], 8))
+_LAST_GREEN.update(dict.fromkeys([  # round 9: 49 greens
+    "brier_calibration_report", "cdc_chunk_dedup_histogram",
+    "cluster_aware_split", "cms_width_error_sweep", "conjunctive_slice",
+    "corpus_build_v3_e2e", "domain_crawl_profile",
+    "dp_nation_order_stats", "fk_and_null_audit",
+    "flagship_nation_year_rate", "forecast_backtest_mase",
+    "gif_header_report", "hybrid_rrf_topk", "image_dhash_clusters",
+    "incremental_dedup_assign", "ivf_incremental_assign",
+    "ivf_nprobe_recall_sweep", "ivfpq_topk", "jaccard_threshold_sweep",
+    "jpeg_sof_report", "keyed_dedup_first_wins", "l_diversity_report",
+    "lookup_join_fallback", "lsh_band_sweep", "lsh_recall_report",
+    "mannwhitney_value_by_event_type", "maxsim_late_interaction_topk",
+    "mp4_mvhd_report", "packing_length_sweep", "png_header_report",
+    "pricing_summary", "range_violations", "readability_report",
+    "retrieval_ranking_metrics", "roc_auc_length_vs_dup",
+    "semi_join_active_customers", "source_lang_simpson",
+    "spearman_price_qty_by_nation", "streaming_rest_poll_e2e",
+    "streaming_sessionize_e2e", "theil_sen_region_trend",
+    "uniqueness_violations", "url_canonical_dedup",
+    "validated_m2o_join", "viz_point_specs", "wav_header_report",
+    "wav_pcm_stats", "wilcoxon_signed_rank_purchase_vs_view",
+    "zone_map_skipping_report"
+], 9))
 
 
 # Queries whose implementation changed this round AFTER their last
 # driver verdict — pinned to the front of the window so the stale green
 # is replaced. Pins must be backed by an actual diff to the named
-# query's plan or oracle. Round 9: empty — all 8 round-7 re-plumbs were
-# re-verified green in round 8 and nothing green has changed since.
-_PRIORITY: tuple[str, ...] = ()
+# query's plan or oracle. Round 10:
+#  - feature_hash_embeddings: the r9 red; output re-emitted as
+#    embedding_csv (string) so the driver canonicalizer can hash it;
+#    exact-match in this round's sf0.01 parity run.
+#  - scattergeo_trace_specs: r8 green is STALE — commit 6e4c566
+#    reordered geo.NATION_POSITIONS after the verdict, changing
+#    iso3/lon/lat for keys 20-24 (ADVICE r9 medium); needs a fresh
+#    verdict against the new mapping.
+_PRIORITY: tuple[str, ...] = (
+    "feature_hash_embeddings",
+    "scattergeo_trace_specs",
+)
 
 
 # Queries ADDED this round (construction parity evidence only). They
 # queue BEHIND the pending-verdict block so they can't push a
-# longer-waiting query out of the window. Round 9: the 21 round-8
-# additions are not in _PRIOR_VERIFIED yet and form the front of the
-# window by the default rule; the 16 round-9 additions below queue
-# behind them (21 + 16 + 13 oldest greens = the 50-slot window).
-_NEW_PARITY_ONLY: tuple[str, ...] = (
-    "retrieval_ranking_metrics",
-    "dp_nation_order_stats",
-    "wav_pcm_stats",
-    "streaming_sessionize_e2e",
-    "jpeg_sof_report",
-    "ivf_incremental_assign",
-    "mp4_mvhd_report",
-    "readability_report",
-    "gif_header_report",
-    "roc_auc_length_vs_dup",
-    "brier_calibration_report",
-    "forecast_backtest_mase",
-    "l_diversity_report",
-    "source_lang_simpson",
-    "incremental_dedup_assign",
-    "zone_map_skipping_report",
-    "theil_sen_region_trend",
-    "image_dhash_clusters",
-    "cms_width_error_sweep",
-)
+# longer-waiting query out of the window. Round 10 additions are
+# appended here as they land.
+_NEW_PARITY_ONLY: tuple[str, ...] = ()
 
 
 def _rotated() -> list[str]:

@@ -96,6 +96,16 @@ class JsonlDirWriter(DataSourceWriter):
             )
             total += m.n_rows
         parts.sort(key=lambda p: p["file"])
+        if self.overwrite:
+            # mode("overwrite") must not leave prior committed parts
+            # behind: a manifest-ignoring reader would see merged
+            # stale+new data. Remove every committed *.jsonl not in the
+            # new manifest BEFORE publishing it (never tmp files of
+            # this job — those were just renamed away).
+            keep = {p["file"] for p in parts}
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl") and name not in keep:
+                    os.remove(os.path.join(self.path, name))
         manifest = {"n_rows": total, "n_parts": len(parts), "parts": parts}
         tmp = os.path.join(self.path, MANIFEST + ".tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -103,10 +113,18 @@ class JsonlDirWriter(DataSourceWriter):
         os.replace(tmp, os.path.join(self.path, MANIFEST))
 
     def abort(self, messages) -> None:
-        # messages can contain None for tasks that never returned
+        # messages can contain None for tasks that never returned — a
+        # task that raised mid-write leaves an orphan tmp file that no
+        # commit message names, so sweep ALL *.jsonl.tmp in the sink
+        # dir (tmp names are unique per task attempt; committed parts
+        # lost their .tmp suffix at rename and are never touched).
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+        if os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl.tmp"):
+                    os.remove(os.path.join(self.path, name))
 
 
 class JsonlDirDataSource(DataSource):

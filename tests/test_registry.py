@@ -33,8 +33,23 @@ def test_registry_nonempty_and_named():
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_oracle_columns_match_spark(name, spark, duck):
+    from pyspark.sql.types import ArrayType, MapType
+
     q = REGISTRY[name]
     sdf = q.fn(spark, SF)
+    # No registered query may emit a TOP-LEVEL array/map column: the
+    # driver's canonicalizer sorts result rows via pandas and crashes on
+    # numpy arrays (r9 red: feature_hash_embeddings, "unhashable type:
+    # numpy.ndarray"). Stringify (concat_ws) or explode instead; keep
+    # array-returning operators internal.
+    bad = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not bad, (
+        f"{name}: top-level array/map columns {bad} are un-hashable by "
+        "the driver's pandas canonicalizer — stringify or explode"
+    )
     if q.oracle is None:
         assert sdf.columns  # rows-only entries still have a schema
         return

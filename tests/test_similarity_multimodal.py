@@ -287,6 +287,29 @@ def test_wav_pcm_roundtrip_matches_python_reference(spark):
         )
 
 
+def test_wav_pcm_empty_clip_is_header_only(spark):
+    """n_samples=0 must yield exactly the 44-byte header with
+    data_size=0 — Spark's sequence(0,-1) is a DESCENDING [0,-1] that
+    used to emit 4 bogus sample bytes (ADVICE r9)."""
+    import struct
+
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        synthesize_wav_pcm,
+    )
+
+    src = spark.createDataFrame(
+        [(1, 8000, 0, 500, 3, 5)],
+        "media_id long, sample_rate_hz long, n_samples long, "
+        "amp long, step long, phase long",
+    )
+    raw = bytes(synthesize_wav_pcm(src).collect()[0]["payload"])
+    assert len(raw) == 44
+    (data_size,) = struct.unpack("<I", raw[40:44])
+    assert data_size == 0
+    (riff_size,) = struct.unpack("<I", raw[4:8])
+    assert riff_size == 36
+
+
 def test_jpeg_marker_walk_roundtrip_and_rejects(spark):
     """The marker walk must (a) locate SOF0 across variable-length
     segments — byte-level ground truth built in PYTHON, not by the

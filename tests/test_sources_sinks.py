@@ -541,3 +541,43 @@ def test_jsonl_dir_writer_abort_leaves_nothing_visible(spark, tmp_path):
         names = os.listdir(out)
         assert MANIFEST not in names
         assert not any(n.endswith(".jsonl") for n in names)
+        # abort sweeps orphan tmp files too — the failing task raised
+        # BEFORE returning its commit message, so its partial
+        # part-*.jsonl.tmp is invisible to the message list and must be
+        # removed by the directory sweep
+        assert not any(n.endswith(".jsonl.tmp") for n in names)
+
+
+def test_jsonl_dir_writer_overwrite_removes_stale_parts(spark, tmp_path):
+    """mode('overwrite') must delete prior committed parts not in the
+    new manifest: a manifest-ignoring reader would otherwise see merged
+    stale+new data (ADVICE r9)."""
+    import os
+
+    from data_integration_and_visualization_uc3m_spark.sinks.pyds_writer import (
+        read_manifest,
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    out = str(tmp_path / "sink_ow")
+    big = spark.range(0, 80).repartition(8)
+    big.write.format("jsonl_dir").option("path", out).mode("append").save()
+    assert read_manifest(out)["n_parts"] == 8
+
+    small = spark.range(0, 6).repartition(2)
+    (small.write.format("jsonl_dir")
+     .option("path", out).mode("overwrite").save())
+    man = read_manifest(out)
+    assert man["n_parts"] == 2 and man["n_rows"] == 6
+    on_disk = sorted(
+        n for n in os.listdir(out) if n.endswith(".jsonl")
+    )
+    assert on_disk == sorted(p["file"] for p in man["parts"])
+    # every surviving row came from the second write
+    total = 0
+    for p in man["parts"]:
+        with open(os.path.join(out, p["file"]), encoding="utf-8") as fh:
+            for line in fh:
+                total += 1
+    assert total == 6
