@@ -74,34 +74,56 @@ _FEATURE_SCHEMA = (
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches).
 
-    With ``fake=True`` (default in this container) emits deterministic
+    With ``fake=True`` (the historical default) emits deterministic
     pseudo-features from the payload bytes so the distributed plumbing
     (batch iteration, schema contract, partition-parallel execution) is
-    fully testable. With ``fake=False`` raises DecoderUnavailable where
-    a real image/audio decode would run.
+    testable without any codec. With ``fake=False`` the decode is REAL
+    for BMP payloads: ``decode_bmp24`` (pure stdlib) reads the pixels
+    — honoring data offset, row padding, bottom-up order and BGR — and
+    ``bmp_pixel_features`` computes exact integer luma statistics from
+    them. Non-BMP payloads under ``fake=False`` raise
+    ``DecoderUnavailable``, now reserved for formats that genuinely
+    need an external codec library (JPEG entropy decode, video).
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise DecoderUnavailable(
-                    "real decode needs an image/audio codec library"
-                )
             payloads = pdf["payload"]
             n_bytes = payloads.map(lambda b: 0 if b is None else len(b))
-            # deterministic fake features: byte-sum based, no RNG
-            def feat(b, k):
-                if b is None or len(b) == 0:
-                    return 0.0
-                return float(sum(b[k::7]) % 1000) / 1000.0
+            if fake:
+                # deterministic fake features: byte-sum based, no RNG
+                def feat(b, k):
+                    if b is None or len(b) == 0:
+                        return 0.0
+                    return float(sum(b[k::7]) % 1000) / 1000.0
 
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "n_bytes": n_bytes,
+                        "feature_0": payloads.map(lambda b: feat(b, 0)),
+                        "feature_1": payloads.map(lambda b: feat(b, 1)),
+                        "feature_2": payloads.map(lambda b: feat(b, 2)),
+                    }
+                )
+                continue
+
+            feats = []
+            for b in payloads:
+                if b is None or len(b) < 2 or bytes(b[:2]) != b"BM":
+                    raise DecoderUnavailable(
+                        "real decode for non-BMP payloads needs an "
+                        "image/audio codec library"
+                    )
+                w, h, px = decode_bmp24(bytes(b))
+                feats.append(bmp_pixel_features(px, w, h))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": n_bytes,
-                    "feature_0": payloads.map(lambda b: feat(b, 0)),
-                    "feature_1": payloads.map(lambda b: feat(b, 1)),
-                    "feature_2": payloads.map(lambda b: feat(b, 2)),
+                    "feature_0": [float(f[0]) for f in feats],
+                    "feature_1": [float(f[1]) for f in feats],
+                    "feature_2": [float(f[2]) for f in feats],
                 }
             )
 
@@ -862,3 +884,170 @@ def gray_dhash(
         half(range(0, 4)).alias("dhash_lo"),
         half(range(4, 8)).alias("dhash_hi"),
     )
+
+
+# --- real (lib-free) FULL raster codec: BMP, encode + decode ---------
+#
+# The header codecs above stop at container metadata; this section
+# closes the loop on one REAL end-to-end raster path with zero
+# external libraries: a complete 24-bit uncompressed BMP
+# (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up, 4-byte-padded BGR
+# rows) is synthesized as JVM column expressions, and
+# ``decode_bmp24`` reads the pixels back in plain-stdlib Python inside
+# the Arrow-batched ``extract_features(fake=False)`` path — so the
+# "decode + featurize" step of the multimodal pipeline runs on real
+# decoded pixels, and ``DecoderUnavailable`` is reserved for formats
+# that genuinely need an external codec (JPEG entropy decode, video).
+# BMP is the right format for this: fixed little-endian offsets, no
+# compression, but real traps (bottom-up row order, per-row padding,
+# BGR channel order, negative-height top-down variant) that a fake
+# would never exercise.
+
+_BMP_MAGIC_HEX = "424D"  # "BM"
+
+
+def synthesize_bmp24(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width_col: str = "width_px",
+    height_col: str = "height_px",
+    seed_col: str = "img_seed",
+) -> DataFrame:
+    """Build a COMPLETE, spec-valid 24-bit BMP per row — 14-byte file
+    header, 40-byte BITMAPINFOHEADER, then height bottom-up pixel rows
+    of BGR triples each padded to a 4-byte boundary — entirely JVM
+    column expressions (nested transform over sequences, hex assembly,
+    one unhex). Pixel channels follow the deterministic gradient
+        r = (seed*7  + x*13 + y*31) % 256
+        g = (seed*11 + x*3  + y*17) % 256
+        b = (seed*5  + x*19 + y*23) % 256
+    with (x, y) in TOP-DOWN image coordinates — the encoder emits rows
+    bottom-up as the positive-height BMP spec requires, so a decoder
+    that forgets to flip reads a vertically mirrored image (and fails
+    the oracle). Distinct channel formulas also catch BGR/RGB swaps."""
+    w = F.col(width_col).cast("long")
+    h = F.col(height_col).cast("long")
+    seed = F.col(seed_col).cast("long")
+    stride = ((w * 3 + 3) / 4).cast("long") * 4
+    pad = stride - w * 3
+
+    def px_hex(x: F.Column, y: F.Column) -> F.Column:
+        # file order is B, G, R
+        return F.concat(
+            F.format_string("%02x", (seed * 5 + x * 19 + y * 23) % 256),
+            F.format_string("%02x", (seed * 11 + x * 3 + y * 17) % 256),
+            F.format_string("%02x", (seed * 7 + x * 13 + y * 31) % 256),
+        )
+
+    def row_hex(y: F.Column) -> F.Column:
+        return F.concat(
+            F.array_join(
+                F.transform(F.sequence(F.lit(0).cast("long"), w - 1),
+                            lambda x: px_hex(x, y)),
+                "",
+            ),
+            F.repeat(F.lit("00"), pad.cast("int")),
+        )
+
+    # bottom-up: last image row (y = h-1) first in the file
+    data_hex = F.array_join(
+        F.transform(
+            F.sequence(h - 1, F.lit(0).cast("long"), F.lit(-1).cast("long")),
+            row_hex,
+        ),
+        "",
+    )
+    hex_str = F.concat(
+        F.lit(_BMP_MAGIC_HEX),
+        _le32_hex(stride * h + 54),   # total file size
+        _le32_hex(F.lit(0)),          # reserved
+        _le32_hex(F.lit(54)),         # pixel data offset
+        _le32_hex(F.lit(40)),         # BITMAPINFOHEADER size
+        _le32_hex(w),
+        _le32_hex(h),                 # positive => bottom-up
+        _le16_hex(F.lit(1)),          # planes
+        _le16_hex(F.lit(24)),         # bits per pixel
+        _le32_hex(F.lit(0)),          # BI_RGB (uncompressed)
+        _le32_hex(stride * h),        # image size
+        _le32_hex(F.lit(2835)),       # x pixels/metre (96 dpi)
+        _le32_hex(F.lit(2835)),       # y pixels/metre
+        _le32_hex(F.lit(0)),          # colors used
+        _le32_hex(F.lit(0)),          # important colors
+        data_hex,
+    )
+    return df.select(
+        F.col(id_col), F.unhex(F.upper(hex_str)).alias("payload")
+    )
+
+
+def decode_bmp24(buf: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Pure-stdlib 24-bit BMP pixel decoder (the REAL decode step of
+    ``extract_features(fake=False)``): validates the BM magic, the
+    BITMAPINFOHEADER, bpp 24 and BI_RGB, honors the header's pixel
+    offset and per-row 4-byte padding, flips bottom-up storage (and
+    accepts the negative-height top-down variant) and swaps file-order
+    BGR to RGB. Returns ``(width, height, pixels)`` with pixels
+    row-major TOP-DOWN as ``(r, g, b)`` tuples. Raises ValueError on
+    malformed input — DecoderUnavailable is only for formats that need
+    an external codec library."""
+    import struct
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", buf, 10)
+    (hdr_size, w, h_raw) = struct.unpack_from("<IiI", buf, 14)
+    # height is signed: negative means top-down row order
+    (h_signed,) = struct.unpack_from("<i", buf, 22)
+    (planes, bpp) = struct.unpack_from("<HH", buf, 26)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if hdr_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP header (size={hdr_size})")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_signed}")
+    stride = (w * 3 + 3) // 4 * 4
+    if len(buf) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = []
+    for file_row in range(h):
+        base = data_off + file_row * stride
+        row = []
+        for x in range(w):
+            b, g, r = buf[base + 3 * x: base + 3 * x + 3]
+            row.append((r, g, b))
+        rows.append(row)
+    if not top_down:
+        rows.reverse()  # file is bottom-up; return top-down
+    return w, h, [px for row in rows for px in row]
+
+
+def bmp_pixel_features(pixels: list[tuple[int, int, int]], w: int,
+                       h: int) -> tuple[int, int, int]:
+    """Exact integer features over decoded RGB pixels (shared by the
+    real ``extract_features`` path and its tests): integer luma
+    ``299r + 587g + 114b`` per pixel, then
+      f0 = floor(mean luma), f1 = floor(population variance of luma),
+      f2 = floor(1000 * #increasing-horizontal-neighbor-pairs
+                 / (h * (w - 1))).
+    All values are exact integers well inside 2^53, so they survive a
+    DOUBLE column bit-exactly in any engine."""
+    lum = [299 * r + 587 * g + 114 * b for (r, g, b) in pixels]
+    n = w * h
+    s = sum(lum)
+    s2 = sum(v * v for v in lum)
+    inc = sum(
+        1
+        for y in range(h)
+        for x in range(w - 1)
+        if lum[y * w + x + 1] > lum[y * w + x]
+    )
+    f0 = s // n
+    f1 = (n * s2 - s * s) // (n * n)
+    f2 = 1000 * inc // (h * (w - 1)) if w > 1 else 0
+    return f0, f1, f2

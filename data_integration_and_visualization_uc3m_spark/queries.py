@@ -17819,6 +17819,84 @@ def cms_width_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round 10 — real raster decode (BMP end-to-end), second JDBC dialect,
+# and coverage widening.
+# =====================================================================
+
+# BMP feature oracle: the Spark side DECODES PIXELS FROM BYTES
+# (multimodal.decode_bmp24 inside extract_features(fake=False)); the
+# oracle restates the features on the generator's closed pixel form —
+# a hash match therefore proves the full encode→decode round trip
+# (bottom-up row flip, per-row padding, BGR order), not just the
+# aggregation. Dims per doc: w = 8 + doc_id%5 (8..12 — every padding
+# class 0..3), h = 6 + doc_id%4, seed = doc_id%97. Luma = 299r + 587g
+# + 114b, exact integers end to end. DuckDB 1.0 generate_series
+# rejects lateral column args, so the pixel grid is a fixed 12x9
+# cross join filtered by (x < w, y < h).
+_BMP_LUM = (
+    "299*((seed*7 + {x}*13 + y*31) % 256)"
+    " + 587*((seed*11 + {x}*3 + y*17) % 256)"
+    " + 114*((seed*5 + {x}*19 + y*23) % 256)"
+)
+
+
+@register(
+    "bmp_feature_report",
+    f"""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + doc_id % 5 AS w,
+               6 + doc_id % 4 AS h,
+               doc_id % 97 AS seed
+        FROM documents
+    ), grid AS (
+        SELECT doc_id, w, h,
+               {_BMP_LUM.format(x='x')} AS lum,
+               CASE WHEN x < w - 1 THEN {_BMP_LUM.format(x='(x+1)')}
+               END AS lum_next
+        FROM dims
+        CROSS JOIN (SELECT unnest(range(12)) AS x)
+        CROSS JOIN (SELECT unnest(range(9)) AS y)
+        WHERE x < w AND y < h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(54 + ((3*w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+           CAST(SUM(lum) // COUNT(*) AS DOUBLE) AS feature_0,
+           CAST((COUNT(*) * SUM(lum*lum) - SUM(lum) * SUM(lum))
+                // (COUNT(*) * COUNT(*)) AS DOUBLE) AS feature_1,
+           CAST(1000 * SUM(CASE WHEN lum_next > lum THEN 1 ELSE 0 END)
+                // (h * (w - 1)) AS DOUBLE) AS feature_2
+    FROM grid GROUP BY doc_id, w, h
+    """,
+    ops=["multimodal-decode", "raster-codec", "feature-extract"],
+)
+def bmp_feature_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL multimodal decode path end-to-end: complete 24-bit
+    BMPs (header + bottom-up padded BGR pixel rows) are synthesized as
+    JVM column expressions (multimodal.synthesize_bmp24), then
+    extract_features(fake=False) DECODES THE PIXELS BACK in
+    Arrow-batched Python (multimodal.decode_bmp24 — stdlib struct, no
+    codec libs) and computes exact integer luma features
+    (bmp_pixel_features). The oracle recomputes the same features from
+    the generator's closed pixel form, so a value-hash match proves
+    decode correctness byte-for-byte: a missed row flip, padding
+    miscount or BGR/RGB swap each shifts the luma statistics. Widths
+    8..12 cover every 4-byte padding class. This is the sanctioned
+    slow-path shape for 100 TB media curation: metadata projected
+    before any shuffle, decode amortized over Arrow batches, features
+    (not blobs) flowing downstream."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    src = d.select(
+        F.col("doc_id").alias("media_id"),
+        (8 + F.col("doc_id") % 5).cast("int").alias("width_px"),
+        (6 + F.col("doc_id") % 4).cast("int").alias("height_px"),
+        (F.col("doc_id") % 97).alias("img_seed"),
+    )
+    media = multimodal.synthesize_bmp24(src)
+    return multimodal.extract_features(media, fake=False)
+
+
+# =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
 
@@ -18155,7 +18233,9 @@ _PRIORITY: tuple[str, ...] = (
 # queue BEHIND the pending-verdict block so they can't push a
 # longer-waiting query out of the window. Round 10 additions are
 # appended here as they land.
-_NEW_PARITY_ONLY: tuple[str, ...] = ()
+_NEW_PARITY_ONLY: tuple[str, ...] = (
+    "bmp_feature_report",
+)
 
 
 def _rotated() -> list[str]:

@@ -435,3 +435,127 @@ def test_gray_dhash_matches_python_reference(spark):
     assert got[1] == py_dhash(payloads[1])
     assert got[4] == py_dhash(mangled)
     assert got[4] != got[1]
+
+
+def test_bmp24_synth_matches_independent_python_encoder(spark):
+    """Byte-level ground truth: synthesize_bmp24's payload must equal a
+    BMP built by an INDEPENDENT pure-Python struct encoder (bottom-up
+    rows, 4-byte padding, BGR order) — and decode_bmp24 must read the
+    generator pixels back exactly, for every padding class w%4."""
+    import struct
+
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        decode_bmp24,
+        synthesize_bmp24,
+    )
+
+    cases = [(1, 8, 6, 5), (2, 9, 7, 12), (3, 10, 8, 96), (4, 11, 9, 0),
+             (5, 12, 6, 41)]
+    src = spark.createDataFrame(
+        cases, "media_id long, width_px int, height_px int, img_seed long"
+    )
+    payloads = {r["media_id"]: bytes(r["payload"])
+                for r in synthesize_bmp24(src).collect()}
+
+    def px(seed, x, y):
+        return ((seed * 7 + x * 13 + y * 31) % 256,
+                (seed * 11 + x * 3 + y * 17) % 256,
+                (seed * 5 + x * 19 + y * 23) % 256)
+
+    for mid, w, h, seed in cases:
+        stride = (w * 3 + 3) // 4 * 4
+        ref = struct.pack("<2sIII", b"BM", 54 + stride * h, 0, 54)
+        ref += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           stride * h, 2835, 2835, 0, 0)
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = b""
+            for x in range(w):
+                r, g, b = px(seed, x, y)
+                row += bytes([b, g, r])
+            ref += row + b"\x00" * (stride - 3 * w)
+        assert payloads[mid] == ref, f"byte mismatch for case {mid}"
+
+        dw, dh, pixels = decode_bmp24(ref)
+        assert (dw, dh) == (w, h)
+        assert pixels == [px(seed, x, y) for y in range(h)
+                          for x in range(w)]
+
+
+def test_bmp24_decoder_topdown_and_rejects():
+    """decode_bmp24 must accept the negative-height TOP-DOWN variant
+    (no flip) and reject non-BMP, truncation, and unsupported bpp."""
+    import struct
+
+    import pytest as _pytest
+
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        decode_bmp24,
+    )
+
+    w, h = 3, 2
+    stride = (w * 3 + 3) // 4 * 4
+    rows_topdown = [[(10 * (y * w + x), 1, 2) for x in range(w)]
+                    for y in range(h)]
+
+    def encode(height_field, rows):
+        buf = struct.pack("<2sIII", b"BM", 54 + stride * h, 0, 54)
+        buf += struct.pack("<IiiHHIIiiII", 40, w, height_field, 1, 24, 0,
+                           stride * h, 0, 0, 0, 0)
+        for row in rows:
+            raw = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+            buf += raw + b"\x00" * (stride - 3 * w)
+        return buf
+
+    # top-down: file rows already in image order
+    td = encode(-h, rows_topdown)
+    assert decode_bmp24(td)[2] == [p for row in rows_topdown for p in row]
+    # bottom-up: same bytes must come back flipped
+    bu = encode(h, rows_topdown)
+    assert decode_bmp24(bu)[2] == [
+        p for row in reversed(rows_topdown) for p in row
+    ]
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp24(b"PNG" + td[3:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp24(td[:-4])
+    bad_bpp = td[:28] + struct.pack("<H", 8) + td[30:]
+    with _pytest.raises(ValueError, match="24-bit"):
+        decode_bmp24(bad_bpp)
+
+
+def test_extract_features_real_path_decodes_and_gates(spark):
+    """extract_features(fake=False) must compute features from DECODED
+    pixels (agreeing with the pure-Python reference) and raise
+    DecoderUnavailable for non-BMP payloads — the gate is now reserved
+    for genuinely externalized codecs."""
+    import pytest as _pytest
+
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        bmp_pixel_features,
+        decode_bmp24,
+        documents_as_media,
+        extract_features,
+        synthesize_bmp24,
+    )
+
+    src = spark.createDataFrame(
+        [(7, 10, 6, 33), (8, 12, 9, 90)],
+        "media_id long, width_px int, height_px int, img_seed long",
+    )
+    media = synthesize_bmp24(src)
+    got = {r["media_id"]: r.asDict()
+           for r in extract_features(media, fake=False).collect()}
+    for r in media.collect():
+        w, h, px = decode_bmp24(bytes(r["payload"]))
+        f0, f1, f2 = bmp_pixel_features(px, w, h)
+        row = got[r["media_id"]]
+        assert (row["feature_0"], row["feature_1"], row["feature_2"]) \
+            == (float(f0), float(f1), float(f2))
+        assert row["n_bytes"] == len(bytes(r["payload"]))
+
+    docs = spark.createDataFrame([(1, "plain text", "en", "webz")],
+                                 "doc_id long, text string, lang string, "
+                                 "source string")
+    with _pytest.raises(Exception, match="DecoderUnavailable|codec"):
+        extract_features(documents_as_media(docs), fake=False).collect()
