@@ -906,6 +906,90 @@ def ivf_topk_rel(
     )
 
 
+def ivf_sweep_topk_rel(
+    df: DataFrame,
+    qdf: DataFrame,
+    k: int = 15,
+    max_nprobe: int = 4,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every IVF arm of an nprobe ∈ {1..max_nprobe} sweep in ONE pass —
+    the shared-work shape of ivf_nprobe_recall_sweep (round-10 perf
+    fix: 4 independent ivf_topk_rel arms each re-aggregated the
+    centroids and re-scanned the corpus; probe sets at increasing
+    nprobe are PREFIXES of one ranked block list, so all arms derive
+    from a single scored candidate relation — the same sharing
+    lsh_band_sweep does for minhash signatures).
+
+    Plan shape: one centroid aggregation (label_centroids_nano), one
+    corpus scan joined to the broadcast max_nprobe probed blocks WITH
+    their rank, one cosine projection, then each candidate explodes to
+    the arms whose probe set contains its block
+    (sequence(block_rank..max_nprobe) — ≤ max_nprobe small rows) and a
+    per-arm window takes top-k. The window partitions by nprobe over
+    candidates of ≤ max_nprobe blocks — bounded by the probe budget,
+    never the corpus. Results are row-identical to running ivf_topk_rel
+    per arm (same exact fixed-point block ranking, same cosine, same
+    (cosine DESC, id) tiebreak).
+
+    Returns ``(nprobe, id_col, cosine)`` — top-k per arm."""
+    from pyspark.sql import Window
+
+    q1 = qdf.select(F.col(vec_col).alias("_qv"))
+    cents = label_centroids_nano(df, block_col, vec_col)
+    comp = F.col("sum_nano").cast("double") / F.col("cnt") / NANO
+    qcomp = F.element_at(F.col("_qv"), F.col("dim") + 1).cast("double")
+    diff = qcomp - comp
+    dist = (
+        cents.crossJoin(F.broadcast(q1))
+        .select(
+            "block",
+            F.floor(diff * diff * NANO).cast("long").alias("term_nano"),
+        )
+        .groupBy("block")
+        .agg(F.sum("term_nano").alias("dist_nano"))
+    )
+    # rank over the block relation (cells, not corpus — tiny)
+    wb = Window.orderBy(F.col("dist_nano"), F.col("block"))
+    blocks = (
+        dist.select("block", F.row_number().over(wb).alias("block_rank"))
+        .filter(F.col("block_rank") <= max_nprobe)
+    )
+    qn = qdf.select(F.col(vec_col).alias("_qv")).select(
+        "_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn")
+    )
+    v = F.col(vec_col)
+    norm = F.sqrt(_dot(v, v))
+    cos = _dot(v, F.col("_qv")) / (norm * F.col("_qn"))
+    scored = (
+        df.join(F.broadcast(blocks), df[block_col] == F.col("block"))
+        .filter(norm > 0)
+        .crossJoin(F.broadcast(qn))
+        .select(F.col(id_col), F.col("block_rank"), cos.alias("cosine"))
+    )
+    arms = scored.select(
+        F.col(id_col),
+        "cosine",
+        F.explode(
+            F.sequence(F.col("block_rank").cast("long"),
+                       F.lit(max_nprobe).cast("long"))
+        ).alias("nprobe"),
+    )
+    wn = Window.partitionBy("nprobe").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        arms.select(
+            "nprobe", id_col, "cosine",
+            F.row_number().over(wn).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def semdedup_rel(
     df: DataFrame,
     codebook: DataFrame,

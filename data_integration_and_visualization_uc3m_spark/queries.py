@@ -5395,18 +5395,18 @@ def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB deployment actually tunes (each probed cell is a partition
     scan; recall climbs with probes). Like ivf_recall_report, the
     entire measurement is deterministic (fixed-point centroids,
-    ordered tiebreaks), so the CURVE itself is hash-checked. The brute
-    arm is computed once and each IVF arm reuses the shared
-    centroid-distance relation."""
+    ordered tiebreaks), so the CURVE itself is hash-checked. All four
+    IVF arms come from ONE pass (similarity.ivf_sweep_topk_rel): one
+    centroid aggregation, one candidate scan, per-arm top-k via a
+    probe-budget-bounded window — the r9 bench regression fix (the
+    previous union of 4 ivf_topk_rel arms re-aggregated centroids and
+    re-scanned the corpus per arm)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
     brute = similarity.cosine_topk_rel(e, q, k=15).select("vec_id")
-    arms = None
-    for n in (1, 2, 3, 4):
-        arm = similarity.ivf_topk_rel(e, q, k=15, nprobe=n).select(
-            F.lit(n).cast("long").alias("nprobe"), "vec_id"
-        )
-        arms = arm if arms is None else arms.unionByName(arm)
+    arms = similarity.ivf_sweep_topk_rel(e, q, k=15, max_nprobe=4).select(
+        F.col("nprobe").cast("long").alias("nprobe"), "vec_id"
+    )
     k_ivf = arms.groupBy("nprobe").agg(
         F.count(F.lit(1)).cast("long").alias("k_ivf")
     )
@@ -18223,9 +18223,15 @@ _LAST_GREEN.update(dict.fromkeys([  # round 9: 49 greens
 #    reordered geo.NATION_POSITIONS after the verdict, changing
 #    iso3/lon/lat for keys 20-24 (ADVICE r9 medium); needs a fresh
 #    verdict against the new mapping.
+#  - ivf_nprobe_recall_sweep: re-plumbed this round onto the
+#    single-pass ivf_sweep_topk_rel (r9 bench regression fix) AFTER
+#    its r9 green — row-identical by construction and parity-exact at
+#    both SFs, but the pin policy requires a fresh driver verdict for
+#    any changed plan.
 _PRIORITY: tuple[str, ...] = (
     "feature_hash_embeddings",
     "scattergeo_trace_specs",
+    "ivf_nprobe_recall_sweep",
 )
 
 

@@ -559,3 +559,30 @@ def test_extract_features_real_path_decodes_and_gates(spark):
                                  "source string")
     with _pytest.raises(Exception, match="DecoderUnavailable|codec"):
         extract_features(documents_as_media(docs), fake=False).collect()
+
+
+def test_ivf_sweep_topk_rel_matches_per_arm_ivf_topk_rel(spark):
+    """The single-pass sweep (one centroid agg + one candidate scan,
+    round-10 perf fix) must be row-identical per arm to running
+    ivf_topk_rel independently at each nprobe."""
+    from data_integration_and_visualization_uc3m_spark.operators.similarity import (
+        ivf_sweep_topk_rel,
+        ivf_topk_rel,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0)
+    sweep = ivf_sweep_topk_rel(e, q, k=15, max_nprobe=4).collect()
+    by_arm = {}
+    for r in sweep:
+        by_arm.setdefault(r["nprobe"], []).append(
+            (r["vec_id"], round(r["cosine"], 12))
+        )
+    for n in (1, 2, 3, 4):
+        solo = [
+            (r["vec_id"], round(r["cosine"], 12))
+            for r in ivf_topk_rel(e, q, k=15, nprobe=n).collect()
+        ]
+        assert sorted(by_arm[n]) == sorted(solo), f"arm nprobe={n}"
+        # monotone candidate sets: arm n's ids ⊆ pool reachable at n+1
+        assert len(by_arm[n]) <= 15
