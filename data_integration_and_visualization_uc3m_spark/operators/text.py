@@ -693,6 +693,17 @@ def bpe_train_merges(
 
     Ties break (freq DESC, left, right) — fully deterministic.
     Returns the merge table: (step, lhs, rhs, merged, freq).
+
+    Job-count cost (read before passing a big n_merges): BPE merges
+    are inherently sequential — merge k+1's pair counts depend on
+    merge k's rewrite — so this trainer launches ``n_merges``
+    SEQUENTIAL Spark jobs (each a vocabulary-sized agg + a 1-row
+    collect). That is the right shape for the bounded merge tables
+    these pipelines train in-engine (tens to a few hundred merges);
+    a production 30k-100k-merge tokenizer belongs in a dedicated
+    trainer over an EXPORTED word-frequency relation (one
+    ``words``-relation snapshot from this module feeds it), not in
+    30k Spark job rounds.
     """
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")

@@ -5299,7 +5299,16 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rare for ANN — the whole measurement is deterministic (fixed-point
     centroids, ordered tiebreaks), so the recall number itself is
     hash-checked, not just eyeballed. Query vector = 1-row broadcast
-    relation on both arms (similarity.*_rel) — no driver fetch."""
+    relation on both arms (similarity.*_rel) — no driver fetch.
+
+    Sampling policy at production scale: the brute-truth arm is a
+    full-corpus scan PER QUERY VECTOR, so at 100 TB recall is
+    estimated over a hash-sampled query set (and, when even one scan
+    per probe is too much, a hash-sampled corpus stratum via
+    ``sampling.hash_sample`` — recall over a stratum is an unbiased
+    estimator). The IVF arm stays production-shaped; only the truth
+    arm is sampled. Full corpus is the oracle-checked test-SF
+    configuration."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
     brute = similarity.cosine_topk_rel(e, q, k=15).select("vec_id")
@@ -5576,7 +5585,13 @@ def int8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vector itself), reporting overlap and recall@10 — the number
     that justifies (or vetoes) shipping the 4× smaller index. The
     exact arm's query vector is a 1-row broadcast relation
-    (similarity.cosine_topk_rel) — no driver fetch."""
+    (similarity.cosine_topk_rel) — no driver fetch.
+
+    Sampling policy at production scale: as with ivf_recall_report,
+    the exact-truth arm runs over a hash-sampled query set / corpus
+    stratum (``sampling.hash_sample``) at 100 TB; the int8 arm stays
+    production-shaped. Full corpus is the oracle-checked test-SF
+    configuration."""
     e = _t(spark, sf_dir, "embeddings")
     brute = similarity.cosine_topk_rel(
         e.filter(F.col("vec_id") != 0), e.filter(F.col("vec_id") == 0), k=10
@@ -10735,7 +10750,13 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-centroid codebook makes the quantization loss VISIBLE: the
     report documents the trade, not a vacuous 100%. Codebook and query
     are both relations (similarity.train_codebook / *_rel) — zero
-    driver collects anywhere in the plan."""
+    driver collects anywhere in the plan.
+
+    Sampling policy at production scale: as with ivf_recall_report,
+    the exact-L2 truth arm runs over a hash-sampled query set /
+    corpus stratum (``sampling.hash_sample``) at 100 TB; the PQ/ADC
+    arm stays production-shaped. Full corpus is the oracle-checked
+    test-SF configuration."""
     e = _t(spark, sf_dir, "embeddings", fanout=True)
     cb = similarity.train_codebook(e, k=4)
     q = e.filter(F.col("vec_id") == 0)
@@ -14741,7 +14762,10 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     ops=["dedup-minhash-lsh", "dedup-jaccard", "recall-report"],
 )
-def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_recall_report(
+    spark: SparkSession, sf_dir: str,
+    truth_sample_frac: float | None = None,
+) -> DataFrame:
     """Candidate-quality report for MinHash-LSH banding — the dedup
     twin of the ANN family's recall reports (int8/ivf/pq): ground
     truth is the EXACT word-3-gram Jaccard ≥ 0.5 pair set (shared-
@@ -14751,11 +14775,23 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision (candidates that are true near-dups) as fixed-point
     integers — the measured S-curve operating point, engine-exact.
 
+    Sampling policy at production scale: the exact-truth arm is
+    quadratic-ish in the stratum it runs on, so at 100 TB this QA
+    relation runs on a hash-sampled document stratum, NOT the full
+    corpus — pass ``truth_sample_frac`` (e.g. 0.01) and both arms are
+    restricted to the same deterministic ``sampling.hash_sample``
+    stratum, which keeps recall/precision unbiased estimators of the
+    corpus-wide operating point (pairs within a hash stratum are an
+    unbiased pair sample). Default None = full corpus, the oracle-
+    checked configuration at test SFs.
+
     Scale shape: both arms are the production shapes (grouped
     pair-explode for truth, band-bucket join for candidates); the
     report itself is three 1-row counts cross-joined (scalar
     broadcasts)."""
     d = _t(spark, sf_dir, "documents", fanout=True)
+    if truth_sample_frac is not None:
+        d = sampling.hash_sample(d, "doc_id", truth_sample_frac)
     sets = dedup.ngram_set(d, n=3)
     truth = dedup.jaccard_pairs(
         sets, item_col="shingle", threshold=0.5
@@ -14870,7 +14906,14 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/precision vs exact-Jaccard truth (t=0.5) at 2×8, 4×4 and
     8×2 in one relation, each number hash-checked like
     lsh_recall_report. Signatures and the truth arm are computed once;
-    each banding arm is one band-bucket self-join."""
+    each banding arm is one band-bucket self-join.
+
+    Sampling policy at production scale: like lsh_recall_report, the
+    exact-truth arm makes this a QA relation that at 100 TB runs on a
+    deterministic hash-sampled document stratum
+    (``sampling.hash_sample`` on doc_id — an unbiased pair sample),
+    not the full corpus; full-corpus is the oracle-checked test-SF
+    configuration."""
     d = _t(spark, sf_dir, "documents", fanout=True)
     sets = dedup.ngram_set(d, n=3)
     truth = dedup.jaccard_pairs(
@@ -14965,7 +15008,14 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     would delete. The pair relation (with its exact-rational jaccard)
     is computed ONCE; each threshold is a filter over it, so the sweep
     costs one pair generation regardless of how many thresholds are
-    probed."""
+    probed.
+
+    Sampling policy at production scale: exact pair generation at
+    threshold 0.0 is the heaviest truth arm in the repo — at 100 TB
+    this policy curve runs on a deterministic hash-sampled document
+    stratum (``sampling.hash_sample``), which leaves the
+    pairs-per-doc and docs-implicated RATES unbiased; full corpus is
+    the oracle-checked test-SF configuration."""
     d = _t(spark, sf_dir, "documents", fanout=True)
     sets = dedup.ngram_set(d, n=3)
     pairs = dedup.jaccard_pairs(

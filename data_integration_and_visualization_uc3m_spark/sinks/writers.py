@@ -153,6 +153,61 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     )
 
 
+class SwapDialect:
+    """Vendor-specific SQL emission for the stage-then-swap path
+    (jdbc_atomic_append). The statement is ANSI at heart; what varies
+    across engines is the identifier QUOTE character and doubling rule
+    — `\"` for Derby/H2/HSQLDB/Postgres, backtick for MySQL — and
+    that is exactly where a hand-inlined f-string would silently break
+    on the next target. Only Derby ships in this container, so the
+    other dialects are pinned by generated-SQL tests rather than live
+    runs; the live Derby matrix exercises the protocol itself."""
+
+    def __init__(self, name: str, quote: str = '"'):
+        self.name = name
+        self.quote = quote
+
+    def q(self, ident: str) -> str:
+        return (
+            self.quote
+            + ident.replace(self.quote, self.quote * 2)
+            + self.quote
+        )
+
+    def insert_select(
+        self, target: str, tcols: list[str], staging: str,
+        scols: list[str],
+    ) -> str:
+        # Target columns UNQUOTED (match an unquoted-DDL target whose
+        # identifiers the engine case-folded); staging columns QUOTED
+        # (Spark's JDBC writer quotes them at CREATE, preserving case).
+        t = ", ".join(tcols)
+        s = ", ".join(self.q(c) for c in scols)
+        return f"INSERT INTO {target} ({t}) SELECT {s} FROM {staging}"
+
+    def drop_staging(self, staging: str) -> str:
+        return f"DROP TABLE {staging}"
+
+
+SWAP_DIALECTS: dict[str, SwapDialect] = {
+    "derby": SwapDialect("derby"),
+    "h2": SwapDialect("h2"),
+    "hsqldb": SwapDialect("hsqldb"),
+    "postgresql": SwapDialect("postgresql"),
+    "mysql": SwapDialect("mysql", quote="`"),
+}
+
+
+def swap_dialect_for_url(url: str) -> SwapDialect:
+    """Resolve the swap dialect from a ``jdbc:<vendor>:...`` URL;
+    unknown vendors get the ANSI double-quote default (correct for
+    every mainstream engine except MySQL, which is mapped)."""
+    vendor = ""
+    if url.startswith("jdbc:"):
+        vendor = url.split(":", 2)[1].lower()
+    return SWAP_DIALECTS.get(vendor, SwapDialect(vendor or "ansi"))
+
+
 def jdbc_atomic_append(
     df: DataFrame,
     url: str,
@@ -160,6 +215,7 @@ def jdbc_atomic_append(
     batchsize: int = 1000,
     properties: dict[str, str] | None = None,
     staging: str | None = None,
+    dialect: SwapDialect | None = None,
 ) -> int:
     """K3 — per-table commit/rollback against a LIVE database.
 
@@ -193,12 +249,12 @@ def jdbc_atomic_append(
     unquoted to match an unquoted-DDL target.
     """
     stg = staging or f"{table}_STG"
+    dia = dialect or swap_dialect_for_url(url)
     jdbc_writer(
         df, url, stg, batchsize=batchsize, mode="overwrite",
         properties=properties,
     ).save()
-    tcols = ", ".join(df.columns)
-    scols = ", ".join(f'"{c}"' for c in df.columns)
+    swap_sql = dia.insert_select(table, df.columns, stg, df.columns)
     jvm = df.sparkSession._jvm
     # The swap connection must authenticate exactly like the staging
     # bulk-load did: build java.util.Properties from the same dict
@@ -218,9 +274,7 @@ def jdbc_atomic_append(
         conn.setAutoCommit(False)
         st = conn.createStatement()
         try:
-            n = st.executeUpdate(
-                f"INSERT INTO {table} ({tcols}) SELECT {scols} FROM {stg}"
-            )
+            n = st.executeUpdate(swap_sql)
             conn.commit()
             return n
         except Exception:
@@ -229,7 +283,7 @@ def jdbc_atomic_append(
         finally:
             conn.setAutoCommit(True)
             try:
-                st.execute(f"DROP TABLE {stg}")
+                st.execute(dia.drop_staging(stg))
             except Exception:
                 pass
             st.close()

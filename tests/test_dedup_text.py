@@ -615,3 +615,20 @@ def test_incremental_dedup_assign_known_answers(spark, tmp_path):
     assert d3.n_candidates == 0
     assert d3.best_match_id is None and d3.best_j_micro is None
     assert d3.is_dup is False
+
+
+def test_lsh_recall_report_truth_sample_frac(spark):
+    """The production sampling knob: restricting both arms to a
+    deterministic hash stratum must (a) still produce one well-formed
+    report row, (b) count no more truth pairs than the full run, and
+    (c) be reproducible (hash sampling, not RNG)."""
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    full = Q.lsh_recall_report(spark, sf).collect()[0]
+    a = Q.lsh_recall_report(spark, sf, truth_sample_frac=0.5).collect()[0]
+    b = Q.lsh_recall_report(spark, sf, truth_sample_frac=0.5).collect()[0]
+    assert a == b  # deterministic
+    assert a["n_truth_pairs"] <= full["n_truth_pairs"]
+    assert a["n_candidates"] <= full["n_candidates"]
+    assert 0 <= a["n_candidates_true"] <= a["n_candidates"]

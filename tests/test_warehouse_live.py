@@ -147,3 +147,35 @@ def test_live_constraints_reject_bad_loads(spark):
     )
     assert jdbc_atomic_append(fresh, URL, "population", properties=PROPS) == 0
     assert _read(spark, "population").count() == 1
+
+
+def test_swap_dialect_sql_matrix():
+    """The stage-then-swap SQL across vendor dialects — H2/HSQLDB/
+    Postgres share ANSI double-quote identifier rules with Derby,
+    MySQL quotes with backticks; only Derby ships in this container,
+    so the non-Derby emissions are pinned here (the live protocol
+    itself is exercised by the Derby tests above)."""
+    from data_integration_and_visualization_uc3m_spark.sinks.writers import (
+        SWAP_DIALECTS,
+        swap_dialect_for_url,
+    )
+
+    cols = ["id", "name"]
+    for vendor in ("derby", "h2", "hsqldb", "postgresql"):
+        d = swap_dialect_for_url(f"jdbc:{vendor}:mem:x")
+        assert d.name == vendor
+        assert d.insert_select("t", cols, "t_STG", cols) == (
+            'INSERT INTO t (id, name) SELECT "id", "name" FROM t_STG'
+        )
+        assert d.drop_staging("t_STG") == "DROP TABLE t_STG"
+
+    my = swap_dialect_for_url("jdbc:mysql://h/db")
+    assert my.insert_select("t", cols, "t_STG", cols) == (
+        "INSERT INTO t (id, name) SELECT `id`, `name` FROM t_STG"
+    )
+    # unknown vendor falls back to ANSI quoting
+    other = swap_dialect_for_url("jdbc:sqlserver://h")
+    assert other.q("c") == '"c"'
+    # quote-char escaping doubles embedded quotes
+    assert SWAP_DIALECTS["mysql"].q("we`ird") == "`we``ird`"
+    assert SWAP_DIALECTS["derby"].q('we"ird') == '"we""ird"'
