@@ -2,9 +2,13 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; the Spark-side shape — schema, partition sizing, Arrow-batched
-UDF signatures — is real and tested, while the actual codec calls are
-STUBBED (image/audio libraries are not in this container) behind
-``DecoderUnavailable`` or a deterministic fake.
+UDF signatures — is real and tested. Since round 10 the decode path is
+REAL end-to-end for one raster format: 24-bit BMP (``decode_bmp24`` +
+``gray_resize_area`` drive ``extract_features(fake=False)`` and
+``resize_images(fake=False)`` on actual pixels), alongside the all-JVM
+header codecs (PNG/JPEG/GIF/MP4/WAV) and PCM sample DSP.
+``DecoderUnavailable`` is reserved for formats that genuinely need an
+external codec library (JPEG entropy decode, video frames).
 
 Scale notes:
 - binary payloads inflate row size: cap ``spark.sql.files.maxPartitionBytes``
@@ -155,21 +159,32 @@ def resize_images(
     memory per partition regardless of corpus size).
 
     ``fake=True`` emits a deterministic strided-downsample of the raw
-    payload bytes sized ``width*height`` (no codec in this container);
-    ``fake=False`` raises DecoderUnavailable at the decode site.
+    payload bytes sized ``width*height``. ``fake=False`` is REAL for
+    BMP payloads: ``decode_bmp24`` reads the pixels and
+    ``gray_resize_area`` box-filters them to a ``width×height``
+    row-major GRAYSCALE byte strip (exact integer luma averaging — the
+    preprocessing shape that feeds ``gray_dhash``); non-BMP payloads
+    raise DecoderUnavailable (external-codec formats only).
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
-            if not fake:
-                raise DecoderUnavailable("real resize needs an image codec")
-
-            def shrink(b):
-                if b is None or len(b) == 0:
-                    return b""
-                step = max(len(b) // target, 1)
-                return bytes(b[::step][:target])
+            if fake:
+                def shrink(b):
+                    if b is None or len(b) == 0:
+                        return b""
+                    step = max(len(b) // target, 1)
+                    return bytes(b[::step][:target])
+            else:
+                def shrink(b):
+                    if b is None or len(b) < 2 or bytes(b[:2]) != b"BM":
+                        raise DecoderUnavailable(
+                            "real resize for non-BMP payloads needs an "
+                            "image codec library"
+                        )
+                    w, h, px = decode_bmp24(bytes(b))
+                    return gray_resize_area(px, w, h, width, height)
 
             yield pd.DataFrame(
                 {
@@ -1051,3 +1066,35 @@ def bmp_pixel_features(pixels: list[tuple[int, int, int]], w: int,
     f1 = (n * s2 - s * s) // (n * n)
     f2 = 1000 * inc // (h * (w - 1)) if w > 1 else 0
     return f0, f1, f2
+
+
+def gray_resize_area(
+    pixels: list[tuple[int, int, int]], w: int, h: int,
+    out_w: int, out_h: int,
+) -> bytes:
+    """Exact-integer area (box-filter) downsample to a row-major
+    grayscale strip — the REAL resize step behind
+    ``resize_images(fake=False)``. Source pixel (x, y) contributes to
+    output cell (x*out_w // w, y*out_h // h); each cell's value is the
+    truncating integer mean of its members' 8-bit luma
+    ``(299r + 587g + 114b) // 1000``. The floor-mapping partitions the
+    source grid for ANY (w, h) → (out_w, out_h), every cell is
+    non-empty when out_w ≤ w and out_h ≤ h, and all math is integer —
+    so the bytes are engine-portable and oracle-checkable (the DuckDB
+    twin states the same floor mapping as a GROUP BY)."""
+    if out_w > w or out_h > h:
+        raise ValueError(
+            f"area resize only shrinks: {w}x{h} -> {out_w}x{out_h}"
+        )
+    sums = [0] * (out_w * out_h)
+    cnts = [0] * (out_w * out_h)
+    for y in range(h):
+        oy = y * out_h // h
+        base = y * w
+        for x in range(w):
+            ox = x * out_w // w
+            r, g, b = pixels[base + x]
+            i = oy * out_w + ox
+            sums[i] += (299 * r + 587 * g + 114 * b) // 1000
+            cnts[i] += 1
+    return bytes(s // c for s, c in zip(sums, cnts))

@@ -17946,6 +17946,97 @@ def bmp_feature_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, fake=False)
 
 
+# dHash-over-resized oracle: the same floor-mapped box filter
+# (source pixel (x,y) → output cell (x*9//w, y*8//h), truncating mean
+# of per-pixel 8-bit luma) and the same 64 adjacent-cell comparisons
+# the Spark side performs — restated on the BMP generator's closed
+# pixel form with k = doc_id % 40 driving (w, h, seed), so byte-equal
+# strips (and thus clusters) exist by construction.
+_BMP_LUM8 = (
+    "(299*((seed*7 + x*13 + y*31) % 256)"
+    " + 587*((seed*11 + x*3 + y*17) % 256)"
+    " + 114*((seed*5 + x*19 + y*23) % 256)) // 1000"
+)
+
+
+@register(
+    "bmp_resize_dhash_clusters",
+    f"""
+    WITH dims AS (
+        SELECT doc_id,
+               12 + (doc_id % 40) % 7 AS w,
+               9 + (doc_id % 40) % 5 AS h,
+               doc_id % 40 AS seed
+        FROM documents
+    ), grid AS (
+        SELECT doc_id,
+               (x * 9) // w AS ox,
+               (y * 8) // h AS oy,
+               {_BMP_LUM8} AS lum8
+        FROM dims
+        CROSS JOIN (SELECT unnest(range(18)) AS x)
+        CROSS JOIN (SELECT unnest(range(13)) AS y)
+        WHERE x < w AND y < h
+    ), rs AS (
+        SELECT doc_id, oy, ox, SUM(lum8) // COUNT(*) AS gval
+        FROM grid GROUP BY doc_id, oy, ox
+    ), bits AS (
+        SELECT a.doc_id, a.oy,
+               (a.oy % 4) * 8 + a.ox AS k,
+               CASE WHEN a.gval < b.gval THEN 1 ELSE 0 END AS bit
+        FROM rs a JOIN rs b
+          ON b.doc_id = a.doc_id AND b.oy = a.oy AND b.ox = a.ox + 1
+        WHERE a.ox < 8
+    ), hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN oy < 4 THEN bit * (1 << k) ELSE 0 END)
+                    AS BIGINT) AS dhash_lo,
+               CAST(SUM(CASE WHEN oy >= 4 THEN bit * (1 << k) ELSE 0 END)
+                    AS BIGINT) AS dhash_hi
+        FROM bits GROUP BY doc_id
+    )
+    SELECT dhash_hi, dhash_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_media_id
+    FROM hashes GROUP BY dhash_hi, dhash_lo
+    """,
+    ops=["multimodal-decode", "image-resize", "perceptual-hash",
+         "dedup-image"],
+)
+def bmp_resize_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full REAL image-dedup preprocessing chain, end to end:
+    variable-size 24-bit BMPs (w ∈ 12..18, h ∈ 9..13, driven by
+    class key doc_id % 40) are synthesized in-plan, DECODED from bytes
+    (multimodal.decode_bmp24), box-filter RESIZED to the 9×8 grayscale
+    strip with exact integer luma averaging
+    (multimodal.gray_resize_area inside resize_images(fake=False)),
+    and perceptually hashed by READING THE RESIZED BYTES BACK
+    (multimodal.gray_dhash — 64 adjacent-cell comparisons in JVM
+    expressions). The oracle restates decode + floor-mapped box filter
+    + comparisons on the generator's closed form, so a hash match
+    proves every stage: header walk, bottom-up flip, padding, BGR
+    order, the area-average mapping, and the bit packing. Equal class
+    keys give byte-identical strips, so ~40 real clusters exist by
+    construction. At 100 TB this is the thumbnail-dedup pipeline:
+    decode+resize amortized over Arrow batches, the 72-byte strip (not
+    the image) shuffles, one hash aggregate."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    k = F.col("doc_id") % 40
+    src = d.select(
+        F.col("doc_id").alias("media_id"),
+        (12 + k % 7).cast("int").alias("width_px"),
+        (9 + k % 5).cast("int").alias("height_px"),
+        k.alias("img_seed"),
+    )
+    media = multimodal.synthesize_bmp24(src)
+    strips = multimodal.resize_images(media, width=9, height=8, fake=False)
+    hashed = multimodal.gray_dhash(strips)
+    return hashed.groupBy("dhash_hi", "dhash_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("media_id").cast("long").alias("min_media_id"),
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -18291,6 +18382,7 @@ _PRIORITY: tuple[str, ...] = (
 # appended here as they land.
 _NEW_PARITY_ONLY: tuple[str, ...] = (
     "bmp_feature_report",
+    "bmp_resize_dhash_clusters",
 )
 
 

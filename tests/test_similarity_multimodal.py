@@ -586,3 +586,49 @@ def test_ivf_sweep_topk_rel_matches_per_arm_ivf_topk_rel(spark):
         assert sorted(by_arm[n]) == sorted(solo), f"arm nprobe={n}"
         # monotone candidate sets: arm n's ids ⊆ pool reachable at n+1
         assert len(by_arm[n]) <= 15
+
+
+def test_gray_resize_area_exact_box_filter(spark):
+    """resize_images(fake=False) must equal the floor-mapped integer
+    box filter computed by hand, and reject non-BMP payloads."""
+    import pytest as _pytest
+
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        decode_bmp24,
+        documents_as_media,
+        gray_resize_area,
+        resize_images,
+        synthesize_bmp24,
+    )
+
+    src = spark.createDataFrame(
+        [(1, 12, 9, 5), (2, 18, 13, 17)],
+        "media_id long, width_px int, height_px int, img_seed long",
+    )
+    media = synthesize_bmp24(src)
+    got = {r["media_id"]: bytes(r["payload"])
+           for r in resize_images(media, 9, 8, fake=False).collect()}
+    for r in media.collect():
+        w, h, px = decode_bmp24(bytes(r["payload"]))
+        ref = gray_resize_area(px, w, h, 9, 8)
+        assert got[r["media_id"]] == ref
+        assert len(ref) == 72
+        # hand-check one cell: output (0,0) = truncating mean of luma
+        # over {x: x*9//w == 0} x {y: y*8//h == 0}
+        xs = [x for x in range(w) if x * 9 // w == 0]
+        ys = [y for y in range(h) if y * 8 // h == 0]
+        cell = [
+            (299 * px[y * w + x][0] + 587 * px[y * w + x][1]
+             + 114 * px[y * w + x][2]) // 1000
+            for y in ys for x in xs
+        ]
+        assert ref[0] == sum(cell) // len(cell)
+
+    docs = spark.createDataFrame([(1, "nope", "en", "s")],
+                                 "doc_id long, text string, lang string, "
+                                 "source string")
+    with _pytest.raises(Exception, match="DecoderUnavailable|codec"):
+        resize_images(documents_as_media(docs), 9, 8, fake=False).collect()
+
+    with _pytest.raises(ValueError, match="only shrinks"):
+        gray_resize_area([(0, 0, 0)], 1, 1, 2, 2)

@@ -163,6 +163,35 @@ DEFAULT = [
     "feature_information_gain",
     "daily_revenue_acf",
     "event_gap_slo_report",
+    # round-9 families (probed round 10): byte-walking codecs
+    # (synth + header/pixel parse, all-JVM), classifier-eval windows
+    # (ROC/Brier), rolling-origin backtest, pairwise-slope median,
+    # rank-stat family, privacy/diversity audits, frozen-index
+    # incremental assign, layout skipping audit, sketch width curve,
+    # ranking-metric joins
+    "jpeg_sof_report",
+    "mp4_mvhd_report",
+    "gif_header_report",
+    "wav_pcm_stats",
+    "image_dhash_clusters",
+    "roc_auc_length_vs_dup",
+    "brier_calibration_report",
+    "forecast_backtest_mase",
+    "theil_sen_region_trend",
+    "wilcoxon_signed_rank_purchase_vs_view",
+    "l_diversity_report",
+    "source_lang_simpson",
+    "dp_nation_order_stats",
+    "incremental_dedup_assign",
+    "zone_map_skipping_report",
+    "cms_width_error_sweep",
+    "retrieval_ranking_metrics",
+    "readability_report",
+    "ivf_incremental_assign",
+    # round-10 families: real BMP encode→decode→featurize
+    # (Arrow-batched stdlib decode), single-pass IVF nprobe sweep
+    "bmp_feature_report",
+    "ivf_nprobe_recall_sweep",
 ]
 
 
