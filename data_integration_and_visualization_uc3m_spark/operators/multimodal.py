@@ -523,6 +523,76 @@ def wav_pcm_stats(
     )
 
 
+def wav_pcm_autocorr(
+    media: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact integer AUTOCORRELATION of a mono 16-bit PCM WAV at fixed
+    lags, decoded in-row from the payload bytes (same hex byte-swap +
+    two's-complement read as wav_pcm_stats) — the periodicity /
+    pitch-detection primitive of audio curation: a clip whose lag-L
+    autocorrelation is near its energy is L-periodic (loop/beep
+    detection at corpus scale). ``r{L} = Σ s_i·s_{i+L}`` is an exact
+    integer; the normalized ``ac{L}_milli = r{L}*1000 div r0``
+    truncates toward zero IDENTICALLY in Spark's ``div`` and DuckDB's
+    ``//`` even for negative numerators (the theil_sen lesson), so the
+    whole report is hash-checkable. In-row transform/aggregate only —
+    per-clip cost bounded by the clip, no explode."""
+    p = F.col(payload_col)
+    hx = F.hex(p)
+    n = (_le_read(p, 41, 4) / F.lit(2)).cast("long")
+
+    def sample_at(j: F.Column) -> F.Column:
+        chunk = F.substr(hx, j * 4 + 85, F.lit(4))
+        swapped = F.concat(
+            F.substring(chunk, 3, 2), F.substring(chunk, 1, 2)
+        )
+        u = F.conv(swapped, 16, 10).cast("long")
+        return F.when(u < 32768, u).otherwise(u - 65536)
+
+    samples = F.transform(
+        F.sequence(F.lit(1).cast("long"), n), sample_at
+    )
+    r0 = F.aggregate(
+        samples, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+
+    def r_lag(lag: int) -> F.Column:
+        prod = F.zip_with(
+            F.slice(samples, F.lit(1), n - lag),
+            F.slice(samples, F.lit(1 + lag), n - lag),
+            lambda a, b: a * b,
+        )
+        s = F.aggregate(
+            prod, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        return F.when(n > lag, s).otherwise(F.lit(0).cast("long"))
+
+    cols = [
+        F.col(id_col),
+        n.alias("n_samples"),
+        r0.alias("r0"),
+    ]
+    staged = media.select(*cols, *[
+        r_lag(lag).alias(f"r{lag}") for lag in lags
+    ])
+    return staged.select(
+        id_col,
+        "n_samples",
+        "r0",
+        *[F.col(f"r{lag}") for lag in lags],
+        *[
+            F.when(
+                F.col("r0") > 0,
+                F.expr(f"r{lag} * 1000 div r0"),
+            ).otherwise(F.lit(0).cast("long")).alias(f"ac{lag}_milli")
+            for lag in lags
+        ],
+    )
+
+
 # --- real (lib-free) binary codec #3: JPEG/JFIF, marker-walking ------
 #
 # PNG and WAV parse FIXED offsets; JPEG's container is a sequence of

@@ -18037,6 +18037,141 @@ def bmp_resize_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wav_autocorr_report",
+    """
+    WITH src AS (
+        SELECT doc_id,
+               doc_id % 193 + 8 AS ns,
+               500 + (doc_id % 997) * 29 AS amp,
+               1 + doc_id % 37 AS step,
+               doc_id % 101 AS phase
+        FROM documents
+    ), decoded AS (
+        SELECT doc_id, ns,
+               list_transform(range(0, ns),
+                              i -> (i * step + phase) % (2 * amp) - amp)
+                   AS s
+        FROM src
+    ), acc AS (
+        SELECT doc_id AS media_id,
+               CAST(ns AS BIGINT) AS n_samples,
+               CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT)
+                   AS r0,
+               CAST(list_sum(list_transform(range(1, ns),
+                    i -> s[i] * s[i + 1])) AS BIGINT) AS r1,
+               CAST(list_sum(list_transform(range(1, ns - 1),
+                    i -> s[i] * s[i + 2])) AS BIGINT) AS r2,
+               CAST(list_sum(list_transform(range(1, ns - 3),
+                    i -> s[i] * s[i + 4])) AS BIGINT) AS r4
+        FROM decoded
+    )
+    SELECT media_id, n_samples, r0, r1, r2, r4,
+           CASE WHEN r0 > 0 THEN r1 * 1000 // r0 ELSE 0 END AS ac1_milli,
+           CASE WHEN r0 > 0 THEN r2 * 1000 // r0 ELSE 0 END AS ac2_milli,
+           CASE WHEN r0 > 0 THEN r4 * 1000 // r0 ELSE 0 END AS ac4_milli
+    FROM acc
+    """,
+    ops=["multimodal-binary", "audio-dsp", "periodicity"],
+)
+def wav_autocorr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio periodicity screening on real bytes: the same synthesized
+    PCM WAVs as wav_pcm_stats, samples decoded BACK FROM THE PAYLOAD,
+    reduced to exact integer autocorrelations at lags 1/2/4 plus
+    truncating-division normalized milli ratios
+    (multimodal.wav_pcm_autocorr) — the loop/beep/tone detector a
+    100 TB audio curation pass runs per clip. The oracle restates the
+    sums on the sawtooth's closed form; negative r_L values exercise
+    the cross-engine truncating-division contract (div ↔ //) that the
+    theil_sen fix pinned. In-row transform/aggregate only — no
+    explode, per-clip cost bounded by the clip."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    i = F.col("doc_id")
+    src = d.select(
+        i.alias("media_id"),
+        F.lit(8000).cast("long").alias("sample_rate_hz"),
+        (i % 193 + 8).alias("n_samples"),
+        (F.lit(500) + (i % 997) * 29).alias("amp"),
+        (F.lit(1) + i % 37).alias("step"),
+        (i % 101).alias("phase"),
+    )
+    media = multimodal.synthesize_wav_pcm(src)
+    return multimodal.wav_pcm_autocorr(media, lags=(1, 2, 4))
+
+
+@register(
+    "supplier_adamic_adar_links",
+    """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), deg AS (
+        SELECT p, COUNT(*) AS d FROM ps GROUP BY p
+    ), keep AS (
+        SELECT p, d FROM deg WHERE d BETWEEN 2 AND 50
+    ), pairs AS (
+        SELECT a.s AS s1, b.s AS s2, k.d
+        FROM ps a JOIN ps b ON b.p = a.p AND a.s < b.s
+        JOIN keep k ON k.p = a.p
+    ), scored AS (
+        SELECT s1, s2,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(CAST(FLOOR(1000000 / ln(d)) AS BIGINT))
+                    AS BIGINT) AS aa_fp6
+        FROM pairs GROUP BY s1, s2
+    )
+    SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+           n_common, aa_fp6
+    FROM scored
+    ORDER BY aa_fp6 DESC, s1, s2 LIMIT 20
+    """,
+    ops=["graph-link-prediction", "adamic-adar", "co-occurrence"],
+)
+def supplier_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the supplier–part bipartite graph:
+    Adamic-Adar scores for supplier pairs via common parts,
+    ``AA(s1,s2) = Σ_p floor(1e6 / ln(deg_p))`` — the co-occurrence
+    recommendation primitive ("suppliers like yours also carry…"),
+    scored with per-neighbor floored fixed-point terms so the integer
+    sum is order-free and hash-exact (floor(1e6/ln(d)) is the same
+    IEEE double on both engines for integer d). Degree-capped pair
+    generation (2 ≤ deg_p ≤ 50, the df-cap lesson from
+    jaccard_pairs_df_capped): a ubiquitous part would contribute
+    quadratic pairs and near-zero per-pair signal, so it is excluded
+    BEFORE the pair explode — the cap is what keeps this shape
+    runnable on a billion-edge bipartite graph. One distinct, one
+    degree agg, one partkey-keyed self-join, one pair agg, TakeOrdered
+    top-20."""
+    l = _t(spark, sf_dir, "lineitem")
+    ps = l.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg = ps.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    keep = deg.filter((F.col("d") >= 2) & (F.col("d") <= 50))
+    a = ps.select(F.col("p"), F.col("s").alias("s1"))
+    b = ps.select(F.col("p").alias("pb"), F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, (F.col("p") == F.col("pb")) & (F.col("s1") < F.col("s2")))
+        .join(keep, "p")
+        .select("s1", "s2", "d")
+    )
+    scored = pairs.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum(F.floor(F.lit(1000000.0) / F.log(F.col("d"))).cast("long"))
+        .cast("long")
+        .alias("aa_fp6"),
+    )
+    return (
+        scored.select(
+            F.col("s1").cast("long").alias("s1"),
+            F.col("s2").cast("long").alias("s2"),
+            "n_common",
+            "aa_fp6",
+        )
+        .orderBy(F.col("aa_fp6").desc(), "s1", "s2")
+        .limit(20)
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -18383,6 +18518,8 @@ _PRIORITY: tuple[str, ...] = (
 _NEW_PARITY_ONLY: tuple[str, ...] = (
     "bmp_feature_report",
     "bmp_resize_dhash_clusters",
+    "wav_autocorr_report",
+    "supplier_adamic_adar_links",
 )
 
 
