@@ -1008,3 +1008,54 @@ def feature_hash_embedding(
             "norm2",
         )
     )
+
+
+def chat_template_lint(
+    df: DataFrame,
+    json_col: str = "chat_json",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Validate chat-transcript JSON — the format gate every SFT /
+    RLHF data pipeline runs before training: parse
+    ``[{"role": ..., "content": ...}, ...]`` with ``from_json`` and
+    check, ENTIRELY from the parsed value (map-side HOFs, no Python):
+
+    - ``roles_ok``      — every role ∈ {system, user, assistant}
+    - ``has_system``    — transcript opens with a system turn
+    - ``alternation_ok``— after the optional leading system turn,
+      roles strictly alternate user/assistant starting with user
+    - ``ends_with_assistant`` — last turn is the model's
+    - ``no_empty_content``    — no empty-string content anywhere
+
+    Returns one row per transcript with the flags + ``n_messages``.
+    A malformed JSON string parses to NULL → every flag NULL, which
+    aggregates as "not valid" under null-safe counting. All checks are
+    whole-stage-codegen'd expressions over the parsed array — the
+    shape that lints billions of transcripts without leaving the JVM.
+    """
+    schema = "array<struct<role:string,content:string>>"
+    parsed = df.select(
+        F.col(id_col),
+        F.from_json(F.col(json_col), schema).alias("_m"),
+    )
+    return parsed.select(
+        id_col,
+        F.size("_m").alias("n_messages"),
+        F.expr("_m[0].role = 'system'").alias("has_system"),
+        F.expr(
+            "forall(_m, m -> m.role IN ('system','user','assistant'))"
+        ).alias("roles_ok"),
+        F.expr(
+            "forall(transform("
+            " CASE WHEN _m[0].role = 'system'"
+            "      THEN slice(_m, 2, size(_m) - 1) ELSE _m END,"
+            " (m, i) -> m.role = IF(i % 2 = 0, 'user', 'assistant')"
+            "), x -> x)"
+        ).alias("alternation_ok"),
+        F.expr("element_at(_m, -1).role = 'assistant'").alias(
+            "ends_with_assistant"
+        ),
+        F.expr("forall(_m, m -> length(m.content) > 0)").alias(
+            "no_empty_content"
+        ),
+    )

@@ -18172,6 +18172,120 @@ def supplier_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Chat-transcript generator (shared Spark-side): per doc d the
+# transcript has 1 + d%3 user/assistant pairs, a system turn unless
+# d%5 == 0, an alternation-breaking doubled user turn when d%7 == 0,
+# and an empty first-user content when d%11 == 0. Candidate turns
+# carry an `inc` flag and are filtered — no empty-array type-coercion
+# games — then serialized with to_json. The LINT then parses that JSON
+# back and derives every flag from the PARSED value, so the oracle
+# (which restates the flags on the modular closed form) verifies the
+# whole build→serialize→parse→validate round trip.
+_CHAT_MSGS_SQL = """
+    transform(filter(array(
+        named_struct('inc', doc_id % 5 <> 0, 'role', 'system',
+                     'content', concat('sys', doc_id)),
+        named_struct('inc', true, 'role', 'user',
+                     'content', CASE WHEN doc_id % 11 = 0 THEN ''
+                                ELSE concat('m', doc_id, '_u1') END),
+        named_struct('inc', doc_id % 7 = 0, 'role', 'user',
+                     'content', concat('m', doc_id, '_x')),
+        named_struct('inc', true, 'role', 'assistant',
+                     'content', concat('m', doc_id, '_a1')),
+        named_struct('inc', doc_id % 3 >= 1, 'role', 'user',
+                     'content', concat('m', doc_id, '_u2')),
+        named_struct('inc', doc_id % 3 >= 1, 'role', 'assistant',
+                     'content', concat('m', doc_id, '_a2')),
+        named_struct('inc', doc_id % 3 = 2, 'role', 'user',
+                     'content', concat('m', doc_id, '_u3')),
+        named_struct('inc', doc_id % 3 = 2, 'role', 'assistant',
+                     'content', concat('m', doc_id, '_a3'))
+    ), m -> m.inc), m -> named_struct('role', m.role,
+                                      'content', m.content))
+"""
+
+
+@register(
+    "chat_format_lint",
+    """
+    WITH flags AS (
+        SELECT lang,
+               doc_id % 5 <> 0 AS has_system,
+               doc_id % 7 <> 0 AS alternation_ok,
+               doc_id % 11 <> 0 AS no_empty,
+               (CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)
+               + 2 * (1 + doc_id % 3)
+               + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                   AS n_msgs
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_transcripts,
+           CAST(SUM(n_msgs) AS BIGINT) AS n_messages,
+           CAST(SUM(CASE WHEN has_system THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_system,
+           CAST(SUM(CASE WHEN NOT alternation_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alternation_bad,
+           CAST(SUM(CASE WHEN NOT no_empty THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty_content,
+           CAST(SUM(CASE WHEN alternation_ok AND no_empty
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+    FROM flags GROUP BY lang ORDER BY lang
+    """,
+    ops=["chat-template-lint", "sft-data-validation", "json-parse"],
+)
+def chat_format_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT/RLHF transcript validation end to end: chat transcripts are
+    BUILT in-plan (variable turn counts, deliberately injected
+    violations — missing system turn, doubled user turn, empty
+    content), serialized with ``to_json``, then PARSED BACK and linted
+    entirely from the parsed value (text.chat_template_lint —
+    from_json + HOF role-alternation / content checks, zero Python).
+    The oracle restates each flag on the generator's modular closed
+    form, so a hash match proves the serialize→parse→validate round
+    trip classifies every transcript exactly — the format gate a
+    100 TB conversation corpus runs map-side before training. Per-lang
+    violation report, one aggregation."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    transcripts = d.select(
+        "doc_id",
+        "lang",
+        F.to_json(F.expr(_CHAT_MSGS_SQL)).alias("chat_json"),
+    )
+    flags = text.chat_template_lint(transcripts, json_col="chat_json")
+    joined = flags.join(
+        transcripts.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transcripts"),
+            F.sum("n_messages").cast("long").alias("n_messages"),
+            F.sum(F.when(F.col("has_system"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_system"),
+            F.sum(F.when(~F.col("alternation_ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_alternation_bad"),
+            F.sum(F.when(~F.col("no_empty_content"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_empty_content"),
+            F.sum(
+                F.when(
+                    F.col("alternation_ok")
+                    & F.col("no_empty_content")
+                    & F.col("roles_ok")
+                    & F.col("ends_with_assistant"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_valid"),
+        )
+        .orderBy("lang")
+    )
+
+
 # =====================================================================
 # Public API used by __spark_entry__.py
 # =====================================================================
@@ -18520,6 +18634,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "bmp_resize_dhash_clusters",
     "wav_autocorr_report",
     "supplier_adamic_adar_links",
+    "chat_format_lint",
 )
 
 

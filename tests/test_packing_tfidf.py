@@ -246,3 +246,45 @@ def test_packing_length_sweep_zero_token_doc_on_boundary(spark):
     assert r1.n_boundary_docs == r0.n_boundary_docs == 0
     assert (r1.n_seqs, r1.pad_tokens) == (r0.n_seqs, r0.pad_tokens)
     assert r1.n_docs == r0.n_docs + 1
+
+
+def test_chat_template_lint_flags(spark):
+    """Hand-built transcripts covering every violation class — flags
+    must come from the PARSED JSON, including NULLs for junk JSON."""
+    import json as _json
+
+    from data_integration_and_visualization_uc3m_spark.operators.text import (
+        chat_template_lint,
+    )
+
+    def j(*turns):
+        return _json.dumps(
+            [{"role": r, "content": c} for r, c in turns]
+        )
+
+    rows = [
+        (1, j(("system", "s"), ("user", "hi"), ("assistant", "yo"))),
+        (2, j(("user", "hi"), ("assistant", "yo"))),           # no system, still ok
+        (3, j(("system", "s"), ("user", "a"), ("user", "b"),
+              ("assistant", "c"))),                            # doubled user
+        (4, j(("system", "s"), ("user", ""), ("assistant", "x"))),  # empty
+        (5, j(("system", "s"), ("user", "a"), ("assistant", "b"),
+              ("user", "c"))),                                 # ends with user
+        (6, j(("tool", "t"), ("user", "a"), ("assistant", "b"))),   # bad role
+        (7, "{not json"),                                      # malformed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chat_json string")
+    got = {r["doc_id"]: r.asDict()
+           for r in chat_template_lint(df).collect()}
+
+    assert got[1]["has_system"] and got[1]["alternation_ok"]
+    assert got[1]["ends_with_assistant"] and got[1]["no_empty_content"]
+    assert got[1]["roles_ok"] and got[1]["n_messages"] == 3
+    assert not got[2]["has_system"] and got[2]["alternation_ok"]
+    assert not got[3]["alternation_ok"] and got[3]["no_empty_content"]
+    assert not got[4]["no_empty_content"] and got[4]["alternation_ok"]
+    assert not got[5]["ends_with_assistant"]
+    assert not got[6]["roles_ok"]
+    # "tool" also breaks user/assistant alternation of the body
+    assert not got[6]["alternation_ok"]
+    assert got[7]["n_messages"] in (None, -1) or got[7]["roles_ok"] is None
