@@ -1273,3 +1273,95 @@ def assign_to_codebook(
         best.getField("c").alias("c"),
         best.getField("d").cast("long").alias("dist_nano"),
     )
+
+
+def mmr_diverse_topk_rel(
+    df: DataFrame,
+    qdf: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam_milli: int = 700,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k — the retrieval re-ranker that keeps a RAG /
+    training-batch context from filling with near-duplicates: greedily
+    pick argmax ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)``.
+
+    Scale split: relevance ranking over the CORPUS is the distributed
+    stage (one TakeOrdered to a ``pool``-sized candidate relation,
+    localCheckpointed so the k greedy rounds never rescan the corpus —
+    the ivf_sweep lesson); the greedy loop then runs k−1 tiny
+    broadcast-joined rounds over ≤ pool rows (the client-side re-rank
+    cost of FAISS-style stacks, kept in-plan). Scores are floored nano
+    fixed-point integers, λ in milli — ordering is integer comparison
+    with an id tiebreak, so the pick sequence is deterministic and
+    oracle-checkable on any engine.
+
+    Returns ``(pick_order, id_col, rel_nano)`` for the k picks."""
+    q1 = qdf.select(F.col(vec_col).alias("_qv"))
+    qn = q1.select(
+        "_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn")
+    )
+    v = F.col(vec_col)
+    norm = F.sqrt(_dot(v, v))
+    rel = _dot(v, F.col("_qv")) / (norm * F.col("_qn"))
+    cand = (
+        df.filter(norm > 0)
+        .crossJoin(F.broadcast(qn))
+        .select(
+            F.col(id_col),
+            v.alias("_emb"),
+            F.floor(rel * NANO).cast("long").alias("rel_nano"),
+        )
+        .orderBy(F.col("rel_nano").desc(), F.col(id_col))
+        .limit(pool)
+        .localCheckpoint()
+    )
+    selected = (
+        cand.orderBy(F.col("rel_nano").desc(), F.col(id_col))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("pick_order"),
+            id_col, "_emb", "rel_nano",
+        )
+        .localCheckpoint()
+    )
+    pair_sim = _dot(F.col("_emb"), F.col("_semb")) / (
+        F.sqrt(_dot(F.col("_emb"), F.col("_emb")))
+        * F.sqrt(_dot(F.col("_semb"), F.col("_semb")))
+    )
+    for r in range(2, k + 1):
+        remaining = cand.join(selected.select(id_col), id_col, "left_anti")
+        scored = (
+            remaining.crossJoin(
+                F.broadcast(selected.select(F.col("_emb").alias("_semb")))
+            )
+            .select(
+                id_col,
+                "rel_nano",
+                F.floor(pair_sim * NANO).cast("long").alias("sim_nano"),
+            )
+            .groupBy(id_col, "rel_nano")
+            .agg(F.max("sim_nano").alias("max_sim_nano"))
+        )
+        pick = (
+            scored.select(
+                id_col,
+                "rel_nano",
+                (
+                    F.lit(lam_milli) * F.col("rel_nano")
+                    - F.lit(1000 - lam_milli) * F.col("max_sim_nano")
+                ).alias("_mmr"),
+            )
+            .orderBy(F.col("_mmr").desc(), F.col(id_col))
+            .limit(1)
+            .join(cand.select(id_col, "_emb"), id_col)
+            .select(
+                F.lit(r).cast("long").alias("pick_order"),
+                id_col, "_emb", "rel_nano",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select("pick_order", id_col, "rel_nano")

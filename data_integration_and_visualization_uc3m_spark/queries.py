@@ -18205,6 +18205,90 @@ _CHAT_MSGS_SQL = """
 """
 
 
+# MMR oracle, generated host-side: the same pool (nano-floored
+# relevance TakeOrdered) and the same k−1 greedy argmax stages, each a
+# correlated MAX over the selections so far — unrolled CTEs, integer
+# MMR scores, id tiebreaks.
+def _mmr_cos_sql(a: str, b: str) -> str:
+    # lambda vars deliberately NOT named like any table alias in the
+    # generated CTEs — DuckDB binds `zp[1]` on the zip struct, but a
+    # lambda var shadowing a table alias turns `alias.col` references
+    # inside the same expression into struct_extract binder errors
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " zp -> CAST(zp[1] AS DOUBLE) * CAST(zp[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a},"
+        " zx -> CAST(zx AS DOUBLE) * CAST(zx AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b},"
+        " zx -> CAST(zx AS DOUBLE) * CAST(zx AS DOUBLE)))))"
+    )
+
+
+def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: int = 700) -> str:
+    stages = [
+        """sel1 AS (
+        SELECT CAST(1 AS BIGINT) AS pick_order, vec_id, embedding,
+               rel_nano
+        FROM pool ORDER BY rel_nano DESC, vec_id LIMIT 1
+    ), seltot1 AS (SELECT * FROM sel1)"""
+    ]
+    for r in range(2, k + 1):
+        prev = f"seltot{r - 1}"
+        sim = _mmr_cos_sql("p.embedding", "sl.embedding")
+        stages.append(f"""sel{r} AS (
+        SELECT CAST({r} AS BIGINT) AS pick_order, p.vec_id, p.embedding,
+               p.rel_nano
+        FROM pool p
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+        ORDER BY {lam} * p.rel_nano - {1000 - lam} * (
+            SELECT MAX(CAST(FLOOR({sim} * 1000000000) AS BIGINT))
+            FROM {prev} sl) DESC, p.vec_id
+        LIMIT 1
+    ), seltot{r} AS (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM sel{r}
+    )""")
+    rel = _mmr_cos_sql("e.embedding", "q.qv")
+    body = ",\n    ".join(stages)
+    return f"""
+    WITH q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), pool AS (
+        SELECT e.vec_id, e.embedding,
+               CAST(FLOOR({rel} * 1000000000) AS BIGINT) AS rel_nano
+        FROM embeddings e, q
+        WHERE list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+        ORDER BY rel_nano DESC, vec_id LIMIT {pool}
+    ),
+    {body}
+    SELECT pick_order, CAST(vec_id AS BIGINT) AS vec_id, rel_nano
+    FROM seltot{k} ORDER BY pick_order
+    """
+
+
+@register(
+    "mmr_diverse_topk",
+    _mmr_oracle_sql(k=5, pool=20, lam=700),
+    ops=["retrieval-diversify", "mmr", "similarity-rerank"],
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval under the oracle gate: Maximal Marginal
+    Relevance over the embeddings table (similarity.mmr_diverse_topk_rel
+    — λ=0.7, pool 20, k 5). The distributed stage is the corpus
+    relevance TakeOrdered; the greedy diversification runs k−1 tiny
+    broadcast rounds over the localCheckpointed pool. Every score is a
+    floored nano fixed-point integer, so the PICK SEQUENCE ITSELF is
+    hash-checked against the oracle's unrolled greedy — rare for a
+    re-ranking heuristic. The anti-redundancy behavior this encodes
+    (don't fill a context window with near-duplicates) is the
+    retrieval-side twin of SemDeDup's training-side dedup."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return similarity.mmr_diverse_topk_rel(
+        e, q, k=5, pool=20, lam_milli=700
+    ).orderBy("pick_order")
+
+
 @register(
     "chat_format_lint",
     """
@@ -18635,6 +18719,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "wav_autocorr_report",
     "supplier_adamic_adar_links",
     "chat_format_lint",
+    "mmr_diverse_topk",
 )
 
 
