@@ -14792,12 +14792,21 @@ def lsh_recall_report(
     d = _t(spark, sf_dir, "documents", fanout=True)
     if truth_sample_frac is not None:
         d = sampling.hash_sample(d, "doc_id", truth_sample_frac)
+    # (the shingle explode also feeds truth + sigs twice, but
+    # measured: materializing it is cost-neutral at sf0.1 — the pair
+    # relations below are where re-derivation actually hurts)
     sets = dedup.ngram_set(d, n=3)
+    # truth and candidate relations each feed MULTIPLE count arms below;
+    # Spark does no CSE across crossJoin/union branches (the ivf_sweep
+    # lesson), so materialize each ONCE — both are pair-id relations,
+    # tiny next to the shingle explode that produces them.
     truth = dedup.jaccard_pairs(
         sets, item_col="shingle", threshold=0.5
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint()
     sigs = dedup.minhash_signatures(sets, num_hashes=16, item_col="shingle")
-    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    cands = dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=4
+    ).localCheckpoint()
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
     n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_hit = cands.join(truth, ["id_a", "id_b"]).agg(
@@ -14916,10 +14925,18 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     configuration."""
     d = _t(spark, sf_dir, "documents", fanout=True)
     sets = dedup.ngram_set(d, n=3)
+    # "computed once" must be true in the PHYSICAL plan, not just the
+    # Python: truth feeds an arm per banding config (+ the scalar
+    # count) and sigs feeds every banding self-join — Spark re-derives
+    # a subtree per union branch, so materialize both (ivf_sweep
+    # lesson; truth is a pair-id relation, sigs is one 16-column row
+    # per doc).
     truth = dedup.jaccard_pairs(
         sets, item_col="shingle", threshold=0.5
-    ).select("id_a", "id_b")
-    sigs = dedup.minhash_signatures(sets, num_hashes=16, item_col="shingle")
+    ).select("id_a", "id_b").localCheckpoint()
+    sigs = dedup.minhash_signatures(
+        sets, num_hashes=16, item_col="shingle"
+    ).localCheckpoint()
     n_truth = truth.agg(
         F.count(F.lit(1)).cast("long").alias("n_truth_pairs")
     )
@@ -15018,9 +15035,12 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checked test-SF configuration."""
     d = _t(spark, sf_dir, "documents", fanout=True)
     sets = dedup.ngram_set(d, n=3)
+    # the pair relation feeds BOTH the per-threshold pair counts and
+    # the docs-implicated census — materialize it once instead of
+    # re-deriving the shingle self-join per consumer (ivf_sweep lesson)
     pairs = dedup.jaccard_pairs(
         sets, item_col="shingle", threshold=0.0
-    ).select("id_a", "id_b", "jaccard")
+    ).select("id_a", "id_b", "jaccard").localCheckpoint()
     thr = (
         spark.range(1)
         .select(
@@ -18702,10 +18722,17 @@ _LAST_GREEN.update(dict.fromkeys([  # round 9: 49 greens
 #    its r9 green — row-identical by construction and parity-exact at
 #    both SFs, but the pin policy requires a fresh driver verdict for
 #    any changed plan.
+#  - lsh_recall_report / lsh_band_sweep / jaccard_threshold_sweep:
+#    truth/sigs/pairs subtrees materialized once (localCheckpoint)
+#    instead of re-derived per union arm — result-identical, plan
+#    changed after their r9 greens, so re-pinned.
 _PRIORITY: tuple[str, ...] = (
     "feature_hash_embeddings",
     "scattergeo_trace_specs",
     "ivf_nprobe_recall_sweep",
+    "lsh_recall_report",
+    "lsh_band_sweep",
+    "jaccard_threshold_sweep",
 )
 
 
