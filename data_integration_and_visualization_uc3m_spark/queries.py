@@ -18310,6 +18310,70 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_activity_islands",
+    """
+    WITH months AS (
+        SELECT DISTINCT o_custkey,
+               (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+                   AS mi
+        FROM orders
+    ), grp AS (
+        SELECT o_custkey, mi,
+               mi - ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY mi) AS island_key
+        FROM months
+    ), islands AS (
+        SELECT o_custkey, island_key, COUNT(*) AS island_len
+        FROM grp GROUP BY o_custkey, island_key
+    )
+    SELECT CAST(island_len AS BIGINT) AS island_len,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM islands GROUP BY island_len ORDER BY island_len
+    """,
+    ops=["gaps-and-islands", "window-sequencing", "A3"],
+)
+def customer_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic GAPS-AND-ISLANDS shape: per customer, runs of
+    CONSECUTIVE active months (months with ≥1 order) found with the
+    canonical value-minus-row_number grouping key, reported as a
+    histogram of island lengths — the engagement-streak census every
+    retention analysis starts from. One distinct, one per-key window
+    (bounded by a customer's months), two aggregations; all integers,
+    hash-exact. At 100 TB the window partitions by customer — no
+    global sort, no single-reducer stage."""
+    o = _t(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - 1992) * 12
+            + F.month("o_orderdate") - 1
+        ).alias("mi"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    grp = months.select(
+        "o_custkey",
+        (F.col("mi") - F.row_number().over(w)).alias("island_key"),
+    )
+    islands = grp.groupBy("o_custkey", "island_key").agg(
+        F.count(F.lit(1)).alias("island_len")
+    )
+    return (
+        islands.groupBy("island_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+        .select(
+            F.col("island_len").cast("long").alias("island_len"),
+            "n_islands",
+            "n_customers",
+        )
+        .orderBy("island_len")
+    )
+
+
+@register(
     "chat_format_lint",
     """
     WITH flags AS (
@@ -18747,6 +18811,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "supplier_adamic_adar_links",
     "chat_format_lint",
     "mmr_diverse_topk",
+    "customer_activity_islands",
 )
 
 
