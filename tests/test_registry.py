@@ -64,6 +64,7 @@ def test_rotation_lists_reference_real_queries():
     # a typo in the rotation bookkeeping would silently waste a slot of
     # the driver's bounded correctness window
     from data_integration_and_visualization_uc3m_spark.queries import (
+        _NEW_PARITY_ONLY,
         _PRIOR_VERIFIED,
         _PRIORITY,
         all_queries,
@@ -71,6 +72,10 @@ def test_rotation_lists_reference_real_queries():
 
     assert set(_PRIOR_VERIFIED) <= set(REGISTRY)
     assert set(_PRIORITY) <= set(REGISTRY)
+    # a typo'd _NEW_PARITY_ONLY name silently loses its front-of-queue
+    # slot (the _rotated() filter drops unknown names)
+    assert set(_NEW_PARITY_ONLY) <= set(REGISTRY)
+    assert not set(_NEW_PARITY_ONLY) & set(_PRIORITY)
     rotated = list(all_queries())
     assert sorted(rotated) == sorted(REGISTRY)  # permutation, no loss
     # the check window leads with priority (which MAY deliberately
