@@ -539,7 +539,11 @@ def wav_pcm_autocorr(
     truncates toward zero IDENTICALLY in Spark's ``div`` and DuckDB's
     ``//`` even for negative numerators (the theil_sen lesson), so the
     whole report is hash-checkable. In-row transform/aggregate only —
-    per-clip cost bounded by the clip, no explode."""
+    per-clip cost bounded by the clip, no explode. The decoded sample
+    array is STAGED once (a select boundary) before the per-lag
+    aggregates — referencing the decode expression per lag would
+    re-inline it per use (the Catalyst re-inlining trap noted at
+    gopher_rules), re-decoding every sample 1+2·|lags| times."""
     p = F.col(payload_col)
     hx = F.hex(p)
     n = (_le_read(p, 41, 4) / F.lit(2)).cast("long")
@@ -552,32 +556,36 @@ def wav_pcm_autocorr(
         u = F.conv(swapped, 16, 10).cast("long")
         return F.when(u < 32768, u).otherwise(u - 65536)
 
-    samples = F.transform(
-        F.sequence(F.lit(1).cast("long"), n), sample_at
+    decoded = media.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), n), sample_at
+        ).alias("_s"),
     )
+    samples = F.col("_s")
+    nn = F.col("_n")
     r0 = F.aggregate(
         samples, F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
 
     def r_lag(lag: int) -> F.Column:
         prod = F.zip_with(
-            F.slice(samples, F.lit(1), n - lag),
-            F.slice(samples, F.lit(1 + lag), n - lag),
+            F.slice(samples, F.lit(1), nn - lag),
+            F.slice(samples, F.lit(1 + lag), nn - lag),
             lambda a, b: a * b,
         )
         s = F.aggregate(
             prod, F.lit(0).cast("long"), lambda acc, x: acc + x
         )
-        return F.when(n > lag, s).otherwise(F.lit(0).cast("long"))
+        return F.when(nn > lag, s).otherwise(F.lit(0).cast("long"))
 
-    cols = [
+    staged = decoded.select(
         F.col(id_col),
-        n.alias("n_samples"),
+        nn.alias("n_samples"),
         r0.alias("r0"),
-    ]
-    staged = media.select(*cols, *[
-        r_lag(lag).alias(f"r{lag}") for lag in lags
-    ])
+        *[r_lag(lag).alias(f"r{lag}") for lag in lags],
+    )
     return staged.select(
         id_col,
         "n_samples",
