@@ -18162,6 +18162,11 @@ def supplier_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree agg, one partkey-keyed self-join, one pair agg, TakeOrdered
     top-20."""
     l = _t(spark, sf_dir, "lineitem")
+    # the distinct edge relation feeds both self-join sides and the
+    # degree agg (3 derivations) — measured at sf0.1: materializing it
+    # once is COST-NEUTRAL (the ~5M-row checkpoint write equals the
+    # saved shuffles), so it stays lazy; the pair join dominates and
+    # is bounded by the degree cap
     ps = l.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
