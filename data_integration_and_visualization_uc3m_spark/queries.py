@@ -18315,6 +18315,127 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_build_v4_e2e",
+    """
+    WITH base AS (
+        SELECT doc_id, lang, doc_id % 60 AS k FROM documents
+    ), valid AS (
+        SELECT doc_id, lang, k FROM base
+        WHERE k % 7 <> 0 AND k % 11 <> 0
+    ), surv AS (
+        SELECT MIN(doc_id) AS doc_id, k FROM valid GROUP BY k
+    ), t AS (
+        SELECT s.doc_id, b.lang,
+               CAST((CASE WHEN s.k % 5 <> 0
+                          THEN 3 + length(CAST(s.k AS VARCHAR))
+                          ELSE 0 END)
+                    + (2 * (1 + s.k % 3))
+                      * (4 + length(CAST(s.k AS VARCHAR)))
+                    + 4 * ((CASE WHEN s.k % 5 <> 0 THEN 1 ELSE 0 END)
+                           + 2 * (1 + s.k % 3))
+                    AS BIGINT) AS tokens
+        FROM surv s JOIN base b ON b.doc_id = s.doc_id
+    ), o AS (
+        SELECT doc_id, lang, tokens,
+               CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                    - tokens AS BIGINT) AS off
+        FROM t
+    ), per AS (
+        SELECT lang,
+               COUNT(*) AS n_transcripts,
+               CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(off + tokens) AS BIGINT) AS stream_len
+        FROM o GROUP BY lang
+    )
+    SELECT lang, CAST(n_transcripts AS BIGINT) AS n_transcripts,
+           total_tokens,
+           CAST((stream_len + 511) // 512 AS BIGINT) AS n_seqs,
+           CAST(((stream_len + 511) // 512) * 512 - stream_len
+                AS BIGINT) AS pad_tokens
+    FROM per ORDER BY lang
+    """,
+    ops=["corpus-build-e2e", "chat-template-lint", "dedup-exact",
+         "pack-contiguous", "sft-data-validation"],
+)
+def corpus_build_v4_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus build v4 — the SFT-TRANSCRIPT pipeline composing the
+    round-10 surfaces in ONE lazy plan: build chat transcripts
+    (content keyed by doc_id % 60, so byte-identical duplicates exist
+    by construction) → serialize to JSON → PARSE BACK and lint
+    (text.chat_template_lint — invalid transcripts dropped on the
+    parsed flags, never the generator's) → exact-dedup surviving
+    transcripts on their BYTES (min-id survivor per chat_json) →
+    token-estimate each survivor FROM ITS PARSED CONTENT (Σ content
+    lengths + 4/turn) → contiguous 512-budget packing per language →
+    per-lang transcript/token/sequence/pad budget. The oracle
+    restates every stage on the modular closed form, so the hash
+    match proves the full validate→dedup→count→pack chain. Shuffles:
+    one dedup group on the JSON bytes + one per-lang window — the
+    same count a 100 TB SFT data build would pay."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", (F.col("doc_id") % 60).alias("k"))
+    tr = base.select(
+        "doc_id",
+        "lang",
+        F.to_json(
+            F.expr(_CHAT_MSGS_SQL.replace("doc_id", "k"))
+        ).alias("chat_json"),
+    )
+    flags = text.chat_template_lint(tr, json_col="chat_json")
+    valid_ids = flags.filter(
+        F.col("alternation_ok")
+        & F.col("no_empty_content")
+        & F.col("roles_ok")
+        & F.col("ends_with_assistant")
+    ).select("doc_id")
+    surv = (
+        tr.join(valid_ids, "doc_id")
+        .groupBy("chat_json")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    kept = surv.join(tr.select("doc_id", "lang"), "doc_id")
+    parsed = kept.select(
+        "doc_id",
+        "lang",
+        F.from_json(
+            "chat_json", "array<struct<role:string,content:string>>"
+        ).alias("_m"),
+    )
+    toks = parsed.select(
+        "doc_id",
+        "lang",
+        (
+            F.aggregate(
+                F.transform("_m", lambda m: F.length(m["content"]).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            + 4 * F.size("_m")
+        ).cast("long").alias("tokens"),
+    )
+    packed = packing.pack_contiguous(
+        toks, budget=512, tokens_col="tokens", shard_col="lang"
+    )
+    per = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transcripts"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        F.max(F.col("seq_offset") + F.col("tokens"))
+        .cast("long")
+        .alias("stream_len"),
+    )
+    return per.select(
+        "lang",
+        "n_transcripts",
+        "total_tokens",
+        F.expr("(stream_len + 511) div 512").alias("n_seqs"),
+        (
+            F.expr("(stream_len + 511) div 512") * 512
+            - F.col("stream_len")
+        ).alias("pad_tokens"),
+    ).orderBy("lang")
+
+
+@register(
     "customer_activity_islands",
     """
     WITH months AS (
@@ -18817,6 +18938,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "chat_format_lint",
     "mmr_diverse_topk",
     "customer_activity_islands",
+    "corpus_build_v4_e2e",
 )
 
 
