@@ -632,3 +632,41 @@ def test_gray_resize_area_exact_box_filter(spark):
 
     with _pytest.raises(ValueError, match="only shrinks"):
         gray_resize_area([(0, 0, 0)], 1, 1, 2, 2)
+
+
+def test_mmr_diverse_topk_rel_greedy_properties(spark):
+    """MMR picks must be distinct, start with the max-relevance
+    candidate, and diversify: with lam=0 (pure anti-similarity) the
+    second pick must differ from pick 1's nearest clone."""
+    from data_integration_and_visualization_uc3m_spark.operators.similarity import (
+        mmr_diverse_topk_rel,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # query
+        (1, [0.99, 0.01, 0.0]),  # most relevant
+        (2, [0.98, 0.02, 0.0]),  # clone of 1
+        (3, [0.6, 0.8, 0.0]),    # less relevant, diverse
+        (4, [0.6, 0.0, 0.8]),    # less relevant, diverse other way
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.filter(F.col("vec_id") == 0)
+    corpus = e.filter(F.col("vec_id") != 0)
+
+    picks = (
+        mmr_diverse_topk_rel(corpus, q, k=3, pool=4, lam_milli=700)
+        .orderBy("pick_order")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in picks]
+    assert len(ids) == len(set(ids)) == 3
+    assert ids[0] == 1  # max relevance first
+
+    # pure diversity: after picking 1, the clone (2) must NOT be next
+    div = (
+        mmr_diverse_topk_rel(corpus, q, k=2, pool=4, lam_milli=0)
+        .orderBy("pick_order")
+        .collect()
+    )
+    assert div[0]["vec_id"] == 1
+    assert div[1]["vec_id"] in (3, 4)
