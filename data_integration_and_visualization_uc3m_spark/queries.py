@@ -18436,6 +18436,88 @@ def corpus_build_v4_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "preference_pair_audit",
+    """
+    WITH rows_ AS (
+        SELECT doc_id, lang,
+               'p' || CAST(doc_id % 50 AS VARCHAR) AS prompt,
+               'c' || CAST(doc_id AS VARCHAR) AS chosen,
+               CASE WHEN doc_id % 9 = 0
+                    THEN 'c' || CAST(doc_id AS VARCHAR)
+                    ELSE 'r' || CAST(doc_id AS VARCHAR) END AS rejected,
+               CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 1 END AS copies
+        FROM documents
+    ), expanded AS (
+        SELECT doc_id, lang, prompt, chosen, rejected
+        FROM rows_ CROSS JOIN (SELECT unnest(range(2)) AS c)
+        WHERE c < copies
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT (prompt, chosen, rejected)) AS BIGINT)
+               AS n_unique_pairs,
+           CAST(COUNT(*) - COUNT(DISTINCT (prompt, chosen, rejected))
+                AS BIGINT) AS n_dup_rows,
+           CAST(SUM(CASE WHEN chosen = rejected THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_degenerate,
+           CAST(COUNT(DISTINCT prompt) AS BIGINT) AS n_prompts,
+           CAST(COUNT(DISTINCT CASE WHEN chosen <> rejected
+                                    THEN (prompt, chosen, rejected)
+                               END) AS BIGINT) AS n_trainable
+    FROM expanded GROUP BY lang ORDER BY lang
+    """,
+    ops=["rlhf-preference-audit", "sft-data-validation", "dedup-exact"],
+)
+def preference_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF preference-data gate — the checks a reward-model /
+    DPO data build runs before training: duplicate (prompt, chosen,
+    rejected) rows (injected via a copies explode), DEGENERATE pairs
+    (chosen == rejected — gradient-free rows that silently dilute the
+    loss), prompt cardinality, and the trainable-pair count
+    (unique AND non-degenerate). Synthesized from documents with
+    class-keyed prompts so prompts repeat across pairs; every count is
+    exact integer aggregation, one shuffle. The oracle restates the
+    injections on the modular closed form."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    rows = d.select(
+        "doc_id",
+        "lang",
+        F.concat(F.lit("p"), (i % 50).cast("string")).alias("prompt"),
+        F.concat(F.lit("c"), i.cast("string")).alias("chosen"),
+        F.when(
+            i % 9 == 0, F.concat(F.lit("c"), i.cast("string"))
+        ).otherwise(F.concat(F.lit("r"), i.cast("string"))).alias(
+            "rejected"
+        ),
+        F.when(i % 13 == 0, 2).otherwise(1).alias("copies"),
+    )
+    expanded = rows.select(
+        "doc_id", "lang", "prompt", "chosen", "rejected",
+        F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("_c"),
+    ).drop("_c")
+    trip = F.struct("prompt", "chosen", "rejected")
+    return (
+        expanded.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(trip).cast("long").alias("n_unique_pairs"),
+            (F.count(F.lit(1)) - F.countDistinct(trip))
+            .cast("long")
+            .alias("n_dup_rows"),
+            F.sum(
+                F.when(F.col("chosen") == F.col("rejected"), 1).otherwise(0)
+            ).cast("long").alias("n_degenerate"),
+            F.countDistinct("prompt").cast("long").alias("n_prompts"),
+            F.countDistinct(
+                F.when(F.col("chosen") != F.col("rejected"), trip)
+            ).cast("long").alias("n_trainable"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "customer_activity_islands",
     """
     WITH months AS (
@@ -18939,6 +19021,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "mmr_diverse_topk",
     "customer_activity_islands",
     "corpus_build_v4_e2e",
+    "preference_pair_audit",
 )
 
 
