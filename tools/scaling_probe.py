@@ -189,9 +189,20 @@ DEFAULT = [
     "readability_report",
     "ivf_incremental_assign",
     # round-10 families: real BMP encode→decode→featurize
-    # (Arrow-batched stdlib decode), single-pass IVF nprobe sweep
+    # (Arrow-batched stdlib decode), single-pass IVF nprobe sweep,
+    # decode→resize→dHash chain, PCM autocorrelation, degree-capped
+    # link prediction, JSON round-trip lint, greedy MMR re-rank,
+    # gaps-and-islands, SFT corpus build, preference-pair audit
     "bmp_feature_report",
     "ivf_nprobe_recall_sweep",
+    "bmp_resize_dhash_clusters",
+    "wav_autocorr_report",
+    "supplier_adamic_adar_links",
+    "chat_format_lint",
+    "mmr_diverse_topk",
+    "customer_activity_islands",
+    "corpus_build_v4_e2e",
+    "preference_pair_audit",
 ]
 
 
