@@ -1176,3 +1176,180 @@ def gray_resize_area(
             sums[i] += (299 * r + 587 * g + 114 * b) // 1000
             cnts[i] += 1
     return bytes(s // c for s, c in zip(sums, cnts))
+
+
+# --- real (lib-free) container codec: TAR / WebDataset shards --------
+#
+# Multimodal training corpora ship as TAR shards (the WebDataset
+# convention: members of one sample share a basename — img.jpg +
+# img.cls + img.txt). Indexing a shard = walking 512-byte ustar
+# headers: NUL-terminated name, OCTAL ASCII size field, data padded to
+# 512, two zero blocks at the end. The synthesizer emits spec-valid
+# archives (including the real header CHECKSUM, so stdlib `tarfile`
+# reads them — pinned in tests); the walker is the same bounded
+# F.aggregate fold as the JPEG/MP4 walks — 100% JVM expressions, the
+# shape that indexes a million shards without opening Python.
+
+_TAR_BLANK_CHKSUM_HEX = "20" * 8  # checksum field = spaces while summing
+
+
+# Checksum constant: byte sum of every FIXED header field with the
+# checksum slot as 8 spaces — mode "0000644\0" (350) + uid/gid
+# "0000000\0" (336 each) + mtime "%011o" zeros (528) + 8 spaces (256)
+# + typeflag '0' (48) + magic "ustar\0" (559) + version "00" (96);
+# NUL padding contributes 0. Only the name and the octal size string
+# vary per member.
+_TAR_CHKSUM_CONST = 350 + 336 + 336 + 528 + 256 + 48 + 559 + 96
+
+
+def synthesize_tar(
+    df: DataFrame,
+    id_col: str = "media_id",
+    members_col: str = "members",
+) -> DataFrame:
+    """Build a REAL ustar TAR archive per row from a
+    ``members array<struct<name:string, size:long>>`` column: each
+    member gets a full 512-byte POSIX header (NUL-padded name, octal
+    mode/uid/gid/size/mtime, CORRECT checksum — sum of header bytes
+    with the checksum field as spaces, 6-digit octal + NUL + space —
+    typeflag '0', "ustar" magic) followed by ``size`` bytes of 'd'
+    padded to a 512 boundary; the archive ends with two zero blocks.
+    Entirely JVM hex assembly + one unhex.
+
+    The checksum is computed ANALYTICALLY — a fixed-field constant
+    plus the ascii sums of the two variable fields (name, octal size
+    string) — instead of folding over the 512 assembled header bytes:
+    Catalyst re-inlines the referenced header expression into every
+    fold step, and a 512-step fold over a ~20-part concat explodes
+    the expression tree (measured: minutes of planning at sf0.001;
+    the re-inlining trap at its most extreme)."""
+
+    def ascii_sum(s: F.Column) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(s)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.ascii(F.substr(s, i, F.lit(1))),
+        )
+
+    def octal_hex(v: F.Column, width: int) -> F.Column:
+        # width octal digits + NUL, as hex
+        return F.concat(
+            F.hex(F.encode(F.format_string(f"%0{width}o", v), "UTF-8")),
+            F.lit("00"),
+        )
+
+    def member_hex(m: F.Column) -> F.Column:
+        name = m["name"]
+        size = m["size"].cast("long")
+        size_str = F.format_string("%011o", size)
+        chksum = (
+            F.lit(_TAR_CHKSUM_CONST).cast("long")
+            + ascii_sum(name)
+            + ascii_sum(size_str)
+        )
+        header = F.concat(
+            F.rpad(F.hex(F.encode(name, "UTF-8")), 200, "0"),  # name 100
+            octal_hex(F.lit(420), 7),                  # mode 0644
+            octal_hex(F.lit(0), 7),                    # uid
+            octal_hex(F.lit(0), 7),                    # gid
+            F.concat(F.hex(F.encode(size_str, "UTF-8")), F.lit("00")),
+            octal_hex(F.lit(0), 11),                   # mtime
+            F.hex(F.encode(F.format_string("%06o", chksum), "UTF-8")),
+            F.lit("0020"),                             # chksum NUL+space
+            F.lit("30"),                               # typeflag '0'
+            F.lit("00" * 100),                         # linkname
+            F.lit("757374617200"),                     # magic "ustar\0"
+            F.lit("3030"),                             # version "00"
+            F.lit("00" * 247),                         # uname..prefix pad
+        )
+        pad = ((size + 511) / 512).cast("long") * 512 - size
+        data = F.concat(
+            F.repeat(F.lit("64"), size.cast("int")),   # 'd' * size
+            F.repeat(F.lit("00"), pad.cast("int")),
+        )
+        return F.concat(header, data)
+
+    hex_str = F.concat(
+        F.array_join(F.transform(F.col(members_col), member_hex), ""),
+        F.lit("00" * 1024),                            # two zero blocks
+    )
+    return df.select(
+        F.col(id_col), F.unhex(F.upper(hex_str)).alias("payload")
+    )
+
+
+def tar_member_index(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_members: int = 8,
+) -> DataFrame:
+    """Index a TAR shard FROM ITS BYTES: fold up to ``max_members``
+    steps of "read the 512-byte ustar header at pos → NUL-terminated
+    name, octal size; record (name, data_offset, data_size); skip
+    512 + padded data", stopping at the zero block (blank name) or a
+    truncated header. Emits one ROW PER MEMBER (0-based byte offsets)
+    with ``member_idx`` — exactly the index a WebDataset-style loader
+    range-reads with. Whole-stage JVM expressions; per-shard cost
+    bounded by the member cap."""
+    p = F.col(payload_col)
+
+    def step(acc: F.Column, _: F.Column) -> F.Column:
+        pos = acc["pos"]
+        readable = pos + 511 <= F.length(p)
+        name = F.regexp_extract(
+            F.decode(F.substr(p, pos, F.lit(100)), "UTF-8"),
+            "^[^\\x00]*",
+            0,
+        )
+        size = F.conv(
+            F.regexp_extract(
+                F.decode(F.substr(p, pos + 124, F.lit(12)), "UTF-8"),
+                "[0-7]+",
+                0,
+            ),
+            8,
+            10,
+        ).cast("long")
+        emit = (
+            ~acc["done"] & readable & (F.length(name) > 0)
+            & size.isNotNull()
+        )
+        padded = ((size + 511) / 512).cast("long") * 512
+        return F.struct(
+            F.when(emit, pos + 512 + padded).otherwise(pos).alias("pos"),
+            (~emit).alias("done"),
+            F.when(
+                emit,
+                F.array_append(
+                    acc["mem"],
+                    F.struct(
+                        name.alias("member_name"),
+                        (pos - 1 + 512).cast("long").alias("data_offset"),
+                        size.alias("data_size"),
+                    ),
+                ),
+            ).otherwise(acc["mem"]).alias("mem"),
+        )
+
+    init = F.struct(
+        F.lit(1).cast("long").alias("pos"),
+        F.lit(False).alias("done"),
+        F.expr(
+            "CAST(array() AS array<struct<member_name:string,"
+            "data_offset:bigint,data_size:bigint>>)"
+        ).alias("mem"),
+    )
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_members)), init, step
+    )
+    staged = media.select(F.col(id_col), state["mem"].alias("_mem"))
+    return staged.select(
+        id_col, F.posexplode("_mem").alias("_i", "_m")
+    ).select(
+        id_col,
+        (F.col("_i") + 1).cast("long").alias("member_idx"),
+        F.col("_m")["member_name"].alias("member_name"),
+        F.col("_m")["data_offset"].alias("data_offset"),
+        F.col("_m")["data_size"].alias("data_size"),
+    )

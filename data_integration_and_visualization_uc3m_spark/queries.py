@@ -18436,6 +18436,110 @@ def corpus_build_v4_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "webdataset_shard_index",
+    """
+    WITH base AS (
+        SELECT doc_id, doc_id % 40 AS k,
+               10 + ((doc_id % 40) * 7 + 13) % 200 AS s1,
+               1 + (doc_id % 40) % 9 AS s2,
+               10 + ((doc_id % 40) * 11 + 5) % 200 AS s3
+        FROM documents
+    ), m AS (
+        SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS member_idx,
+               'a' || CAST(k AS VARCHAR) || '.txt' AS member_name,
+               CAST(512 AS BIGINT) AS data_offset,
+               CAST(s1 AS BIGINT) AS data_size,
+               'a' || CAST(k AS VARCHAR) AS sample_key
+        FROM base
+        UNION ALL
+        SELECT doc_id, 2, 'a' || CAST(k AS VARCHAR) || '.cls',
+               CAST(1024 + ((s1 + 511) // 512) * 512 AS BIGINT),
+               CAST(s2 AS BIGINT),
+               'a' || CAST(k AS VARCHAR)
+        FROM base
+        UNION ALL
+        SELECT doc_id, 3, 'b' || CAST(k AS VARCHAR) || '.txt',
+               CAST(1536 + ((s1 + 511) // 512) * 512
+                    + ((s2 + 511) // 512) * 512 AS BIGINT),
+               CAST(s3 AS BIGINT),
+               'b' || CAST(k AS VARCHAR)
+        FROM base WHERE doc_id % 2 = 1
+    )
+    SELECT media_id, member_idx, member_name, data_offset, data_size,
+           sample_key
+    FROM m
+    """,
+    ops=["multimodal-binary", "container-codec", "webdataset-index"],
+)
+def webdataset_shard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard indexing on REAL TAR BYTES: spec-valid
+    ustar archives (full headers with correct checksums — stdlib
+    tarfile opens them, pinned in tests) are synthesized in-plan with
+    2-3 members per shard (sample 'a<k>' = .txt + .cls; odd shards add
+    sample 'b<k>'), then the member table (name, 0-based data offset,
+    size) is recovered by WALKING THE HEADER BLOCKS
+    (multimodal.tar_member_index — NUL-terminated names, OCTAL size
+    fields, 512-padding arithmetic, zero-block termination), plus the
+    WebDataset sample key (basename before the extension). The oracle
+    restates the archive LAYOUT closed-form, so a hash match proves
+    the octal parse and padding walk byte-for-byte. At 100 TB this is
+    the shard-indexing pass a multimodal loader runs once per corpus:
+    pure JVM expressions, one row per member, range-read offsets out."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    k = F.col("doc_id") % 40
+    s1 = (10 + (k * 7 + 13) % 200).cast("long")
+    s2 = (1 + k % 9).cast("long")
+    s3 = (10 + (k * 11 + 5) % 200).cast("long")
+    ks = k.cast("string")
+    mk = lambda nm, sz: F.struct(nm.alias("name"), sz.alias("size"))
+    members = F.filter(
+        F.array(
+            F.struct(
+                F.lit(True).alias("inc"),
+                F.concat(F.lit("a"), ks, F.lit(".txt")).alias("name"),
+                s1.alias("size"),
+            ),
+            F.struct(
+                F.lit(True).alias("inc"),
+                F.concat(F.lit("a"), ks, F.lit(".cls")).alias("name"),
+                s2.alias("size"),
+            ),
+            F.struct(
+                (F.col("doc_id") % 2 == 1).alias("inc"),
+                F.concat(F.lit("b"), ks, F.lit(".txt")).alias("name"),
+                s3.alias("size"),
+            ),
+        ),
+        lambda m: m["inc"],
+    )
+    src = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.transform(
+            members, lambda m: mk(m["name"], m["size"])
+        ).alias("members"),
+    )
+    # MATERIALIZE between synthesis and walk: the walker's fold
+    # references the payload 20+ times, and projection collapse
+    # re-inlines the whole hex assembly into every reference (measured
+    # 14.6 s for the fused plan vs ~5 s synthesis + ~1 s walk when
+    # separated; a repartition is NOT enough — the optimizer pushes
+    # the walk's projection back through a round-robin exchange). In
+    # production the payload comes from shard STORAGE anyway, so a
+    # real boundary between "write shards" and "index shards" is the
+    # honest shape.
+    shards = multimodal.synthesize_tar(src).localCheckpoint()
+    idx = multimodal.tar_member_index(shards)
+    return idx.select(
+        "media_id",
+        "member_idx",
+        "member_name",
+        "data_offset",
+        "data_size",
+        F.substring_index("member_name", ".", 1).alias("sample_key"),
+    )
+
+
+@register(
     "preference_pair_audit",
     """
     WITH rows_ AS (
@@ -19022,6 +19126,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "customer_activity_islands",
     "corpus_build_v4_e2e",
     "preference_pair_audit",
+    "webdataset_shard_index",
 )
 
 

@@ -670,3 +670,48 @@ def test_mmr_diverse_topk_rel_greedy_properties(spark):
     )
     assert div[0]["vec_id"] == 1
     assert div[1]["vec_id"] in (3, 4)
+
+
+def test_synthesize_tar_is_valid_ustar_and_walker_agrees(spark):
+    """The synthesized shard must be a SPEC-VALID archive: stdlib
+    tarfile (which verifies the header checksum) reads the same names,
+    sizes and 'd'-filled contents; the JVM walker's offsets must
+    range-read the exact member bytes, and a truncated/garbage payload
+    must index zero members."""
+    import io
+    import tarfile as _tarfile
+
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        synthesize_tar,
+        tar_member_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [("a1.txt", 10), ("a1.cls", 3), ("b1.txt", 600)]),
+            (2, [("a2.txt", 512)]),   # exact block boundary, no pad
+        ],
+        "media_id long, members array<struct<name:string,size:long>>",
+    )
+    shards = synthesize_tar(df)
+    raws = {r["media_id"]: bytes(r["payload"]) for r in shards.collect()}
+    idx = {}
+    for r in tar_member_index(shards).collect():
+        idx.setdefault(r["media_id"], []).append(r)
+
+    for mid, raw in raws.items():
+        tf = _tarfile.open(fileobj=io.BytesIO(raw))  # checksum-verified
+        std = [(m.name, m.size) for m in tf.getmembers()]
+        walked = [(r["member_name"], r["data_size"])
+                  for r in sorted(idx[mid], key=lambda r: r["member_idx"])]
+        assert std == walked
+        for r in idx[mid]:
+            seg = raw[r["data_offset"]: r["data_offset"] + r["data_size"]]
+            assert seg == b"d" * r["data_size"]
+        for m in tf.getmembers():
+            assert tf.extractfile(m).read() == b"d" * m.size
+
+    junk = spark.createDataFrame(
+        [(9, bytearray(100))], "media_id long, payload binary"
+    )
+    assert tar_member_index(junk).count() == 0
