@@ -203,6 +203,7 @@ DEFAULT = [
     "customer_activity_islands",
     "corpus_build_v4_e2e",
     "preference_pair_audit",
+    "webdataset_shard_index",
 ]
 
 
