@@ -18539,6 +18539,134 @@ def webdataset_shard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPO_LSH_CTE = """comp AS (
+        SELECT p.plane, d.dim,
+               CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || ':'
+                                  || CAST(d.dim AS VARCHAR)), 1, 1)
+                         IN ('1','3','5','7','9','b','d','f')
+                    THEN 1.0 ELSE -1.0 END AS c
+        FROM (SELECT unnest(range(8)) AS plane) p,
+             (SELECT unnest(range(64)) AS dim) d
+    ), proj AS (
+        SELECT e.vec_id, c.plane,
+               SUM(CAST(e.embedding[CAST(c.dim AS INTEGER) + 1]
+                        AS DOUBLE) * c.c) AS s
+        FROM embeddings e, comp c
+        GROUP BY e.vec_id, c.plane
+    ), buckets AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN s > 0
+                             THEN 1::BIGINT << CAST(plane AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id
+    )"""
+
+
+@register(
+    "semantic_packing_order_report",
+    f"""
+    WITH {_SPO_LSH_CTE}, v AS (
+        SELECT e.vec_id, e.embedding, b.bucket,
+               sqrt(list_sum(list_transform(e.embedding,
+                    zx -> CAST(zx AS DOUBLE) * CAST(zx AS DOUBLE))))
+                   AS nrm
+        FROM embeddings e JOIN buckets b USING (vec_id)
+        WHERE list_sum(list_transform(e.embedding,
+                  zx -> CAST(zx AS DOUBLE) * CAST(zx AS DOUBLE))) > 0
+    ), arms AS (
+        SELECT 'baseline' AS arm, CAST(0 AS BIGINT) AS okey, *
+        FROM v
+        UNION ALL
+        SELECT 'semantic', bucket, * FROM v
+    ), ranked AS (
+        SELECT arm, vec_id, embedding, nrm,
+               lead(embedding) OVER w AS nxt,
+               lead(nrm) OVER w AS nxtn
+        FROM arms
+        WINDOW w AS (PARTITION BY arm ORDER BY okey, vec_id)
+    )
+    SELECT arm,
+           CAST(COUNT(nxt) AS BIGINT) AS n_adjacent_pairs,
+           CAST(SUM(CAST(FLOOR(
+               list_sum(list_transform(list_zip(embedding, nxt),
+                   zp -> CAST(zp[1] AS DOUBLE) * CAST(zp[2] AS DOUBLE)))
+               / (nrm * nxtn) * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_cos_fp6,
+           CAST(SUM(CAST(FLOOR(
+               list_sum(list_transform(list_zip(embedding, nxt),
+                   zp -> CAST(zp[1] AS DOUBLE) * CAST(zp[2] AS DOUBLE)))
+               / (nrm * nxtn) * 1000000) AS BIGINT))
+               // COUNT(nxt) AS BIGINT) AS mean_cos_fp6
+    FROM ranked WHERE nxt IS NOT NULL
+    GROUP BY arm ORDER BY arm
+    """,
+    ops=["semantic-packing", "pack-contiguous", "similarity-lsh",
+         "curriculum"],
+)
+def semantic_packing_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-context-pretraining packing order (Shi et al. 2023: packing
+    RELATED documents into the same context beats random order): the
+    measured adjacency-coherence comparison between baseline id order
+    and SEMANTIC order (sort by LSH bucket, then id — related vectors
+    become neighbors). For both orderings, every adjacent pair's exact
+    cosine is floored to fp6 and summed, so the improvement itself is
+    hash-checked: the semantic arm's mean adjacent cosine must beat
+    baseline for bucket-sorting to pay its sort. Scale shape: the LSH
+    bucket key is map-side (similarity.lsh_bucket); the ordering
+    window partitions per arm here because the report is corpus-wide —
+    a production packer orders WITHIN shards (pack_contiguous's shard
+    column), keeping every sort bounded."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    b = similarity.lsh_bucket(e, n_planes=8)
+    v = b.select(
+        "vec_id",
+        "embedding",
+        "bucket",
+        F.sqrt(similarity._dot(F.col("embedding"), F.col("embedding")))
+        .alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    base = v.select(
+        F.lit("baseline").alias("arm"),
+        F.lit(0).cast("long").alias("okey"),
+        "vec_id", "embedding", "nrm",
+    )
+    sem = v.select(
+        F.lit("semantic").alias("arm"),
+        F.col("bucket").alias("okey"),
+        "vec_id", "embedding", "nrm",
+    )
+    arms = base.unionByName(sem)
+    w = Window.partitionBy("arm").orderBy("okey", "vec_id")
+    ranked = arms.select(
+        "arm",
+        "embedding",
+        "nrm",
+        F.lead("embedding").over(w).alias("nxt"),
+        F.lead("nrm").over(w).alias("nxtn"),
+    ).filter(F.col("nxt").isNotNull())
+    cos_fp6 = F.floor(
+        similarity._dot(F.col("embedding"), F.col("nxt"))
+        / (F.col("nrm") * F.col("nxtn"))
+        * 1000000
+    ).cast("long")
+    return (
+        ranked.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_adjacent_pairs"),
+            F.sum(cos_fp6).cast("long").alias("sum_cos_fp6"),
+        )
+        .select(
+            "arm",
+            "n_adjacent_pairs",
+            "sum_cos_fp6",
+            F.expr("sum_cos_fp6 div n_adjacent_pairs").alias(
+                "mean_cos_fp6"
+            ),
+        )
+        .orderBy("arm")
+    )
+
+
 @register(
     "preference_pair_audit",
     """
@@ -19127,6 +19255,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "corpus_build_v4_e2e",
     "preference_pair_audit",
     "webdataset_shard_index",
+    "semantic_packing_order_report",
 )
 
 

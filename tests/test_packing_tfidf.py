@@ -288,3 +288,22 @@ def test_chat_template_lint_flags(spark):
     # "tool" also breaks user/assistant alternation of the body
     assert not got[6]["alternation_ok"]
     assert got[7]["n_messages"] in (None, -1) or got[7]["roles_ok"] is None
+
+
+def test_semantic_packing_order_improves_adjacency(spark):
+    """Bucket-sorted packing order must strictly beat id order on mean
+    adjacent-pair cosine — the measured claim of in-context-pretraining
+    ordering (and the reason to pay the sort)."""
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    rows = {
+        r["arm"]: r.asDict()
+        for r in Q.REGISTRY["semantic_packing_order_report"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert rows["semantic"]["mean_cos_fp6"] > rows["baseline"]["mean_cos_fp6"]
+    assert (
+        rows["semantic"]["n_adjacent_pairs"]
+        == rows["baseline"]["n_adjacent_pairs"]
+    )
