@@ -18539,6 +18539,88 @@ def webdataset_shard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_corrupt_record_audit",
+    """
+    WITH flags AS (
+        SELECT lang,
+               doc_id % 7 = 0 AS malformed,
+               doc_id % 7 <> 0 AND doc_id % 11 = 0 AS type_bad
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN malformed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_malformed,
+           CAST(SUM(CASE WHEN type_bad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_type_reject,
+           CAST(SUM(CASE WHEN NOT malformed AND NOT type_bad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM flags GROUP BY lang ORDER BY lang
+    """,
+    ops=["json-parse", "corrupt-record", "schema-on-read"],
+)
+def json_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read ingestion triage — the PERMISSIVE corrupt-record
+    contract every JSON-lines landing zone depends on: event records
+    are built in-plan with injected failure classes (truncated JSON
+    when doc_id%7=0; a string where the schema wants an int when
+    doc_id%11=0), parsed with ``from_json`` carrying a
+    ``columnNameOfCorruptRecord`` schema slot, and classified FROM THE
+    PARSER'S OUTPUT alone. The measured Spark 4 semantic this pins:
+    JSON type mismatches quarantine the WHOLE RECORD into the corrupt
+    column (unlike CSV's per-field null) — so both failure classes
+    surface as corrupt, distinguished here by whether the quarantined
+    original text is a complete object (ends with '}' → type reject)
+    or truncated (→ malformed). The oracle restates the injections
+    closed-form, so the hash match proves the parser routed every row
+    as documented. Map-side parse, one aggregation — the triage a
+    100 TB landing pass runs before routing rows to quarantine."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    i = F.col("doc_id")
+    payload = F.when(
+        i % 7 == 0,
+        # truncated object — unparseable
+        F.concat(F.lit('{"id": '), i.cast("string"), F.lit(', "v": ')),
+    ).when(
+        i % 11 == 0,
+        # wrong type: string where the schema expects int
+        F.concat(F.lit('{"id": '), i.cast("string"),
+                 F.lit(', "v": "not-a-number"}')),
+    ).otherwise(
+        F.concat(F.lit('{"id": '), i.cast("string"), F.lit(', "v": '),
+                 (i % 100).cast("string"), F.lit("}")),
+    )
+    parsed = d.select(
+        "lang",
+        F.from_json(
+            payload,
+            "struct<id:long, v:long, _corrupt:string>",
+            {"mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("_r"),
+    )
+    corrupt = F.col("_r")["_corrupt"].isNotNull()
+    type_reject = corrupt & F.col("_r")["_corrupt"].endswith("}")
+    malformed = corrupt & ~F.col("_r")["_corrupt"].endswith("}")
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(malformed, 1).otherwise(0)).cast("long").alias(
+                "n_malformed"
+            ),
+            F.sum(F.when(type_reject, 1).otherwise(0)).cast("long").alias(
+                "n_type_reject"
+            ),
+            F.sum(F.when(~corrupt, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clean"),
+        )
+        .orderBy("lang")
+    )
+
+
 _SPO_LSH_CTE = """comp AS (
         SELECT p.plane, d.dim,
                CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || ':'
@@ -19256,6 +19338,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "preference_pair_audit",
     "webdataset_shard_index",
     "semantic_packing_order_report",
+    "json_corrupt_record_audit",
 )
 
 
