@@ -18621,6 +18621,100 @@ def json_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "csv_corrupt_record_audit",
+    """
+    WITH flags AS (
+        SELECT lang,
+               doc_id % 7 = 0 AS quote_bad,
+               doc_id % 7 <> 0 AND doc_id % 11 = 0 AS type_bad,
+               doc_id % 7 <> 0 AND doc_id % 11 <> 0
+                   AND doc_id % 13 = 0 AS short_row
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN quote_bad OR type_bad OR short_row
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN quote_bad OR type_bad OR short_row
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_salvaged_id,
+           CAST(SUM(CASE WHEN quote_bad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quote_bad,
+           CAST(SUM(CASE WHEN type_bad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_type_bad,
+           CAST(SUM(CASE WHEN short_row THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short_row,
+           CAST(SUM(CASE WHEN NOT (quote_bad OR type_bad OR short_row)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM flags GROUP BY lang ORDER BY lang
+    """,
+    ops=["csv-parse", "corrupt-record", "schema-on-read"],
+)
+def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV twin of json_corrupt_record_audit, pinning the
+    CONTRASTING parser contract (measured, Spark 4): under PERMISSIVE,
+    ``from_csv`` quarantines the original line into the corrupt column
+    for EVERY failure class (unclosed quote, type mismatch, missing
+    column) but SALVAGES the fields it could parse — the leading id
+    survives on every quarantined row (``n_salvaged_id`` equals
+    ``n_quarantined``, the semantic pin; JSON, by contrast, yields the
+    whole record as corrupt with no salvage). Classes are told apart
+    from the quarantined TEXT (quote present / no delimiter / rest).
+    Oracle restates the injections closed-form. Map-side parse, one
+    aggregation."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    i = F.col("doc_id")
+    line = F.when(
+        i % 7 == 0, F.concat(i.cast("string"), F.lit(',"x'))
+    ).when(
+        i % 11 == 0, F.concat(i.cast("string"), F.lit(",zz"))
+    ).when(
+        i % 13 == 0, i.cast("string")
+    ).otherwise(
+        F.concat(i.cast("string"), F.lit(","), (i % 100).cast("string"))
+    )
+    parsed = d.select(
+        "lang",
+        F.from_csv(
+            line,
+            "id long, v long, _corrupt string",
+            {"mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("_r"),
+    )
+    txt = F.col("_r")["_corrupt"]
+    corrupt = txt.isNotNull()
+    quote_bad = corrupt & txt.contains('"')
+    short_row = corrupt & ~txt.contains('"') & ~txt.contains(",")
+    type_bad = corrupt & ~quote_bad & ~short_row
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(corrupt, 1).otherwise(0)).cast("long").alias(
+                "n_quarantined"
+            ),
+            F.sum(
+                F.when(corrupt & F.col("_r")["id"].isNotNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_salvaged_id"),
+            F.sum(F.when(quote_bad, 1).otherwise(0)).cast("long").alias(
+                "n_quote_bad"
+            ),
+            F.sum(F.when(type_bad, 1).otherwise(0)).cast("long").alias(
+                "n_type_bad"
+            ),
+            F.sum(F.when(short_row, 1).otherwise(0)).cast("long").alias(
+                "n_short_row"
+            ),
+            F.sum(F.when(~corrupt, 1).otherwise(0)).cast("long").alias(
+                "n_clean"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 _SPO_LSH_CTE = """comp AS (
         SELECT p.plane, d.dim,
                CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || ':'
@@ -19339,6 +19433,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "webdataset_shard_index",
     "semantic_packing_order_report",
     "json_corrupt_record_audit",
+    "csv_corrupt_record_audit",
 )
 
 
