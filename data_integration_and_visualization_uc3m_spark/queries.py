@@ -18621,6 +18621,109 @@ def json_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fellegi-Sunter log-likelihood weights (micro fixed point), computed
+# host-side from the m/u model constants so BOTH engines carry the
+# same integer literals — a trained-model stand-in with the published
+# structure: agree weight log2(m/u), disagree weight log2((1-m)/(1-u)).
+#   field 1 (acctbal 2000-band):  m=.90 u=.30 →  1584962 / -2807355
+#   field 2 (name last digit):    m=.95 u=.10 →  3247927 / -4169926
+#   field 3 (name 2nd-last digit) m=.85 u=.10 →  3087462 / -2584963
+_FS_W = (
+    (1584962, -2807355),
+    (3247927, -4169926),
+    (3087462, -2584963),
+)
+
+
+@register(
+    "fs_linkage_score_histogram",
+    f"""
+    WITH c AS (
+        SELECT c_nationkey AS nk,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 200000 AS band,
+               substr(c_name, length(c_name), 1) AS d1,
+               substr(c_name, length(c_name) - 1, 1) AS d2
+        FROM customer
+    ), s AS (
+        SELECT s_nationkey AS nk,
+               CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 200000 AS band,
+               substr(s_name, length(s_name), 1) AS d1,
+               substr(s_name, length(s_name) - 1, 1) AS d2
+        FROM supplier
+    ), scored AS (
+        SELECT CAST(
+            (CASE WHEN c.band = s.band
+                  THEN {_FS_W[0][0]} ELSE {_FS_W[0][1]} END)
+          + (CASE WHEN c.d1 = s.d1
+                  THEN {_FS_W[1][0]} ELSE {_FS_W[1][1]} END)
+          + (CASE WHEN c.d2 = s.d2
+                  THEN {_FS_W[2][0]} ELSE {_FS_W[2][1]} END)
+            AS BIGINT) AS score_micro
+        FROM c JOIN s ON s.nk = c.nk
+    )
+    SELECT score_micro, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored GROUP BY score_micro ORDER BY score_micro
+    """,
+    ops=["entity-resolution", "fellegi-sunter", "blocking"],
+)
+def fs_linkage_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage, the Fellegi-Sunter model (1969 —
+    the canonical data-integration method the reference's domain sits
+    in): customer↔supplier candidate pairs blocked on nation, scored
+    by summed log-likelihood weights over three field comparators
+    (account-balance band via exact cents with truncating div — the
+    cross-engine-safe decimal path; name-suffix digits). Weights are
+    host-literal micro ints from the m/u model, so the SCORE
+    DISTRIBUTION itself is hash-checked — the histogram a linkage
+    deployment thresholds into match / possible / non-match. Scale
+    shape: one blocked equi-join (never all-pairs), map-side
+    comparators, one aggregation; skewed blocks get the salting
+    treatment like any hot-key join."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+
+    def prep(df, nk, bal, name):
+        return df.select(
+            F.col(nk).alias("nk"),
+            F.expr(
+                f"CAST(CAST({bal} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " div 200000"
+            ).alias("band"),
+            F.substring(F.col(name), -1, 1).alias("d1"),
+            F.expr(
+                f"substr({name}, length({name}) - 1, 1)"
+            ).alias("d2"),
+        )
+
+    cc = prep(c, "c_nationkey", "c_acctbal", "c_name")
+    ss = prep(s, "s_nationkey", "s_acctbal", "s_name")
+    ss = ss.select(
+        F.col("nk").alias("snk"), F.col("band").alias("sband"),
+        F.col("d1").alias("sd1"), F.col("d2").alias("sd2"),
+    )
+
+    def w(cond, i):
+        return F.when(cond, F.lit(_FS_W[i][0])).otherwise(
+            F.lit(_FS_W[i][1])
+        ).cast("long")
+
+    pairs = cc.join(F.broadcast(ss), F.col("nk") == F.col("snk"))
+    scored = pairs.select(
+        (
+            w(F.col("band") == F.col("sband"), 0)
+            + w(F.col("d1") == F.col("sd1"), 1)
+            + w(F.col("d2") == F.col("sd2"), 2)
+        ).alias("score_micro")
+    )
+    return (
+        scored.groupBy("score_micro")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("score_micro")
+    )
+
+
 @register(
     "csv_corrupt_record_audit",
     """
@@ -19434,6 +19537,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "semantic_packing_order_report",
     "json_corrupt_record_audit",
     "csv_corrupt_record_audit",
+    "fs_linkage_score_histogram",
 )
 
 
