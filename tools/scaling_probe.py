@@ -204,6 +204,10 @@ DEFAULT = [
     "corpus_build_v4_e2e",
     "preference_pair_audit",
     "webdataset_shard_index",
+    "semantic_packing_order_report",
+    "json_corrupt_record_audit",
+    "csv_corrupt_record_audit",
+    "fs_linkage_score_histogram",
 ]
 
 
