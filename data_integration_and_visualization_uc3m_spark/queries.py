@@ -18128,10 +18128,11 @@ def wav_autocorr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p, COUNT(*) AS d FROM ps GROUP BY p
     ), keep AS (
         SELECT p, d FROM deg WHERE d BETWEEN 2 AND 50
+    ), capped AS (
+        SELECT ps.p, ps.s, k.d FROM ps JOIN keep k ON k.p = ps.p
     ), pairs AS (
-        SELECT a.s AS s1, b.s AS s2, k.d
-        FROM ps a JOIN ps b ON b.p = a.p AND a.s < b.s
-        JOIN keep k ON k.p = a.p
+        SELECT a.s AS s1, b.s AS s2, a.d
+        FROM capped a JOIN capped b ON b.p = a.p AND a.s < b.s
     ), scored AS (
         SELECT s1, s2,
                CAST(COUNT(*) AS BIGINT) AS n_common,
@@ -18158,27 +18159,34 @@ def supplier_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard_pairs_df_capped): a ubiquitous part would contribute
     quadratic pairs and near-zero per-pair signal, so it is excluded
     BEFORE the pair explode — the cap is what keeps this shape
-    runnable on a billion-edge bipartite graph. One distinct, one
-    degree agg, one partkey-keyed self-join, one pair agg, TakeOrdered
-    top-20."""
+    runnable on a billion-edge bipartite graph. The cap sits BELOW the
+    self-join in the physical plan (VERDICT r10 fix): both pair sides
+    derive from ``capped = ps ⋈ keep``, so Catalyst cannot float the
+    cap above the explode — a degree-1M part contributes ZERO rows to
+    either side instead of C(1M,2) pre-filter pairs.
+    ``tools/plan_audit.py`` enforces this ordering class (rule
+    ``cap_below_self_join``). One distinct, one degree agg, one
+    partkey-keyed self-join over the capped relation, one pair agg,
+    TakeOrdered top-20."""
     l = _t(spark, sf_dir, "lineitem")
-    # the distinct edge relation feeds both self-join sides and the
-    # degree agg (3 derivations) — measured at sf0.1: materializing it
-    # once is COST-NEUTRAL (the ~5M-row checkpoint write equals the
-    # saved shuffles), so it stays lazy; the pair join dominates and
-    # is bounded by the degree cap
+    # the distinct edge relation feeds the degree agg and (via capped)
+    # both self-join sides — measured at sf0.1: materializing it once
+    # is COST-NEUTRAL (the ~5M-row checkpoint write equals the saved
+    # shuffles), so it stays lazy; the pair join dominates and is
+    # bounded by the degree cap
     ps = l.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
     deg = ps.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     keep = deg.filter((F.col("d") >= 2) & (F.col("d") <= 50))
-    a = ps.select(F.col("p"), F.col("s").alias("s1"))
-    b = ps.select(F.col("p").alias("pb"), F.col("s").alias("s2"))
-    pairs = (
-        a.join(b, (F.col("p") == F.col("pb")) & (F.col("s1") < F.col("s2")))
-        .join(keep, "p")
-        .select("s1", "s2", "d")
-    )
+    # cap applied to the edge relation FIRST; both pair sides are the
+    # capped relation, so the explode is physically bounded
+    capped = ps.join(keep, "p")
+    a = capped.select(F.col("p"), F.col("s").alias("s1"), F.col("d"))
+    b = capped.select(F.col("p").alias("pb"), F.col("s").alias("s2"))
+    pairs = a.join(
+        b, (F.col("p") == F.col("pb")) & (F.col("s1") < F.col("s2"))
+    ).select("s1", "s2", "d")
     scored = pairs.groupBy("s1", "s2").agg(
         F.count(F.lit(1)).cast("long").alias("n_common"),
         F.sum(F.floor(F.lit(1000000.0) / F.log(F.col("d"))).cast("long"))
@@ -19186,41 +19194,41 @@ def chat_format_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last, oldest green first; freshly-verified names move into
 # _PRIOR_VERIFIED each round via ``python tools/rotate.py
 # CORRECTNESS_rNN.json`` (which prints these literals — the counts
-# below are generated, not hand-maintained). Round-10 state: 312
-# registered at round start, 311 driver-green across rounds 2-9
-# (r9: 49/50 green, 1 red). The one red, feature_hash_embeddings,
-# is FIXED this round (array→string output) and pinned first in
-# _PRIORITY, followed by scattergeo_trace_specs whose round-8 green
-# went stale when commit 6e4c566 reordered geo.NATION_POSITIONS
-# (keys 20-24 changed iso3/lon/lat after verification — ADVICE r9).
-# The rest of the window = round-10 additions (_NEW_PARITY_ONLY) +
-# the oldest greens (round-2/3 vintage).
+# below are generated, not hand-maintained). Round-11 state: 326
+# registered at round start, 326 driver-green (union r2-r10; r10 was
+# 50/50 green, zero red). _PRIORITY carries the queries whose PLAN
+# changed this round after their green (fresh verdict required by the
+# pin policy); the rest of the window = round-11 additions
+# (_NEW_PARITY_ONLY) + the oldest greens (round-3/4 vintage).
 _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "ab_test_cuped", "ab_test_welch", "ann_int8_topk",
     "anova_order_value_by_segment", "anti_join_inactive_customers",
     "approx_quantile_report", "approx_sketches", "asof_last_purchase",
     "balanced_lang_mix", "basket_part_lift", "benford_order_totals",
-    "bloom_prefilter_orders", "bm25_topk", "bpe_encode_stats",
-    "bpe_merge_table", "bpe_token_estimate", "brier_calibration_report",
+    "bloom_prefilter_orders", "bm25_topk", "bmp_feature_report",
+    "bmp_resize_dhash_clusters", "bpe_encode_stats", "bpe_merge_table",
+    "bpe_token_estimate", "brier_calibration_report",
     "bucketed_colocated_revenue", "bucketize_acctbal",
     "canonical_part_names", "cdc_chunk_dedup_histogram",
-    "cdc_order_changes", "chunk_dup_profile", "cleaning_corners",
-    "cluster_aware_split", "cms_width_error_sweep",
+    "cdc_order_changes", "chat_format_lint", "chunk_dup_profile",
+    "cleaning_corners", "cluster_aware_split", "cms_width_error_sweep",
     "coerce_missing_markers", "cohort_ltv_curve",
     "column_histogram_orders", "column_profile_lineitem",
     "conjunctive_slice", "consistent_user_sample", "containment_pairs",
     "contrastive_pairs_dataset", "corpus_bigram_lift",
     "corpus_build_e2e", "corpus_build_v2_e2e", "corpus_build_v3_e2e",
-    "corpus_mix_apply", "corpus_mix_plan", "corpus_ngram_diversity",
-    "corpus_release_readiness", "corpus_vocabulary_topk",
-    "corpus_zipf_slope", "country_alias_normalize",
-    "cross_source_ngram_overlap", "cube_orders_status_year",
+    "corpus_build_v4_e2e", "corpus_mix_apply", "corpus_mix_plan",
+    "corpus_ngram_diversity", "corpus_release_readiness",
+    "corpus_vocabulary_topk", "corpus_zipf_slope",
+    "country_alias_normalize", "cross_source_ngram_overlap",
+    "csv_corrupt_record_audit", "cube_orders_status_year",
     "cube_status_priority", "curation_pipeline_stats",
-    "curriculum_order_docs", "customer_order_count_histogram",
-    "customer_rfm_segments", "cv_fold_stats", "daily_revenue_acf",
-    "daily_revenue_momentum", "data_profile_orders",
-    "decontaminate_docs", "dedup_cluster_size_histogram",
-    "dedup_clusters", "dedup_embedding_cosine", "dedup_exact_docs",
+    "curriculum_order_docs", "customer_activity_islands",
+    "customer_order_count_histogram", "customer_rfm_segments",
+    "cv_fold_stats", "daily_revenue_acf", "daily_revenue_momentum",
+    "data_profile_orders", "decontaminate_docs",
+    "dedup_cluster_size_histogram", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_exact_docs",
     "dedup_jaccard_df_capped", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_survivors_by_quality",
     "deterministic_slice", "disjunctive_pushdown_revenue",
@@ -19240,9 +19248,10 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "events_zscore_outliers", "ewma_daily_revenue",
     "exists_late_shipments", "expectations_orders_report",
     "export_manifest_report", "fd_discovery_audit",
-    "feature_information_gain", "fingerprint_diff_report",
-    "fk_and_null_audit", "flagship_nation_year_rate",
-    "forecast_backtest_mase", "forecast_revenue_change",
+    "feature_hash_embeddings", "feature_information_gain",
+    "fingerprint_diff_report", "fk_and_null_audit",
+    "flagship_nation_year_rate", "forecast_backtest_mase",
+    "forecast_revenue_change", "fs_linkage_score_histogram",
     "funnel_view_click_purchase", "fuzzy_name_matching",
     "fuzzy_part_name_pairs", "gif_header_report", "global_rank_orders",
     "gopher_quality_rules", "grouping_sets_revenue",
@@ -19256,7 +19265,8 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "ivf_incremental_assign", "ivf_nprobe_recall_sweep",
     "ivf_recall_report", "ivf_topk", "ivfpq_topk",
     "jaccard_threshold_sweep", "jdbc_roundtrip_report",
-    "jpeg_sof_report", "json_props_extract", "jsonl_roundtrip_report",
+    "jpeg_sof_report", "json_corrupt_record_audit",
+    "json_props_extract", "jsonl_roundtrip_report",
     "k_anonymity_report", "kaplan_meier_user_lifetime",
     "keyed_dedup_first_wins", "ks_chars_by_lang", "l_diversity_report",
     "label_centroids", "lang_confusion_matrix", "lang_id_predict",
@@ -19266,7 +19276,7 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "mannwhitney_value_by_event_type", "markov_event_stationary",
     "maxsim_late_interaction_topk", "median_imputation_report",
     "merge_orders_full", "min_cost_supplier_per_part",
-    "mp4_mvhd_report", "multiformat_join_report",
+    "mmr_diverse_topk", "mp4_mvhd_report", "multiformat_join_report",
     "multimodal_audio_chunks", "multimodal_binary_meta",
     "multimodal_frame_sample", "multimodal_shard_plan",
     "nation_market_share", "nation_pair_volume",
@@ -19284,8 +19294,9 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "parts_supplier_breadth", "perplexity_buckets",
     "pii_redaction_report", "pivot_event_matrix", "png_header_report",
     "pps_doc_sample", "pq_adc_topk", "pq_codes_embeddings",
-    "pq_recall_report", "pricing_summary", "priority_lines_matrix",
-    "promo_revenue_share", "props_variant_histogram", "psi_price_drift",
+    "pq_recall_report", "preference_pair_audit", "pricing_summary",
+    "priority_lines_matrix", "promo_revenue_share",
+    "props_variant_histogram", "psi_price_drift",
     "quality_classifier_filter", "quality_quantile_align",
     "quality_weighted_sample", "quantiles_order_value",
     "quota_sample_per_lang", "range_violations", "readability_report",
@@ -19298,13 +19309,14 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "salted_join_user_enrichment", "scattergeo_trace_specs",
     "scd2_point_in_time_join", "scd2_price_history",
     "schema_evolution_union", "self_join_blowup_events",
-    "semdedup_verdicts", "semi_join_active_customers",
-    "session_gap_sensitivity", "session_pattern_match",
-    "sessionize_events", "set_ops_customers", "shipping_delay_profile",
-    "shipping_priority", "simhash_near_pairs", "simhash_signatures",
-    "skyline_customers", "small_quantity_orders", "snm_part_name_pairs",
-    "source_frequency_cap", "source_lang_simpson", "source_mix_report",
-    "source_term_kl", "spatial_grid_nn", "spearman_price_qty_by_nation",
+    "semantic_packing_order_report", "semdedup_verdicts",
+    "semi_join_active_customers", "session_gap_sensitivity",
+    "session_pattern_match", "sessionize_events", "set_ops_customers",
+    "shipping_delay_profile", "shipping_priority", "simhash_near_pairs",
+    "simhash_signatures", "skyline_customers", "small_quantity_orders",
+    "snm_part_name_pairs", "source_frequency_cap",
+    "source_lang_simpson", "source_mix_report", "source_term_kl",
+    "spatial_grid_nn", "spearman_price_qty_by_nation",
     "split_leakage_audit", "sql_api_revenue_rank", "stl_daily_revenue",
     "stratified_lang_sample", "streaming_attribution_e2e",
     "streaming_batch_parity_e2e", "streaming_curate_e2e",
@@ -19312,41 +19324,32 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "streaming_lsh_dedup_e2e", "streaming_rest_poll_e2e",
     "streaming_sessionize_e2e", "streaming_stateful_totals_e2e",
     "string_normalize_profile", "strip_boilerplate_tokens",
-    "supplier_nation_volume", "suppliers_kept_orders_waiting",
-    "synthetic_sku_profile", "table_fingerprint_orders",
-    "temperature_mixing_plan", "tfidf_cosine_pairs", "tfidf_top_terms",
-    "theil_sen_region_trend", "token_count_profile",
-    "tokenizer_fertility_by_lang", "top3_orders_per_priority",
-    "top_k_orders", "top_orders_with_ties", "top_revenue_supplier",
-    "trade_community_modularity", "train_holdout_split",
-    "training_shuffle_order", "union_fold_by_year",
-    "uniqueness_violations", "unpivot_event_matrix",
-    "upsert_conflict_ignore", "upsert_delete_keys",
-    "upsert_history_report", "upsert_replace_orders",
-    "upsert_time_travel", "upsert_version_diff", "url_canonical_dedup",
+    "supplier_adamic_adar_links", "supplier_nation_volume",
+    "suppliers_kept_orders_waiting", "synthetic_sku_profile",
+    "table_fingerprint_orders", "temperature_mixing_plan",
+    "tfidf_cosine_pairs", "tfidf_top_terms", "theil_sen_region_trend",
+    "token_count_profile", "tokenizer_fertility_by_lang",
+    "top3_orders_per_priority", "top_k_orders", "top_orders_with_ties",
+    "top_revenue_supplier", "trade_community_modularity",
+    "train_holdout_split", "training_shuffle_order",
+    "union_fold_by_year", "uniqueness_violations",
+    "unpivot_event_matrix", "upsert_conflict_ignore",
+    "upsert_delete_keys", "upsert_history_report",
+    "upsert_replace_orders", "upsert_time_travel",
+    "upsert_version_diff", "url_canonical_dedup",
     "user_cooccurrence_pairs", "user_feature_store",
     "user_inactivity_gaps", "user_journey_prefixes",
     "validated_m2o_join", "verbatim_window_pairs", "viz_hover_points",
-    "viz_point_specs", "vocab_coverage_report", "wav_header_report",
-    "wav_pcm_stats", "weekly_retention_cohorts",
-    "wilcoxon_signed_rank_purchase_vs_view", "window_running_total",
-    "winsorized_event_stats", "zone_map_skipping_report",
-    "zorder_clustering_report"
+    "viz_point_specs", "vocab_coverage_report", "wav_autocorr_report",
+    "wav_header_report", "wav_pcm_stats", "webdataset_shard_index",
+    "weekly_retention_cohorts", "wilcoxon_signed_rank_purchase_vs_view",
+    "window_running_total", "winsorized_event_stats",
+    "zone_map_skipping_report", "zorder_clustering_report"
 })
 
 _LAST_GREEN: dict[str, int] = {}
-_LAST_GREEN.update(dict.fromkeys([  # round 2: 31 greens
-    "asof_last_purchase", "bucketize_acctbal", "coerce_missing_markers",
-    "data_profile_orders", "dedup_clusters", "dedup_exact_docs",
-    "deterministic_slice", "doc_quality_score", "embedding_lsh_buckets",
-    "embedding_norms", "events_moving_sum", "forecast_revenue_change",
-    "fuzzy_name_matching", "lang_id_predict", "pivot_event_matrix",
-    "quantiles_order_value", "region_revenue", "rollup_region_nation",
-    "rounding_contract", "sessionize_events", "shipping_priority",
-    "skyline_customers", "small_quantity_orders",
-    "string_normalize_profile", "supplier_nation_volume",
-    "token_count_profile", "top3_orders_per_priority", "top_k_orders",
-    "union_fold_by_year", "viz_hover_points", "window_running_total"
+_LAST_GREEN.update(dict.fromkeys([  # round 2: 1 greens
+    "skyline_customers"
 ], 2))
 _LAST_GREEN.update(dict.fromkeys([  # round 3: 46 greens
     "ann_int8_topk", "approx_sketches", "bpe_token_estimate",
@@ -19440,7 +19443,7 @@ _LAST_GREEN.update(dict.fromkeys([  # round 6: 44 greens
     "verbatim_window_pairs", "vocab_coverage_report",
     "zorder_clustering_report"
 ], 6))
-_LAST_GREEN.update(dict.fromkeys([  # round 8: 50 greens
+_LAST_GREEN.update(dict.fromkeys([  # round 8: 49 greens
     "ab_test_cuped", "ab_test_welch", "anova_order_value_by_segment",
     "approx_quantile_report", "benford_order_totals", "bm25_topk",
     "cohort_ltv_curve", "column_histogram_orders",
@@ -19458,26 +19461,24 @@ _LAST_GREEN.update(dict.fromkeys([  # round 8: 50 greens
     "orders_equidepth_deciles", "pps_doc_sample", "pq_adc_topk",
     "pq_codes_embeddings", "pq_recall_report", "psi_price_drift",
     "region_revenue_quad_trend", "rolling_corr_nation_global",
-    "scattergeo_trace_specs", "semdedup_verdicts",
-    "session_pattern_match", "snm_part_name_pairs", "spatial_grid_nn",
-    "synthetic_sku_profile", "temperature_mixing_plan",
-    "tfidf_cosine_pairs", "trade_community_modularity",
-    "user_feature_store"
+    "semdedup_verdicts", "session_pattern_match", "snm_part_name_pairs",
+    "spatial_grid_nn", "synthetic_sku_profile",
+    "temperature_mixing_plan", "tfidf_cosine_pairs",
+    "trade_community_modularity", "user_feature_store"
 ], 8))
-_LAST_GREEN.update(dict.fromkeys([  # round 9: 49 greens
+_LAST_GREEN.update(dict.fromkeys([  # round 9: 45 greens
     "brier_calibration_report", "cdc_chunk_dedup_histogram",
     "cluster_aware_split", "cms_width_error_sweep", "conjunctive_slice",
     "corpus_build_v3_e2e", "domain_crawl_profile",
     "dp_nation_order_stats", "fk_and_null_audit",
     "flagship_nation_year_rate", "forecast_backtest_mase",
     "gif_header_report", "hybrid_rrf_topk", "image_dhash_clusters",
-    "incremental_dedup_assign", "ivf_incremental_assign",
-    "ivf_nprobe_recall_sweep", "ivfpq_topk", "jaccard_threshold_sweep",
+    "incremental_dedup_assign", "ivf_incremental_assign", "ivfpq_topk",
     "jpeg_sof_report", "keyed_dedup_first_wins", "l_diversity_report",
-    "lookup_join_fallback", "lsh_band_sweep", "lsh_recall_report",
-    "mannwhitney_value_by_event_type", "maxsim_late_interaction_topk",
-    "mp4_mvhd_report", "packing_length_sweep", "png_header_report",
-    "pricing_summary", "range_violations", "readability_report",
+    "lookup_join_fallback", "mannwhitney_value_by_event_type",
+    "maxsim_late_interaction_topk", "mp4_mvhd_report",
+    "packing_length_sweep", "png_header_report", "pricing_summary",
+    "range_violations", "readability_report",
     "retrieval_ranking_metrics", "roc_auc_length_vs_dup",
     "semi_join_active_customers", "source_lang_simpson",
     "spearman_price_qty_by_nation", "streaming_rest_poll_e2e",
@@ -19487,58 +19488,56 @@ _LAST_GREEN.update(dict.fromkeys([  # round 9: 49 greens
     "wav_pcm_stats", "wilcoxon_signed_rank_purchase_vs_view",
     "zone_map_skipping_report"
 ], 9))
+_LAST_GREEN.update(dict.fromkeys([  # round 10: 50 greens
+    "asof_last_purchase", "bmp_feature_report",
+    "bmp_resize_dhash_clusters", "bucketize_acctbal",
+    "chat_format_lint", "coerce_missing_markers", "corpus_build_v4_e2e",
+    "csv_corrupt_record_audit", "customer_activity_islands",
+    "data_profile_orders", "dedup_clusters", "dedup_exact_docs",
+    "deterministic_slice", "doc_quality_score", "embedding_lsh_buckets",
+    "embedding_norms", "events_moving_sum", "feature_hash_embeddings",
+    "forecast_revenue_change", "fs_linkage_score_histogram",
+    "fuzzy_name_matching", "ivf_nprobe_recall_sweep",
+    "jaccard_threshold_sweep", "json_corrupt_record_audit",
+    "lang_id_predict", "lsh_band_sweep", "lsh_recall_report",
+    "mmr_diverse_topk", "pivot_event_matrix", "preference_pair_audit",
+    "quantiles_order_value", "region_revenue", "rollup_region_nation",
+    "rounding_contract", "scattergeo_trace_specs",
+    "semantic_packing_order_report", "sessionize_events",
+    "shipping_priority", "small_quantity_orders",
+    "string_normalize_profile", "supplier_adamic_adar_links",
+    "supplier_nation_volume", "token_count_profile",
+    "top3_orders_per_priority", "top_k_orders", "union_fold_by_year",
+    "viz_hover_points", "wav_autocorr_report", "webdataset_shard_index",
+    "window_running_total"
+], 10))
 
 
 # Queries whose implementation changed this round AFTER their last
 # driver verdict — pinned to the front of the window so the stale green
 # is replaced. Pins must be backed by an actual diff to the named
-# query's plan or oracle. Round 10:
-#  - feature_hash_embeddings: the r9 red; output re-emitted as
-#    embedding_csv (string) so the driver canonicalizer can hash it;
-#    exact-match in this round's sf0.01 parity run.
-#  - scattergeo_trace_specs: r8 green is STALE — commit 6e4c566
-#    reordered geo.NATION_POSITIONS after the verdict, changing
-#    iso3/lon/lat for keys 20-24 (ADVICE r9 medium); needs a fresh
-#    verdict against the new mapping.
-#  - ivf_nprobe_recall_sweep: re-plumbed this round onto the
-#    single-pass ivf_sweep_topk_rel (r9 bench regression fix) AFTER
-#    its r9 green — row-identical by construction and parity-exact at
-#    both SFs, but the pin policy requires a fresh driver verdict for
-#    any changed plan.
-#  - lsh_recall_report / lsh_band_sweep / jaccard_threshold_sweep:
-#    truth/sigs/pairs subtrees materialized once (localCheckpoint)
-#    instead of re-derived per union arm — result-identical, plan
-#    changed after their r9 greens, so re-pinned.
+# query's plan or oracle. Round 11:
+#  - supplier_adamic_adar_links: VERDICT r10 plan-order defect — the
+#    degree cap joined ABOVE the pair self-join, so a hot part would
+#    explode before being pruned. Re-plumbed so the capped relation
+#    feeds the self-join build side (cap physically below the pair
+#    join, verified via explain); oracle restated identically.
+#    Result-identical, plan changed after its r10 green → re-pinned.
+#  - fs_linkage_score_histogram: VERDICT r10 ask #3 — second blocking
+#    pass (acctbal band) unioned with the nation block, pair-level
+#    dedup, bounded block audit. Histogram values unchanged at sf0.01
+#    (verified), but candidate generation changed → re-pinned.
 _PRIORITY: tuple[str, ...] = (
-    "feature_hash_embeddings",
-    "scattergeo_trace_specs",
-    "ivf_nprobe_recall_sweep",
-    "lsh_recall_report",
-    "lsh_band_sweep",
-    "jaccard_threshold_sweep",
+    "supplier_adamic_adar_links",
+    "fs_linkage_score_histogram",
 )
 
 
 # Queries ADDED this round (construction parity evidence only). They
 # queue BEHIND the pending-verdict block so they can't push a
-# longer-waiting query out of the window. Round 10 additions are
+# longer-waiting query out of the window. Round 11 additions are
 # appended here as they land.
-_NEW_PARITY_ONLY: tuple[str, ...] = (
-    "bmp_feature_report",
-    "bmp_resize_dhash_clusters",
-    "wav_autocorr_report",
-    "supplier_adamic_adar_links",
-    "chat_format_lint",
-    "mmr_diverse_topk",
-    "customer_activity_islands",
-    "corpus_build_v4_e2e",
-    "preference_pair_audit",
-    "webdataset_shard_index",
-    "semantic_packing_order_report",
-    "json_corrupt_record_audit",
-    "csv_corrupt_record_audit",
-    "fs_linkage_score_histogram",
-)
+_NEW_PARITY_ONLY: tuple[str, ...] = ()
 
 
 def _rotated() -> list[str]:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -54,6 +55,11 @@ class JsonlDirWriter(DataSourceWriter):
         # test hook: raise inside the task for this partition id, to
         # exercise the abort path (negative = never)
         self.fail_partition = int(options.get("fail_partition", -1))
+        # Job epoch: generated ONCE on the driver, pickled to every
+        # task, and embedded in tmp part names so abort() can sweep
+        # exactly this job's orphans — a concurrent writer to the same
+        # path keeps its in-flight tmp files (ADVICE r10).
+        self.job_id = uuid.uuid4().hex[:12]
 
     # -- executor side -------------------------------------------------
     def write(self, iterator: Iterator) -> PartFileCommit:
@@ -62,9 +68,10 @@ class JsonlDirWriter(DataSourceWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         os.makedirs(self.path, exist_ok=True)
+        attempt = ctx.taskAttemptId() if ctx else 0
         tmp = os.path.join(
             self.path,
-            f"part-{pid:05d}-{ctx.taskAttemptId() if ctx else 0}.jsonl.tmp",
+            f"part-{pid:05d}-{attempt}-{self.job_id}.jsonl.tmp",
         )
         n = 0
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -96,34 +103,43 @@ class JsonlDirWriter(DataSourceWriter):
             )
             total += m.n_rows
         parts.sort(key=lambda p: p["file"])
-        if self.overwrite:
-            # mode("overwrite") must not leave prior committed parts
-            # behind: a manifest-ignoring reader would see merged
-            # stale+new data. Remove every committed *.jsonl not in the
-            # new manifest BEFORE publishing it (never tmp files of
-            # this job — those were just renamed away).
-            keep = {p["file"] for p in parts}
-            for name in os.listdir(self.path):
-                if name.endswith(".jsonl") and name not in keep:
-                    os.remove(os.path.join(self.path, name))
         manifest = {"n_rows": total, "n_parts": len(parts), "parts": parts}
         tmp = os.path.join(self.path, MANIFEST + ".tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
+        # Publish the new manifest FIRST (atomic rename), THEN sweep
+        # stale committed parts (ADVICE r10): a crash in between leaves
+        # only orphan files that no manifest references — never a live
+        # manifest naming deleted parts. Manifest-honoring readers stay
+        # consistent through the whole window; manifest-ignoring
+        # readers see merged data only inside it.
         os.replace(tmp, os.path.join(self.path, MANIFEST))
+        if self.overwrite:
+            # mode("overwrite") must not leave prior committed parts
+            # behind: a manifest-ignoring reader would see merged
+            # stale+new data. Remove every committed *.jsonl not in the
+            # just-published manifest (never tmp files of this job —
+            # those were just renamed away).
+            keep = {p["file"] for p in parts}
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl") and name not in keep:
+                    os.remove(os.path.join(self.path, name))
 
     def abort(self, messages) -> None:
         # messages can contain None for tasks that never returned — a
         # task that raised mid-write leaves an orphan tmp file that no
-        # commit message names, so sweep ALL *.jsonl.tmp in the sink
-        # dir (tmp names are unique per task attempt; committed parts
-        # lost their .tmp suffix at rename and are never touched).
+        # commit message names, so sweep THIS JOB's *.jsonl.tmp files
+        # (matched on the job_id baked into every tmp name; ADVICE
+        # r10). A concurrent writer to the same path keeps its own
+        # in-flight tmp parts; committed parts lost their .tmp suffix
+        # at rename and are never touched.
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+        suffix = f"-{self.job_id}.jsonl.tmp"
         if os.path.isdir(self.path):
             for name in os.listdir(self.path):
-                if name.endswith(".jsonl.tmp"):
+                if name.endswith(suffix):
                     os.remove(os.path.join(self.path, name))
 
 

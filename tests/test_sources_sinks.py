@@ -581,3 +581,80 @@ def test_jsonl_dir_writer_overwrite_removes_stale_parts(spark, tmp_path):
             for line in fh:
                 total += 1
     assert total == 6
+
+
+def test_jsonl_dir_abort_scoped_to_own_job(tmp_path):
+    """abort() must sweep only THIS job's orphan tmp parts (matched on
+    the job_id embedded in tmp names) — a concurrent writer to the
+    same path keeps its in-flight tmp files (ADVICE r10)."""
+    import os
+
+    from data_integration_and_visualization_uc3m_spark.sinks.pyds_writer import (
+        JsonlDirWriter,
+    )
+
+    out = str(tmp_path / "sink_shared")
+    os.makedirs(out)
+    wa = JsonlDirWriter({"path": out}, overwrite=False)
+    wb = JsonlDirWriter({"path": out}, overwrite=False)
+    assert wa.job_id != wb.job_id
+    a_tmp = os.path.join(out, f"part-00000-1-{wa.job_id}.jsonl.tmp")
+    b_tmp = os.path.join(out, f"part-00000-2-{wb.job_id}.jsonl.tmp")
+    for p in (a_tmp, b_tmp):
+        with open(p, "w") as fh:
+            fh.write('{"id": 1}\n')
+    # job B aborts with a task that never returned (message None) — its
+    # orphan is swept, job A's in-flight tmp part survives
+    wb.abort([None])
+    assert os.path.exists(a_tmp)
+    assert not os.path.exists(b_tmp)
+
+
+def test_jsonl_dir_overwrite_publishes_manifest_before_sweep(tmp_path, monkeypatch):
+    """Crash-window contract (ADVICE r10): overwrite commit publishes
+    the NEW manifest atomically BEFORE deleting stale parts, so a crash
+    mid-sweep leaves a manifest whose every named part exists — orphan
+    stale files at worst, never dangling manifest entries."""
+    import json
+    import os
+
+    from data_integration_and_visualization_uc3m_spark.sinks import pyds_writer
+    from data_integration_and_visualization_uc3m_spark.sinks.pyds_writer import (
+        JsonlDirWriter,
+        PartFileCommit,
+        read_manifest,
+    )
+
+    out = str(tmp_path / "sink_crash")
+    os.makedirs(out)
+    # a previously committed part from an older job
+    stale = os.path.join(out, "part-00000-9-oldjob.jsonl")
+    with open(stale, "w") as fh:
+        fh.write('{"id": 99}\n')
+    # the new job's renamed-but-not-yet-manifested tmp part
+    w = JsonlDirWriter({"path": out}, overwrite=True)
+    new_tmp = os.path.join(out, f"part-00000-1-{w.job_id}.jsonl.tmp")
+    with open(new_tmp, "w") as fh:
+        fh.write('{"id": 1}\n')
+
+    real_remove = os.remove
+
+    def crash_on_sweep(path):
+        if path.endswith(".jsonl") and "oldjob" in path:
+            raise OSError("injected crash during stale-part sweep")
+        real_remove(path)
+
+    monkeypatch.setattr(pyds_writer.os, "remove", crash_on_sweep)
+    msg = PartFileCommit(tmp_path=new_tmp, n_rows=1, partition_id=0)
+    try:
+        w.commit([msg])
+    except OSError:
+        pass  # the injected crash
+    # manifest was already published and every part it names exists
+    man = read_manifest(out)
+    assert man["n_rows"] == 1 and man["n_parts"] == 1
+    for p in man["parts"]:
+        part_path = os.path.join(out, p["file"])
+        assert os.path.exists(part_path)
+        with open(part_path, encoding="utf-8") as fh:
+            assert json.loads(fh.readline())["id"] == 1

@@ -8,6 +8,14 @@ For every registered query (at $SPARK_GRAFT_SF_DIR scale), flags:
   been broadcast)
 - global (un-partitioned) window operators — allowed only for the
   queries that declare a deliberate global order (top-of-report slices)
+- ``cap_below_self_join`` (VERDICT r10): a pair self-join (join whose
+  condition orders two attributes with ``<``, the pair-explode
+  signature) whose OWN subtree carries no degree/df-cap range filter
+  while an ancestor join supplies one — i.e. the cap that the query
+  relies on to bound the explosion physically executes ABOVE the
+  explode. Catalyst does not reorder inner joins without CBO, so this
+  plan shape is a latent quadratic blow-up at scale even when the
+  answer is correct.
 
 Exit code 1 if any unexpected flag fires. Usage:
     python tools/plan_audit.py [sf_dir]
@@ -142,6 +150,53 @@ SCALAR_OK: set[str] = {
 }
 
 
+# Pair-explode condition: two attribute refs ordered with "<" inside a
+# join condition, e.g. "(s1#32L < s2#34L)". "<=" is a range/theta join
+# (intervals, threshold dims), not the canonical self-pair shape.
+_PAIR_COND = re.compile(r"\(\w+#\d+\w* < \w+#\d+\w*\)")
+# Degree/df-cap signature: a Filter bounding one attribute both ways,
+# e.g. "Filter ((d#14L >= 2) AND (d#14L <= 50))".
+_CAP_FILTER = re.compile(r"Filter .*\(\w+#\d+\w* >= \d+\) AND \(\w+#\d+\w* <= \d+\)")
+
+
+def _plan_nodes(plan: str) -> list[tuple[int, str]]:
+    """Parse Spark's indented plan string into (depth, text) nodes."""
+    nodes: list[tuple[int, str]] = []
+    for line in plan.splitlines():
+        m = re.search(r"[+:]- ", line)
+        if m:
+            nodes.append((m.start() // 3 + 1, line[m.end():]))
+        elif line.strip() and not line.startswith((" ", ":", "+")):
+            nodes.append((0, line.strip()))
+    return nodes
+
+
+def cap_above_pair_join(plan: str) -> bool:
+    """True when a pair self-join's cap filter sits ABOVE the join.
+
+    For every join node whose condition matches the pair-explode
+    signature: if its own subtree has no cap-range filter but some
+    ancestor's sibling subtree does, the cap executes after the
+    explode — the r10 supplier_adamic_adar_links defect class.
+    """
+    nodes = _plan_nodes(plan)
+    for i, (depth, text) in enumerate(nodes):
+        if "Join" not in text or not _PAIR_COND.search(text):
+            continue
+        # subtree of node i: following nodes strictly deeper
+        sub_end = i + 1
+        while sub_end < len(nodes) and nodes[sub_end][0] > depth:
+            sub_end += 1
+        subtree = nodes[i:sub_end]
+        if any(_CAP_FILTER.search(t) for _, t in subtree):
+            continue  # cap is below the explode — healthy
+        # does any node OUTSIDE this subtree carry the cap filter?
+        outside = nodes[:i] + nodes[sub_end:]
+        if any(_CAP_FILTER.search(t) for _, t in outside):
+            return True
+    return False
+
+
 def main() -> None:
     from data_integration_and_visualization_uc3m_spark.session import get_spark
     import __spark_entry__ as E
@@ -154,12 +209,21 @@ def main() -> None:
     for name, fn in E.queries().items():
         buf = io.StringIO()
         try:
+            df = fn(spark, sf_dir)
             with contextlib.redirect_stdout(buf):
-                fn(spark, sf_dir).explain("formatted")
+                df.explain("formatted")
+            # simple indented plan (conditions inline) for the
+            # tree-shape rules
+            simple = df._jdf.queryExecution().executedPlan().toString()
         except Exception as ex:  # noqa: BLE001
             problems.append(f"{name}: explain failed: {ex}")
             continue
         plan = buf.getvalue()
+        if cap_above_pair_join(simple):
+            problems.append(
+                f"{name}: cap_below_self_join — pair self-join's "
+                "range-cap filter executes ABOVE the pair explode"
+            )
         if name not in HEAVY_OK:
             if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_OK:
                 problems.append(f"{name}: BroadcastNestedLoopJoin in plan")
