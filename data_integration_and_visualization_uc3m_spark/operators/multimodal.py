@@ -1287,16 +1287,57 @@ def tar_member_index(
     """Index a TAR shard FROM ITS BYTES: fold up to ``max_members``
     steps of "read the 512-byte ustar header at pos → NUL-terminated
     name, octal size; record (name, data_offset, data_size); skip
-    512 + padded data", stopping at the zero block (blank name) or a
-    truncated header. Emits one ROW PER MEMBER (0-based byte offsets)
-    with ``member_idx`` — exactly the index a WebDataset-style loader
+    512 + padded data", stopping at the zero block (blank name), a
+    truncated header, or a CHECKSUM MISMATCH. Each header's ustar
+    checksum is recomputed in the fold — the sum of all 512 header
+    bytes with the checksum field read as spaces (the POSIX rule),
+    summed over the hex encoding so arbitrary bytes never hit a UTF-8
+    decode — and compared to the stored octal value; a corrupted
+    shard therefore yields a short, trustworthy index instead of a
+    confidently wrong one (ADVICE r10: the size field drives every
+    later offset, so walking past a bad header corrupts the whole
+    tail). Emits one ROW PER MEMBER (0-based byte offsets) with
+    ``member_idx`` — exactly the index a WebDataset-style loader
     range-reads with. Whole-stage JVM expressions; per-shard cost
-    bounded by the member cap."""
+    bounded by the member cap (the checksum adds a runtime 512-step
+    inner aggregate per header — a single lambda, not an unrolled
+    plan tree)."""
     p = F.col(payload_col)
 
     def step(acc: F.Column, _: F.Column) -> F.Column:
         pos = acc["pos"]
         readable = pos + 511 <= F.length(p)
+        # ustar checksum: sum of the 512 header bytes with the chksum
+        # field (offsets 148-155) as spaces. Summed over hex pairs —
+        # conv(hex pair, 16, 10) — so NUL/high bytes are safe; the
+        # stored value is the 6-digit octal in the chksum field.
+        hdr_hex = F.hex(F.substr(p, pos, F.lit(512)))
+        byte_sum = F.aggregate(
+            F.sequence(F.lit(0), F.lit(511)),
+            F.lit(0).cast("long"),
+            lambda a, i: a
+            + F.conv(F.substr(hdr_hex, i * 2 + 1, F.lit(2)), 16, 10)
+            .cast("long"),
+        )
+        chk_field_sum = F.aggregate(
+            F.sequence(F.lit(148), F.lit(155)),
+            F.lit(0).cast("long"),
+            lambda a, i: a
+            + F.conv(F.substr(hdr_hex, i * 2 + 1, F.lit(2)), 16, 10)
+            .cast("long"),
+        )
+        stored_chk = F.conv(
+            F.regexp_extract(
+                F.decode(F.substr(p, pos + 148, F.lit(8)), "UTF-8"),
+                "[0-7]+",
+                0,
+            ),
+            8,
+            10,
+        ).cast("long")
+        chk_ok = stored_chk.isNotNull() & (
+            byte_sum - chk_field_sum + F.lit(8 * 32) == stored_chk
+        )
         name = F.regexp_extract(
             F.decode(F.substr(p, pos, F.lit(100)), "UTF-8"),
             "^[^\\x00]*",
@@ -1313,7 +1354,7 @@ def tar_member_index(
         ).cast("long")
         emit = (
             ~acc["done"] & readable & (F.length(name) > 0)
-            & size.isNotNull()
+            & size.isNotNull() & chk_ok
         )
         padded = ((size + 511) / 512).cast("long") * 512
         return F.struct(

@@ -1299,7 +1299,12 @@ def mmr_diverse_topk_rel(
     with an id tiebreak, so the pick sequence is deterministic and
     oracle-checkable on any engine.
 
-    Returns ``(pick_order, id_col, rel_nano)`` for the k picks."""
+    Returns ``(pick_order, id_col, rel_nano)`` for the picks. When the
+    candidate pool (after the ``norm > 0`` filter — zero vectors have
+    no defined cosine) holds fewer than ``k`` vectors, the result has
+    ``min(k, |pool|)`` rows: the greedy loop STOPS at the first empty
+    pick instead of spinning the remaining rounds against an empty
+    remainder (ADVICE r10)."""
     q1 = qdf.select(F.col(vec_col).alias("_qv"))
     qn = q1.select(
         "_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn")
@@ -1364,4 +1369,9 @@ def mmr_diverse_topk_rel(
             )
         )
         selected = selected.unionByName(pick).localCheckpoint()
+        # pool exhausted: the pick came back empty, so every later
+        # round would join an empty remainder — stop the greedy loop
+        # (the checkpoint above already materialized, count is free)
+        if selected.count() < r:
+            break
     return selected.select("pick_order", id_col, "rel_nano")

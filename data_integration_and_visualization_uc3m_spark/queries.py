@@ -19527,9 +19527,17 @@ _LAST_GREEN.update(dict.fromkeys([  # round 10: 50 greens
 #    pass (acctbal band) unioned with the nation block, pair-level
 #    dedup, bounded block audit. Histogram values unchanged at sf0.01
 #    (verified), but candidate generation changed → re-pinned.
+#  - webdataset_shard_index: tar_member_index now recomputes the ustar
+#    header checksum in the walk (ADVICE r10) — result-identical on
+#    well-formed shards (stdlib-tarfile test), plan changed → re-pin.
+#  - mmr_diverse_topk: greedy loop gained the pool-exhausted early
+#    break (ADVICE r10) — row-identical when pool ≥ k, loop structure
+#    changed → re-pin.
 _PRIORITY: tuple[str, ...] = (
     "supplier_adamic_adar_links",
     "fs_linkage_score_histogram",
+    "webdataset_shard_index",
+    "mmr_diverse_topk",
 )
 
 

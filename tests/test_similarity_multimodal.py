@@ -715,3 +715,54 @@ def test_synthesize_tar_is_valid_ustar_and_walker_agrees(spark):
         [(9, bytearray(100))], "media_id long, payload binary"
     )
     assert tar_member_index(junk).count() == 0
+
+
+def test_tar_member_index_rejects_corrupt_checksum(spark):
+    """A flipped byte inside a header (mtime field — name/size intact,
+    so the old walker would have trusted it) must STOP the walk at
+    that member: the recomputed ustar checksum no longer matches the
+    stored value, so the corrupted member and everything after it is
+    withheld while members before it stay indexed (ADVICE r10)."""
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        synthesize_tar,
+        tar_member_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [("a.txt", 10), ("b.txt", 20), ("c.txt", 30)])],
+        "media_id long, members array<struct<name:string,size:long>>",
+    )
+    raw = bytearray(bytes(synthesize_tar(df).collect()[0]["payload"]))
+    # member layout: hdr0@0, data0@512 (1 block), hdr1@1024 — corrupt
+    # hdr1's mtime field (offset 136 within the header): parsing of
+    # name/size still succeeds, only the checksum catches it
+    raw[1024 + 136] = ord("7") if raw[1024 + 136] != ord("7") else ord("5")
+    corrupt = spark.createDataFrame(
+        [(1, bytes(raw))], "media_id long, payload binary"
+    )
+    got = [
+        (r["member_name"], r["data_size"])
+        for r in tar_member_index(corrupt)
+        .orderBy("member_idx")
+        .collect()
+    ]
+    assert got == [("a.txt", 10)]  # stops BEFORE the corrupted header
+
+
+def test_mmr_diverse_topk_rel_pool_smaller_than_k(spark):
+    """When the candidate pool holds fewer than k vectors, MMR returns
+    min(k, |pool|) rows and the greedy loop stops at the first empty
+    pick instead of running the remaining rounds (ADVICE r10). Zero
+    vectors are excluded by the norm>0 filter and don't count."""
+    from data_integration_and_visualization_uc3m_spark.operators.similarity import (
+        mmr_diverse_topk_rel,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([([1.0, 1.0],)], "embedding array<double>")
+    out = mmr_diverse_topk_rel(corpus, q, k=5, pool=10).collect()
+    assert sorted(r["pick_order"] for r in out) == [1, 2]
+    assert sorted(r["vec_id"] for r in out) == [1, 2]
