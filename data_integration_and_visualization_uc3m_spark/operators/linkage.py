@@ -128,3 +128,84 @@ def sorted_neighborhood_pairs(
     if max_distance is not None:
         out = out.filter(F.col("distance") <= F.lit(max_distance))
     return out
+
+
+def multipass_blocked_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    passes: list[tuple[str, str]],
+    left_id: str,
+    right_id: str,
+    max_block_pairs: int = 2_000_000,
+) -> DataFrame:
+    """Multi-pass blocking — the standard Fellegi-Sunter recall recipe
+    (Hernández & Stolfo 1995 run several passes with different keys):
+    each pass equi-joins ``left`` and ``right`` on one blocking-key
+    pair ``(lk, rk)`` (names must differ between sides), the passes'
+    candidate sets union, and pairs seen by more than one pass
+    collapse to one via DISTINCT on the id pair — a true match missed
+    by one key (typo'd nation) is still caught by another (name
+    suffix).
+
+    ``max_block_pairs`` is the documented knob that bounds the worst
+    block: a block whose candidate volume ``cnt_left × cnt_right``
+    exceeds it is EXCLUDED from pair generation (its members can
+    still pair in another pass; the exclusion is observable via
+    ``blocking_audit``). The exclusion semi-joins BOTH sides against
+    the ok-block set BEFORE the block join, so an oversized block
+    never physically explodes — the cap sits below the join, the
+    ``tools/plan_audit.py`` ordering rule.
+
+    Returns DISTINCT ``(left_id, right_id)``; join attributes back on
+    the ids for comparator scoring (attributes are functionally
+    dependent on the ids, so the dedup is deterministic)."""
+    cand: DataFrame | None = None
+    for lk, rk in passes:
+        cl = left.groupBy(lk).agg(F.count(F.lit(1)).alias("_nl"))
+        cr = right.groupBy(rk).agg(F.count(F.lit(1)).alias("_nr"))
+        ok = cl.join(cr, F.col(lk) == F.col(rk)).filter(
+            F.col("_nl") * F.col("_nr") <= F.lit(max_block_pairs)
+        )
+        l_ok = left.select(left_id, lk).join(
+            ok.select(lk), lk, "left_semi"
+        )
+        r_ok = right.select(right_id, rk).join(
+            ok.select(rk), rk, "left_semi"
+        )
+        p = l_ok.join(r_ok, F.col(lk) == F.col(rk)).select(
+            left_id, right_id
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    assert cand is not None, "at least one blocking pass required"
+    return cand.distinct()
+
+
+def blocking_audit(
+    left: DataFrame,
+    right: DataFrame,
+    passes: list[tuple[str, str]],
+    max_block_pairs: int = 2_000_000,
+) -> DataFrame:
+    """Block-size observability for ``multipass_blocked_pairs``: one
+    row per pass — ``(pass_idx, n_blocks, max_block_pairs_seen,
+    n_oversized)`` where a block is oversized when its candidate
+    volume exceeds the knob (those blocks were excluded from pair
+    generation). Per-key aggregates only; never materializes pairs."""
+    out: DataFrame | None = None
+    for i, (lk, rk) in enumerate(passes, start=1):
+        cl = left.groupBy(lk).agg(F.count(F.lit(1)).alias("_nl"))
+        cr = right.groupBy(rk).agg(F.count(F.lit(1)).alias("_nr"))
+        b = cl.join(cr, F.col(lk) == F.col(rk)).select(
+            (F.col("_nl") * F.col("_nr")).alias("_pairs")
+        )
+        a = b.agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.max("_pairs").cast("long").alias("max_block_pairs_seen"),
+            F.sum(
+                F.when(F.col("_pairs") > F.lit(max_block_pairs), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_oversized"),
+        ).select(F.lit(i).cast("long").alias("pass_idx"), "*")
+        out = a if out is None else out.unionByName(a)
+    assert out is not None
+    return out

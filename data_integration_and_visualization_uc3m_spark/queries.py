@@ -18643,23 +18643,55 @@ _FS_W = (
 )
 
 
+# Block-volume knob for fs_linkage_score_histogram: a block whose
+# candidate volume (cnt_customer × cnt_supplier on the key) exceeds
+# this is excluded from pair generation (counted in the audit
+# columns). 2M pairs ≈ one executor-core-second of comparator work —
+# the per-block budget a production linkage pass holds each blocking
+# key to; blocks past it need a finer key, not a bigger executor.
+_FS_MAX_BLOCK_PAIRS = 2_000_000
+
+
 @register(
     "fs_linkage_score_histogram",
     f"""
     WITH c AS (
-        SELECT c_nationkey AS nk,
+        SELECT c_custkey AS ck, c_nationkey AS nk,
+               substr(c_name, length(c_name) - 1, 2) AS dd,
                CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
                    // 200000 AS band,
                substr(c_name, length(c_name), 1) AS d1,
                substr(c_name, length(c_name) - 1, 1) AS d2
         FROM customer
     ), s AS (
-        SELECT s_nationkey AS nk,
+        SELECT s_suppkey AS sk, s_nationkey AS snk,
+               substr(s_name, length(s_name) - 1, 2) AS sdd,
                CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
                    // 200000 AS band,
                substr(s_name, length(s_name), 1) AS d1,
                substr(s_name, length(s_name) - 1, 1) AS d2
         FROM supplier
+    ), b1 AS (
+        SELECT cb.nk, cb.cn * sb.sn AS pairs
+        FROM (SELECT nk, COUNT(*) AS cn FROM c GROUP BY nk) cb
+        JOIN (SELECT snk, COUNT(*) AS sn FROM s GROUP BY snk) sb
+          ON sb.snk = cb.nk
+    ), b2 AS (
+        SELECT cb.dd, cb.cn * sb.sn AS pairs
+        FROM (SELECT dd, COUNT(*) AS cn FROM c GROUP BY dd) cb
+        JOIN (SELECT sdd, COUNT(*) AS sn FROM s GROUP BY sdd) sb
+          ON sb.sdd = cb.dd
+    ), p1 AS (
+        SELECT c.ck, s.sk FROM c JOIN s ON s.snk = c.nk
+        WHERE c.nk IN (SELECT nk FROM b1
+                       WHERE pairs <= {_FS_MAX_BLOCK_PAIRS})
+    ), p2 AS (
+        SELECT c.ck, s.sk FROM c JOIN s ON s.sdd = c.dd
+        WHERE c.dd IN (SELECT dd FROM b2
+                       WHERE pairs <= {_FS_MAX_BLOCK_PAIRS})
+    ), cand AS (
+        SELECT DISTINCT ck, sk
+        FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
     ), scored AS (
         SELECT CAST(
             (CASE WHEN c.band = s.band
@@ -18669,47 +18701,78 @@ _FS_W = (
           + (CASE WHEN c.d2 = s.d2
                   THEN {_FS_W[2][0]} ELSE {_FS_W[2][1]} END)
             AS BIGINT) AS score_micro
-        FROM c JOIN s ON s.nk = c.nk
+        FROM cand JOIN c ON c.ck = cand.ck JOIN s ON s.sk = cand.sk
+    ), hist AS (
+        SELECT score_micro, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM scored GROUP BY score_micro
+    ), audit AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM b1) AS n_blocks_p1,
+               (SELECT CAST(MAX(pairs) AS BIGINT) FROM b1)
+                   AS max_block_pairs_p1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b2) AS n_blocks_p2,
+               (SELECT CAST(MAX(pairs) AS BIGINT) FROM b2)
+                   AS max_block_pairs_p2,
+               CAST((SELECT SUM(CASE WHEN pairs > {_FS_MAX_BLOCK_PAIRS}
+                                     THEN 1 ELSE 0 END) FROM b1)
+                  + (SELECT SUM(CASE WHEN pairs > {_FS_MAX_BLOCK_PAIRS}
+                                     THEN 1 ELSE 0 END) FROM b2)
+                    AS BIGINT) AS n_oversized
     )
-    SELECT score_micro, CAST(COUNT(*) AS BIGINT) AS n_pairs
-    FROM scored GROUP BY score_micro ORDER BY score_micro
+    SELECT h.score_micro, h.n_pairs, a.n_blocks_p1,
+           a.max_block_pairs_p1, a.n_blocks_p2, a.max_block_pairs_p2,
+           a.n_oversized
+    FROM hist h CROSS JOIN audit a ORDER BY h.score_micro
     """,
-    ops=["entity-resolution", "fellegi-sunter", "blocking"],
+    ops=["entity-resolution", "fellegi-sunter", "multipass-blocking"],
 )
 def fs_linkage_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic record linkage, the Fellegi-Sunter model (1969 —
     the canonical data-integration method the reference's domain sits
-    in): customer↔supplier candidate pairs blocked on nation, scored
-    by summed log-likelihood weights over three field comparators
-    (account-balance band via exact cents with truncating div — the
-    cross-engine-safe decimal path; name-suffix digits). Weights are
+    in): customer↔supplier candidate pairs from MULTI-PASS blocking
+    (VERDICT r10 ask #3 — the nation key alone has 25 values, so its
+    blocks grow quadratically with table size): pass 1 blocks on
+    nation, pass 2 on the name's last-two-digit suffix (~100 values),
+    candidate sets union and dedup at the pair level
+    (operators/linkage.py:multipass_blocked_pairs), so a true match
+    missed by one key is still caught by the other — the standard
+    multi-pass FS recipe. Blocks whose candidate volume exceeds
+    ``_FS_MAX_BLOCK_PAIRS`` (documented knob) are excluded from pair
+    generation, with the exclusion OBSERVABLE in the emitted audit
+    columns (per-pass block counts, max block volume, oversized
+    count — all hash-checked); the exclusion semi-joins both sides
+    below the block join, so an oversized block never physically
+    explodes. Scoring: summed log-likelihood weights over three field
+    comparators (account-balance band via exact cents with truncating
+    div — the cross-engine-safe decimal path; name-suffix digits),
     host-literal micro ints from the m/u model, so the SCORE
     DISTRIBUTION itself is hash-checked — the histogram a linkage
-    deployment thresholds into match / possible / non-match. Scale
-    shape: one blocked equi-join (never all-pairs), map-side
-    comparators, one aggregation; skewed blocks get the salting
-    treatment like any hot-key join."""
+    deployment thresholds into match / possible / non-match."""
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
 
-    def prep(df, nk, bal, name):
+    def prep(df, key, nk, bal, name, pfx):
         return df.select(
-            F.col(nk).alias("nk"),
+            F.col(key).alias(f"{pfx}key"),
+            F.col(nk).alias(f"{pfx}nk"),
+            F.expr(
+                f"substr({name}, length({name}) - 1, 2)"
+            ).alias(f"{pfx}dd"),
             F.expr(
                 f"CAST(CAST({bal} AS DECIMAL(18,2)) * 100 AS BIGINT)"
                 " div 200000"
-            ).alias("band"),
-            F.substring(F.col(name), -1, 1).alias("d1"),
+            ).alias(f"{pfx}band"),
+            F.substring(F.col(name), -1, 1).alias(f"{pfx}d1"),
             F.expr(
                 f"substr({name}, length({name}) - 1, 1)"
-            ).alias("d2"),
+            ).alias(f"{pfx}d2"),
         )
 
-    cc = prep(c, "c_nationkey", "c_acctbal", "c_name")
-    ss = prep(s, "s_nationkey", "s_acctbal", "s_name")
-    ss = ss.select(
-        F.col("nk").alias("snk"), F.col("band").alias("sband"),
-        F.col("d1").alias("sd1"), F.col("d2").alias("sd2"),
+    cc = prep(c, "c_custkey", "c_nationkey", "c_acctbal", "c_name", "c")
+    ss = prep(s, "s_suppkey", "s_nationkey", "s_acctbal", "s_name", "s")
+    passes = [("cnk", "snk"), ("cdd", "sdd")]
+    cand = linkage.multipass_blocked_pairs(
+        cc, ss, passes, "ckey", "skey",
+        max_block_pairs=_FS_MAX_BLOCK_PAIRS,
     )
 
     def w(cond, i):
@@ -18717,19 +18780,37 @@ def fs_linkage_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_FS_W[i][1])
         ).cast("long")
 
-    pairs = cc.join(F.broadcast(ss), F.col("nk") == F.col("snk"))
-    scored = pairs.select(
-        (
-            w(F.col("band") == F.col("sband"), 0)
-            + w(F.col("d1") == F.col("sd1"), 1)
-            + w(F.col("d2") == F.col("sd2"), 2)
-        ).alias("score_micro")
+    scored = (
+        cand.join(cc, "ckey")
+        .join(F.broadcast(ss), "skey")
+        .select(
+            (
+                w(F.col("cband") == F.col("sband"), 0)
+                + w(F.col("cd1") == F.col("sd1"), 1)
+                + w(F.col("cd2") == F.col("sd2"), 2)
+            ).alias("score_micro")
+        )
     )
-    return (
-        scored.groupBy("score_micro")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        .orderBy("score_micro")
+    hist = scored.groupBy("score_micro").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+    a = linkage.blocking_audit(
+        cc, ss, passes, max_block_pairs=_FS_MAX_BLOCK_PAIRS
+    )
+    audit = a.agg(
+        F.max(F.when(F.col("pass_idx") == 1, F.col("n_blocks")))
+        .cast("long").alias("n_blocks_p1"),
+        F.max(
+            F.when(F.col("pass_idx") == 1, F.col("max_block_pairs_seen"))
+        ).cast("long").alias("max_block_pairs_p1"),
+        F.max(F.when(F.col("pass_idx") == 2, F.col("n_blocks")))
+        .cast("long").alias("n_blocks_p2"),
+        F.max(
+            F.when(F.col("pass_idx") == 2, F.col("max_block_pairs_seen"))
+        ).cast("long").alias("max_block_pairs_p2"),
+        F.sum("n_oversized").cast("long").alias("n_oversized"),
+    )
+    return hist.crossJoin(F.broadcast(audit)).orderBy("score_micro")
 
 
 @register(
@@ -19524,9 +19605,10 @@ _LAST_GREEN.update(dict.fromkeys([  # round 10: 50 greens
 #    join, verified via explain); oracle restated identically.
 #    Result-identical, plan changed after its r10 green → re-pinned.
 #  - fs_linkage_score_histogram: VERDICT r10 ask #3 — second blocking
-#    pass (acctbal band) unioned with the nation block, pair-level
-#    dedup, bounded block audit. Histogram values unchanged at sf0.01
-#    (verified), but candidate generation changed → re-pinned.
+#    pass (name-suffix digits) unioned with the nation block,
+#    pair-level dedup, block-volume cap + audit columns. Result
+#    CHANGED (more candidates, new audit columns); parity exact at
+#    sf0.01 and sf0.1 → re-pinned for a fresh verdict.
 #  - webdataset_shard_index: tar_member_index now recomputes the ustar
 #    header checksum in the walk (ADVICE r10) — result-identical on
 #    well-formed shards (stdlib-tarfile test), plan changed → re-pin.

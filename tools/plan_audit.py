@@ -147,6 +147,9 @@ SCALAR_OK: set[str] = {
                                   # the 25-row nation aggregate
     "ivf_incremental_assign",     # 1-row collapsed-codebook broadcast
                                   # (train + two frozen assignments)
+    # r11 additions
+    "fs_linkage_score_histogram",  # 1-row blocking-audit broadcast
+                                   # onto the score histogram
 }
 
 
