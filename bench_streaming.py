@@ -16,6 +16,14 @@ every run pays the full cold stream-start cost by design). Results
 merge into BENCH_DETAIL.json under the "streaming" key (bench.py
 preserves it) and print as one JSON line.
 
+State telemetry (VERDICT r10 ask #6): a StreamingQueryListener
+captures each micro-batch's ``stateOperators`` metrics; per query the
+section records peak state rows and peak state memory across the
+timed runs — the round-over-round series that makes state growth in
+the watermark-bound queries (stream-stream join, sessionize) visible
+the same way calib_sec makes host noise visible. Stateless streams
+record zeros.
+
 Usage: python bench_streaming.py   [$SPARK_GRAFT_SF_DIR, default sf0.1]
 """
 
@@ -33,6 +41,44 @@ DETAIL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "BENCH_DETAIL.json")
 
 
+class _StateCapture:
+    """StreamingQueryListener accumulating peak stateOperators metrics.
+
+    Listener callbacks arrive on a background thread, so reads happen
+    after a short settle; peak-across-runs makes slight event lag
+    harmless."""
+
+    def __init__(self):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        cap = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                cap.n_batches += 1
+                for so in p.stateOperators:
+                    cap.rows = max(cap.rows, so.numRowsTotal)
+                    cap.bytes = max(cap.bytes, so.memoryUsedBytes)
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self.listener = _L()
+        self.reset()
+
+    def reset(self):
+        self.rows = 0
+        self.bytes = 0
+        self.n_batches = 0
+
+
 def main() -> None:
     from bench import BENCH_EXCLUDE
     from data_integration_and_visualization_uc3m_spark.session import get_spark
@@ -41,6 +87,9 @@ def main() -> None:
     spark = get_spark("bench-streaming")
     qs = entrymod.queries()
     names = sorted(n for n in qs if n in BENCH_EXCLUDE)
+
+    cap = _StateCapture()
+    spark.streams.addListener(cap.listener)
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()
@@ -51,7 +100,9 @@ def main() -> None:
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    state: dict[str, dict[str, int]] = {}
     for name in names:
+        cap.reset()
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -60,6 +111,12 @@ def main() -> None:
         times[name] = round(sorted(runs)[1], 3)
         cold[name] = round(runs[0], 3)
         warm[name] = round(min(runs[1:]), 3)
+        time.sleep(1.0)  # let trailing listener events land
+        state[name] = {
+            "peak_state_rows": cap.rows,
+            "peak_state_bytes": cap.bytes,
+            "n_progress_events": cap.n_batches,
+        }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -74,6 +131,7 @@ def main() -> None:
         "queries": times,
         "queries_cold": cold,
         "queries_warm": warm,
+        "queries_state": state,
         "sf": sf_val,
     }
     try:
