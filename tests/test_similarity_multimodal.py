@@ -766,3 +766,53 @@ def test_mmr_diverse_topk_rel_pool_smaller_than_k(spark):
     out = mmr_diverse_topk_rel(corpus, q, k=5, pool=10).collect()
     assert sorted(r["pick_order"] for r in out) == [1, 2]
     assert sorted(r["vec_id"] for r in out) == [1, 2]
+
+
+def test_wav_pcm_vad_segments_cuts_at_silence(spark):
+    """VAD over REAL bytes: a burst-gated PCM WAV (32 on / 32 off)
+    decodes into frame energies whose active runs segment exactly at
+    the gate boundaries, with exact integer energies; an ungated clip
+    yields one full-length segment; an all-silent clip yields none."""
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        synthesize_wav_pcm,
+        wav_pcm_vad_segments,
+    )
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [
+            # 128 samples, gate 32 → frames(16): on,on,off,off ×2
+            (1, 8000, 128, 1000, 7, 3, 32),
+            # ungated (burst larger than clip → always on)
+            (2, 8000, 64, 1000, 7, 3, 1 << 20),
+            # silent: amp pattern all-off via burst smaller than frame
+            # is still partially on — instead make an empty clip
+            (3, 8000, 0, 1000, 7, 3, 32),
+        ],
+        "media_id long, sample_rate_hz long, n_samples long, amp long,"
+        " step long, phase long, burst long",
+    )
+    media = synthesize_wav_pcm(src, burst_col="burst")
+    segs = {}
+    for r in wav_pcm_vad_segments(media, frame=16, min_energy=0).collect():
+        segs.setdefault(r["media_id"], []).append(
+            (r["seg_idx"], r["start_frame"], r["n_frames"])
+        )
+    # clip 1: active frame pairs at 0-1 and 4-5 (frames 2-3, 6-7 gated
+    # off: samples 32..63 and 96..127 silent)
+    assert segs[1] == [(1, 0, 2), (2, 4, 2)]
+    # clip 2: one segment covering all 4 full frames
+    assert segs[2] == [(1, 0, 4)]
+    # clip 3: empty clip — no segments
+    assert 3 not in segs
+
+    # energies are the exact sum of squared sawtooth samples
+    expect = sum(
+        ((i * 7 + 3) % 2000 - 1000) ** 2 for i in range(0, 32)
+    )
+    got = {
+        r["start_frame"]: r["energy_sum"]
+        for r in wav_pcm_vad_segments(media, frame=16, min_energy=0)
+        .filter(F.col("media_id") == 1).collect()
+    }
+    assert got[0] == expect

@@ -4,7 +4,7 @@ Usage: python tools/rotate.py CORRECTNESS_rNN.json
 
 Reads ALL CORRECTNESS_r*.json records in the repo root (the argument
 just names the newest one, and is sanity-checked to be among them) and
-prints, ready to paste into queries.py:
+prints, ready to paste into queries/_rotation.py:
   1. the updated ``_PRIOR_VERIFIED`` frozenset (union of every green),
   2. the ``_LAST_GREEN`` dict (most recent green round per query) that
      ``_rotated()`` uses to re-verify the stalest greens first,
