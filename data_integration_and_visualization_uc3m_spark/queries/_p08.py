@@ -1727,4 +1727,370 @@ def wav_vad_segments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "seg_idx")
 
 
+@register(
+    "fs_em_weight_estimation",
+    """
+    WITH c AS (
+        SELECT c_custkey AS ck, c_nationkey AS nk,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 200000 AS band,
+               substr(c_name, length(c_name), 1) AS d1,
+               substr(c_name, length(c_name) - 1, 1) AS d2
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey AS sk, s_nationkey AS snk,
+               CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 200000 AS band,
+               substr(s_name, length(s_name), 1) AS d1,
+               substr(s_name, length(s_name) - 1, 1) AS d2
+        FROM supplier
+    ), pc AS (
+        SELECT (CASE WHEN c.band = s.band THEN 4 ELSE 0 END
+              + CASE WHEN c.d1 = s.d1 THEN 2 ELSE 0 END
+              + CASE WHEN c.d2 = s.d2 THEN 1 ELSE 0 END) AS k,
+               COUNT(*) AS n
+        FROM c JOIN s ON s.snk = c.nk
+        GROUP BY 1
+    ), em0 AS (
+        SELECT CAST(100000 AS BIGINT) AS p,
+               CAST(800000 AS BIGINT) AS m1, CAST(800000 AS BIGINT) AS m2,
+               CAST(800000 AS BIGINT) AS m3,
+               CAST(300000 AS BIGINT) AS u1, CAST(300000 AS BIGINT) AS u2,
+               CAST(300000 AS BIGINT) AS u3
+    ),
+    em1_w AS (
+        SELECT pc.k, pc.n,
+               ((pr.p * (((CASE WHEN pc.k // 4 % 2 = 1 THEN pr.m1
+                           ELSE 1000000 - pr.m1 END
+                         * CASE WHEN pc.k // 2 % 2 = 1 THEN pr.m2
+                           ELSE 1000000 - pr.m2 END) // 1000000
+                         * CASE WHEN pc.k % 2 = 1 THEN pr.m3
+                           ELSE 1000000 - pr.m3 END) // 1000000))
+                * 1000000)
+               // (pr.p * (((CASE WHEN pc.k // 4 % 2 = 1 THEN pr.m1
+                             ELSE 1000000 - pr.m1 END
+                           * CASE WHEN pc.k // 2 % 2 = 1 THEN pr.m2
+                             ELSE 1000000 - pr.m2 END) // 1000000
+                           * CASE WHEN pc.k % 2 = 1 THEN pr.m3
+                             ELSE 1000000 - pr.m3 END) // 1000000)
+                 + (1000000 - pr.p)
+                   * (((CASE WHEN pc.k // 4 % 2 = 1 THEN pr.u1
+                        ELSE 1000000 - pr.u1 END
+                      * CASE WHEN pc.k // 2 % 2 = 1 THEN pr.u2
+                        ELSE 1000000 - pr.u2 END) // 1000000
+                      * CASE WHEN pc.k % 2 = 1 THEN pr.u3
+                        ELSE 1000000 - pr.u3 END) // 1000000))
+                   AS w
+        FROM pc CROSS JOIN em0 pr
+    ), em1 AS (
+        SELECT SUM(n * w) // SUM(n) AS p,
+               SUM(CASE WHEN k // 4 % 2 = 1 THEN n * w ELSE 0 END)
+                   * 1000000 // SUM(n * w) AS m1,
+               SUM(CASE WHEN k // 2 % 2 = 1 THEN n * w ELSE 0 END)
+                   * 1000000 // SUM(n * w) AS m2,
+               SUM(CASE WHEN k % 2 = 1 THEN n * w ELSE 0 END)
+                   * 1000000 // SUM(n * w) AS m3,
+               SUM(CASE WHEN k // 4 % 2 = 1 THEN n * (1000000 - w)
+                        ELSE 0 END)
+                   * 1000000 // SUM(n * (1000000 - w)) AS u1,
+               SUM(CASE WHEN k // 2 % 2 = 1 THEN n * (1000000 - w)
+                        ELSE 0 END)
+                   * 1000000 // SUM(n * (1000000 - w)) AS u2,
+               SUM(CASE WHEN k % 2 = 1 THEN n * (1000000 - w)
+                        ELSE 0 END)
+                   * 1000000 // SUM(n * (1000000 - w)) AS u3
+        FROM em1_w
+    ),
+    em2_w AS (
+        SELECT pc.k, pc.n,
+               ((pr.p * (((CASE WHEN pc.k // 4 % 2 = 1 THEN pr.m1
+                           ELSE 1000000 - pr.m1 END
+                         * CASE WHEN pc.k // 2 % 2 = 1 THEN pr.m2
+                           ELSE 1000000 - pr.m2 END) // 1000000
+                         * CASE WHEN pc.k % 2 = 1 THEN pr.m3
+                           ELSE 1000000 - pr.m3 END) // 1000000))
+                * 1000000)
+               // (pr.p * (((CASE WHEN pc.k // 4 % 2 = 1 THEN pr.m1
+                             ELSE 1000000 - pr.m1 END
+                           * CASE WHEN pc.k // 2 % 2 = 1 THEN pr.m2
+                             ELSE 1000000 - pr.m2 END) // 1000000
+                           * CASE WHEN pc.k % 2 = 1 THEN pr.m3
+                             ELSE 1000000 - pr.m3 END) // 1000000)
+                 + (1000000 - pr.p)
+                   * (((CASE WHEN pc.k // 4 % 2 = 1 THEN pr.u1
+                        ELSE 1000000 - pr.u1 END
+                      * CASE WHEN pc.k // 2 % 2 = 1 THEN pr.u2
+                        ELSE 1000000 - pr.u2 END) // 1000000
+                      * CASE WHEN pc.k % 2 = 1 THEN pr.u3
+                        ELSE 1000000 - pr.u3 END) // 1000000))
+                   AS w
+        FROM pc CROSS JOIN em1 pr
+    ), em2 AS (
+        SELECT SUM(n * w) // SUM(n) AS p,
+               SUM(CASE WHEN k // 4 % 2 = 1 THEN n * w ELSE 0 END)
+                   * 1000000 // SUM(n * w) AS m1,
+               SUM(CASE WHEN k // 2 % 2 = 1 THEN n * w ELSE 0 END)
+                   * 1000000 // SUM(n * w) AS m2,
+               SUM(CASE WHEN k % 2 = 1 THEN n * w ELSE 0 END)
+                   * 1000000 // SUM(n * w) AS m3,
+               SUM(CASE WHEN k // 4 % 2 = 1 THEN n * (1000000 - w)
+                        ELSE 0 END)
+                   * 1000000 // SUM(n * (1000000 - w)) AS u1,
+               SUM(CASE WHEN k // 2 % 2 = 1 THEN n * (1000000 - w)
+                        ELSE 0 END)
+                   * 1000000 // SUM(n * (1000000 - w)) AS u2,
+               SUM(CASE WHEN k % 2 = 1 THEN n * (1000000 - w)
+                        ELSE 0 END)
+                   * 1000000 // SUM(n * (1000000 - w)) AS u3
+        FROM em2_w
+    ),
+    em3_w AS (
+        SELECT pc.k, pc.n,
+               ((pr.p * (((CASE WHEN pc.k // 4 % 2 = 1 THEN pr.m1
+                           ELSE 1000000 - pr.m1 END
+                         * CASE WHEN pc.k // 2 % 2 = 1 THEN pr.m2
+                           ELSE 1000000 - pr.m2 END) // 1000000
+                         * CASE WHEN pc.k % 2 = 1 THEN pr.m3
+                           ELSE 1000000 - pr.m3 END) // 1000000))
+                * 1000000)
+               // (pr.p * (((CASE WHEN pc.k // 4 % 2 = 1 THEN pr.m1
+                             ELSE 1000000 - pr.m1 END
+                           * CASE WHEN pc.k // 2 % 2 = 1 THEN pr.m2
+                             ELSE 1000000 - pr.m2 END) // 1000000
+                           * CASE WHEN pc.k % 2 = 1 THEN pr.m3
+                             ELSE 1000000 - pr.m3 END) // 1000000)
+                 + (1000000 - pr.p)
+                   * (((CASE WHEN pc.k // 4 % 2 = 1 THEN pr.u1
+                        ELSE 1000000 - pr.u1 END
+                      * CASE WHEN pc.k // 2 % 2 = 1 THEN pr.u2
+                        ELSE 1000000 - pr.u2 END) // 1000000
+                      * CASE WHEN pc.k % 2 = 1 THEN pr.u3
+                        ELSE 1000000 - pr.u3 END) // 1000000))
+                   AS w
+        FROM pc CROSS JOIN em2 pr
+    ), em3 AS (
+        SELECT SUM(n * w) // SUM(n) AS p,
+               SUM(CASE WHEN k // 4 % 2 = 1 THEN n * w ELSE 0 END)
+                   * 1000000 // SUM(n * w) AS m1,
+               SUM(CASE WHEN k // 2 % 2 = 1 THEN n * w ELSE 0 END)
+                   * 1000000 // SUM(n * w) AS m2,
+               SUM(CASE WHEN k % 2 = 1 THEN n * w ELSE 0 END)
+                   * 1000000 // SUM(n * w) AS m3,
+               SUM(CASE WHEN k // 4 % 2 = 1 THEN n * (1000000 - w)
+                        ELSE 0 END)
+                   * 1000000 // SUM(n * (1000000 - w)) AS u1,
+               SUM(CASE WHEN k // 2 % 2 = 1 THEN n * (1000000 - w)
+                        ELSE 0 END)
+                   * 1000000 // SUM(n * (1000000 - w)) AS u2,
+               SUM(CASE WHEN k % 2 = 1 THEN n * (1000000 - w)
+                        ELSE 0 END)
+                   * 1000000 // SUM(n * (1000000 - w)) AS u3
+        FROM em3_w
+    )
+    SELECT t.it, t.p AS p_micro,
+           t.m1 AS m1_micro, t.m2 AS m2_micro, t.m3 AS m3_micro,
+           t.u1 AS u1_micro, t.u2 AS u2_micro, t.u3 AS u3_micro
+    FROM (
+        SELECT CAST(1 AS BIGINT) AS it, * FROM em1
+        UNION ALL SELECT CAST(2 AS BIGINT) AS it, * FROM em2
+        UNION ALL SELECT CAST(3 AS BIGINT) AS it, * FROM em3
+    ) t
+    ORDER BY t.it
+""",
+    ops=["fellegi-sunter", "em-estimation", "entity-resolution"],
+)
+def fs_em_weight_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter parameter estimation — the EM
+    algorithm of Winkler (1988) that learns the m/u probabilities the
+    score histogram (fs_linkage_score_histogram) consumes, closing the
+    linkage arc blocking → scoring → PARAMETER ESTIMATION. The insight
+    that makes it scale: under conditional independence the E-step
+    depends on a pair only through its binary comparator PATTERN, so
+    the corpus of candidate pairs collapses to EIGHT pattern counts in
+    one blocked-join aggregate, and each EM iteration is arithmetic
+    over that 8-row relation crossed with the 1-row parameter state —
+    iteration cost is O(1) regardless of corpus size (a trillion pairs
+    and six pairs run the same three EM steps). All probabilities are
+    micro fixed point with a DOCUMENTED evaluation order (two chained
+    ``(a*b) div 1e6`` steps for the 3-factor products; weight =
+    ``num*1e6 div den`` with den ≤ 1e12·2 and num·1e6 ≤ ~1e18, inside
+    BIGINT), so the learned parameter TRAJECTORY itself — three
+    iterations of (p, m1..m3, u1..u3) — is hash-checked against the
+    oracle's unrolled CTE chain."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+
+    def prep(df, nk, bal, name):
+        return df.select(
+            F.col(nk).alias("nk"),
+            F.expr(
+                f"CAST(CAST({bal} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " div 200000"
+            ).alias("band"),
+            F.substring(F.col(name), -1, 1).alias("d1"),
+            F.expr(f"substr({name}, length({name}) - 1, 1)").alias("d2"),
+        )
+
+    cc = prep(c, "c_nationkey", "c_acctbal", "c_name")
+    ss = prep(s, "s_nationkey", "s_acctbal", "s_name").select(
+        F.col("nk").alias("snk"), F.col("band").alias("sband"),
+        F.col("d1").alias("sd1"), F.col("d2").alias("sd2"),
+    )
+    pairs = cc.join(F.broadcast(ss), F.col("nk") == F.col("snk"))
+    pc = pairs.select(
+        (
+            F.when(F.col("band") == F.col("sband"), 4).otherwise(0)
+            + F.when(F.col("d1") == F.col("sd1"), 2).otherwise(0)
+            + F.when(F.col("d2") == F.col("sd2"), 1).otherwise(0)
+        ).cast("long").alias("k")
+    ).groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    params = spark.range(1).select(
+        F.lit(100000).cast("long").alias("p"),
+        F.lit(800000).cast("long").alias("m1"),
+        F.lit(800000).cast("long").alias("m2"),
+        F.lit(800000).cast("long").alias("m3"),
+        F.lit(300000).cast("long").alias("u1"),
+        F.lit(300000).cast("long").alias("u2"),
+        F.lit(300000).cast("long").alias("u3"),
+    )
+
+    trajectory = None
+    cur = params
+    for it in (1, 2, 3):
+        w_rows = pc.crossJoin(F.broadcast(cur)).select(
+            "k", "n",
+            F.expr(
+                "((p * (((CASE WHEN k div 4 % 2 = 1 THEN m1"
+                " ELSE 1000000 - m1 END"
+                " * CASE WHEN k div 2 % 2 = 1 THEN m2"
+                " ELSE 1000000 - m2 END) div 1000000"
+                " * CASE WHEN k % 2 = 1 THEN m3"
+                " ELSE 1000000 - m3 END) div 1000000)) * 1000000)"
+                " div (p * (((CASE WHEN k div 4 % 2 = 1 THEN m1"
+                " ELSE 1000000 - m1 END"
+                " * CASE WHEN k div 2 % 2 = 1 THEN m2"
+                " ELSE 1000000 - m2 END) div 1000000"
+                " * CASE WHEN k % 2 = 1 THEN m3"
+                " ELSE 1000000 - m3 END) div 1000000)"
+                " + (1000000 - p)"
+                " * (((CASE WHEN k div 4 % 2 = 1 THEN u1"
+                " ELSE 1000000 - u1 END"
+                " * CASE WHEN k div 2 % 2 = 1 THEN u2"
+                " ELSE 1000000 - u2 END) div 1000000"
+                " * CASE WHEN k % 2 = 1 THEN u3"
+                " ELSE 1000000 - u3 END) div 1000000))"
+            ).alias("w"),
+        )
+        cur = w_rows.agg(
+            F.expr("SUM(n * w) div SUM(n)").alias("p"),
+            F.expr(
+                "SUM(CASE WHEN k div 4 % 2 = 1 THEN n * w ELSE 0 END)"
+                " * 1000000 div SUM(n * w)").alias("m1"),
+            F.expr(
+                "SUM(CASE WHEN k div 2 % 2 = 1 THEN n * w ELSE 0 END)"
+                " * 1000000 div SUM(n * w)").alias("m2"),
+            F.expr(
+                "SUM(CASE WHEN k % 2 = 1 THEN n * w ELSE 0 END)"
+                " * 1000000 div SUM(n * w)").alias("m3"),
+            F.expr(
+                "SUM(CASE WHEN k div 4 % 2 = 1 THEN n * (1000000 - w)"
+                " ELSE 0 END) * 1000000 div SUM(n * (1000000 - w))"
+            ).alias("u1"),
+            F.expr(
+                "SUM(CASE WHEN k div 2 % 2 = 1 THEN n * (1000000 - w)"
+                " ELSE 0 END) * 1000000 div SUM(n * (1000000 - w))"
+            ).alias("u2"),
+            F.expr(
+                "SUM(CASE WHEN k % 2 = 1 THEN n * (1000000 - w)"
+                " ELSE 0 END) * 1000000 div SUM(n * (1000000 - w))"
+            ).alias("u3"),
+        )
+        row = cur.select(
+            F.lit(it).cast("long").alias("it"),
+            F.col("p").alias("p_micro"),
+            F.col("m1").alias("m1_micro"),
+            F.col("m2").alias("m2_micro"),
+            F.col("m3").alias("m3_micro"),
+            F.col("u1").alias("u1_micro"),
+            F.col("u2").alias("u2_micro"),
+            F.col("u3").alias("u3_micro"),
+        )
+        trajectory = row if trajectory is None else trajectory.unionByName(row)
+    return trajectory.orderBy("it")
+
+
+@register(
+    "source_loo_value_report",
+    """
+    WITH q AS (
+        SELECT source,
+               CASE WHEN n_chars BETWEEN 150 AND 400 THEN 1 ELSE 0 END
+                   AS pass
+        FROM documents
+    ), per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pass) AS BIGINT) AS n_pass
+        FROM q GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+               CAST(SUM(n_pass) AS BIGINT) AS pass_all
+        FROM per
+    )
+    SELECT per.source, per.n_docs, per.n_pass,
+           pass_all * 1000000 // n_all AS metric_all_micro,
+           (pass_all - n_pass) * 1000000 // (n_all - n_docs)
+               AS metric_without_micro,
+           (pass_all - n_pass) * 1000000 // (n_all - n_docs)
+             - pass_all * 1000000 // n_all AS loo_value_micro
+    FROM per CROSS JOIN tot ORDER BY per.source
+    """,
+    ops=["data-valuation", "leave-one-out", "source-quality"],
+)
+def source_loo_value_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out DATA VALUATION per source — the cheapest member
+    of the Shapley family and the first question a corpus owner asks
+    before cutting a supplier: how does the corpus quality metric move
+    if source s is dropped? Because the metric (pass-rate of a length
+    gate) is a ratio of sums, every LOO counterfactual comes from the
+    SAME single grouped pass — ``(pass_all − pass_s) / (n_all − n_s)``
+    — no per-source rescan, no retraining loop: one groupBy(source),
+    one 1-row totals broadcast, micro fixed point with truncating div.
+    Positive loo_value means the corpus improves without the source
+    (the drop list); the full Shapley expansion replaces the single
+    metric with per-coalition ones but keeps this exact aggregation
+    shape."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "source",
+        F.when(
+            (F.col("n_chars") >= 150) & (F.col("n_chars") <= 400), 1
+        ).otherwise(0).alias("pass"),
+    )
+    per = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pass").cast("long").alias("n_pass"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("n_all"),
+        F.sum("n_pass").cast("long").alias("pass_all"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_pass",
+            F.expr("pass_all * 1000000 div n_all").alias(
+                "metric_all_micro"),
+            F.expr(
+                "(pass_all - n_pass) * 1000000 div (n_all - n_docs)"
+            ).alias("metric_without_micro"),
+            F.expr(
+                "(pass_all - n_pass) * 1000000 div (n_all - n_docs)"
+                " - pass_all * 1000000 div n_all"
+            ).alias("loo_value_micro"),
+        )
+        .orderBy("source")
+    )
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -374,6 +374,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "uncertainty_sampling_batch",
     "prefix_cache_hit_report",
     "wav_vad_segments_report",
+    "fs_em_weight_estimation",
+    "source_loo_value_report",
 )
 
 

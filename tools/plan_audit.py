@@ -150,6 +150,10 @@ SCALAR_OK: set[str] = {
     # r11 additions
     "fs_linkage_score_histogram",  # 1-row blocking-audit broadcast
                                    # onto the score histogram
+    "fs_em_weight_estimation",     # 8-row pattern counts × 1-row EM
+                                   # parameter state, 3 iterations
+    "source_loo_value_report",     # 1-row corpus-totals broadcast
+                                   # onto per-source rows
 }
 
 
