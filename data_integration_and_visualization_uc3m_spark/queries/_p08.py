@@ -2093,4 +2093,205 @@ def source_loo_value_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ips_policy_value_report",
+    """
+    WITH log AS (
+        SELECT event_type AS action,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS r_cents,
+               CASE event_type
+                    WHEN 'view' THEN 300 WHEN 'click' THEN 250
+                    WHEN 'purchase' THEN 200 WHEN 'signup' THEN 150
+                    ELSE 100 END AS p_log_milli,
+               ['view', 'click', 'purchase', 'signup', 'error']
+               [CAST(('0x' || substr(md5('pi:' ||
+                    CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 5
+                    AS INTEGER) + 1] AS pi_action
+        FROM events
+    )
+    SELECT action,
+           CAST(MAX(p_log_milli) AS BIGINT) AS p_log_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_logged,
+           CAST(SUM(CASE WHEN pi_action = action THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN pi_action = action
+                         THEN 1000000 // p_log_milli ELSE 0 END)
+                AS BIGINT) AS w_sum_milli,
+           CAST(SUM(CASE WHEN pi_action = action
+                         THEN r_cents * (1000000 // p_log_milli)
+                         ELSE 0 END) AS BIGINT) AS wr_sum_milli_cents,
+           CAST(CASE WHEN SUM(CASE WHEN pi_action = action
+                                   THEN 1000000 // p_log_milli
+                                   ELSE 0 END) > 0
+                THEN SUM(CASE WHEN pi_action = action
+                              THEN r_cents * (1000000 // p_log_milli)
+                              ELSE 0 END) * 1000
+                     // SUM(CASE WHEN pi_action = action
+                                 THEN 1000000 // p_log_milli
+                                 ELSE 0 END)
+                ELSE 0 END AS BIGINT) AS snips_value_milli_cents
+    FROM log GROUP BY action ORDER BY action
+    """,
+    ops=["off-policy-evaluation", "ips-snips", "counterfactual"],
+)
+def ips_policy_value_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual (off-policy) evaluation — IPS / self-normalized
+    IPS (Horvitz-Thompson; SNIPS per Swaminathan & Joachims 2015): the
+    replay estimator an RLHF / recommender team uses to score a NEW
+    policy on OLD logs without serving it. Each event is a logged
+    (context=user, action=event_type, reward=value) tuple with known
+    per-action logging propensities; the target policy is a
+    deterministic hash of the user (portable md5). Per action the
+    report carries the matched count, the importance-weight mass
+    Σ1/p, the weighted reward ΣrW, and the SNIPS value ΣrW/ΣW — all
+    exact integers (cents × milli weights; truncating div), so the
+    counterfactual estimates themselves are hash-checked. The
+    propensity-weight floor is what keeps IPS sane at scale: weights
+    are bounded by 1/min(p) = 10, so no row dominates a partial sum —
+    one map-side derivation, one groupBy(action), no joins."""
+    e = _t(spark, sf_dir, "events")
+    actions = F.array(
+        F.lit("view"), F.lit("click"), F.lit("purchase"),
+        F.lit("signup"), F.lit("error"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pi:"),
+                               F.col("user_id").cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % 5
+    )
+    p_log = (
+        F.when(F.col("event_type") == "view", 300)
+        .when(F.col("event_type") == "click", 250)
+        .when(F.col("event_type") == "purchase", 200)
+        .when(F.col("event_type") == "signup", 150)
+        .otherwise(100)
+    ).cast("long")
+    log = e.select(
+        F.col("event_type").alias("action"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("r_cents"),
+        p_log.alias("p_log_milli"),
+        F.element_at(actions, (h + 1).cast("int")).alias("pi_action"),
+    )
+    m = F.col("pi_action") == F.col("action")
+    w = F.expr("1000000 div p_log_milli")
+    return (
+        log.groupBy("action")
+        .agg(
+            F.max("p_log_milli").cast("long").alias("p_log_milli"),
+            F.count(F.lit(1)).cast("long").alias("n_logged"),
+            F.sum(F.when(m, 1).otherwise(0)).cast("long")
+            .alias("n_matched"),
+            F.sum(F.when(m, w).otherwise(0)).cast("long")
+            .alias("w_sum_milli"),
+            F.sum(F.when(m, F.col("r_cents") * w).otherwise(0))
+            .cast("long").alias("wr_sum_milli_cents"),
+        )
+        .select(
+            "action", "p_log_milli", "n_logged", "n_matched",
+            "w_sum_milli", "wr_sum_milli_cents",
+            F.when(
+                F.col("w_sum_milli") > 0,
+                F.expr("wr_sum_milli_cents * 1000 div w_sum_milli"),
+            ).otherwise(F.lit(0)).cast("long")
+            .alias("snips_value_milli_cents"),
+        )
+        .orderBy("action")
+    )
+
+
+@register(
+    "hash_bootstrap_revenue_ci",
+    """
+    WITH u AS (
+        SELECT b.b AS b,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               ('0x' || substr(md5('bs:' || CAST(b.b AS VARCHAR)
+                    || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+               )::BIGINT % 1000 AS u
+        FROM orders CROSS JOIN generate_series(0, 31) b(b)
+    ), w AS (
+        SELECT b, cents,
+               CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+                    WHEN u < 920 THEN 2 ELSE 3 END AS wt
+        FROM u
+    ), rep AS (
+        SELECT b, CAST(SUM(wt) AS BIGINT) AS n_eff,
+               CAST(SUM(wt * cents) // SUM(wt) AS BIGINT)
+                   AS mean_cents
+        FROM w GROUP BY b
+    )
+    SELECT CAST(b AS BIGINT) AS replica, n_eff, mean_cents,
+           CAST(ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS BIGINT)
+               AS mean_rank
+    FROM rep ORDER BY replica
+    """,
+    ops=["bootstrap", "poisson-resampling", "confidence-interval"],
+)
+def hash_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012 — THE resampling scheme
+    for map-reduce: each replica draws a per-row Poisson(1) count
+    instead of sampling n-of-n, so replicas stream in one pass) made
+    DETERMINISTIC: the per-(replica, order) resample count comes from
+    the portable md5 bucket quantized to the Poisson(1) pmf
+    (368/368/184/61 per mille for 0/1/2/3+). 32 replica means of the
+    order-value statistic in exact cents; ``mean_rank`` orders the
+    replica means so the percentile CI is a rank filter away (ranks
+    2 and 31 ≈ the 94% interval). One 32-way explode + one grouped
+    aggregate — resampling inference with zero extra passes over the
+    data; the rank window runs over the 32-ROW replica aggregate,
+    never the data."""
+    o = _t(spark, sf_dir, "orders")
+    b = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    w = o.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+        F.col("o_orderkey"),
+        b,
+    ).select(
+        "cents",
+        F.col("b").cast("long").alias("b"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(
+                        F.lit("bs:"), F.col("b").cast("string"),
+                        F.lit(":"), F.col("o_orderkey").cast("string"),
+                    )), 1, 8,
+                ),
+                16, 10,
+            ).cast("long") % 1000
+        ).alias("u"),
+    ).select(
+        "b", "cents",
+        F.when(F.col("u") < 368, 0)
+        .when(F.col("u") < 736, 1)
+        .when(F.col("u") < 920, 2)
+        .otherwise(3).cast("long").alias("wt"),
+    )
+    rep = w.groupBy("b").agg(
+        F.sum("wt").cast("long").alias("n_eff"),
+        F.expr("CAST(SUM(wt * cents) div SUM(wt) AS BIGINT)").alias(
+            "mean_cents"
+        ),
+    )
+    return rep.select(
+        F.col("b").alias("replica"),
+        "n_eff",
+        "mean_cents",
+        F.row_number()
+        .over(Window.orderBy("mean_cents", "b"))
+        .cast("long")
+        .alias("mean_rank"),
+    ).orderBy("replica")
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -376,6 +376,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "wav_vad_segments_report",
     "fs_em_weight_estimation",
     "source_loo_value_report",
+    "ips_policy_value_report",
+    "hash_bootstrap_revenue_ci",
 )
 
 

@@ -56,6 +56,8 @@ GLOBAL_WINDOW_OK = {
     # cumulative window over the DISTINCT-SCORE aggregate (bounded by
     # |distinct n_chars|, not corpus size — evaluate-on-aggregates)
     "roc_auc_length_vs_dup",
+    # rank window over the 32-ROW replica aggregate (never the data)
+    "hash_bootstrap_revenue_ci",
 }
 # Queries whose nested-loop join is DELIBERATE over a provably-small
 # input: the skyline global phase runs a quadratic dominance check over
