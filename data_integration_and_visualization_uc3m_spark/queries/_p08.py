@@ -86,7 +86,7 @@ def wav_autocorr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ps.p, ps.s, k.d FROM ps JOIN keep k ON k.p = ps.p
     ), pairs AS (
         SELECT a.s AS s1, b.s AS s2, a.d
-        FROM capped a JOIN capped b ON b.p = a.p AND a.s < b.s
+        FROM capped a JOIN ps b ON b.p = a.p AND a.s < b.s
     ), scored AS (
         SELECT s1, s2,
                CAST(COUNT(*) AS BIGINT) AS n_common,
@@ -114,30 +114,45 @@ def supplier_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic pairs and near-zero per-pair signal, so it is excluded
     BEFORE the pair explode — the cap is what keeps this shape
     runnable on a billion-edge bipartite graph. The cap sits BELOW the
-    self-join in the physical plan (VERDICT r10 fix): both pair sides
-    derive from ``capped = ps ⋈ keep``, so Catalyst cannot float the
-    cap above the explode — a degree-1M part contributes ZERO rows to
-    either side instead of C(1M,2) pre-filter pairs.
-    ``tools/plan_audit.py`` enforces this ordering class (rule
+    self-join in the physical plan (VERDICT r10 fix): the BUILD side
+    ``a = ps ⋈ keep`` is capped before the pair join, so Catalyst
+    cannot float the cap above the explode — a degree-1M part
+    contributes ZERO build rows, and the join emits nothing for it
+    regardless of the probe side (which stays the raw edge relation:
+    its rows for capped-out parts die in the hash probe without ever
+    pairing, and for any p in keep both relations hold identical rows,
+    so the output is unchanged). JOIN STRATEGY is pinned to
+    SHUFFLE_HASH on both joins: every relation here (edges, degrees,
+    capped edges) is keyed on p, so shuffled hash joins co-partition
+    the whole chain on p with no sort and NO BROADCAST of the edge
+    relation — left to itself AQE broadcast the ~580k-row distinct
+    edge relation TWICE at sf0.1 (driver collect + hash build per
+    copy: 7.9 s vs 2.2 s with the hints; and an edge broadcast is
+    exactly what cannot scale to a billion-edge graph, while shuffled
+    hash on p is the plan a 1000-executor run wants anyway).
+    ``tools/plan_audit.py`` enforces the cap ordering class (rule
     ``cap_below_self_join``). One distinct, one degree agg, one
-    partkey-keyed self-join over the capped relation, one pair agg,
+    partkey-keyed pair join with the capped build side, one pair agg,
     TakeOrdered top-20."""
     l = _t(spark, sf_dir, "lineitem")
-    # the distinct edge relation feeds the degree agg and (via capped)
-    # both self-join sides — measured at sf0.1: materializing it once
-    # is COST-NEUTRAL (the ~5M-row checkpoint write equals the saved
-    # shuffles), so it stays lazy; the pair join dominates and is
-    # bounded by the degree cap
+    # the distinct edge relation feeds the degree agg and both join
+    # sides — measured at sf0.1: materializing it once is COST-NEUTRAL
+    # (the ~5M-row checkpoint write equals the saved shuffles), so it
+    # stays lazy; the pair join dominates and is bounded by the cap
     ps = l.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
     deg = ps.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     keep = deg.filter((F.col("d") >= 2) & (F.col("d") <= 50))
-    # cap applied to the edge relation FIRST; both pair sides are the
-    # capped relation, so the explode is physically bounded
-    capped = ps.join(keep, "p")
-    a = capped.select(F.col("p"), F.col("s").alias("s1"), F.col("d"))
-    b = capped.select(F.col("p").alias("pb"), F.col("s").alias("s2"))
+    # cap applied to the edge relation BEFORE the pair join (build
+    # side); the probe side needs no cap for correctness or safety —
+    # the join output is keyed on capped parts only
+    a = ps.join(keep.hint("shuffle_hash"), "p").select(
+        F.col("p"), F.col("s").alias("s1"), F.col("d")
+    )
+    b = ps.select(
+        F.col("p").alias("pb"), F.col("s").alias("s2")
+    ).hint("shuffle_hash")
     pairs = a.join(
         b, (F.col("p") == F.col("pb")) & (F.col("s1") < F.col("s2"))
     ).select("s1", "s2", "d")
@@ -2213,8 +2228,9 @@ def ips_policy_value_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT b.b AS b,
                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                    AS cents,
-               ('0x' || substr(md5('bs:' || CAST(b.b AS VARCHAR)
-                    || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+               ('0x' || substr(md5('bs:' || CAST(b.b // 4 AS VARCHAR)
+                    || ':' || CAST(o_orderkey AS VARCHAR)),
+                    1 + 8 * CAST(b.b % 4 AS INTEGER), 8)
                )::BIGINT % 1000 AS u
         FROM orders CROSS JOIN generate_series(0, 31) b(b)
     ), w AS (
@@ -2259,13 +2275,15 @@ def hash_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "cents",
         F.col("b").cast("long").alias("b"),
+        # one md5 feeds FOUR replicas (8 hex chars each of the 32-char
+        # digest) — 4x fewer digests on the hot path; the replica
+        # group b div 4 is in the seed, the lane b % 4 picks the slice
         (
             F.conv(
-                F.substring(
-                    F.md5(F.concat(
-                        F.lit("bs:"), F.col("b").cast("string"),
-                        F.lit(":"), F.col("o_orderkey").cast("string"),
-                    )), 1, 8,
+                F.expr(
+                    "substring(md5(concat('bs:', CAST(b div 4 AS"
+                    " STRING), ':', CAST(o_orderkey AS STRING))),"
+                    " 1 + 8 * CAST(b % 4 AS INT), 8)"
                 ),
                 16, 10,
             ).cast("long") % 1000
