@@ -32,6 +32,28 @@ def write_parquet_snapshot(
     w.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite — the incremental-refresh contract a
+    partitioned warehouse table needs: ``mode("overwrite")`` replaces
+    ONLY the partitions present in ``df`` and leaves every other
+    partition untouched (vs static overwrite, which truncates the
+    whole table first). This is how a daily job re-lands one day of a
+    year-partitioned fact without rewriting history, and it is
+    idempotent per partition — a retried job re-replaces the same
+    partitions to the same bytes. The conf is set per-write via
+    ``.option("partitionOverwriteMode", "dynamic")`` (write-scoped in
+    Spark 3.1+), so the session default stays static for callers that
+    rely on truncate-overwrite semantics."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_orc_snapshot(
     df: DataFrame, path: str, partition_by: list[str] | None = None
 ) -> None:

@@ -658,3 +658,47 @@ def test_jsonl_dir_overwrite_publishes_manifest_before_sweep(tmp_path, monkeypat
         assert os.path.exists(part_path)
         with open(part_path, encoding="utf-8") as fh:
             assert json.loads(fh.readline())["id"] == 1
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
+    """Dynamic partition overwrite: re-landing one partition replaces
+    exactly that partition; untouched partitions keep their rows, and
+    the write is idempotent per partition. Contrast pinned against
+    static overwrite (the session default), which truncates the whole
+    table."""
+    from data_integration_and_visualization_uc3m_spark.sinks.writers import (
+        overwrite_partitions,
+        write_parquet_snapshot,
+    )
+
+    out = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(2021, 1, 10.0), (2021, 2, 20.0), (2022, 3, 30.0)],
+        "year int, k int, v double",
+    )
+    overwrite_partitions(base, out, ["year"])
+
+    patch = spark.createDataFrame(
+        [(2022, 3, 99.0), (2022, 4, 44.0)], "year int, k int, v double"
+    )
+    overwrite_partitions(patch, out, ["year"])
+    got = {
+        (r.year, r.k): r.v for r in spark.read.parquet(out).collect()
+    }
+    # 2021 untouched, 2022 fully replaced by the patch
+    assert got == {(2021, 1): 10.0, (2021, 2): 20.0,
+                   (2022, 3): 99.0, (2022, 4): 44.0}
+
+    # idempotent: re-landing the same patch changes nothing
+    overwrite_partitions(patch, out, ["year"])
+    again = {
+        (r.year, r.k): r.v for r in spark.read.parquet(out).collect()
+    }
+    assert again == got
+
+    # contrast: static overwrite truncates everything else
+    write_parquet_snapshot(patch, out, ["year"])
+    trunc = {
+        (r.year, r.k): r.v for r in spark.read.parquet(out).collect()
+    }
+    assert trunc == {(2022, 3): 99.0, (2022, 4): 44.0}
