@@ -1135,3 +1135,92 @@ def content_defined_chunks(
     return df.select(
         F.col(id_col), F.explode(chunks).alias("_c")
     ).select(id_col, F.col("_c.clen").cast("long").alias("clen"), "_c.chash")
+
+
+def ppjoin_pairs(
+    items: DataFrame,
+    id_col: str = "doc_id",
+    item_col: str = "shingle",
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (the
+    AllPairs/PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008):
+    all unordered pairs whose set Jaccard ≥ t_num/t_den, generated by
+    joining only on each set's PREFIX — its ``|x| − ceil(t·|x|) + 1``
+    rarest items under a global (document-frequency, item) total
+    order — then verified exactly inside the candidate set.
+
+    The prefix principle is LOSSLESS (pinned by a hypothesis property
+    test against the brute-force quadratic): if J(X,Y) ≥ t and the
+    prefixes were disjoint, the intersection would fit inside the
+    ⌈t|X|⌉−1 non-prefix items of X — fewer than the ⌈t|X|⌉ shared
+    items the threshold forces, a contradiction. At scale the prefix
+    join's candidate volume drops by exactly the frequency of the
+    commonest items — the keys that explode a join on ALL items.
+
+    Spark-first construction: the global order needs NO global rank —
+    each set array_sorts its own (df, item) structs and slices its
+    prefix locally; ceil(t·s) is exact integer math
+    ``(t_num·s + t_den − 1) div t_den``; the threshold test
+    cross-multiplies so no float touches the result. Returns
+    ``(id_a, id_b, n_common, size_a, size_b, jaccard_milli)`` with
+    id_a < id_b and truncating-div milli Jaccard."""
+    tok = items.select(
+        F.col(id_col).alias("_id"), F.col(item_col).alias("_w")
+    )
+    dfreq = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        tok.join(dfreq, "_w")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_w")))
+            ).alias("_ord"),
+            F.count(F.lit(1)).alias("_size"),
+        )
+    )
+    plen = (
+        F.col("_size")
+        - F.expr(f"({t_num} * _size + {t_den - 1}) div {t_den}")
+        + F.lit(1)
+    ).cast("int")
+    prefix = per_doc.select(
+        "_id",
+        "_size",
+        F.explode(F.slice(F.col("_ord"), F.lit(1), plen)).alias("_p"),
+    ).select("_id", "_size", F.col("_p")["_w"].alias("_w"))
+    a = prefix.select(
+        F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_w"
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_w"
+    )
+    cands = (
+        a.join(b, "_w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("_id").alias("id_a"), "_w")
+    tb = tok.select(F.col("_id").alias("id_b"), "_w")
+    verified = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "_w"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    union_sz = F.col("size_a") + F.col("size_b") - F.col("n_common")
+    return verified.filter(
+        F.lit(t_den) * F.col("n_common") >= F.lit(t_num) * union_sz
+    ).select(
+        "id_a",
+        "id_b",
+        "n_common",
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        F.expr(
+            "CAST(n_common * 1000 div (size_a + size_b - n_common)"
+            " AS BIGINT)"
+        ).alias("jaccard_milli"),
+    )

@@ -1282,75 +1282,19 @@ def ppjoin_word_set_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     commonest shingles (exactly the keys that explode a naive token
     join at 100 TB — this is the third candidate-generation strategy
     in the dedup family, next to the df-cap and MinHash-LSH).
-    Spark-first details: the global order needs NO global rank — each
-    doc array_sorts its own (df, w) structs and slices the prefix
-    locally; ceil(3s/5) is exact integer math ``(3*s + 4) div 5``;
-    the threshold test cross-multiplies (``5*common >= 3*union``) so
-    no float touches the hash path; jaccard_milli is truncating-div
-    fixed point (div ~ //, the theil_sen contract)."""
+    Spark-first details in the operator
+    (``operators/dedup.py:ppjoin_pairs``): the global order needs NO
+    global rank — each doc array_sorts its own (df, w) structs and
+    slices the prefix locally; ceil(3s/5) is exact integer math; the
+    threshold test cross-multiplies (``5*common >= 3*union``) so no
+    float touches the hash path; jaccard_milli is truncating-div
+    fixed point (div ~ //, the theil_sen contract). Losslessness is
+    additionally pinned by a hypothesis property test against the
+    brute-force quadratic (tests/test_properties.py)."""
     d = _t(spark, sf_dir, "documents", fanout=True)
-    tok = dedup.ngram_set(d, n=3).select(
-        "doc_id", F.col("shingle").alias("w")
-    )
-    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
-    per_doc = (
-        tok.join(dfreq, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_df"), F.col("w")))
-            ).alias("_ord"),
-            F.count(F.lit(1)).alias("set_size"),
-        )
-    )
-    # prefix length |x| - ceil(3|x|/5) + 1, exact integer ceil
-    plen = (
-        F.col("set_size")
-        - F.expr("(3 * set_size + 4) div 5")
-        + F.lit(1)
-    ).cast("int")
-    prefix = per_doc.select(
-        "doc_id",
-        "set_size",
-        F.explode(F.slice(F.col("_ord"), F.lit(1), plen)).alias("_p"),
-    ).select("doc_id", "set_size", F.col("_p")["w"].alias("w"))
-    a = prefix.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("set_size").alias("size_a"),
-        "w",
-    )
-    b = prefix.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("set_size").alias("size_b"),
-        "w",
-    )
-    cands = (
-        a.join(b, "w")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "size_a", "size_b")
-        .distinct()
-    )
-    ta = tok.select(F.col("doc_id").alias("id_a"), "w")
-    tb = tok.select(F.col("doc_id").alias("id_b"), "w")
-    verified = (
-        cands.join(ta, "id_a")
-        .join(tb, ["id_b", "w"])
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    union_sz = F.col("size_a") + F.col("size_b") - F.col("n_common")
-    return verified.filter(
-        F.lit(5) * F.col("n_common") >= F.lit(3) * union_sz
-    ).select(
-        "id_a",
-        "id_b",
-        "n_common",
-        F.col("size_a").cast("long").alias("size_a"),
-        F.col("size_b").cast("long").alias("size_b"),
-        F.expr(
-            "CAST(n_common * 1000 div (size_a + size_b - n_common)"
-            " AS BIGINT)"
-        ).alias("jaccard_milli"),
+    tok = dedup.ngram_set(d, n=3)
+    return dedup.ppjoin_pairs(
+        tok, id_col="doc_id", item_col="shingle", t_num=3, t_den=5
     )
 
 

@@ -329,3 +329,44 @@ def test_rrf_fuse_matches_reference_model(spark, ids_a, ids_b, k):
     }
     expect = sorted(model.items(), key=lambda t: (-t[1], t[0]))[:k]
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # doc -> small item set over a tiny shared vocabulary
+        st.sets(st.integers(min_value=0, max_value=11), min_size=1,
+                max_size=8),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_ppjoin_prefix_filter_lossless_property(spark, sets):
+    """PPJoin prefix filtering is LOSSLESS: for arbitrary small item
+    sets, the prefix-filtered join returns exactly the brute-force
+    quadratic set of pairs with Jaccard >= 3/5 — same pairs, same
+    exact intersection/size/jaccard_milli values."""
+    from data_integration_and_visualization_uc3m_spark.operators.dedup import (
+        ppjoin_pairs,
+    )
+
+    rows = [
+        (i, f"w{w}") for i, s in enumerate(sets) for w in sorted(s)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.size_a, r.size_b,
+                           r.jaccard_milli)
+        for r in ppjoin_pairs(df).collect()
+    }
+
+    expect = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if 5 * inter >= 3 * union:
+                expect[(i, j)] = (
+                    inter, len(sets[i]), len(sets[j]),
+                    inter * 1000 // union,
+                )
+    assert got == expect
