@@ -29,6 +29,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -153,6 +154,9 @@ class JsonlDirDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
         return JsonlDirWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlDirStreamWriter(self.options)
+
 
 def register_jsonl_dir(spark) -> None:
     spark.dataSource.register(JsonlDirDataSource)
@@ -161,3 +165,126 @@ def register_jsonl_dir(spark) -> None:
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
         return json.load(fh)
+
+
+class JsonlDirStreamWriter(DataSourceStreamWriter):
+    """STREAMING half of the jsonl_dir sink — completes the Spark 4
+    Python DataSource surface (batch read sources/pyds.py, stream
+    read ibid., batch write above, stream write here). Per micro-batch
+    the same two-phase protocol as the batch writer, scoped by epoch:
+    tasks stream their partition to
+    ``part-{batch:07d}-{pid:05d}-{attempt}-{job}.jsonl.tmp``, and the
+    driver's ``commit(messages, batchId)`` renames them and publishes
+    ``_MANIFEST-{batchId:07d}.json`` atomically — a reader that lists
+    manifests sees only complete epochs, in order, which is exactly
+    the exactly-once-per-epoch visibility Structured Streaming's sink
+    contract asks for (a replayed batch after a crash re-commits the
+    SAME batchId; ``commit`` is idempotent per epoch because part
+    names embed the batch and the manifest replace is atomic).
+    ``abort(messages, batchId)`` sweeps only this job's tmp parts for
+    that epoch (job-id suffix, same concurrent-writer scoping as the
+    batch abort)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir stream sink requires option 'path'")
+        self.fail_partition = int(options.get("fail_partition", -1))
+        self.job_id = uuid.uuid4().hex[:12]
+
+    # -- executor side, once per task per epoch ------------------------
+    def write(self, iterator: Iterator) -> PartFileCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
+        # batchId is not exposed on the executor; uniqueness comes from
+        # the attempt id + job id, epoch scoping happens at commit time
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path,
+            f"part-{pid:05d}-{attempt}-{self.job_id}.jsonl.tmp",
+        )
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                if pid == self.fail_partition:
+                    raise RuntimeError(
+                        f"injected failure in partition {pid}"
+                    )
+                fh.write(
+                    json.dumps(row.asDict(), default=str, sort_keys=True)
+                )
+                fh.write("\n")
+                n += 1
+        return PartFileCommit(tmp_path=tmp, n_rows=n, partition_id=pid)
+
+    # -- driver side, once per epoch ------------------------------------
+    def commit(self, messages, batchId: int) -> None:
+        parts = []
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(
+                self.path,
+                f"part-{batchId:07d}-"
+                + os.path.basename(m.tmp_path)[len("part-"):-len(".tmp")]
+                + ".jsonl",
+            )
+            os.replace(m.tmp_path, final)
+            parts.append(
+                {
+                    "file": os.path.basename(final),
+                    "n_rows": m.n_rows,
+                    "partition_id": m.partition_id,
+                }
+            )
+            total += m.n_rows
+        parts.sort(key=lambda p: p["file"])
+        manifest = {
+            "batch_id": batchId,
+            "n_rows": total,
+            "n_parts": len(parts),
+            "parts": parts,
+        }
+        name = f"_MANIFEST-{batchId:07d}.json"
+        tmp = os.path.join(self.path, name + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, name))
+        # a crash-replayed epoch re-runs its tasks under new attempt
+        # ids, so a prior attempt's committed parts for THIS batch may
+        # linger; sweep them AFTER the manifest replace (same
+        # manifest-first ordering as the batch overwrite) so the
+        # republished epoch is exactly its manifest
+        keep = {p["file"] for p in parts}
+        prefix = f"part-{batchId:07d}-"
+        for fname in os.listdir(self.path):
+            if (
+                fname.startswith(prefix)
+                and fname.endswith(".jsonl")
+                and fname not in keep
+            ):
+                os.remove(os.path.join(self.path, fname))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+        suffix = f"-{self.job_id}.jsonl.tmp"
+        if os.path.isdir(self.path):
+            for fname in os.listdir(self.path):
+                if fname.endswith(suffix):
+                    os.remove(os.path.join(self.path, fname))
+
+
+def read_stream_manifests(path: str) -> list[dict]:
+    """All committed epoch manifests in batch order."""
+    out = []
+    for fname in sorted(os.listdir(path)):
+        if fname.startswith("_MANIFEST-") and fname.endswith(".json"):
+            with open(os.path.join(path, fname), encoding="utf-8") as fh:
+                out.append(json.load(fh))
+    return out

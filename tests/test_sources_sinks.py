@@ -702,3 +702,62 @@ def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
         (r.year, r.k): r.v for r in spark.read.parquet(out).collect()
     }
     assert trunc == {(2022, 3): 99.0, (2022, 4): 44.0}
+
+
+def test_jsonl_dir_stream_writer_per_epoch_manifests(spark, tmp_path):
+    """STREAMING write through the Python DataSource sink: a file
+    stream drained with maxFilesPerTrigger=1 commits one atomic
+    manifest per micro-batch; the union of all epochs' parts
+    round-trips every input row exactly once, and no tmp files
+    survive."""
+    import json
+    import os
+
+    from data_integration_and_visualization_uc3m_spark.sinks.pyds_writer import (
+        read_stream_manifests,
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "ckpt")
+    # three source files -> three micro-batches
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id", "id * 7 AS v"
+        ).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+
+    stream = spark.readStream.schema("id long, v long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.format("jsonl_dir")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    manifests = read_stream_manifests(out)
+    assert [m["batch_id"] for m in manifests] == list(
+        range(len(manifests))
+    )
+    assert len(manifests) >= 2  # maxFilesPerTrigger=1 over 3 files
+    assert sum(m["n_rows"] for m in manifests) == 30
+    rows = []
+    for m in manifests:
+        for p in m["parts"]:
+            with open(os.path.join(out, p["file"]), encoding="utf-8") as fh:
+                rows += [json.loads(line) for line in fh]
+    assert sorted(r["id"] for r in rows) == list(range(30))
+    assert all(r["v"] == r["id"] * 7 for r in rows)
+    assert not any(
+        n.endswith(".tmp") for n in os.listdir(out)
+    )
