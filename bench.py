@@ -43,6 +43,7 @@ BENCH_EXCLUDE = frozenset({
     "streaming_curate_e2e",
     "streaming_rest_poll_e2e",
     "streaming_sessionize_e2e",
+    "streaming_pyds_sink_e2e",
 })
 
 

@@ -2256,4 +2256,84 @@ def hash_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("replica")
 
 
+@register(
+    "streaming_pyds_sink_e2e",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS value_cents
+    FROM events WHERE event_type <> 'error'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    ops=["streaming-e2e", "python-datasource-sink", "epoch-manifest"],
+)
+def streaming_pyds_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10th streaming e2e — and the first through the PYTHON
+    DATASOURCE STREAM SINK: events file-stream (several micro-batches)
+    → filter → ``writeStream.format("jsonl_dir")`` (per-epoch atomic
+    ``_MANIFEST-{batch}.json``, two-phase task commit,
+    sinks/pyds_writer.py:JsonlDirStreamWriter) → read back ONLY the
+    files the epoch manifests name → aggregate. The oracle is the
+    plain SQL over the events table, so it hash-matches only if every
+    row landed exactly once across all epochs and the manifests
+    describe the sink completely — the exactly-once-per-epoch
+    visibility contract, proven through the correctness gate rather
+    than asserted. Values rehydrate from the sink's JSON (strings) via
+    the exact-cents decimal path."""
+    import os as _os
+    import tempfile
+
+    from ..sinks.pyds_writer import (
+        read_stream_manifests,
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    e = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="sg_pyds_sink_")
+    src_dir = f"{work}/src"
+    out = f"{work}/out"
+    e.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+        .filter(F.col("event_type") != "error")
+        .select("event_id", "event_type", "value")
+    )
+    q = (
+        stream.writeStream.format("jsonl_dir")
+        .option("path", out)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    files = [
+        _os.path.join(out, p["file"])
+        for m in read_stream_manifests(out)
+        for p in m["parts"]
+        if p["n_rows"] > 0
+    ]
+    back = spark.read.schema(
+        "event_id long, event_type string, value string"
+    ).json(files)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                )
+            ).cast("long").alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -378,6 +378,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "source_loo_value_report",
     "ips_policy_value_report",
     "hash_bootstrap_revenue_ci",
+    "streaming_pyds_sink_e2e",
 )
 
 
