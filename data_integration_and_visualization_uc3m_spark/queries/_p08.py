@@ -2336,4 +2336,226 @@ def streaming_pyds_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ece_calibration_report",
+    """
+    WITH sc AS (
+        SELECT ('0x' || substr(md5('cf:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT % 1001 AS conf_milli,
+               CASE WHEN (doc_id * 13 + 5) % 97 <
+                         (('0x' || substr(md5('cf:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 1001) * 97 // 1000
+                    THEN 1 ELSE 0 END AS label
+        FROM documents
+    ), b AS (
+        SELECT CASE WHEN conf_milli = 1000 THEN 9
+                    ELSE CAST(conf_milli // 100 AS BIGINT) END AS bin,
+               conf_milli, label
+        FROM sc
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(conf_milli) AS BIGINT) AS conf_sum_milli,
+           CAST(SUM(label) AS BIGINT) AS n_correct,
+           CAST(SUM(conf_milli) // COUNT(*)
+              - SUM(label) * 1000 // COUNT(*) AS BIGINT) AS gap_milli
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    ops=["calibration", "ece", "model-eval"],
+)
+def ece_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-calibration-error report — the binned reliability
+    diagram behind the ECE metric (Guo et al. 2017), next to the
+    proper-scoring brier_calibration_report: md5-derived confidences
+    in milli, labels drawn so accuracy TRACKS confidence (the modular
+    comparison makes P(label=1) ≈ conf by construction — the gap
+    column is the miscalibration the report exists to expose), ten
+    equal-width bins with per-bin count, confidence mass, correct
+    count, and the signed confidence−accuracy gap in milli (truncating
+    div both engines; ECE = Σ n_b·|gap_b| / N is one more exact
+    aggregate away). One map-side derivation + one grouped pass."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    conf = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cf:"), i.cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % 1001
+    )
+    sc = d.select(
+        conf.alias("conf_milli"),
+        F.when(
+            (i * 13 + 5) % 97
+            < F.expr(
+                "(conv(substring(md5(concat('cf:', CAST(doc_id AS"
+                " STRING))), 1, 8), 16, 10) % 1001) * 97 div 1000"
+            ),
+            1,
+        ).otherwise(0).alias("label"),
+    )
+    b = sc.select(
+        F.when(F.col("conf_milli") == 1000, 9)
+        .otherwise(F.expr("conf_milli div 100"))
+        .cast("long")
+        .alias("bin"),
+        "conf_milli",
+        "label",
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conf_milli").cast("long").alias("conf_sum_milli"),
+            F.sum("label").cast("long").alias("n_correct"),
+            F.expr(
+                "CAST(SUM(conf_milli) div COUNT(1)"
+                " - SUM(label) * 1000 div COUNT(1) AS BIGINT)"
+            ).alias("gap_milli"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "worst_group_metric_report",
+    """
+    WITH g AS (
+        SELECT lang, source,
+               CASE WHEN n_chars BETWEEN 150 AND 400 THEN 1 ELSE 0 END
+                   AS pass
+        FROM documents
+    ), per AS (
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pass) AS BIGINT) AS n_pass,
+               SUM(pass) * 1000000 // COUNT(*) AS rate_micro
+        FROM g GROUP BY lang, source
+    ), tot AS (
+        SELECT SUM(n_pass) * 1000000 // SUM(n_docs) AS mean_micro
+        FROM per
+    )
+    SELECT per.lang, per.source, per.n_docs, per.n_pass,
+           per.rate_micro, tot.mean_micro,
+           per.rate_micro - tot.mean_micro AS gap_micro
+    FROM per CROSS JOIN tot
+    ORDER BY per.rate_micro, per.lang, per.source LIMIT 10
+    """,
+    ops=["worst-group", "group-robustness", "eval-slicing"],
+)
+def worst_group_metric_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-group robustness slicing — the group-DRO eval view: the
+    quality metric per (lang, source) group, the corpus mean, and each
+    group's signed gap, bottom-10 groups first (the slices a
+    robustness-minded curation pass fixes before they become model
+    regressions; mean-only reporting hides them). One grouped pass +
+    one 1-row mean broadcast; TakeOrdered bottom-k with full
+    tiebreaks. Group count is bounded by the (lang, source) product,
+    so state never tracks corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "lang",
+        "source",
+        F.when(
+            (F.col("n_chars") >= 150) & (F.col("n_chars") <= 400), 1
+        ).otherwise(0).alias("pass"),
+    )
+    per = g.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pass").cast("long").alias("n_pass"),
+        F.expr("SUM(pass) * 1000000 div COUNT(1)").alias("rate_micro"),
+    )
+    tot = per.agg(
+        F.expr("SUM(n_pass) * 1000000 div SUM(n_docs)").alias(
+            "mean_micro"
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "source", "n_docs", "n_pass", "rate_micro",
+            "mean_micro",
+            (F.col("rate_micro") - F.col("mean_micro")).alias(
+                "gap_micro"
+            ),
+        )
+        .orderBy("rate_micro", "lang", "source")
+        .limit(10)
+    )
+
+
+@register(
+    "sample_scaling_curve_report",
+    """
+    WITH h AS (
+        SELECT ('0x' || substr(md5('lc:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT % 1000 AS bucket,
+               CASE WHEN n_chars BETWEEN 150 AND 400 THEN 1 ELSE 0 END
+                   AS pass
+        FROM documents
+    ), arms AS (
+        SELECT f.f AS frac_milli, bucket, pass
+        FROM h CROSS JOIN (VALUES (125), (250), (500), (1000)) f(f)
+        WHERE bucket < f.f
+    )
+    SELECT CAST(frac_milli AS BIGINT) AS frac_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pass) AS BIGINT) AS n_pass,
+           SUM(pass) * 1000000 // COUNT(*) AS rate_micro
+    FROM arms GROUP BY frac_milli ORDER BY frac_milli
+    """,
+    ops=["learning-curve", "nested-sampling", "data-scaling"],
+)
+def sample_scaling_curve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-scaling (learning-curve) report over NESTED deterministic
+    samples — the "is more data still buying anything" planning view:
+    hash buckets give 12.5/25/50/100% subsets where each smaller
+    sample is a strict subset of every larger one (the same md5 bucket
+    thresholded at four levels — nesting is what makes the curve
+    comparable, independent resamples would confound it), and the
+    quality metric is computed per arm in ONE scan (explode to the
+    arms whose threshold admits the bucket, then one grouped pass).
+    Swap the pass-rate for a trained-model metric and this is the
+    scaling-law harness shape."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    h = d.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lc:"), i.cast("string"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % 1000
+        ).alias("bucket"),
+        F.when(
+            (F.col("n_chars") >= 150) & (F.col("n_chars") <= 400), 1
+        ).otherwise(0).alias("pass"),
+    )
+    arms = h.select(
+        "bucket",
+        "pass",
+        F.explode(
+            F.array(F.lit(125), F.lit(250), F.lit(500), F.lit(1000))
+        ).alias("frac_milli"),
+    ).filter(F.col("bucket") < F.col("frac_milli"))
+    return (
+        arms.groupBy("frac_milli")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pass").cast("long").alias("n_pass"),
+            F.expr("SUM(pass) * 1000000 div COUNT(1)").alias(
+                "rate_micro"
+            ),
+        )
+        .select(
+            F.col("frac_milli").cast("long").alias("frac_milli"),
+            "n_docs", "n_pass", "rate_micro",
+        )
+        .orderBy("frac_milli")
+    )
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -379,6 +379,9 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "ips_policy_value_report",
     "hash_bootstrap_revenue_ci",
     "streaming_pyds_sink_e2e",
+    "ece_calibration_report",
+    "worst_group_metric_report",
+    "sample_scaling_curve_report",
 )
 
 

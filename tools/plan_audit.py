@@ -156,6 +156,8 @@ SCALAR_OK: set[str] = {
                                    # parameter state, 3 iterations
     "source_loo_value_report",     # 1-row corpus-totals broadcast
                                    # onto per-source rows
+    "worst_group_metric_report",   # 1-row corpus-mean broadcast onto
+                                   # the bounded (lang, source) groups
 }
 
 
