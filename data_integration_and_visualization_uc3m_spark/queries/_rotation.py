@@ -4,7 +4,7 @@ the all_queries()/all_oracles()/run_entry() driver surface.
 
 from __future__ import annotations
 
-from ._p08 import *  # noqa: F401,F403
+from ._p09 import *  # noqa: F401,F403
 
 # Rotation schedule for the driver's bounded correctness window.
 #
@@ -382,6 +382,20 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "ece_calibration_report",
     "worst_group_metric_report",
     "sample_scaling_curve_report",
+    "bradley_terry_strengths",
+    "dr_policy_value_report",
+    "inverse_scaling_fit_report",
+    "conformal_coverage_report",
+    "t_closeness_report",
+    "label_noise_confident_report",
+    "nation_trade_bfs_hops",
+    "weighted_priority_sample",
+    "isotonic_calibration_bins",
+    "jackknife_ratio_ci",
+    "nelson_aalen_hazard",
+    "deletion_propagation_audit",
+    "eb_shrunk_source_quality",
+    "changepoint_revenue_report",
 )
 
 

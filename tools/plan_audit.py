@@ -58,6 +58,16 @@ GLOBAL_WINDOW_OK = {
     "roc_auc_length_vs_dup",
     # rank window over the 32-ROW replica aggregate (never the data)
     "hash_bootstrap_revenue_ci",
+    # rank window over the 6-ROW fitted-strength relation
+    "bradley_terry_strengths",
+    # row_number over the ≤K-row distinct-class relation
+    "label_noise_confident_report",
+    # cumulative window over the 10-ROW reliability-bin relation
+    "isotonic_calibration_bins",
+    # windows over the ≤31-row lifetime axis (same as kaplan_meier)
+    "nelson_aalen_hazard",
+    # cumulative + rank windows over the ≤31-row daily aggregate
+    "changepoint_revenue_report",
 }
 # Queries whose nested-loop join is DELIBERATE over a provably-small
 # input: the skyline global phase runs a quadratic dominance check over
@@ -158,6 +168,27 @@ SCALAR_OK: set[str] = {
                                    # onto per-source rows
     "worst_group_metric_report",   # 1-row corpus-mean broadcast onto
                                    # the bounded (lang, source) groups
+    # r11 second wave
+    "bradley_terry_strengths",     # 1-row strength-normalizer broadcast
+                                   # per MM step (6-row model relation)
+    "inverse_scaling_fit_report",  # 9-point axis × ≤10-row kmin groups
+                                   # (bounded theta joins) + 1-row fit
+    "conformal_coverage_report",   # 1-row n_cal + 1-row quantile
+                                   # broadcasts onto the test half
+    "t_closeness_report",          # 1-row grand-total broadcast onto
+                                   # the ≤50-row segment×bucket grid
+    "label_noise_confident_report",  # 1-row class-count broadcast
+    "isotonic_calibration_bins",   # bounded bin-cube theta joins
+                                   # (≤10³ combos) over 10-row relations
+    "jackknife_ratio_ci",          # 1-row total + 1-row mean broadcasts
+                                   # onto the ≤31-row daily relation
+    "nelson_aalen_hazard",         # 1-row horizon + 1-row user-count
+                                   # broadcasts (kaplan_meier shape)
+    "deletion_propagation_audit",  # 1-row audit aggregates unioned /
+                                   # cross-joined
+    "eb_shrunk_source_quality",    # three 1-row prior-moment broadcasts
+    "changepoint_revenue_report",  # 1-row prefix-total broadcast onto
+                                   # the ≤31-row candidate axis
 }
 
 
