@@ -114,12 +114,16 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
             feats = []
             for b in payloads:
-                if b is None or len(b) < 2 or bytes(b[:2]) != b"BM":
+                magic = bytes(b[:2]) if b is not None and len(b) >= 2 else b""
+                if magic == b"BM":
+                    w, h, px = decode_bmp24(bytes(b))
+                elif magic == b"P6":
+                    w, h, px = decode_ppm6(bytes(b))
+                else:
                     raise DecoderUnavailable(
-                        "real decode for non-BMP payloads needs an "
+                        "real decode beyond BMP/PPM payloads needs an "
                         "image/audio codec library"
                     )
-                w, h, px = decode_bmp24(bytes(b))
                 feats.append(bmp_pixel_features(px, w, h))
             yield pd.DataFrame(
                 {
@@ -1511,3 +1515,162 @@ def wav_pcm_vad_segments(
         "n_frames",
         "energy_sum",
     )
+
+
+# --- G.711 mu-law companding (REAL codec, pure column arithmetic) -----
+#
+# Exact re-expression of CPython audioop's st_14linear2ulaw /
+# st_ulaw2linear16 (itself Sun's reference g711.c) with NO bit
+# operators: byte-complements become (mask - v), variable shifts
+# become 8-branch CASE multipliers, and the 16->14-bit arithmetic
+# right shift becomes a pmod floor-division — so the identical
+# expression runs on Spark and any ANSI-SQL oracle engine.
+# tests/test_similarity_multimodal.py proves byte equality against
+# audioop over ALL 65536 input samples.
+
+_ULAW_POW = "CASE {s} WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4" \
+    " WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64" \
+    " WHEN 7 THEN 128 ELSE 256 END"
+
+
+def _mulaw_encode_pieces(s: str, idiv: str) -> dict[str, str]:
+    m14 = f"((({s}) - ((({s}) % 4 + 4) % 4)) {idiv} 4)"
+    mag = f"(CASE WHEN {m14} < 0 THEN -{m14} ELSE {m14} END)"
+    magc = f"(CASE WHEN {mag} > 8159 THEN 8159 ELSE {mag} END + 33)"
+    seg = (
+        f"(CASE WHEN {magc} <= 63 THEN 0 WHEN {magc} <= 127 THEN 1"
+        f" WHEN {magc} <= 255 THEN 2 WHEN {magc} <= 511 THEN 3"
+        f" WHEN {magc} <= 1023 THEN 4 WHEN {magc} <= 2047 THEN 5"
+        f" WHEN {magc} <= 4095 THEN 6 WHEN {magc} <= 8191 THEN 7"
+        f" ELSE 8 END)"
+    )
+    mask = f"(CASE WHEN {m14} < 0 THEN 127 ELSE 255 END)"
+    return {"m14": m14, "magc": magc, "seg": seg, "mask": mask}
+
+
+def mulaw_encode_expr(s: str, dialect: str = "spark") -> str:
+    """SQL for PCM16 → mu-law byte; expression-only (no CTE). The only
+    dialect split is integer division (Spark ``div`` vs DuckDB ``//``
+    — every division here is exact, but ``/`` would re-type to DOUBLE
+    on Spark)."""
+    idiv = "div" if dialect == "spark" else "//"
+    p = _mulaw_encode_pieces(s, idiv)
+    seg, magc, mask = p["seg"], p["magc"], p["mask"]
+    pow2 = _ULAW_POW.format(s=f"({seg} + 1)")
+    val = f"({seg} * 16 + ({magc} - ({magc} % {pow2})) {idiv} {pow2} % 16)"
+    return (
+        f"(CASE WHEN {seg} >= 8 THEN {mask} - 127"
+        f" ELSE {mask} - {val} END)"
+    )
+
+
+def mulaw_decode_expr(code: str, dialect: str = "spark") -> str:
+    """SQL for mu-law byte (0..255) → PCM16, byte-equal to
+    ``audioop.ulaw2lin(..., 2)``; same single dialect split."""
+    idiv = "div" if dialect == "spark" else "//"
+    u2 = f"(255 - ({code}))"
+    t = f"((({u2}) % 16) * 8 + 132)"
+    seg = f"(((({u2}) - (({u2}) % 16)) {idiv} 16) % 8)"
+    ts = f"({t} * {_ULAW_POW.format(s=seg)})"
+    return f"(CASE WHEN {u2} >= 128 THEN 132 - {ts} ELSE {ts} - 132 END)"
+
+
+# --- Netpbm P6 (PPM) — second REAL raster codec ------------------------
+
+
+def synthesize_ppm6(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width_col: str = "width_px",
+    height_col: str = "height_px",
+    seed_col: str = "img_seed",
+) -> DataFrame:
+    """Build a spec-valid binary PPM (netpbm P6) per row: ASCII header
+    ``P6`` / optional ``#`` comment line (emitted when seed%3==0, so a
+    decoder that can't skip comments fails a third of the corpus) /
+    ``{w} {h}`` / ``255``, then w*h RGB triples TOP-DOWN with no row
+    padding — the exact complement of BMP's bottom-up padded BGR, so
+    the two decoders can't be confused silently. Same channel
+    gradient as synthesize_bmp24 (r=(seed*7+x*13+y*31)%256 etc.) but
+    stored in RGB file order."""
+    w = F.col(width_col).cast("long")
+    h = F.col(height_col).cast("long")
+    seed = F.col(seed_col).cast("long")
+    header = F.concat(
+        F.lit("P6\n"),
+        F.when(
+            seed % 3 == 0,
+            F.concat(F.lit("# s"), seed.cast("string"), F.lit("\n")),
+        ).otherwise(F.lit("")),
+        w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n"),
+        F.lit("255\n"),
+    )
+
+    def px_hex(x: F.Column, y: F.Column) -> F.Column:
+        # file order is R, G, B (no padding)
+        return F.concat(
+            F.format_string("%02x", (seed * 7 + x * 13 + y * 31) % 256),
+            F.format_string("%02x", (seed * 11 + x * 3 + y * 17) % 256),
+            F.format_string("%02x", (seed * 5 + x * 19 + y * 23) % 256),
+        )
+
+    def row_hex(y: F.Column) -> F.Column:
+        return F.array_join(
+            F.transform(F.sequence(F.lit(0).cast("long"), w - 1),
+                        lambda x: px_hex(x, y)),
+            "",
+        )
+
+    data_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0).cast("long"), h - 1), row_hex),
+        "",
+    )
+    return df.select(
+        F.col(id_col),
+        F.unhex(F.concat(F.hex(header), F.upper(data_hex)))
+        .alias("payload"),
+    )
+
+
+def decode_ppm6(buf: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Pure-stdlib binary-PPM decoder: parses the ASCII header with
+    full netpbm token rules (any whitespace separates tokens; ``#``
+    starts a comment running to end-of-line, legal between any
+    tokens), requires maxval 255, then reads w*h RGB triples after
+    the single whitespace byte that terminates the maxval token.
+    Returns (width, height, pixels) row-major top-down as (r, g, b).
+    Raises ValueError on malformed input."""
+    if len(buf) < 2 or bytes(buf[:2]) != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        if pos >= len(buf):
+            raise ValueError("truncated PPM header")
+        c = buf[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            while pos < len(buf) and buf[pos] != ord("\n"):
+                pos += 1
+        elif ord("0") <= c <= ord("9"):
+            start = pos
+            while pos < len(buf) and ord("0") <= buf[pos] <= ord("9"):
+                pos += 1
+            vals.append(int(buf[start:pos]))
+        else:
+            raise ValueError(f"bad PPM header byte {c!r}")
+    w, h, maxval = vals
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM ({w}x{h}, maxval={maxval})")
+    if pos >= len(buf) or buf[pos] not in b" \t\r\n":
+        raise ValueError("missing whitespace after maxval")
+    pos += 1
+    need = w * h * 3
+    if len(buf) < pos + need:
+        raise ValueError("truncated PPM pixel data")
+    px = [
+        (buf[pos + 3 * i], buf[pos + 3 * i + 1], buf[pos + 3 * i + 2])
+        for i in range(w * h)
+    ]
+    return w, h, px

@@ -1773,4 +1773,153 @@ def changepoint_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("break_after_day")
 
 
+@register(
+    "mulaw_codec_report",
+    """
+    WITH src AS (
+        SELECT (doc_id * 40503 + k.k * 2654435761) % 65536 - 32768 AS s
+        FROM documents CROSS JOIN generate_series(0, 63) k(k)
+    ), enc AS (
+        SELECT s, (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 63 THEN 0 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 127 THEN 1 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 255 THEN 2 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 511 THEN 3 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 1023 THEN 4 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 2047 THEN 5 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 4095 THEN 6 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 8191 THEN 7 ELSE 8 END) >= 8 THEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN 127 ELSE 255 END) - 127 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN 127 ELSE 255 END) - ((CASE WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 63 THEN 0 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 127 THEN 1 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 255 THEN 2 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 511 THEN 3 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 1023 THEN 4 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 2047 THEN 5 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 4095 THEN 6 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 8191 THEN 7 ELSE 8 END) * 16 + ((CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) - ((CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) % CASE ((CASE WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 63 THEN 0 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 127 THEN 1 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 255 THEN 2 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 511 THEN 3 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 1023 THEN 4 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 2047 THEN 5 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 4095 THEN 6 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 8191 THEN 7 ELSE 8 END) + 1) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 ELSE 256 END)) // CASE ((CASE WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 63 THEN 0 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 127 THEN 1 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 255 THEN 2 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 511 THEN 3 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 1023 THEN 4 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 2047 THEN 5 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 4095 THEN 6 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) // 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) // 4) ELSE (((s) - (((s) % 4 + 4) % 4)) // 4) END) END + 33) <= 8191 THEN 7 ELSE 8 END) + 1) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 ELSE 256 END % 16) END) AS code FROM src
+    ), rt AS (
+        SELECT s, code, (CASE WHEN (255 - (code)) >= 128 THEN 132 - (((((255 - (code))) % 16) * 8 + 132) * CASE (((((255 - (code))) - (((255 - (code))) % 16)) // 16) % 8) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 ELSE 256 END) ELSE (((((255 - (code))) % 16) * 8 + 132) * CASE (((((255 - (code))) - (((255 - (code))) % 16)) // 16) % 8) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 ELSE 256 END) - 132 END) AS back,
+               (((255 - code) - ((255 - code) % 16)) // 16) % 8 AS seg
+        FROM enc
+    )
+    SELECT CAST(seg AS BIGINT) AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes,
+           CAST(MAX(ABS(back - s)) AS BIGINT) AS max_abs_err,
+           CAST(SUM(ABS(back - s)) * 1000 // COUNT(*) AS BIGINT)
+               AS mean_abs_err_milli
+    FROM rt GROUP BY seg ORDER BY seg
+""",
+    ops=["mulaw-g711-codec", "audio-companding", "quantization-audit"],
+)
+def mulaw_codec_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law companding round-trip — a REAL audio codec (the
+    telephony standard, byte-for-byte equal to CPython audioop's
+    g711.c: proven over ALL 65536 PCM values in
+    tests/test_similarity_multimodal.py) re-expressed as pure column
+    arithmetic: no bit operators anywhere — byte complements become
+    (mask − v), variable shifts become bounded CASE multipliers, the
+    16→14-bit arithmetic shift becomes a pmod floor-division
+    (multimodal.mulaw_encode_expr/mulaw_decode_expr, one div/// split
+    between dialects). 64 deterministic PCM samples per document are
+    encoded, decoded back, and audited per logarithmic segment: count,
+    distinct codes (≤32 per segment — companding's whole point), max
+    and mean absolute quantization error, which grows ~2x per segment
+    exactly as the codec trades SNR for dynamic range. Map-side
+    bounded explode + one grouped pass; the 9-row segment axis bounds
+    every later stage."""
+    e = _t(spark, sf_dir, "documents", fanout=True)
+    src = e.select(
+        F.expr(
+            "explode(transform(sequence(0, 63), k ->"
+            " (doc_id * 40503 + k * 2654435761) % 65536 - 32768))"
+        ).alias("s")
+    )
+    enc = src.select("s", F.expr('(CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 63 THEN 0 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 127 THEN 1 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 255 THEN 2 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 511 THEN 3 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 1023 THEN 4 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 2047 THEN 5 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 4095 THEN 6 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 8191 THEN 7 ELSE 8 END) >= 8 THEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN 127 ELSE 255 END) - 127 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN 127 ELSE 255 END) - ((CASE WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 63 THEN 0 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 127 THEN 1 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 255 THEN 2 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 511 THEN 3 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 1023 THEN 4 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 2047 THEN 5 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 4095 THEN 6 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 8191 THEN 7 ELSE 8 END) * 16 + ((CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) - ((CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) % CASE ((CASE WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 63 THEN 0 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 127 THEN 1 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 255 THEN 2 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 511 THEN 3 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 1023 THEN 4 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 2047 THEN 5 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 4095 THEN 6 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 8191 THEN 7 ELSE 8 END) + 1) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 ELSE 256 END)) div CASE ((CASE WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 63 THEN 0 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 127 THEN 1 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 255 THEN 2 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 511 THEN 3 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 1023 THEN 4 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 2047 THEN 5 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 4095 THEN 6 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 8191 THEN 7 ELSE 8 END) + 1) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 ELSE 256 END % 16) END)').alias("code"))
+    rt = enc.select(
+        "s", "code",
+        F.expr('(CASE WHEN (255 - (code)) >= 128 THEN 132 - (((((255 - (code))) % 16) * 8 + 132) * CASE (((((255 - (code))) - (((255 - (code))) % 16)) div 16) % 8) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 ELSE 256 END) ELSE (((((255 - (code))) % 16) * 8 + 132) * CASE (((((255 - (code))) - (((255 - (code))) % 16)) div 16) % 8) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 ELSE 256 END) - 132 END)').alias("back"),
+        F.expr(
+            "(((255 - code) - ((255 - code) % 16)) div 16) % 8"
+        ).alias("seg"),
+    )
+    return (
+        rt.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.countDistinct("code").cast("long").alias("n_codes"),
+            F.max(F.abs(F.col("back") - F.col("s"))).cast("long")
+            .alias("max_abs_err"),
+            F.expr(
+                "CAST(SUM(ABS(back - s)) * 1000 div COUNT(1) AS BIGINT)"
+            ).alias("mean_abs_err_milli"),
+        )
+        .select(
+            F.col("seg").cast("long").alias("seg"),
+            "n_samples", "n_codes", "max_abs_err",
+            "mean_abs_err_milli",
+        )
+        .orderBy("seg")
+    )
+
+
+# Same integer milli-luma the BMP oracle uses (299r+587g+114b) on the
+# generator's closed pixel form — PPM stores RGB top-down unpadded.
+_PPM_LUM = (
+    "299*((seed*7 + {x}*13 + y*31) % 256)"
+    " + 587*((seed*11 + {x}*3 + y*17) % 256)"
+    " + 114*((seed*5 + {x}*19 + y*23) % 256)"
+)
+
+
+@register(
+    "ppm_feature_report",
+    f"""
+    WITH dims AS (
+        SELECT doc_id,
+               9 + doc_id % 7 AS w,
+               5 + doc_id % 6 AS h,
+               doc_id % 89 AS seed
+        FROM documents
+    ), hdr AS (
+        SELECT doc_id, w, h, seed,
+               3
+               + CASE WHEN seed % 3 = 0
+                      THEN 4 + LENGTH(CAST(seed AS VARCHAR))
+                      ELSE 0 END
+               + LENGTH(CAST(w AS VARCHAR)) + 1
+               + LENGTH(CAST(h AS VARCHAR)) + 1 + 4 AS header_len
+        FROM dims
+    ), grid AS (
+        SELECT doc_id, w, h, header_len,
+               {_PPM_LUM.format(x='x')} AS lum,
+               CASE WHEN x < w - 1 THEN {_PPM_LUM.format(x='(x+1)')}
+               END AS lum_next
+        FROM hdr
+        CROSS JOIN (SELECT unnest(range(15)) AS x)
+        CROSS JOIN (SELECT unnest(range(10)) AS y)
+        WHERE x < w AND y < h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(header_len + 3 * w * h AS BIGINT) AS n_bytes,
+           CAST(SUM(lum) // COUNT(*) AS DOUBLE) AS feature_0,
+           CAST((COUNT(*) * SUM(lum*lum) - SUM(lum) * SUM(lum))
+                // (COUNT(*) * COUNT(*)) AS DOUBLE) AS feature_1,
+           CAST(1000 * SUM(CASE WHEN lum_next > lum THEN 1 ELSE 0 END)
+                // (h * (w - 1)) AS DOUBLE) AS feature_2
+    FROM grid GROUP BY doc_id, w, h, header_len
+    """,
+    ops=["multimodal-decode", "netpbm-codec", "feature-extract"],
+)
+def ppm_feature_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND real raster decode path end-to-end — binary netpbm
+    P6: spec-valid PPMs (ASCII header with a comment line on a third
+    of the corpus, then top-down UNPADDED RGB) are synthesized as JVM
+    column expressions (multimodal.synthesize_ppm6), then
+    extract_features(fake=False) dispatches on the magic and
+    multimodal.decode_ppm6 (pure stdlib) parses the header with full
+    netpbm token rules — comment skipping included — and reads the
+    pixels back; the same exact integer luma features as the BMP path
+    flow downstream. The oracle recomputes features AND the
+    variable-length header size from the generator's closed form, so
+    a hash match proves the ASCII parse (digit-width-dependent
+    offsets!), comment handling, RGB order and top-down layout all at
+    once — every failure mode BMP's bottom-up padded BGR cannot
+    catch. Same 100 TB shape: Arrow-batched decode, features not
+    blobs downstream."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    src = d.select(
+        F.col("doc_id").alias("media_id"),
+        (9 + F.col("doc_id") % 7).cast("int").alias("width_px"),
+        (5 + F.col("doc_id") % 6).cast("int").alias("height_px"),
+        (F.col("doc_id") % 89).alias("img_seed"),
+    )
+    media = multimodal.synthesize_ppm6(src)
+    return multimodal.extract_features(media, fake=False)
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

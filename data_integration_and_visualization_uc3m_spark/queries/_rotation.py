@@ -396,6 +396,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "deletion_propagation_audit",
     "eb_shrunk_source_quality",
     "changepoint_revenue_report",
+    "mulaw_codec_report",
+    "ppm_feature_report",
 )
 
 

@@ -816,3 +816,143 @@ def test_wav_pcm_vad_segments_cuts_at_silence(spark):
         .filter(F.col("media_id") == 1).collect()
     }
     assert got[0] == expect
+
+
+# --- G.711 mu-law companding ------------------------------------------
+
+
+def test_mulaw_sql_matches_audioop_exhaustively(spark):
+    """The arithmetic-only mu-law SQL must be byte-equal to CPython
+    audioop (Sun's g711.c) for ALL 65536 PCM16 inputs, and the decode
+    must invert to audioop's exact reconstruction."""
+    import struct
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        mulaw_decode_expr,
+        mulaw_encode_expr,
+    )
+
+    enc = mulaw_encode_expr("s", "spark")
+    dec = mulaw_decode_expr("code", "spark")
+    rows = (
+        spark.range(65536)
+        .select((F.col("id") - 32768).alias("s"))
+        .select("s", F.expr(enc).alias("code"))
+        .select("s", "code", F.expr(dec).alias("back"))
+        .collect()
+    )
+    assert len(rows) == 65536
+    for r in rows:
+        b = struct.pack("<h", r["s"])
+        ref = audioop.lin2ulaw(b, 2)[0]
+        assert r["code"] == ref, (r["s"], r["code"], ref)
+        refback = struct.unpack(
+            "<h", audioop.ulaw2lin(bytes([ref]), 2)
+        )[0]
+        assert r["back"] == refback, (r["s"], r["back"], refback)
+
+
+def test_mulaw_segment_error_doubles(spark):
+    """Per-segment max quantization error must grow with the segment
+    (companding contract) and stay within the closed bound
+    4·2^seg + 3 (half step in 16-bit terms + the 16→14-bit floor)."""
+    from data_integration_and_visualization_uc3m_spark import queries as Q
+
+    out = sorted(
+        Q.REGISTRY["mulaw_codec_report"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["seg"],
+    )
+    assert [r["seg"] for r in out] == list(range(8))
+    errs = [r["max_abs_err"] for r in out]
+    assert errs == sorted(errs)
+    for r in out:
+        if r["seg"] < 7:
+            assert r["max_abs_err"] <= 4 * (2 ** r["seg"]) + 3
+        else:
+            # segment 7 also absorbs the CLIP region: inputs beyond
+            # ±32635 reconstruct to ±32124, so |err| ≤ 32768 − 32124
+            assert r["max_abs_err"] <= 644
+        assert r["n_codes"] <= 32
+
+
+# --- PPM (netpbm P6) codec ---------------------------------------------
+
+
+def test_ppm_roundtrip_byte_level(spark):
+    """decode_ppm6 must invert synthesize_ppm6 exactly — dims, comment
+    skipping, RGB order, top-down rows — verified against the closed
+    pixel form in Python."""
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        decode_ppm6,
+        synthesize_ppm6,
+    )
+
+    cases = [(1, 9, 5, 0), (2, 12, 7, 7), (3, 15, 10, 33), (4, 10, 6, 88)]
+    src = spark.createDataFrame(
+        cases, "media_id long, width_px int, height_px int, img_seed int"
+    )
+    out = {r["media_id"]: bytes(r["payload"])
+           for r in synthesize_ppm6(src).collect()}
+    for mid, w, h, seed in cases:
+        buf = out[mid]
+        assert buf.startswith(b"P6")
+        if seed % 3 == 0:
+            assert f"# s{seed}".encode() in buf.split(b"255\n")[0]
+        dw, dh, px = decode_ppm6(buf)
+        assert (dw, dh) == (w, h)
+        assert len(px) == w * h
+        for y in range(h):
+            for x in range(w):
+                r, g, b = px[y * w + x]
+                assert r == (seed * 7 + x * 13 + y * 31) % 256
+                assert g == (seed * 11 + x * 3 + y * 17) % 256
+                assert b == (seed * 5 + x * 19 + y * 23) % 256
+
+
+def test_ppm_decoder_rejects_malformed():
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        decode_ppm6,
+    )
+    import pytest as _pytest
+
+    for bad in [
+        b"P5\n2 2\n255\n" + b"\x00" * 12,       # wrong magic
+        b"P6\n2 2\n65535\n" + b"\x00" * 12,     # unsupported maxval
+        b"P6\n2 2\n255\n" + b"\x00" * 5,        # truncated pixels
+        b"P6\n# only a comment",                # truncated header
+    ]:
+        with _pytest.raises(ValueError):
+            decode_ppm6(bad)
+
+
+def test_extract_features_dispatches_bmp_and_ppm(spark):
+    """One relation mixing BMP and PPM payloads must decode both via
+    the magic dispatch and produce identical features for identical
+    (w, h, seed) because the pixel gradients match."""
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        extract_features,
+        synthesize_bmp24,
+        synthesize_ppm6,
+    )
+
+    src = spark.createDataFrame(
+        [(1, 9, 6, 13)],
+        "media_id long, width_px int, height_px int, img_seed int",
+    )
+    bmp = synthesize_bmp24(src)
+    ppm = synthesize_ppm6(
+        src.select((F.col("media_id") + 100).alias("media_id"),
+                   "width_px", "height_px", "img_seed")
+    )
+    feats = {
+        r["media_id"]: (r["feature_0"], r["feature_1"], r["feature_2"])
+        for r in extract_features(bmp.unionByName(ppm), fake=False).collect()
+    }
+    assert feats[1] == feats[101]
