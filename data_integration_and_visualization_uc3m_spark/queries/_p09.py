@@ -1922,4 +1922,167 @@ def ppm_feature_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, fake=False)
 
 
+@register(
+    "naive_bayes_langid_report",
+    """
+    WITH train AS (
+        SELECT doc_id, lang, lower(text) AS t FROM documents
+        WHERE doc_id % 2 = 0
+    ), test AS (
+        SELECT doc_id, lang AS given, lower(text) AS t FROM documents
+        WHERE doc_id % 2 = 1
+    ), tw AS (
+        SELECT lang, unnest(string_split(t, ' ')) AS term FROM train
+    ), cnt AS (
+        SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tw GROUP BY lang, term
+    ), totc AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot FROM tw
+        GROUP BY lang
+    ), vocab AS (
+        SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM tw
+    ), nd AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM train
+        GROUP BY lang
+    ), ndt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM train
+    ), classes AS (
+        SELECT nd.lang AS cls,
+               CAST(FLOOR(ln(CAST(nd.n_docs AS DOUBLE) / ndt.n_total)
+                          * 1000000000) AS BIGINT) AS prior_fp9,
+               CAST(FLOOR(ln(CAST(1 AS DOUBLE) / (totc.tot + vocab.v))
+                          * 1000000000) AS BIGINT) AS default_fp9,
+               totc.tot, vocab.v
+        FROM nd JOIN totc ON totc.lang = nd.lang
+        CROSS JOIN vocab CROSS JOIN ndt
+    ), terms AS (
+        SELECT cnt.lang AS cls, cnt.term,
+               CAST(FLOOR(ln(CAST(cnt.c + 1 AS DOUBLE)
+                             / (totc.tot + vocab.v))
+                          * 1000000000) AS BIGINT) AS term_fp9
+        FROM cnt JOIN totc ON totc.lang = cnt.lang CROSS JOIN vocab
+    ), xw AS (
+        SELECT x.doc_id, x.given, cl.cls,
+               COALESCE(t.term_fp9, cl.default_fp9) AS w_fp9
+        FROM (SELECT doc_id, given,
+                     unnest(string_split(t, ' ')) AS term
+              FROM test) x
+        CROSS JOIN classes cl
+        LEFT JOIN terms t ON t.cls = cl.cls AND t.term = x.term
+    ), sc AS (
+        SELECT xw.doc_id, xw.given, xw.cls,
+               CAST(MAX(cl.prior_fp9) + SUM(xw.w_fp9) AS BIGINT)
+                   AS score_fp9
+        FROM xw JOIN classes cl ON cl.cls = xw.cls
+        GROUP BY xw.doc_id, xw.given, xw.cls
+    ), pred AS (
+        SELECT doc_id, given, cls AS predicted,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_fp9 DESC, cls) AS rn
+        FROM sc
+    )
+    SELECT given, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY given, predicted ORDER BY given, predicted
+    """,
+    ops=["naive-bayes", "text-classification", "train-apply-eval"],
+)
+def naive_bayes_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRAINED classifier inside the engine — multinomial Naive
+    Bayes language-ID with Laplace smoothing, fit on the even half of
+    the corpus and evaluated on the odd half as a confusion matrix
+    (the heuristic lang_id_predict's learned sibling). Log-likelihoods
+    follow the kaplan_meier floor-fp9 discipline: every ln is floored
+    to integer nano units BEFORE any summation, so scores are exact
+    integer sums and the argmax (class tiebreak) is engine-identical.
+    Unknown test words hit a per-class smoothed default instead of
+    being dropped. Physical shape: training is one explode + two
+    grouped passes; scoring joins test words against the (term, class)
+    table on the shuffle key and fans out only by the bounded class
+    count; the per-doc argmax is a per-doc window (WindowGroupLimit),
+    never global."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.lower("text").alias("t")
+    )
+    test = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("lang").alias("given"),
+        F.lower("text").alias("t"),
+    )
+    tw = train.select(
+        "lang", F.explode(F.split(F.col("t"), " ")).alias("term")
+    )
+    cnt = tw.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totc = tw.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("tot")
+    )
+    vocab = tw.agg(
+        F.countDistinct("term").cast("long").alias("v")
+    )
+    nd = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    ndt = train.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    classes = (
+        nd.join(totc, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ndt))
+        .select(
+            F.col("lang").alias("cls"),
+            F.expr(
+                "CAST(FLOOR(ln(CAST(n_docs AS DOUBLE) / n_total)"
+                " * 1000000000) AS BIGINT)"
+            ).alias("prior_fp9"),
+            F.expr(
+                "CAST(FLOOR(ln(CAST(1 AS DOUBLE) / (tot + v))"
+                " * 1000000000) AS BIGINT)"
+            ).alias("default_fp9"),
+        )
+        .localCheckpoint()
+    )
+    terms = (
+        cnt.join(totc, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cls"),
+            "term",
+            F.expr(
+                "CAST(FLOOR(ln(CAST(c + 1 AS DOUBLE) / (tot + v))"
+                " * 1000000000) AS BIGINT)"
+            ).alias("term_fp9"),
+        )
+    )
+    xw = (
+        test.select(
+            "doc_id", "given",
+            F.explode(F.split(F.col("t"), " ")).alias("term"),
+        )
+        .crossJoin(F.broadcast(classes))
+        .join(terms, ["cls", "term"], "left")
+        .select(
+            "doc_id", "given", "cls", "prior_fp9",
+            F.coalesce(F.col("term_fp9"), F.col("default_fp9"))
+            .alias("w_fp9"),
+        )
+    )
+    sc = xw.groupBy("doc_id", "given", "cls").agg(
+        (F.max("prior_fp9") + F.sum("w_fp9")).cast("long")
+        .alias("score_fp9")
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp9").desc(), "cls"
+    )
+    pred = sc.select(
+        "doc_id", "given", F.col("cls").alias("predicted"),
+        F.row_number().over(wr).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("given", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("given", "predicted")
+    )
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -398,6 +398,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "changepoint_revenue_report",
     "mulaw_codec_report",
     "ppm_feature_report",
+    "naive_bayes_langid_report",
 )
 
 

@@ -651,3 +651,26 @@ def test_changepoint_finds_planted_level_shift(spark, tmp_path):
     assert b["mean_left_milli"] < b["mean_right_milli"]
     for r in out:
         assert r["sse_gain"] == r["sse_null"] - r["sse_split"]
+
+
+# --- Naive Bayes lang-id --------------------------------------------------
+
+
+def test_naive_bayes_beats_chance_and_covers_test_half(spark):
+    """The trained classifier must assign every odd-doc_id test doc
+    exactly once, use only real langs, and beat the 5-class chance
+    rate on the real corpus (the synthetic langs share most
+    vocabulary, so the margin is modest but deterministic)."""
+    import duckdb
+
+    out = Q.REGISTRY["naive_bayes_langid_report"].fn(spark, SF).collect()
+    langs = {"de", "en", "es", "fr", "zh"}
+    assert all(r["given"] in langs and r["predicted"] in langs for r in out)
+    total = sum(r["n_docs"] for r in out)
+    n_test = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
+        " WHERE doc_id % 2 = 1"
+    ).fetchone()[0]
+    assert total == n_test
+    diag = sum(r["n_docs"] for r in out if r["given"] == r["predicted"])
+    assert diag / total > 0.25  # > 5-class chance
