@@ -2085,4 +2085,74 @@ def naive_bayes_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pyds_reader_roundtrip_e2e",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    ops=["python-datasource-reader", "manifest-honoring", "e2e"],
+)
+def pyds_reader_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch write → manifest-honoring batch READ through the Spark 4
+    Python DataSource, end to end: events flow through the jsonl_dir
+    sink (atomic tmp→rename commit, manifest published first), then an
+    ORPHAN uncommitted part file is planted in the directory, and the
+    data comes back via ``spark.read.format("jsonl_dir")`` whose
+    reader builds one InputPartition per manifest-committed part —
+    executor-side parsing, driver never touches row data. The oracle
+    is the direct relational answer, so the gate proves BOTH the
+    JSONL round-trip (doubles survive via shortest-repr json) AND that
+    the planted orphan stayed invisible — ``spark.read.json`` on the
+    raw directory would have counted it. Completes the Python
+    DataSource matrix: batch read (sources/pyds.py), stream read,
+    stream write, batch write, and now manifest-honoring batch
+    read-back."""
+    import tempfile
+
+    from ..sinks.pyds_writer import register_jsonl_dir
+
+    register_jsonl_dir(spark)
+    e = _t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="sg_pyds_rt_") + "/data"
+    (
+        e.filter(F.col("event_type") != "error")
+        .select("event_id", "event_type", "value")
+        .repartition(4)
+        .write.format("jsonl_dir")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    # plant an uncommitted orphan the manifest never named: a
+    # manifest-honoring reader must not see it
+    with open(f"{out}/part-99999-0-orphan.jsonl", "w",
+              encoding="utf-8") as fh:
+        fh.write('{"event_id": -1, "event_type": "view",'
+                 ' "value": 123.45}\n')
+    back = (
+        spark.read.format("jsonl_dir")
+        .schema("event_id long, event_type string, value double")
+        .option("path", out)
+        .load()
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                )
+            ).cast("long").alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -399,6 +399,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "mulaw_codec_report",
     "ppm_feature_report",
     "naive_bayes_langid_report",
+    "pyds_reader_roundtrip_e2e",
 )
 
 

@@ -29,8 +29,10 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 
@@ -156,6 +158,74 @@ class JsonlDirDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool):
         return JsonlDirStreamWriter(self.options)
+
+    def schema(self) -> str:
+        raise ValueError(
+            "jsonl_dir read requires an explicit .schema(...) — the "
+            "sink stores untyped JSONL; the manifest records only "
+            "files and row counts"
+        )
+
+    def reader(self, schema) -> "JsonlDirReader":
+        return JsonlDirReader(self.options, schema)
+
+
+class JsonlPartFile(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class JsonlDirReader(DataSourceReader):
+    """Manifest-honoring batch reader for the jsonl_dir sink: ONLY
+    parts named by the committed batch manifest (or, for a stream
+    sink directory, the union of committed epoch manifests) become
+    input partitions — orphan/uncommitted ``*.jsonl`` files in the
+    same directory are invisible, which is the sink's exactly-once
+    visibility contract made readable (``spark.read.json`` on the raw
+    directory would see them). One InputPartition per committed part;
+    parsing happens executor-side."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir read requires option 'path'")
+        self.read_schema = schema
+
+    def partitions(self):
+        batch_manifest = os.path.join(self.path, MANIFEST)
+        if os.path.exists(batch_manifest):
+            files = [p["file"] for p in read_manifest(self.path)["parts"]]
+        else:
+            files = [
+                p["file"]
+                for man in read_stream_manifests(self.path)
+                for p in man["parts"]
+            ]
+        return [
+            JsonlPartFile(os.path.join(self.path, f)) for f in sorted(files)
+        ]
+
+    def read(self, partition: JsonlPartFile):
+        fields = [(f.name, f.dataType.simpleString())
+                  for f in self.read_schema.fields]
+
+        def conv(v, t):
+            if v is None:
+                return None
+            if t in ("bigint", "int", "smallint", "tinyint"):
+                return int(v)
+            if t in ("double", "float"):
+                return float(v)
+            if t == "boolean":
+                return bool(v)
+            return str(v)
+
+        with open(partition.file_path, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                yield tuple(conv(rec.get(n), t) for n, t in fields)
 
 
 def register_jsonl_dir(spark) -> None:

@@ -761,3 +761,86 @@ def test_jsonl_dir_stream_writer_per_epoch_manifests(spark, tmp_path):
     assert not any(
         n.endswith(".tmp") for n in os.listdir(out)
     )
+
+
+def test_jsonl_dir_batch_reader_honors_manifest(spark, tmp_path):
+    """The DataSource batch reader must surface exactly the
+    manifest-committed parts: an orphan .jsonl in the directory is
+    invisible to format('jsonl_dir') while spark.read.json sees it."""
+    from data_integration_and_visualization_uc3m_spark.sinks.pyds_writer import (
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    out = str(tmp_path / "d")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.25), (3, "a", 3.0)],
+        "k long, s string, v double",
+    )
+    df.repartition(2).write.format("jsonl_dir").option("path", out).mode(
+        "append"
+    ).save()
+    with open(f"{out}/part-99999-0-orphan.jsonl", "w") as fh:
+        fh.write('{"k": 99, "s": "zz", "v": 0.0}\n')
+    back = (
+        spark.read.format("jsonl_dir")
+        .schema("k long, s string, v double")
+        .option("path", out)
+        .load()
+    )
+    got = sorted((r["k"], r["s"], r["v"]) for r in back.collect())
+    assert got == [(1, "a", 1.5), (2, "b", 2.25), (3, "a", 3.0)]
+    raw = spark.read.schema("k long, s string, v double").json(f"{out}/*.jsonl")
+    assert raw.count() == 4  # the raw glob DOES see the orphan
+
+
+def test_jsonl_dir_batch_reader_reads_stream_epochs(spark, tmp_path):
+    """On a STREAM sink directory (per-epoch manifests) the batch
+    reader unions all committed epochs."""
+    from data_integration_and_visualization_uc3m_spark.sinks.pyds_writer import (
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    )
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("jsonl_dir")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = (
+        spark.read.format("jsonl_dir")
+        .schema("k long, v double")
+        .option("path", out)
+        .load()
+    )
+    assert sorted(r["k"] for r in back.collect()) == list(range(20))
+
+
+def test_jsonl_dir_reader_requires_schema(spark, tmp_path):
+    from data_integration_and_visualization_uc3m_spark.sinks.pyds_writer import (
+        register_jsonl_dir,
+    )
+    import pytest as _pytest
+
+    register_jsonl_dir(spark)
+    with _pytest.raises(Exception, match="schema"):
+        spark.read.format("jsonl_dir").option(
+            "path", str(tmp_path)
+        ).load().collect()

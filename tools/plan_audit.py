@@ -189,6 +189,8 @@ SCALAR_OK: set[str] = {
     "eb_shrunk_source_quality",    # three 1-row prior-moment broadcasts
     "changepoint_revenue_report",  # 1-row prefix-total broadcast onto
                                    # the ≤31-row candidate axis
+    "naive_bayes_langid_report",   # bounded class-relation broadcast
+                                   # (words × ≤K classes fan-out)
 }
 
 

@@ -208,6 +208,32 @@ DEFAULT = [
     "json_corrupt_record_audit",
     "csv_corrupt_record_audit",
     "fs_linkage_score_histogram",
+    # round-11 second-wave families: MM-iteration preference fit,
+    # broadcast-Q̂ doubly-robust OPE, kmin-cumulative nested scaling
+    # fit, range-partitioned conformal order statistic, grid-EMD
+    # privacy audit, class-threshold confident joint, frontier BFS
+    # over a windowed-sparsified graph, per-stratum weighted top-k,
+    # bounded minimax isotonic cube, 1-row-broadcast jackknife,
+    # libm-free survival hazard, tombstone semi-join audit, EB
+    # shrinkage moments, prefix-sum SSE changepoint scan, arithmetic
+    # mu-law round-trip, ASCII-header PPM decode, trained NB scoring
+    "bradley_terry_strengths",
+    "dr_policy_value_report",
+    "inverse_scaling_fit_report",
+    "conformal_coverage_report",
+    "t_closeness_report",
+    "label_noise_confident_report",
+    "nation_trade_bfs_hops",
+    "weighted_priority_sample",
+    "isotonic_calibration_bins",
+    "jackknife_ratio_ci",
+    "nelson_aalen_hazard",
+    "deletion_propagation_audit",
+    "eb_shrunk_source_quality",
+    "changepoint_revenue_report",
+    "mulaw_codec_report",
+    "ppm_feature_report",
+    "naive_bayes_langid_report",
 ]
 
 
