@@ -2155,4 +2155,233 @@ def pyds_reader_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "krippendorff_alpha_report",
+    """
+    WITH r AS (
+        SELECT doc_id AS unit, 1 AS rater,
+               (doc_id * 7 + 3) % 3 AS val
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2,
+               CASE WHEN doc_id % 4 = 0
+                    THEN ((doc_id * 7 + 3) % 3 + 1 + doc_id % 2) % 3
+                    ELSE (doc_id * 7 + 3) % 3 END
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 3,
+               CASE WHEN doc_id % 6 = 0
+                    THEN ((doc_id * 7 + 3) % 3 + 1) % 3
+                    ELSE (doc_id * 7 + 3) % 3 END
+        FROM documents WHERE doc_id % 5 <> 0
+    ), mu AS (
+        SELECT unit, COUNT(*) AS m FROM r GROUP BY unit
+    ), pairs AS (
+        SELECT a.val AS c, b.val AS k, 2 // (mu.m - 1) AS w2
+        FROM r a
+        JOIN r b ON b.unit = a.unit AND b.rater <> a.rater
+        JOIN mu ON mu.unit = a.unit
+        WHERE mu.m >= 2
+    ), o AS (
+        SELECT c, k, CAST(SUM(w2) AS BIGINT) AS o2
+        FROM pairs GROUP BY c, k
+    ), marg AS (
+        SELECT c, CAST(SUM(o2) AS BIGINT) AS n2c FROM o GROUP BY c
+    ), tot AS (
+        SELECT CAST(SUM(n2c) AS BIGINT) AS n2,
+               CAST((SELECT SUM(o2) FROM o WHERE c <> k) AS BIGINT)
+                   AS a2,
+               CAST((SELECT SUM(x.n2c * y.n2c) FROM marg x, marg y
+                     WHERE x.c <> y.c) AS BIGINT) AS de2
+        FROM marg
+    )
+    SELECT o.c, o.k, o.o2 AS coincidence_half_pairs,
+           marg.n2c AS margin_half_pairs,
+           CAST(tot.a2 * (tot.n2 - 2) * 1000000 // tot.de2 AS BIGINT)
+               AS disagreement_ratio_micro,
+           CAST(1000000 - tot.a2 * (tot.n2 - 2) * 1000000 // tot.de2
+                AS BIGINT) AS alpha_micro
+    FROM o JOIN marg ON marg.c = o.c CROSS JOIN tot
+    ORDER BY o.c, o.k
+    """,
+    ops=["krippendorff-alpha", "multi-rater-agreement", "labeling-qa"],
+)
+def krippendorff_alpha_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) — the agreement coefficient that
+    handles MULTIPLE raters and MISSING ratings, which Cohen's kappa
+    (annotator_agreement_kappa) cannot: three deterministic synthetic
+    raters (B flips every 4th label, C flips every 6th and skips every
+    5th unit entirely), so units carry 2 or 3 pairable values. The
+    coincidence matrix is exact by a unit trick: each ordered pair in
+    a unit contributes 2/(m−1) half-pairs, and with m ∈ {2,3} that is
+    exactly 2 or 1 — integer, no truncation anywhere until the single
+    final alpha division (alpha = 1 − A(N−2)/Σ_{c≠k}n_c n_k in
+    half-pair units). Output is the full coincidence matrix with
+    margins plus the global alpha. Shape: the within-unit pair join
+    fans out by m−1 ≤ 2 per rating (never quadratic in the corpus),
+    then one grouped pass; everything after lives on the K² matrix."""
+    d = _t(spark, sf_dir, "documents")
+    base = (F.col("doc_id") * 7 + 3) % 3
+    r1 = d.select(
+        F.col("doc_id").alias("unit"), F.lit(1).alias("rater"),
+        base.alias("val"),
+    )
+    r2 = d.select(
+        F.col("doc_id").alias("unit"), F.lit(2).alias("rater"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            (base + 1 + F.col("doc_id") % 2) % 3,
+        ).otherwise(base).alias("val"),
+    )
+    r3 = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            F.col("doc_id").alias("unit"), F.lit(3).alias("rater"),
+            F.when(F.col("doc_id") % 6 == 0, (base + 1) % 3)
+            .otherwise(base).alias("val"),
+        )
+    )
+    r = r1.unionByName(r2).unionByName(r3)
+    mu = r.groupBy("unit").agg(F.count(F.lit(1)).alias("m"))
+    a = r.select("unit", F.col("rater").alias("ra"),
+                 F.col("val").alias("c"))
+    b = r.select("unit", F.col("rater").alias("rb"),
+                 F.col("val").alias("k"))
+    pairs = (
+        a.join(b, "unit")
+        .filter(F.col("ra") != F.col("rb"))
+        .join(mu, "unit")
+        .filter(F.col("m") >= 2)
+        .select("c", "k", F.expr("2 div (m - 1)").alias("w2"))
+    )
+    o = pairs.groupBy("c", "k").agg(
+        F.sum("w2").cast("long").alias("o2")
+    ).localCheckpoint()
+    marg = o.groupBy("c").agg(F.sum("o2").cast("long").alias("n2c"))
+    n2 = marg.agg(F.sum("n2c").cast("long").alias("n2"))
+    a2 = o.filter(F.col("c") != F.col("k")).agg(
+        F.sum("o2").cast("long").alias("a2")
+    )
+    de2 = (
+        marg.select(F.col("c").alias("cx"), F.col("n2c").alias("nx"))
+        .crossJoin(
+            F.broadcast(
+                marg.select(F.col("c").alias("cy"),
+                            F.col("n2c").alias("ny"))
+            )
+        )
+        .filter(F.col("cx") != F.col("cy"))
+        .agg(F.sum(F.col("nx") * F.col("ny")).cast("long").alias("de2"))
+    )
+    tot = n2.crossJoin(F.broadcast(a2)).crossJoin(F.broadcast(de2))
+    return (
+        o.join(F.broadcast(marg), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c", "k",
+            F.col("o2").alias("coincidence_half_pairs"),
+            F.col("n2c").alias("margin_half_pairs"),
+            F.expr(
+                "CAST(a2 * (n2 - 2) * 1000000 div de2 AS BIGINT)"
+            ).alias("disagreement_ratio_micro"),
+            F.expr(
+                "CAST(1000000 - a2 * (n2 - 2) * 1000000 div de2"
+                " AS BIGINT)"
+            ).alias("alpha_micro"),
+        )
+        .orderBy("c", "k")
+    )
+
+
+@register(
+    "merkle_partition_proof",
+    """
+    WITH rows_d AS (
+        SELECT ('0x' || substr(md5('mk:' ||
+                   CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 32
+                   AS bucket,
+               md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT) AS VARCHAR)) AS digest
+        FROM orders
+    ), buckets AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               md5(string_agg(digest, '' ORDER BY digest))
+                   AS bucket_digest
+        FROM rows_d GROUP BY bucket
+    ), root AS (
+        SELECT md5(string_agg(bucket_digest, '' ORDER BY bucket))
+                   AS root_digest
+        FROM buckets
+    )
+    SELECT b.bucket, b.n_rows, b.bucket_digest, r.root_digest
+    FROM buckets b CROSS JOIN root r
+    ORDER BY b.bucket
+    """,
+    ops=["merkle-tree", "integrity-proof", "table-fingerprint"],
+)
+def merkle_partition_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle partition proof — table_fingerprint's tree-structured
+    sibling: rows land in 32 md5 buckets, each bucket's digest is the
+    md5 of its SORTED row digests, and the root is the md5 of the
+    bucket digests in bucket order. A replica can now verify ONE
+    bucket by re-hashing 1/32 of the table and checking its leaf
+    against the shared root — the incremental-audit shape a 100 TB
+    store needs (re-fingerprinting everything per check is the flat
+    hash's failure mode; deeper trees are the same fold applied
+    again). Order-insensitive by construction (sorted digests), so
+    partitioning never changes the proof. One grouped pass + a 32-row
+    fold; the per-bucket sort is bucket-local."""
+    o = _t(spark, sf_dir, "orders")
+    rows_d = o.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mk:"),
+                                   F.col("o_orderkey").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % 32
+        ).alias("bucket"),
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"), F.lit(":"),
+                F.expr(
+                    "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))"
+                    " * 100 AS BIGINT) AS STRING)"
+                ),
+            )
+        ).alias("digest"),
+    )
+    buckets = (
+        rows_d.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("digest")))
+            ).alias("bucket_digest"),
+        )
+        .localCheckpoint()
+    )
+    root = buckets.agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(sort_array(collect_list("
+                    "struct(bucket, bucket_digest))),"
+                    " x -> x.bucket_digest)"
+                ),
+            )
+        ).alias("root_digest")
+    )
+    return (
+        buckets.crossJoin(F.broadcast(root))
+        .select("bucket", "n_rows", "bucket_digest", "root_digest")
+        .orderBy("bucket")
+    )
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -400,6 +400,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "ppm_feature_report",
     "naive_bayes_langid_report",
     "pyds_reader_roundtrip_e2e",
+    "krippendorff_alpha_report",
+    "merkle_partition_proof",
 )
 
 

@@ -674,3 +674,113 @@ def test_naive_bayes_beats_chance_and_covers_test_half(spark):
     assert total == n_test
     diag = sum(r["n_docs"] for r in out if r["given"] == r["predicted"])
     assert diag / total > 0.25  # > 5-class chance
+
+
+# --- Krippendorff alpha ----------------------------------------------------
+
+
+def test_krippendorff_alpha_mirror(spark, tmp_path):
+    """20-doc corpus: full Python mirror of the three synthetic raters,
+    half-pair coincidence matrix, and the closed-form alpha."""
+    rows = [(i, f"t {i}", "en", "web", 10) for i in range(1, 21)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    ratings: dict[int, list[int]] = {}
+    for i, *_ in rows:
+        base = (i * 7 + 3) % 3
+        vals = [base]
+        vals.append(((base + 1 + i % 2) % 3) if i % 4 == 0 else base)
+        if i % 5 != 0:
+            vals.append(((base + 1) % 3) if i % 6 == 0 else base)
+        ratings[i] = vals
+    o: dict[tuple[int, int], int] = {}
+    for vals in ratings.values():
+        m = len(vals)
+        if m < 2:
+            continue
+        for x in range(m):
+            for y in range(m):
+                if x != y:
+                    key = (vals[x], vals[y])
+                    o[key] = o.get(key, 0) + 2 // (m - 1)
+    n2c: dict[int, int] = {}
+    for (c, _k), v in o.items():
+        n2c[c] = n2c.get(c, 0) + v
+    n2 = sum(n2c.values())
+    a2 = sum(v for (c, k), v in o.items() if c != k)
+    de2 = sum(
+        n2c[c] * n2c[k] for c in n2c for k in n2c if c != k
+    )
+    want_alpha = 1_000_000 - a2 * (n2 - 2) * 1_000_000 // de2
+
+    got = Q.REGISTRY["krippendorff_alpha_report"].fn(spark, sf).collect()
+    gm = {(r["c"], r["k"]): r for r in got}
+    assert set(gm) == set(o)
+    for key, v in o.items():
+        assert gm[key]["coincidence_half_pairs"] == v
+        assert gm[key]["alpha_micro"] == want_alpha
+
+
+def test_krippendorff_alpha_reasonable_on_real_corpus(spark):
+    """With ~25-33% planted disagreement the coefficient sits well
+    above chance (0) and below perfect (1e6)."""
+    out = Q.REGISTRY["krippendorff_alpha_report"].fn(spark, SF).collect()
+    alphas = {r["alpha_micro"] for r in out}
+    assert len(alphas) == 1
+    a = alphas.pop()
+    assert 300_000 < a < 1_000_000
+
+
+# --- Merkle partition proof --------------------------------------------------
+
+
+def test_merkle_proof_is_partitioning_invariant_and_detects_change(spark, tmp_path):
+    """The root must be identical regardless of input partitioning,
+    and flipping one row's price must change exactly that row's bucket
+    digest and the root."""
+    import datetime
+    orders = [
+        (k, k % 5, "O", float(k) + 0.25, datetime.datetime(2024, 5, 1),
+         "1-P")
+        for k in range(1, 200)
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    )
+    sf1 = str(tmp_path / "a")
+    spark.createDataFrame(orders, schema).repartition(7).write.parquet(
+        f"{sf1}/orders.parquet"
+    )
+    sf2 = str(tmp_path / "b")
+    spark.createDataFrame(orders, schema).coalesce(1).write.parquet(
+        f"{sf2}/orders.parquet"
+    )
+    r1 = Q.REGISTRY["merkle_partition_proof"].fn(spark, sf1).collect()
+    r2 = Q.REGISTRY["merkle_partition_proof"].fn(spark, sf2).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+    # tamper with one row
+    tampered = [
+        (k, c, s, (p + 1.0 if k == 57 else p), d, pr)
+        for (k, c, s, p, d, pr) in orders
+    ]
+    sf3 = str(tmp_path / "c")
+    spark.createDataFrame(tampered, schema).write.parquet(
+        f"{sf3}/orders.parquet"
+    )
+    r3 = {r["bucket"]: r for r in
+          Q.REGISTRY["merkle_partition_proof"].fn(spark, sf3).collect()}
+    r1m = {r["bucket"]: r for r in r1}
+    changed = [
+        b for b in r1m
+        if r1m[b]["bucket_digest"] != r3[b]["bucket_digest"]
+    ]
+    assert len(changed) == 1
+    assert r1[0]["root_digest"] != r3[changed[0]]["root_digest"]
