@@ -2384,4 +2384,143 @@ def merkle_partition_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sprt_conversion_monitor",
+    """
+    WITH par AS (
+        SELECT CAST(FLOOR(ln(CAST(0.3 AS DOUBLE) / 0.2) * 1000000000)
+                    AS BIGINT) AS l1,
+               CAST(FLOOR(ln(CAST(0.7 AS DOUBLE) / 0.8) * 1000000000)
+                    AS BIGINT) AS l0,
+               CAST(FLOOR(ln(CAST(19 AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS up,
+               CAST(-CEIL(ln(CAST(19 AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS lo
+    ), e AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+               ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), cum AS (
+        SELECT e.day, e.rn, e.x,
+               SUM(e.x * par.l1 + (1 - e.x) * par.l0) OVER (
+                   PARTITION BY e.day ORDER BY e.rn) AS llr_fp9,
+               par.up, par.lo
+        FROM e CROSS JOIN par
+    ), marks AS (
+        SELECT day, rn, x, llr_fp9,
+               CASE WHEN llr_fp9 >= up THEN 1
+                    WHEN llr_fp9 <= lo THEN -1 ELSE 0 END AS crossed,
+               MAX(rn) OVER (PARTITION BY day) AS maxrn
+        FROM cum
+    ), firstx AS (
+        SELECT day, MIN(rn) AS decided_at_n
+        FROM marks WHERE crossed <> 0 GROUP BY day
+    )
+    SELECT m.day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(m.x) AS BIGINT) AS n_purchases,
+           CASE COALESCE(CAST(MAX(CASE WHEN m.rn = fx.decided_at_n
+                                  THEN m.crossed END) AS BIGINT), 0)
+                WHEN 1 THEN 'accept_h1' WHEN -1 THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CAST(COALESCE(MAX(fx.decided_at_n), 0) AS BIGINT)
+               AS decided_at_n,
+           CAST(MAX(CASE WHEN m.rn = m.maxrn THEN m.llr_fp9 END)
+                AS BIGINT) AS final_llr_fp9
+    FROM marks m LEFT JOIN firstx fx ON fx.day = m.day
+    GROUP BY m.day ORDER BY m.day
+    """,
+    ops=["sprt", "sequential-testing", "monitoring"],
+)
+def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test per day — the
+    always-valid monitoring rule an experimentation platform runs
+    instead of fixed-horizon tests: each day's event stream is walked
+    in (ts, event_id) order accumulating the purchase-conversion
+    log-likelihood ratio for H1 p=0.3 vs H0 p=0.2; the day decides at
+    the FIRST crossing of ±ln19 (α=β=0.05) and reports where. The two
+    per-observation LLR increments are constants floored to fp9 (the
+    kaplan_meier discipline), so the cumulative walk is an exact
+    integer window sum and the crossing index is engine-identical; the
+    lower barrier uses −CEIL so both barriers sit strictly outside the
+    open interval. Shape: windows are partitioned BY DAY (each day is
+    an independent sequential test — no global ordering exists
+    anywhere), one grouped pass summarizes."""
+    e0 = _t(spark, sf_dir, "events")
+    par = spark.sql(
+        "SELECT CAST(FLOOR(ln(CAST(0.3 AS DOUBLE) / 0.2) * 1000000000)"
+        " AS BIGINT) AS l1,"
+        " CAST(FLOOR(ln(CAST(0.7 AS DOUBLE) / 0.8) * 1000000000)"
+        " AS BIGINT) AS l0,"
+        " CAST(FLOOR(ln(CAST(19 AS DOUBLE)) * 1000000000) AS BIGINT)"
+        " AS up,"
+        " CAST(-CEIL(ln(CAST(19 AS DOUBLE)) * 1000000000) AS BIGINT)"
+        " AS lo"
+    )
+    wd = Window.partitionBy("day").orderBy("ts", "event_id")
+    e = e0.select(
+        F.to_date("ts").alias("day"), "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("x"),
+    ).select(
+        "day", "x",
+        F.row_number().over(wd).alias("rn"),
+    )
+    cum = (
+        e.crossJoin(F.broadcast(par))
+        .select(
+            "day", "rn", "x",
+            F.sum(
+                F.col("x") * F.col("l1") + (1 - F.col("x")) * F.col("l0")
+            ).over(Window.partitionBy("day").orderBy("rn"))
+            .alias("llr_fp9"),
+            "up", "lo",
+        )
+        .select(
+            "day", "rn", "x", "llr_fp9",
+            F.when(F.col("llr_fp9") >= F.col("up"), 1)
+            .when(F.col("llr_fp9") <= F.col("lo"), -1)
+            .otherwise(0).alias("crossed"),
+        )
+        .localCheckpoint()
+    )
+    firstx = (
+        cum.filter(F.col("crossed") != 0)
+        .groupBy("day")
+        .agg(F.min("rn").alias("decided_at_n"))
+    )
+    maxrn = Window.partitionBy("day")
+    daily = (
+        cum.select(
+            "day", "rn", "x", "llr_fp9", "crossed",
+            F.max("rn").over(maxrn).alias("maxrn"),
+        )
+        .join(F.broadcast(firstx), "day", "left")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("x").cast("long").alias("n_purchases"),
+            F.max(
+                F.when(F.col("rn") == F.col("decided_at_n"),
+                       F.col("crossed"))
+            ).cast("long").alias("verdict_sign"),
+            F.max("decided_at_n").cast("long").alias("decided_at_n_raw"),
+            F.max(
+                F.when(F.col("rn") == F.col("maxrn"), F.col("llr_fp9"))
+            ).cast("long").alias("final_llr_fp9"),
+        )
+    )
+    return daily.select(
+        "day", "n_events", "n_purchases",
+        F.when(F.col("verdict_sign") == 1, "accept_h1")
+        .when(F.col("verdict_sign") == -1, "accept_h0")
+        .otherwise("continue").alias("decision"),
+        F.coalesce(F.col("decided_at_n_raw"), F.lit(0)).cast("long")
+        .alias("decided_at_n"),
+        "final_llr_fp9",
+    ).orderBy("day")
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -402,6 +402,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "pyds_reader_roundtrip_e2e",
     "krippendorff_alpha_report",
     "merkle_partition_proof",
+    "sprt_conversion_monitor",
 )
 
 

@@ -784,3 +784,52 @@ def test_merkle_proof_is_partitioning_invariant_and_detects_change(spark, tmp_pa
     ]
     assert len(changed) == 1
     assert r1[0]["root_digest"] != r3[changed[0]]["root_digest"]
+
+
+# --- SPRT -------------------------------------------------------------------
+
+
+def test_sprt_decides_fast_under_clear_separation(spark, tmp_path):
+    """A day with 100% purchases must accept H1 at the first rn where
+    k·ln(1.5) ≥ ln(19) (k=8); a day with zero purchases must accept H0
+    at k·ln(0.875) ≤ −ln(19) (k=23); a 25%-ish alternating day with
+    few events stays 'continue'."""
+    import datetime
+    import math
+    rows = []
+    eid = 0
+    for j in range(30):  # day 1: all purchases
+        eid += 1
+        rows.append((eid, datetime.datetime(2024, 6, 1, 1, 0, j), j,
+                     "purchase", 5.0, "{}"))
+    for j in range(40):  # day 2: no purchases
+        eid += 1
+        rows.append((eid, datetime.datetime(2024, 6, 2, 1, 0, j), j,
+                     "view", 1.0, "{}"))
+    for j in range(8):   # day 3: 1 purchase in 8 — indecisive
+        eid += 1
+        rows.append((eid, datetime.datetime(2024, 6, 3, 1, 0, j), j,
+                     "purchase" if j == 3 else "view", 1.0, "{}"))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = {
+        str(r["day"]): r
+        for r in Q.REGISTRY["sprt_conversion_monitor"].fn(spark, sf).collect()
+    }
+    l1 = math.floor(math.log(0.3 / 0.2) * 1e9)
+    l0 = math.floor(math.log(0.7 / 0.8) * 1e9)
+    up = math.floor(math.log(19) * 1e9)
+    lo = -math.ceil(math.log(19) * 1e9)
+    k1 = next(k for k in range(1, 100) if k * l1 >= up)
+    k0 = next(k for k in range(1, 100) if k * l0 <= lo)
+    d1 = out["2024-06-01"]
+    assert d1["decision"] == "accept_h1" and d1["decided_at_n"] == k1
+    d2 = out["2024-06-02"]
+    assert d2["decision"] == "accept_h0" and d2["decided_at_n"] == k0
+    d3 = out["2024-06-03"]
+    assert d3["decision"] == "continue" and d3["decided_at_n"] == 0
+    assert d3["final_llr_fp9"] == 1 * l1 + 7 * l0
