@@ -1163,9 +1163,25 @@ def ppjoin_pairs(
     each set array_sorts its own (df, item) structs and slices its
     prefix locally; ceil(t·s) is exact integer math
     ``(t_num·s + t_den − 1) div t_den``; the threshold test
-    cross-multiplies so no float touches the result. Returns
-    ``(id_a, id_b, n_common, size_a, size_b, jaccard_milli)`` with
-    id_a < id_b and truncating-div milli Jaccard."""
+    cross-multiplies so no float touches the result.
+
+    FIRST-SHARED-PREFIX-TOKEN emission (r12, VERDICT r11 ask #4): a
+    pair sharing k prefix tokens used to be generated k times and
+    collapsed by a full candidate ``distinct()`` shuffle — the
+    heaviest step of the heaviest roster query. Each prefix row now
+    carries its doc's whole (bounded, ≈(1−t)·|x|+1-element) prefix
+    array plus the token's 1-based position in the sorted set, and a
+    joined row survives only when NO earlier slice of the two
+    prefixes overlaps. The global (df, item) order is consistent
+    across docs, so any shared token earlier in that order sits
+    earlier in BOTH prefixes — the first shared token is the unique
+    emitter, exactly the SimHash first-shared-band trick. Carried
+    positions also enable PPJoin's POSITIONAL filter for free: at the
+    first shared token the total overlap is ≤ 1 + min(|x|−i, |y|−j),
+    so pairs that can't reach the ceil(t·(|x|+|y|)/(1+t)) overlap
+    floor die before the verify join (lossless — earlier shared
+    tokens can't exist by first-match, pinned by the hypothesis
+    property test vs the brute-force quadratic)."""
     tok = items.select(
         F.col(id_col).alias("_id"), F.col(item_col).alias("_w")
     )
@@ -1188,19 +1204,54 @@ def ppjoin_pairs(
     prefix = per_doc.select(
         "_id",
         "_size",
-        F.explode(F.slice(F.col("_ord"), F.lit(1), plen)).alias("_p"),
-    ).select("_id", "_size", F.col("_p")["_w"].alias("_w"))
+        F.slice(F.col("_ord"), F.lit(1), plen).alias("_pre"),
+    ).select(
+        "_id",
+        "_size",
+        "_pre",
+        F.posexplode(F.col("_pre")).alias("_i", "_p"),
+    ).select(
+        "_id",
+        "_size",
+        "_pre",
+        (F.col("_i") + 1).alias("_pos"),  # 1-based position in _ord
+        F.col("_p")["_w"].alias("_w"),
+    )
     a = prefix.select(
-        F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_w"
+        F.col("_id").alias("id_a"),
+        F.col("_size").alias("size_a"),
+        F.col("_pre").alias("_pre_a"),
+        F.col("_pos").alias("_pos_a"),
+        "_w",
     )
     b = prefix.select(
-        F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_w"
+        F.col("_id").alias("id_b"),
+        F.col("_size").alias("size_b"),
+        F.col("_pre").alias("_pre_b"),
+        F.col("_pos").alias("_pos_b"),
+        "_w",
     )
+    first_shared = ~F.arrays_overlap(
+        F.slice(F.col("_pre_a"), F.lit(1), F.col("_pos_a") - 1),
+        F.slice(F.col("_pre_b"), F.lit(1), F.col("_pos_b") - 1),
+    )
+    # overlap floor α = ceil(t·(|x|+|y|)/(1+t)), exact integer ceil-div
+    alpha = F.expr(
+        f"({t_num} * (size_a + size_b) + {t_num + t_den} - 1)"
+        f" div {t_num + t_den}"
+    )
+    positional_ok = (
+        F.lit(1)
+        + F.least(
+            F.col("size_a") - F.col("_pos_a"),
+            F.col("size_b") - F.col("_pos_b"),
+        )
+    ) >= alpha
     cands = (
         a.join(b, "_w")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_shared & positional_ok)
         .select("id_a", "id_b", "size_a", "size_b")
-        .distinct()
     )
     ta = tok.select(F.col("_id").alias("id_a"), "_w")
     tb = tok.select(F.col("_id").alias("id_b"), "_w")

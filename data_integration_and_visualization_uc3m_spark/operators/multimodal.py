@@ -82,12 +82,14 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     pseudo-features from the payload bytes so the distributed plumbing
     (batch iteration, schema contract, partition-parallel execution) is
     testable without any codec. With ``fake=False`` the decode is REAL
-    for BMP payloads: ``decode_bmp24`` (pure stdlib) reads the pixels
-    — honoring data offset, row padding, bottom-up order and BGR — and
-    ``bmp_pixel_features`` computes exact integer luma statistics from
-    them. Non-BMP payloads under ``fake=False`` raise
-    ``DecoderUnavailable``, now reserved for formats that genuinely
-    need an external codec library (JPEG entropy decode, video).
+    and dispatched on the payload's magic bytes: ``BM`` payloads go
+    through ``decode_bmp24`` (pure stdlib — honoring data offset, row
+    padding, bottom-up order and BGR) and ``P6`` payloads through
+    ``decode_ppm6`` (binary netpbm, maxval 255); both feed
+    ``bmp_pixel_features``'s exact integer luma statistics. Payloads
+    with any other magic under ``fake=False`` raise
+    ``DecoderUnavailable``, reserved for formats that genuinely need
+    an external codec library (JPEG entropy decode, video).
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

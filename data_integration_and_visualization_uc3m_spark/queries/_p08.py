@@ -1561,8 +1561,8 @@ def uncertainty_sampling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(cnt) AS BIGINT) AS n_prompts,
            CAST(COUNT(*) AS BIGINT) AS n_distinct_prefixes,
            CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS cache_hits,
-           (SUM(cnt) - COUNT(*)) * 1000 // SUM(cnt) AS hit_rate_milli,
-           MAX(cnt) * 1000 // SUM(cnt) AS hot_prefix_share_milli
+           CAST((SUM(cnt) - COUNT(*)) * 1000 // SUM(cnt) AS BIGINT) AS hit_rate_milli,
+           CAST(MAX(cnt) * 1000 // SUM(cnt) AS BIGINT) AS hot_prefix_share_milli
     FROM per GROUP BY prefix_chars ORDER BY prefix_chars
     """,
     ops=["prefix-cache", "serving-data-ops", "kv-cache-reuse"],
@@ -1846,9 +1846,13 @@ def wav_vad_segments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * 1000000 // SUM(n * (1000000 - w)) AS u3
         FROM em3_w
     )
-    SELECT t.it, t.p AS p_micro,
-           t.m1 AS m1_micro, t.m2 AS m2_micro, t.m3 AS m3_micro,
-           t.u1 AS u1_micro, t.u2 AS u2_micro, t.u3 AS u3_micro
+    SELECT t.it, CAST(t.p AS BIGINT) AS p_micro,
+           CAST(t.m1 AS BIGINT) AS m1_micro,
+           CAST(t.m2 AS BIGINT) AS m2_micro,
+           CAST(t.m3 AS BIGINT) AS m3_micro,
+           CAST(t.u1 AS BIGINT) AS u1_micro,
+           CAST(t.u2 AS BIGINT) AS u2_micro,
+           CAST(t.u3 AS BIGINT) AS u3_micro
     FROM (
         SELECT CAST(1 AS BIGINT) AS it, * FROM em1
         UNION ALL SELECT CAST(2 AS BIGINT) AS it, * FROM em2
@@ -2431,15 +2435,17 @@ def ece_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(pass) AS BIGINT) AS n_pass,
-               SUM(pass) * 1000000 // COUNT(*) AS rate_micro
+               CAST(SUM(pass) * 1000000 // COUNT(*) AS BIGINT)
+                   AS rate_micro
         FROM g GROUP BY lang, source
     ), tot AS (
-        SELECT SUM(n_pass) * 1000000 // SUM(n_docs) AS mean_micro
+        SELECT CAST(SUM(n_pass) * 1000000 // SUM(n_docs) AS BIGINT)
+                   AS mean_micro
         FROM per
     )
     SELECT per.lang, per.source, per.n_docs, per.n_pass,
            per.rate_micro, tot.mean_micro,
-           per.rate_micro - tot.mean_micro AS gap_micro
+           CAST(per.rate_micro - tot.mean_micro AS BIGINT) AS gap_micro
     FROM per CROSS JOIN tot
     ORDER BY per.rate_micro, per.lang, per.source LIMIT 10
     """,
@@ -2503,7 +2509,7 @@ def worst_group_metric_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(frac_milli AS BIGINT) AS frac_milli,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(pass) AS BIGINT) AS n_pass,
-           SUM(pass) * 1000000 // COUNT(*) AS rate_micro
+           CAST(SUM(pass) * 1000000 // COUNT(*) AS BIGINT) AS rate_micro
     FROM arms GROUP BY frac_milli ORDER BY frac_milli
     """,
     ops=["learning-curve", "nested-sampling", "data-scaling"],

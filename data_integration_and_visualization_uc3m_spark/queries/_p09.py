@@ -98,9 +98,13 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating div), so the fitted strengths hash-match the oracle's
     nested-CTE twin. Shape for scale: the duel table collapses to a
     ≤30-row pair-count relation in ONE grouped pass; each MM step is
-    a broadcast join + 6-row aggregate, independent of corpus size
-    (wi*1e12 needs the decimal(38,0) path past ~9e6 wins per model —
-    noted, not hit at any test SF)."""
+    a broadcast join + 6-row aggregate, independent of corpus size.
+    The pico-scaled terms (n·1e12, wi·1e12) and the MM denominator sum
+    run in DECIMAL(38,0) (ADVICE r11): BIGINT would silently wrap past
+    ~9.2e6 games/wins per pair under Spark's non-ANSI arithmetic while
+    the DuckDB oracle errors loudly — decimal keeps both engines exact
+    to ~1e26 games; ``div`` on decimal operands still returns the
+    truncating BIGINT quotient the fixed-point convention needs."""
     d = _t(spark, sf_dir, "documents")
     a = (F.col("doc_id") % 6).cast("long")
     b = F.expr("(doc_id div 6) % 6").cast("long")
@@ -153,12 +157,19 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("i")
             .agg(
-                F.sum(F.expr("n * 1000000000000 div (si + sj)"))
-                .cast("long").alias("den")
+                F.sum(
+                    F.expr(
+                        "CAST(n AS DECIMAL(38,0)) * 1000000000000"
+                        " div (si + sj)"
+                    ).cast("decimal(38,0)")
+                ).alias("den")
             )
         )
         raw = den.join(F.broadcast(wins), "i").select(
-            "i", F.expr("wi * 1000000000000 div den").alias("raw")
+            "i",
+            F.expr(
+                "CAST(wi AS DECIMAL(38,0)) * 1000000000000 div den"
+            ).alias("raw"),
         )
         tot = raw.agg(F.sum("raw").alias("traw"))
         s = raw.crossJoin(F.broadcast(tot)).select(
@@ -780,7 +791,7 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
         JOIN langs lg ON lg.lang = d.given
         JOIN langs lp ON lp.idx =
-            ((lg.idx - 1 + CASE WHEN d.h1 = 0
+            ((lg.idx - 1 + CASE WHEN d.h1 = 0 AND lg.k > 1
                                 THEN 1 + d.h2 % (lg.k - 1)
                                 ELSE 0 END) % lg.k) + 1
     ), thr AS (
@@ -846,8 +857,13 @@ def label_noise_confident_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id", "given",
+            # k > 1 guard (ADVICE r11): on a single-class corpus the
+            # noise rotation is identity; without the guard Spark's
+            # h2 % 0 returns NULL (rows silently dropped by the join)
+            # while DuckDB raises — engines must agree on degenerate
+            # input.
             F.expr(
-                "((gidx - 1 + CASE WHEN h1 = 0"
+                "((gidx - 1 + CASE WHEN h1 = 0 AND k > 1"
                 " THEN 1 + h2 % (k - 1) ELSE 0 END) % k) + 1"
             ).alias("pidx"),
             F.expr(
@@ -1235,7 +1251,9 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                // COUNT(*) AS var_milli2
         FROM loo
     )
-    SELECT loo.day, loo.a_cents, loo.b_views,
+    SELECT loo.day,
+           CAST(loo.a_cents AS BIGINT) AS a_cents,
+           CAST(loo.b_views AS BIGINT) AS b_views,
            CAST(loo.theta_milli AS BIGINT) AS theta_milli,
            CAST(loo.theta_loo_milli AS BIGINT) AS theta_loo_milli,
            CAST(loo.theta_loo_milli - jk.mean_loo_milli AS BIGINT)
@@ -2113,13 +2131,24 @@ def pyds_reader_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataSource matrix: batch read (sources/pyds.py), stream read,
     stream write, batch write, and now manifest-honoring batch
     read-back."""
+    import os
     import tempfile
 
     from ..sinks.pyds_writer import register_jsonl_dir
 
     register_jsonl_dir(spark)
     e = _t(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="sg_pyds_rt_") + "/data"
+    # Stable per-session scratch path, NOT a fresh mkdtemp per call
+    # (ADVICE r11: bench/correctness sweeps run this repeatedly and
+    # each mkdtemp leaked a directory). The returned DataFrame is lazy
+    # so the directory must outlive this function; keying by the Spark
+    # application id keeps concurrent sessions apart while repeated
+    # runs in one session overwrite in place.
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_pyds_rt_{spark.sparkContext.applicationId}",
+        "data",
+    )
     (
         e.filter(F.col("event_type") != "error")
         .select("event_id", "event_type", "value")

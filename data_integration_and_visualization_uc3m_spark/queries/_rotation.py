@@ -15,26 +15,29 @@ from ._p09 import *  # noqa: F401,F403
 # last, oldest green first; freshly-verified names move into
 # _PRIOR_VERIFIED each round via ``python tools/rotate.py
 # CORRECTNESS_rNN.json`` (which prints these literals — the counts
-# below are generated, not hand-maintained). Round-11 state: 326
-# registered at round start, 326 driver-green (union r2-r10; r10 was
-# 50/50 green, zero red). _PRIORITY carries the queries whose PLAN
-# changed this round after their green (fresh verdict required by the
-# pin policy); the rest of the window = round-11 additions
-# (_NEW_PARITY_ONLY) + the oldest greens (round-3/4 vintage).
+# below are generated, not hand-maintained). Round-12 state: 361
+# registered at round start, 356 driver-green (union r2-r11; r11 was
+# 45/50 — the 5 reds were HUGEINT oracle-type leaks, values exact).
+# _PRIORITY carries those 5 fixed-oracle re-pins (fresh verdict
+# required by the pin policy); the rest of the window = round-12
+# additions (_NEW_PARITY_ONLY) + the oldest greens.
 _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "ab_test_cuped", "ab_test_welch", "ann_int8_topk",
-    "anova_order_value_by_segment", "anti_join_inactive_customers",
-    "approx_quantile_report", "approx_sketches", "asof_last_purchase",
-    "balanced_lang_mix", "basket_part_lift", "benford_order_totals",
+    "annotator_agreement_kappa", "anova_order_value_by_segment",
+    "anti_join_inactive_customers", "approx_quantile_report",
+    "approx_sketches", "asof_last_purchase", "balanced_lang_mix",
+    "basket_part_lift", "benford_order_totals", "best_of_n_selection",
     "bloom_prefilter_orders", "bm25_topk", "bmp_feature_report",
     "bmp_resize_dhash_clusters", "bpe_encode_stats", "bpe_merge_table",
-    "bpe_token_estimate", "brier_calibration_report",
-    "bucketed_colocated_revenue", "bucketize_acctbal",
-    "canonical_part_names", "cdc_chunk_dedup_histogram",
-    "cdc_order_changes", "chat_format_lint", "chunk_dup_profile",
-    "cleaning_corners", "cluster_aware_split", "cms_width_error_sweep",
-    "coerce_missing_markers", "cohort_ltv_curve",
-    "column_histogram_orders", "column_profile_lineitem",
+    "bpe_token_estimate", "bradley_terry_strengths",
+    "brier_calibration_report", "bucketed_colocated_revenue",
+    "bucketize_acctbal", "canonical_part_names",
+    "cdc_chunk_dedup_histogram", "cdc_order_changes",
+    "changepoint_revenue_report", "chat_format_lint",
+    "chunk_dup_profile", "cleaning_corners", "cluster_aware_split",
+    "cms_width_error_sweep", "coerce_missing_markers",
+    "cohort_ltv_curve", "column_histogram_orders",
+    "column_profile_lineitem", "conformal_coverage_report",
     "conjunctive_slice", "consistent_user_sample", "containment_pairs",
     "contrastive_pairs_dataset", "corpus_bigram_lift",
     "corpus_build_e2e", "corpus_build_v2_e2e", "corpus_build_v3_e2e",
@@ -52,17 +55,19 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "dedup_embedding_cosine", "dedup_exact_docs",
     "dedup_jaccard_df_capped", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_survivors_by_quality",
-    "deterministic_slice", "disjunctive_pushdown_revenue",
-    "distinct_rollup_hierarchy", "doc_bigram_logprob",
-    "doc_char_entropy", "doc_chunks_512", "doc_fingerprint",
-    "doc_quality_score", "doc_repetition_stats", "doc_winnowing",
-    "domain_crawl_profile", "dominant_part_suppliers",
-    "dp_nation_order_stats", "dsir_selection_report",
-    "dup_rate_by_source", "embedding_cosine_topk",
-    "embedding_coverage_audit", "embedding_drift_report",
-    "embedding_gram_power", "embedding_int8_quantization",
-    "embedding_lloyd_step", "embedding_lsh_buckets", "embedding_norms",
-    "epoch_mixing_apply", "epoch_mixing_plan", "event_gap_slo_report",
+    "deletion_propagation_audit", "deterministic_slice",
+    "disjunctive_pushdown_revenue", "distinct_rollup_hierarchy",
+    "doc_bigram_logprob", "doc_char_entropy", "doc_chunks_512",
+    "doc_fingerprint", "doc_quality_score", "doc_repetition_stats",
+    "doc_winnowing", "domain_crawl_profile", "dominant_part_suppliers",
+    "dp_nation_order_stats", "dr_policy_value_report",
+    "dsir_selection_report", "dup_rate_by_source",
+    "eb_shrunk_source_quality", "ece_calibration_report",
+    "embedding_cosine_topk", "embedding_coverage_audit",
+    "embedding_drift_report", "embedding_gram_power",
+    "embedding_int8_quantization", "embedding_lloyd_step",
+    "embedding_lsh_buckets", "embedding_norms", "epoch_mixing_apply",
+    "epoch_mixing_plan", "event_gap_slo_report",
     "event_trigram_patterns", "events_anomaly_mad", "events_hourly",
     "events_moving_sum", "events_range_frame_sum",
     "events_resample_ffill", "events_sliding_windows",
@@ -76,57 +81,63 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "funnel_view_click_purchase", "fuzzy_name_matching",
     "fuzzy_part_name_pairs", "gif_header_report", "global_rank_orders",
     "gopher_quality_rules", "grouping_sets_revenue",
-    "hard_negative_mining", "hash_sample_docs",
-    "having_large_volume_orders", "heavy_hitters_cms",
-    "holt_forecast_region_revenue", "hot_key_share_report",
-    "hybrid_rrf_topk", "image_dhash_clusters", "important_parts_share",
-    "incremental_agg_maintenance", "incremental_dedup_assign",
-    "incremental_join_maintenance", "int8_recall_report",
-    "interval_bucket_join", "inverted_index_postings",
+    "hard_negative_mining", "hash_bootstrap_revenue_ci",
+    "hash_sample_docs", "having_large_volume_orders",
+    "heavy_hitters_cms", "holt_forecast_region_revenue",
+    "hot_key_share_report", "hybrid_rrf_topk", "image_dhash_clusters",
+    "important_parts_share", "incremental_agg_maintenance",
+    "incremental_dedup_assign", "incremental_join_maintenance",
+    "int8_recall_report", "interval_bucket_join",
+    "inverse_scaling_fit_report", "inverted_index_postings",
+    "ips_policy_value_report", "isotonic_calibration_bins",
     "ivf_incremental_assign", "ivf_nprobe_recall_sweep",
     "ivf_recall_report", "ivf_topk", "ivfpq_topk",
     "jaccard_threshold_sweep", "jdbc_roundtrip_report",
     "jpeg_sof_report", "json_corrupt_record_audit",
     "json_props_extract", "jsonl_roundtrip_report",
     "k_anonymity_report", "kaplan_meier_user_lifetime",
-    "keyed_dedup_first_wins", "ks_chars_by_lang", "l_diversity_report",
-    "label_centroids", "lang_confusion_matrix", "lang_id_predict",
-    "lang_source_chisq_cells", "late_arrival_audit",
+    "keyed_dedup_first_wins", "krippendorff_alpha_report",
+    "ks_chars_by_lang", "l_diversity_report", "label_centroids",
+    "label_noise_confident_report", "lang_confusion_matrix",
+    "lang_id_predict", "lang_source_chisq_cells", "late_arrival_audit",
     "length_bucketed_batching", "lineitem_corr_matrix",
     "lookup_join_fallback", "lsh_band_sweep", "lsh_recall_report",
     "mannwhitney_value_by_event_type", "markov_event_stationary",
     "maxsim_late_interaction_topk", "median_imputation_report",
-    "merge_orders_full", "min_cost_supplier_per_part",
-    "mmr_diverse_topk", "mp4_mvhd_report", "multiformat_join_report",
+    "merge_orders_full", "merkle_partition_proof",
+    "min_cost_supplier_per_part", "mmr_diverse_topk", "mp4_mvhd_report",
+    "mulaw_codec_report", "multiformat_join_report",
     "multimodal_audio_chunks", "multimodal_binary_meta",
     "multimodal_frame_sample", "multimodal_shard_plan",
-    "nation_market_share", "nation_pair_volume",
-    "nation_price_qty_corr", "nation_revenue_cusum",
-    "nation_revenue_trend", "nation_trade_communities",
+    "naive_bayes_langid_report", "nation_market_share",
+    "nation_pair_volume", "nation_price_qty_corr",
+    "nation_revenue_cusum", "nation_revenue_trend",
+    "nation_trade_bfs_hops", "nation_trade_communities",
     "nation_trade_k_core", "nation_trade_pagerank",
     "nation_trade_triangles", "nation_value_share",
-    "nation_year_profit", "not_exists_rich_inactive",
-    "ntile_customer_quartiles", "order_gaps_lead_lag",
-    "order_total_reconciliation", "order_window_overlap",
-    "orders_above_customer_avg", "orders_equidepth_deciles",
-    "orders_seasonality_yoy", "outer_join_order_counts",
-    "pack_payloads_per_seq", "pack_sequences", "pack_stats_per_lang",
-    "packing_length_sweep", "partitioned_warehouse_prune",
-    "parts_supplier_breadth", "perplexity_buckets",
-    "pii_redaction_report", "pivot_event_matrix", "png_header_report",
+    "nation_year_profit", "nelson_aalen_hazard",
+    "not_exists_rich_inactive", "ntile_customer_quartiles",
+    "order_gaps_lead_lag", "order_total_reconciliation",
+    "order_window_overlap", "orders_above_customer_avg",
+    "orders_equidepth_deciles", "orders_seasonality_yoy",
+    "outer_join_order_counts", "pack_payloads_per_seq",
+    "pack_sequences", "pack_stats_per_lang", "packing_length_sweep",
+    "partitioned_warehouse_prune", "parts_supplier_breadth",
+    "perplexity_buckets", "pii_redaction_report", "pivot_event_matrix",
+    "png_header_report", "ppjoin_word_set_pairs", "ppm_feature_report",
     "pps_doc_sample", "pq_adc_topk", "pq_codes_embeddings",
     "pq_recall_report", "preference_pair_audit", "pricing_summary",
     "priority_lines_matrix", "promo_revenue_share",
     "props_variant_histogram", "psi_price_drift",
-    "quality_classifier_filter", "quality_quantile_align",
-    "quality_weighted_sample", "quantiles_order_value",
-    "quota_sample_per_lang", "range_violations", "readability_report",
-    "region_revenue", "region_revenue_quad_trend",
-    "retrieval_ranking_metrics", "returned_item_customers",
-    "revenue_gini_by_nation", "roc_auc_length_vs_dup",
-    "rolling_corr_nation_global", "rolling_distinct_users",
-    "rolling_median_daily_revenue", "rollup_region_nation",
-    "rounding_contract", "salted_event_totals",
+    "pyds_reader_roundtrip_e2e", "quality_classifier_filter",
+    "quality_quantile_align", "quality_weighted_sample",
+    "quantiles_order_value", "quota_sample_per_lang",
+    "range_violations", "readability_report", "region_revenue",
+    "region_revenue_quad_trend", "retrieval_ranking_metrics",
+    "returned_item_customers", "revenue_gini_by_nation",
+    "roc_auc_length_vs_dup", "rolling_corr_nation_global",
+    "rolling_distinct_users", "rolling_median_daily_revenue",
+    "rollup_region_nation", "rounding_contract", "salted_event_totals",
     "salted_join_user_enrichment", "scattergeo_trace_specs",
     "scd2_point_in_time_join", "scd2_price_history",
     "schema_evolution_union", "self_join_blowup_events",
@@ -136,23 +147,26 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "shipping_delay_profile", "shipping_priority", "simhash_near_pairs",
     "simhash_signatures", "skyline_customers", "small_quantity_orders",
     "snm_part_name_pairs", "source_frequency_cap",
-    "source_lang_simpson", "source_mix_report", "source_term_kl",
-    "spatial_grid_nn", "spearman_price_qty_by_nation",
-    "split_leakage_audit", "sql_api_revenue_rank", "stl_daily_revenue",
-    "stratified_lang_sample", "streaming_attribution_e2e",
-    "streaming_batch_parity_e2e", "streaming_curate_e2e",
-    "streaming_dedup_e2e", "streaming_enrich_e2e",
-    "streaming_lsh_dedup_e2e", "streaming_rest_poll_e2e",
+    "source_lang_simpson", "source_loo_value_report",
+    "source_mix_report", "source_term_kl", "spatial_grid_nn",
+    "spearman_price_qty_by_nation", "split_leakage_audit",
+    "sprt_conversion_monitor", "sql_api_revenue_rank",
+    "stl_daily_revenue", "stratified_lang_sample",
+    "streaming_attribution_e2e", "streaming_batch_parity_e2e",
+    "streaming_curate_e2e", "streaming_dedup_e2e",
+    "streaming_enrich_e2e", "streaming_lsh_dedup_e2e",
+    "streaming_pyds_sink_e2e", "streaming_rest_poll_e2e",
     "streaming_sessionize_e2e", "streaming_stateful_totals_e2e",
     "string_normalize_profile", "strip_boilerplate_tokens",
     "supplier_adamic_adar_links", "supplier_nation_volume",
     "suppliers_kept_orders_waiting", "synthetic_sku_profile",
-    "table_fingerprint_orders", "temperature_mixing_plan",
-    "tfidf_cosine_pairs", "tfidf_top_terms", "theil_sen_region_trend",
-    "token_count_profile", "tokenizer_fertility_by_lang",
-    "top3_orders_per_priority", "top_k_orders", "top_orders_with_ties",
-    "top_revenue_supplier", "trade_community_modularity",
-    "train_holdout_split", "training_shuffle_order",
+    "t_closeness_report", "table_fingerprint_orders",
+    "temperature_mixing_plan", "tfidf_cosine_pairs", "tfidf_top_terms",
+    "theil_sen_region_trend", "token_count_profile",
+    "tokenizer_fertility_by_lang", "top3_orders_per_priority",
+    "top_k_orders", "top_orders_with_ties", "top_revenue_supplier",
+    "trade_community_modularity", "train_holdout_split",
+    "training_shuffle_order", "uncertainty_sampling_batch",
     "union_fold_by_year", "uniqueness_violations",
     "unpivot_event_matrix", "upsert_conflict_ignore",
     "upsert_delete_keys", "upsert_history_report",
@@ -162,36 +176,32 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "user_inactivity_gaps", "user_journey_prefixes",
     "validated_m2o_join", "verbatim_window_pairs", "viz_hover_points",
     "viz_point_specs", "vocab_coverage_report", "wav_autocorr_report",
-    "wav_header_report", "wav_pcm_stats", "webdataset_shard_index",
-    "weekly_retention_cohorts", "wilcoxon_signed_rank_purchase_vs_view",
+    "wav_header_report", "wav_pcm_stats", "wav_vad_segments_report",
+    "webdataset_shard_index", "weekly_retention_cohorts",
+    "weighted_priority_sample", "wilcoxon_signed_rank_purchase_vs_view",
     "window_running_total", "winsorized_event_stats",
     "zone_map_skipping_report", "zorder_clustering_report"
 })
 
+
 _LAST_GREEN: dict[str, int] = {}
-_LAST_GREEN.update(dict.fromkeys([  # round 2: 1 greens
-    "skyline_customers"
-], 2))
-_LAST_GREEN.update(dict.fromkeys([  # round 3: 46 greens
-    "ann_int8_topk", "approx_sketches", "bpe_token_estimate",
-    "cdc_order_changes", "cleaning_corners", "cube_status_priority",
+_LAST_GREEN.update(dict.fromkeys([  # round 3: 36 greens
+    "ann_int8_topk", "bpe_token_estimate", "cdc_order_changes",
     "dedup_embedding_cosine", "dedup_jaccard_df_capped",
     "disjunctive_pushdown_revenue", "doc_repetition_stats",
-    "doc_winnowing", "events_sliding_windows", "events_zscore_outliers",
-    "exists_late_shipments", "grouping_sets_revenue",
-    "hash_sample_docs", "having_large_volume_orders",
-    "interval_bucket_join", "json_props_extract", "label_centroids",
-    "multimodal_binary_meta", "multimodal_frame_sample",
-    "nation_market_share", "nation_pair_volume", "nation_value_share",
+    "events_sliding_windows", "exists_late_shipments",
+    "grouping_sets_revenue", "hash_sample_docs",
+    "having_large_volume_orders", "json_props_extract",
+    "label_centroids", "multimodal_binary_meta",
+    "multimodal_frame_sample", "nation_market_share",
+    "nation_pair_volume", "nation_value_share",
     "ntile_customer_quartiles", "orders_above_customer_avg",
     "outer_join_order_counts", "pack_sequences", "pack_stats_per_lang",
     "priority_lines_matrix", "promo_revenue_share",
     "quota_sample_per_lang", "returned_item_customers",
-    "scd2_price_history", "set_ops_customers", "simhash_near_pairs",
-    "sql_api_revenue_rank", "stratified_lang_sample",
-    "streaming_attribution_e2e", "streaming_dedup_e2e",
-    "streaming_stateful_totals_e2e", "tfidf_top_terms",
-    "top_revenue_supplier", "train_holdout_split",
+    "simhash_near_pairs", "stratified_lang_sample",
+    "streaming_attribution_e2e", "streaming_stateful_totals_e2e",
+    "tfidf_top_terms", "top_revenue_supplier", "train_holdout_split",
     "user_journey_prefixes"
 ], 3))
 _LAST_GREEN.update(dict.fromkeys([  # round 4: 41 greens
@@ -309,7 +319,7 @@ _LAST_GREEN.update(dict.fromkeys([  # round 9: 45 greens
     "wav_pcm_stats", "wilcoxon_signed_rank_purchase_vs_view",
     "zone_map_skipping_report"
 ], 9))
-_LAST_GREEN.update(dict.fromkeys([  # round 10: 50 greens
+_LAST_GREEN.update(dict.fromkeys([  # round 10: 46 greens
     "asof_last_purchase", "bmp_feature_report",
     "bmp_resize_dhash_clusters", "bucketize_acctbal",
     "chat_format_lint", "coerce_missing_markers", "corpus_build_v4_e2e",
@@ -317,93 +327,78 @@ _LAST_GREEN.update(dict.fromkeys([  # round 10: 50 greens
     "data_profile_orders", "dedup_clusters", "dedup_exact_docs",
     "deterministic_slice", "doc_quality_score", "embedding_lsh_buckets",
     "embedding_norms", "events_moving_sum", "feature_hash_embeddings",
-    "forecast_revenue_change", "fs_linkage_score_histogram",
-    "fuzzy_name_matching", "ivf_nprobe_recall_sweep",
-    "jaccard_threshold_sweep", "json_corrupt_record_audit",
-    "lang_id_predict", "lsh_band_sweep", "lsh_recall_report",
-    "mmr_diverse_topk", "pivot_event_matrix", "preference_pair_audit",
+    "forecast_revenue_change", "fuzzy_name_matching",
+    "ivf_nprobe_recall_sweep", "jaccard_threshold_sweep",
+    "json_corrupt_record_audit", "lang_id_predict", "lsh_band_sweep",
+    "lsh_recall_report", "pivot_event_matrix", "preference_pair_audit",
     "quantiles_order_value", "region_revenue", "rollup_region_nation",
     "rounding_contract", "scattergeo_trace_specs",
     "semantic_packing_order_report", "sessionize_events",
     "shipping_priority", "small_quantity_orders",
-    "string_normalize_profile", "supplier_adamic_adar_links",
-    "supplier_nation_volume", "token_count_profile",
-    "top3_orders_per_priority", "top_k_orders", "union_fold_by_year",
-    "viz_hover_points", "wav_autocorr_report", "webdataset_shard_index",
+    "string_normalize_profile", "supplier_nation_volume",
+    "token_count_profile", "top3_orders_per_priority", "top_k_orders",
+    "union_fold_by_year", "viz_hover_points", "wav_autocorr_report",
     "window_running_total"
 ], 10))
+_LAST_GREEN.update(dict.fromkeys([  # round 11: 45 greens
+    "annotator_agreement_kappa", "approx_sketches",
+    "best_of_n_selection", "bradley_terry_strengths",
+    "changepoint_revenue_report", "cleaning_corners",
+    "conformal_coverage_report", "cube_status_priority",
+    "deletion_propagation_audit", "doc_winnowing",
+    "dr_policy_value_report", "eb_shrunk_source_quality",
+    "ece_calibration_report", "events_zscore_outliers",
+    "fs_linkage_score_histogram", "hash_bootstrap_revenue_ci",
+    "interval_bucket_join", "inverse_scaling_fit_report",
+    "ips_policy_value_report", "isotonic_calibration_bins",
+    "krippendorff_alpha_report", "label_noise_confident_report",
+    "merkle_partition_proof", "mmr_diverse_topk", "mulaw_codec_report",
+    "naive_bayes_langid_report", "nation_trade_bfs_hops",
+    "nelson_aalen_hazard", "ppjoin_word_set_pairs",
+    "ppm_feature_report", "pyds_reader_roundtrip_e2e",
+    "scd2_price_history", "set_ops_customers", "skyline_customers",
+    "source_loo_value_report", "sprt_conversion_monitor",
+    "sql_api_revenue_rank", "streaming_dedup_e2e",
+    "streaming_pyds_sink_e2e", "supplier_adamic_adar_links",
+    "t_closeness_report", "uncertainty_sampling_batch",
+    "wav_vad_segments_report", "webdataset_shard_index",
+    "weighted_priority_sample"
+], 11))
 
 
 # Queries whose implementation changed this round AFTER their last
 # driver verdict — pinned to the front of the window so the stale green
 # is replaced. Pins must be backed by an actual diff to the named
-# query's plan or oracle. Round 11:
-#  - supplier_adamic_adar_links: VERDICT r10 plan-order defect — the
-#    degree cap joined ABOVE the pair self-join, so a hot part would
-#    explode before being pruned. Re-plumbed so the capped relation
-#    feeds the self-join build side (cap physically below the pair
-#    join, verified via explain); oracle restated identically.
-#    Result-identical, plan changed after its r10 green → re-pinned.
-#  - fs_linkage_score_histogram: VERDICT r10 ask #3 — second blocking
-#    pass (name-suffix digits) unioned with the nation block,
-#    pair-level dedup, block-volume cap + audit columns. Result
-#    CHANGED (more candidates, new audit columns); parity exact at
-#    sf0.01 and sf0.1 → re-pinned for a fresh verdict.
-#  - webdataset_shard_index: tar_member_index now recomputes the ustar
-#    header checksum in the walk (ADVICE r10) — result-identical on
-#    well-formed shards (stdlib-tarfile test), plan changed → re-pin.
-#  - mmr_diverse_topk: greedy loop gained the pool-exhausted early
-#    break (ADVICE r10) — row-identical when pool ≥ k, loop structure
-#    changed → re-pin.
+# query's plan or oracle. Round 12:
+#  - The five r11 reds (VERDICT r11 "What's wrong" #1): their DuckDB
+#    oracles left final columns un-CAST, which DuckDB promotes to
+#    HUGEINT (int128) from `//` division and SUM(BIGINT); the driver
+#    hashes the oracle-side representation, so they hash-mismatched
+#    Spark's int64 despite value-exact results (parity re-verified
+#    exact at sf0.01 after the fix). Oracle text only — Spark plans
+#    untouched. CAST(... AS BIGINT) added per column; the new
+#    bind-only registry guard (tests/test_registry.py) and the
+#    type-strict parity check (tools/parity.py) keep the class out.
+#  - ppjoin_word_set_pairs: VERDICT r11 ask #4 — candidate
+#    ``distinct()`` replaced with first-shared-prefix-token emission
+#    + PPJoin positional filter (operators/dedup.py). Result-identical
+#    (hypothesis property test + parity exact at sf0.01), plan changed
+#    after its r11 green → re-pin. Bench 4.91 → ~2.9 s at sf0.1.
 _PRIORITY: tuple[str, ...] = (
-    "supplier_adamic_adar_links",
-    "fs_linkage_score_histogram",
-    "webdataset_shard_index",
-    "mmr_diverse_topk",
+    "prefix_cache_hit_report",
+    "fs_em_weight_estimation",
+    "worst_group_metric_report",
+    "sample_scaling_curve_report",
+    "jackknife_ratio_ci",
+    "ppjoin_word_set_pairs",
 )
 
 
 # Queries ADDED this round (construction parity evidence only). They
 # queue BEHIND the pending-verdict block so they can't push a
-# longer-waiting query out of the window. Round 11 additions are
+# longer-waiting query out of the window. Round 12 additions are
 # appended here as they land.
-_NEW_PARITY_ONLY: tuple[str, ...] = (
-    "ppjoin_word_set_pairs",
-    "annotator_agreement_kappa",
-    "best_of_n_selection",
-    "uncertainty_sampling_batch",
-    "prefix_cache_hit_report",
-    "wav_vad_segments_report",
-    "fs_em_weight_estimation",
-    "source_loo_value_report",
-    "ips_policy_value_report",
-    "hash_bootstrap_revenue_ci",
-    "streaming_pyds_sink_e2e",
-    "ece_calibration_report",
-    "worst_group_metric_report",
-    "sample_scaling_curve_report",
-    "bradley_terry_strengths",
-    "dr_policy_value_report",
-    "inverse_scaling_fit_report",
-    "conformal_coverage_report",
-    "t_closeness_report",
-    "label_noise_confident_report",
-    "nation_trade_bfs_hops",
-    "weighted_priority_sample",
-    "isotonic_calibration_bins",
-    "jackknife_ratio_ci",
-    "nelson_aalen_hazard",
-    "deletion_propagation_audit",
-    "eb_shrunk_source_quality",
-    "changepoint_revenue_report",
-    "mulaw_codec_report",
-    "ppm_feature_report",
-    "naive_bayes_langid_report",
-    "pyds_reader_roundtrip_e2e",
-    "krippendorff_alpha_report",
-    "merkle_partition_proof",
-    "sprt_conversion_monitor",
-)
+_NEW_PARITY_ONLY: tuple[str, ...] = ()
 
 
 def _rotated() -> list[str]:

@@ -206,8 +206,28 @@ class JsonlDirReader(DataSourceReader):
         ]
 
     def read(self, partition: JsonlPartFile):
+        import datetime
+        import decimal
+
         fields = [(f.name, f.dataType.simpleString())
                   for f in self.read_schema.fields]
+        # Fail on schema types the sink can produce (via default=str)
+        # but this reader can't faithfully re-type, BEFORE parsing any
+        # row — silently stringifying a date/decimal column yields
+        # type-mismatched tuples that die deep in Arrow conversion
+        # (ADVICE r11). The sink writes ISO strings for these, so
+        # date/timestamp/decimal parse exactly; anything else
+        # (arrays, maps, structs, binary) is a loud ValueError.
+        for name, t in fields:
+            if t in ("bigint", "int", "smallint", "tinyint", "double",
+                     "float", "boolean", "string", "date") or t.startswith(
+                         ("timestamp", "decimal")):
+                continue
+            raise ValueError(
+                f"jsonl_dir reader cannot re-type column '{name}' of "
+                f"type {t}: supported are integral/double/float/"
+                "boolean/string/date/timestamp/decimal"
+            )
 
         def conv(v, t):
             if v is None:
@@ -218,6 +238,12 @@ class JsonlDirReader(DataSourceReader):
                 return float(v)
             if t == "boolean":
                 return bool(v)
+            if t == "date":
+                return datetime.date.fromisoformat(str(v))
+            if t.startswith("timestamp"):
+                return datetime.datetime.fromisoformat(str(v))
+            if t.startswith("decimal"):
+                return decimal.Decimal(str(v))
             return str(v)
 
         with open(partition.file_path, encoding="utf-8") as fh:

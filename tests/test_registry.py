@@ -60,6 +60,30 @@ def test_oracle_columns_match_spark(name, spark, duck):
     )
 
 
+def test_no_oracle_emits_int128_columns(duck):
+    """Bind-only type guard (r11 red class): DuckDB promotes uncast
+    ``//`` and SUM(BIGINT) results to HUGEINT; the driver hashes the
+    oracle-side representation, so an int128 output column hash-
+    mismatches Spark's int64 even when every value is equal — and the
+    value-comparing parity tool can't see it. Binding (``con.sql``,
+    no execution) exposes declared output types for all oracles in
+    seconds. Convention: CAST every final-select column to BIGINT."""
+    bad = {}
+    for name in sorted(REGISTRY):
+        q = REGISTRY[name]
+        if q.oracle is None:
+            continue
+        rel = duck.sql(q.oracle)
+        leaks = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT")
+        ]
+        if leaks:
+            bad[name] = leaks
+    assert not bad, f"int128 oracle output columns (CAST to BIGINT): {bad}"
+
+
 def test_rotation_lists_reference_real_queries():
     # a typo in the rotation bookkeeping would silently waste a slot of
     # the driver's bounded correctness window

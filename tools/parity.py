@@ -48,9 +48,24 @@ def normalize(rows, cols):
     return sorted(out, key=key), [cols[i] for i in order]
 
 
+BAD_DUCK_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
 def compare(name, sdf, con, sql) -> bool:
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
+    # Type-strictness: the driver hashes the oracle-side value
+    # REPRESENTATION, so an uncast // or SUM that DuckDB promotes to
+    # int128 hash-mismatches Spark's int64 even when values are equal.
+    rel = con.sql(sql)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) in BAD_DUCK_TYPES
+    ]
+    if bad:
+        print(f"  [{name}] ORACLE TYPE LEAK (int128 output): {bad}")
+        return False
     res = con.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = [tuple(r) for r in res.fetchall()]
