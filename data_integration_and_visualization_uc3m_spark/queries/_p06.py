@@ -617,9 +617,13 @@ def contrastive_pairs_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized for the testdata; at 10⁹ docs you'd use ~10⁵ buckets and
     the same rate arithmetic)."""
     d = _t(spark, sf_dir, "documents", fanout=True)
+    # localCheckpoint: pos feeds BOTH union arms (the positive labels
+    # and the negatives' label-purity anti-join) and Spark does no CSE
+    # across them — unstaged, the heavy shingle self-join ran twice
+    # (measured 2.71 → 1.81 s median at sf0.1, r12 attribution).
     pos = dedup.jaccard_pairs(
         dedup.ngram_set(d, n=3), item_col="shingle", threshold=0.5
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint()
     bk = d.select(
         "doc_id", (sampling.hash_bucket(F.col("doc_id"), "cp") % 8).alias("bucket")
     )

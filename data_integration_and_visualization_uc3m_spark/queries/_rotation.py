@@ -384,6 +384,20 @@ _LAST_GREEN.update(dict.fromkeys([  # round 11: 45 greens
 #    + PPJoin positional filter (operators/dedup.py). Result-identical
 #    (hypothesis property test + parity exact at sf0.01), plan changed
 #    after its r11 green → re-pin. Bench 4.91 → ~2.9 s at sf0.1.
+#  - contrastive_pairs_dataset: r11 watch-item attribution (BASELINE.md)
+#    found the no-CSE-across-unions disease — `pos` derived twice; now
+#    localCheckpoint-staged (2.71 → 1.81 s median, rows identical).
+#    Plan changed after its green → re-pin.
+#  - bradley_terry_strengths: ADVICE r11 — pico terms + MM denominator
+#    now DECIMAL(38,0) (silent int64 wrap past ~9.2e6 games/pair).
+#    Parity exact at sf0.01; plan changed → re-pin.
+#  - label_noise_confident_report: ADVICE r11 — k>1 guard on the noise
+#    rotation (Spark NULL vs DuckDB error on single-class corpora).
+#    Parity exact; plan changed → re-pin.
+#  - pyds_reader_roundtrip_e2e: ADVICE r11 — stable per-session scratch
+#    dir (no more per-run mkdtemp leak); reader re-types
+#    date/timestamp/decimal and rejects untypeable schema types.
+#    Parity exact; plumbing changed → re-pin.
 _PRIORITY: tuple[str, ...] = (
     "prefix_cache_hit_report",
     "fs_em_weight_estimation",
@@ -391,6 +405,10 @@ _PRIORITY: tuple[str, ...] = (
     "sample_scaling_curve_report",
     "jackknife_ratio_ci",
     "ppjoin_word_set_pairs",
+    "contrastive_pairs_dataset",
+    "bradley_terry_strengths",
+    "label_noise_confident_report",
+    "pyds_reader_roundtrip_e2e",
 )
 
 
