@@ -1,0 +1,486 @@
+"""Query registry — part 10: round-12 additions.
+
+Continues the chain (see queries/_core.py): experiment-operations and
+regression-diagnostics operators — exact Fisher randomization tests,
+Benjamini-Hochberg multiple-testing correction, sample-ratio-mismatch
+(SRM) guardrails, and OLS leverage/outlier diagnostics — the
+metric-quality layer an eval platform runs ABOVE the per-metric tests
+of parts 8-9 (one test is never run alone; families of tests need FDR
+control, and every A/B readout needs an SRM gate before anyone trusts
+it). Registration order is append-only.
+"""
+
+from __future__ import annotations
+
+from ._p09 import *  # noqa: F401,F403
+
+# Shared oracle CTE: per-nation Fisher randomization (permutation) test
+# on the paired daily half-difference of order revenue. The pairing is
+# user-parity halves per (nation, day); under H0 the halves are
+# exchangeable, so each day's difference is sign-symmetric and the
+# randomization distribution is the 2^n_days sign-flip family, sampled
+# with B=64 deterministic md5 sign draws. Exact integers end to end:
+# cents, |sums|, and the (1 + #{T_b >= T_obs}) / (B+1) estimator in
+# milli (the +1s make it a valid p-value, Phipson & Smyth 2010).
+_PERM_P_CTE = """daily AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS day,
+               SUM(CASE WHEN o.o_custkey % 2 = 0
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                  * 100 AS BIGINT)
+                        ELSE -CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT) END) AS d_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), tobs AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_days,
+               ABS(SUM(d_cents)) AS t_obs_cents
+        FROM daily GROUP BY nation
+    ), perm AS (
+        SELECT nation, b.b,
+               ABS(SUM(CASE WHEN ('0x' || substr(md5(
+                        'pt:' || CAST(b.b AS VARCHAR) || ':'
+                        || CAST(nation AS VARCHAR) || ':' || day),
+                        1, 8))::BIGINT % 2 = 0
+                        THEN d_cents ELSE -d_cents END)) AS t_b
+        FROM daily CROSS JOIN generate_series(1, 64) b(b)
+        GROUP BY nation, b.b
+    ), pv AS (
+        SELECT t.nation, t.n_days,
+               CAST(t.t_obs_cents AS BIGINT) AS t_obs_cents,
+               CAST(SUM(CASE WHEN p.t_b >= t.t_obs_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+               CAST((1 + SUM(CASE WHEN p.t_b >= t.t_obs_cents
+                                  THEN 1 ELSE 0 END)) * 1000 // 65
+                    AS BIGINT) AS p_milli
+        FROM tobs t JOIN perm p ON p.nation = t.nation
+        GROUP BY t.nation, t.n_days, t.t_obs_cents
+    )"""
+
+
+def _perm_p_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _PERM_P_CTE: returns (nation, n_days, t_obs_cents,
+    n_ge, p_milli), one row per nation. Shape for scale: one grouped
+    pass collapses the order corpus to the (nation, day) relation
+    (bounded by the nation-count x date-span product), and the 64-way
+    sign explode runs over THAT, never the corpus — permutation cost is
+    independent of order volume."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    daily = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("o_orderdate").cast("date").cast("string").alias("day"),
+            F.when(F.col("o_custkey") % 2 == 0, cents)
+            .otherwise(-cents).alias("signed_cents"),
+        )
+        .groupBy("nation", "day")
+        .agg(F.sum("signed_cents").alias("d_cents"))
+    )
+    tobs = daily.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.abs(F.sum("d_cents")).alias("t_obs_cents"),
+    )
+    sign_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(
+                F.lit("pt:"), F.col("b").cast("string"), F.lit(":"),
+                F.col("nation").cast("string"), F.lit(":"), F.col("day"),
+            )),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    perm = (
+        daily.select(
+            "nation", "day", "d_cents",
+            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("b"),
+        )
+        .select(
+            "nation", "b",
+            F.when(sign_hash % 2 == 0, F.col("d_cents"))
+            .otherwise(-F.col("d_cents")).alias("s_cents"),
+        )
+        .groupBy("nation", "b")
+        .agg(F.abs(F.sum("s_cents")).alias("t_b"))
+    )
+    return (
+        perm.join(F.broadcast(tobs), "nation")
+        .groupBy("nation", "n_days", "t_obs_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("t_b") >= F.col("t_obs_cents"), 1).otherwise(0)
+            ).cast("long").alias("n_ge")
+        )
+        .select(
+            "nation", "n_days",
+            F.col("t_obs_cents").cast("long").alias("t_obs_cents"),
+            "n_ge",
+            F.expr("CAST((1 + n_ge) * 1000 div 65 AS BIGINT)")
+            .alias("p_milli"),
+        )
+    )
+
+
+@register(
+    "permutation_test_nation_revenue",
+    f"""
+    WITH {_PERM_P_CTE}
+    SELECT nation, n_days, t_obs_cents, n_ge, p_milli
+    FROM pv ORDER BY nation
+    """,
+    ops=["permutation-test", "randomization-inference", "ab-eval"],
+)
+def permutation_test_nation_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact Fisher randomization test per nation — the
+    distribution-free A/B significance test (Fisher 1935; Phipson &
+    Smyth 2010 for the +1 estimator): is the daily revenue difference
+    between the two user-parity halves sign-symmetric? T_obs = |sum of
+    daily differences|; 64 deterministic md5 sign assignments resample
+    the randomization distribution; p = (1 + #{{T_b >= T_obs}})/65 in
+    milli. No normality assumption, no variance estimate — the test the
+    eval platform reaches for when the t-test's assumptions are suspect.
+    Scale: the corpus collapses to the bounded (nation, day) relation
+    before the 64-way explode, so permutation cost never tracks order
+    volume; everything after the first grouped pass is map-side
+    arithmetic over a few thousand rows."""
+    return _perm_p_rel(spark, sf_dir).orderBy("nation")
+
+
+@register(
+    "bh_fdr_nation_tests",
+    f"""
+    WITH {_PERM_P_CTE}, ranked AS (
+        SELECT nation, p_milli,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_milli, nation)
+                    AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM pv
+    ), kstar AS (
+        SELECT COALESCE(MAX(CASE WHEN p_milli * m <= 50 * i
+                                 THEN i END), 0) AS k
+        FROM ranked
+    )
+    SELECT r.nation, r.p_milli, r.i AS p_rank, r.m AS n_tests,
+           CAST(50 * r.i // r.m AS BIGINT) AS bh_threshold_milli,
+           CAST(CASE WHEN r.p_milli * r.m <= 50 * r.i
+                     THEN 1 ELSE 0 END AS BIGINT) AS under_threshold,
+           CAST(CASE WHEN r.i <= k.k THEN 1 ELSE 0 END AS BIGINT)
+               AS rejected
+    FROM ranked r CROSS JOIN kstar k
+    ORDER BY r.i
+    """,
+    ops=["benjamini-hochberg", "fdr-control", "multiple-testing"],
+)
+def bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (1995) over the per-nation
+    permutation p-values — the multiple-testing layer every metric
+    family needs: sort p ascending, find the largest k with
+    p_(k) <= k*alpha/m (alpha=0.05), reject ALL tests ranked <= k (BH
+    rejects below the step-up point even where the pointwise inequality
+    fails — the step-up subtlety naive implementations get wrong).
+    The comparison is cross-multiplied (p_milli * m <= 50 * i) so no
+    truncating division biases the cutoff; the displayed threshold
+    column is truncating-div milli. Scale: the window and the step-up
+    max run over the m-row test relation (m = nation count), never the
+    data — correcting a million tests is a million-row window, still
+    nothing."""
+    pv = _perm_p_rel(spark, sf_dir)
+    w = Window.orderBy("p_milli", "nation")
+    ranked = pv.select(
+        "nation", "p_milli",
+        F.row_number().over(w).cast("long").alias("i"),
+    ).crossJoin(
+        F.broadcast(pv.agg(F.count(F.lit(1)).cast("long").alias("m")))
+    )
+    under = F.col("p_milli") * F.col("m") <= 50 * F.col("i")
+    kstar = ranked.agg(
+        F.coalesce(F.max(F.when(under, F.col("i"))), F.lit(0)).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "nation", "p_milli",
+            F.col("i").alias("p_rank"),
+            F.col("m").alias("n_tests"),
+            F.expr("CAST(50 * i div m AS BIGINT)")
+            .alias("bh_threshold_milli"),
+            F.when(under, 1).otherwise(0).cast("long")
+            .alias("under_threshold"),
+            F.when(F.col("i") <= F.col("k"), 1).otherwise(0).cast("long")
+            .alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+@register(
+    "srm_check_report",
+    """
+    WITH users AS (
+        SELECT DISTINCT user_id FROM events
+    ), assigned AS (
+        SELECT e.e AS experiment, u.user_id,
+               CASE WHEN ('0x' || substr(md5(
+                        'srm:' || CAST(e.e AS VARCHAR) || ':'
+                        || CAST(u.user_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000
+                    < (CASE WHEN e.e = 4 THEN 470 ELSE 500 END)
+                    THEN 0 ELSE 1 END AS arm
+        FROM users u CROSS JOIN generate_series(1, 4) e(e)
+    )
+    SELECT CAST(experiment AS BIGINT) AS experiment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_arm0,
+           CAST((2 * SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                 - COUNT(*))
+                * (2 * SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                   - COUNT(*))
+                * 1000000 // COUNT(*) AS BIGINT) AS chisq_micro,
+           CAST(CASE WHEN (2 * SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                           - COUNT(*))
+                          * (2 * SUM(CASE WHEN arm = 0
+                                          THEN 1 ELSE 0 END)
+                             - COUNT(*)) * 1000000 // COUNT(*)
+                          > 3841459
+                     THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM assigned GROUP BY experiment ORDER BY experiment
+    """,
+    ops=["sample-ratio-mismatch", "ab-guardrail", "chisq-gof"],
+)
+def srm_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the chi-square goodness-of-fit
+    check every A/B platform runs BEFORE reading any metric (Fabijan et
+    al. 2019: a biased split invalidates the whole experiment): four
+    deterministic md5 user->arm assignments at a nominal 50/50 split,
+    experiment 4 PLANTED with a 47/53 skew so the gate provably fires.
+    For a two-arm GOF the statistic collapses to (2*O_0 - n)^2 / n
+    (exact integer micro fixed point — no 0.5-expected-count floats);
+    flag at the chi-square_1 0.05 critical value 3.841459. Scale: one
+    distinct pass over users, a 4-way explode of the USER relation, one
+    grouped count — map-side combine all the way; the planted-vs-clean
+    contrast is the test fixture pattern the label-noise and
+    Bradley-Terry reports use."""
+    e = _t(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    arm_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(
+                F.lit("srm:"), F.col("experiment").cast("string"),
+                F.lit(":"), F.col("user_id").cast("string"),
+            )),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long") % 1000
+    assigned = users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("experiment"),
+    ).select(
+        "experiment",
+        F.when(
+            arm_hash
+            < F.when(F.col("experiment") == 4, 470).otherwise(500),
+            0,
+        ).otherwise(1).alias("arm"),
+    )
+    dev = 2 * F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)) - F.count(
+        F.lit(1)
+    )
+    return (
+        assigned.groupBy("experiment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long").alias("n_arm0"),
+            F.expr(
+                "CAST(CAST((2 * SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)"
+                " - COUNT(1)) AS DECIMAL(38,0))"
+                " * (2 * SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)"
+                " - COUNT(1)) * 1000000 div COUNT(1) AS BIGINT)"
+            ).alias("chisq_micro"),
+        )
+        .select(
+            F.col("experiment").cast("long").alias("experiment"),
+            "n_users", "n_arm0", "chisq_micro",
+            F.when(F.col("chisq_micro") > 3841459, 1).otherwise(0)
+            .cast("long").alias("srm_flag"),
+        )
+        .orderBy("experiment")
+    )
+
+
+@register(
+    "ols_leverage_outliers",
+    """
+    WITH daily AS (
+        SELECT n.n_regionkey AS region,
+               CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS day,
+               SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS y_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), xy AS (
+        SELECT region, day,
+               CAST(date_diff('day',
+                    MIN(CAST(day AS DATE)) OVER (PARTITION BY region),
+                    CAST(day AS DATE)) AS BIGINT) AS x,
+               CAST(y_cents AS BIGINT) AS y_cents
+        FROM daily
+    ), mo AS (
+        SELECT region, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y_cents) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y_cents) AS sxy
+        FROM xy GROUP BY region
+    ), fit AS (
+        SELECT region, n, sx, sxx,
+               (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                   AS slope_micro,
+               (sy * 1000000
+                - ((n * sxy - sx * sy) * 1000000
+                   // (n * sxx - sx * sx)) * sx) // n AS icept_micro
+        FROM mo
+    ), diag AS (
+        SELECT p.region, p.day, p.x, p.y_cents,
+               p.y_cents * 1000000
+                 - (f.icept_micro + f.slope_micro * p.x) AS resid_micro,
+               1000000 // f.n
+                 + (f.n * p.x - f.sx) * (f.n * p.x - f.sx) * 1000000
+                   // (f.n * (f.n * f.sxx - f.sx * f.sx)) AS h_micro,
+               f.n AS n
+        FROM xy p JOIN fit f ON f.region = p.region
+    ), ss AS (
+        SELECT region, SUM(resid_micro * resid_micro) AS sum_r2
+        FROM diag GROUP BY region
+    ), flagged AS (
+        SELECT d.region, d.day, d.x, d.y_cents,
+               CAST(d.resid_micro AS BIGINT) AS resid_micro,
+               CAST(d.h_micro AS BIGINT) AS h_micro,
+               CAST(CASE WHEN d.resid_micro * d.resid_micro * d.n
+                              > 9 * s.sum_r2
+                         THEN 1 ELSE 0 END AS BIGINT) AS outlier_3s,
+               CAST(CASE WHEN d.h_micro * d.n > 4000000
+                         THEN 1 ELSE 0 END AS BIGINT) AS high_leverage,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.region
+                   ORDER BY ABS(d.resid_micro) DESC, d.day) AS rn
+        FROM diag d JOIN ss s ON s.region = d.region
+    )
+    SELECT region, day, x, y_cents, resid_micro, h_micro,
+           outlier_3s, high_leverage
+    FROM flagged WHERE rn <= 5 ORDER BY region, day
+    """,
+    ops=["ols-diagnostics", "leverage", "outlier-detection"],
+)
+def ols_leverage_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression diagnostics at scale — leverage and residual
+    outliers for the daily-revenue-vs-time fit per region (Belsley,
+    Kuh & Welsch 1980): hat values h_i = 1/n + (x_i - x_bar)^2/Sxx
+    flag days that DOMINATE the fitted trend (h > 2p/n = 4/n), and the
+    3-sigma residual test (resid^2 * n > 9 * sum(resid^2), exact
+    cross-multiplied integers — no sqrt) flags days the trend can't
+    explain; top-5 |residual| days per region surface for review. All
+    fixed-point: micro slope/intercept from DECIMAL(38,0) moments with
+    truncating div, so both engines agree bit-for-bit. Scale: one
+    grouped pass to the (region, day) relation, one 6-number moment
+    aggregate per region broadcast back — the diagnostic pass costs
+    one shuffle of the bounded daily relation regardless of order
+    volume."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    daily = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            F.col("o_orderdate").cast("date").alias("day_d"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            ).alias("y_cents")
+        )
+    )
+    wmin = Window.partitionBy("region")
+    xy = daily.select(
+        "region",
+        F.col("day_d").cast("string").alias("day"),
+        F.datediff(F.col("day_d"), F.min("day_d").over(wmin))
+        .cast("long").alias("x"),
+        F.col("y_cents").cast("long").alias("y_cents"),
+    )
+    d38 = lambda col: F.col(col).cast(DEC38)  # noqa: E731
+    mo = xy.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("y_cents")).alias("sy"),
+        F.sum(d38("x") * d38("x")).alias("sxx"),
+        F.sum(d38("x") * d38("y_cents")).alias("sxy"),
+    )
+    fit = mo.select(
+        "region", "n", "sx", "sxx",
+        F.expr(
+            "(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+        ).alias("slope_micro"),
+        F.expr(
+            "(sy * 1000000 - ((n * sxy - sx * sy) * 1000000"
+            " div (n * sxx - sx * sx)) * sx) div n"
+        ).alias("icept_micro"),
+    )
+    diag = xy.join(F.broadcast(fit), "region").select(
+        "region", "day", "x", "y_cents", "n",
+        F.expr(
+            "CAST(y_cents AS DECIMAL(38,0)) * 1000000"
+            " - (icept_micro + slope_micro * x)"
+        ).alias("resid_micro"),
+        F.expr(
+            "1000000 div n"
+            " + CAST(n * x - sx AS DECIMAL(38,0)) * (n * x - sx)"
+            " * 1000000 div (n * (n * sxx - sx * sx))"
+        ).alias("h_micro"),
+    )
+    ss = diag.groupBy("region").agg(
+        F.sum(F.expr("resid_micro * resid_micro")).alias("sum_r2")
+    )
+    wr = Window.partitionBy("region").orderBy(
+        F.abs(F.col("resid_micro")).desc(), "day"
+    )
+    return (
+        diag.join(F.broadcast(ss), "region")
+        .select(
+            "region", "day", "x", "y_cents",
+            F.col("resid_micro").cast("long").alias("resid_micro"),
+            F.col("h_micro").cast("long").alias("h_micro"),
+            F.expr(
+                "CAST(CASE WHEN resid_micro * resid_micro * n"
+                " > 9 * sum_r2 THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("outlier_3s"),
+            F.expr(
+                "CAST(CASE WHEN h_micro * n > 4000000"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("high_leverage"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("region", "day")
+    )
+
+
+__all__ = [n for n in globals() if not n.startswith("__")]

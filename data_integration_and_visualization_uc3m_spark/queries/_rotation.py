@@ -4,7 +4,7 @@ the all_queries()/all_oracles()/run_entry() driver surface.
 
 from __future__ import annotations
 
-from ._p09 import *  # noqa: F401,F403
+from ._p10 import *  # noqa: F401,F403
 
 # Rotation schedule for the driver's bounded correctness window.
 #
@@ -416,7 +416,12 @@ _PRIORITY: tuple[str, ...] = (
 # queue BEHIND the pending-verdict block so they can't push a
 # longer-waiting query out of the window. Round 12 additions are
 # appended here as they land.
-_NEW_PARITY_ONLY: tuple[str, ...] = ()
+_NEW_PARITY_ONLY: tuple[str, ...] = (
+    "permutation_test_nation_revenue",
+    "bh_fdr_nation_tests",
+    "srm_check_report",
+    "ols_leverage_outliers",
+)
 
 
 def _rotated() -> list[str]:
