@@ -157,6 +157,110 @@ def zipf_slope(
     )
 
 
+def heaps_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per group: V(n) = K·n^beta
+    (Heaps 1978; beta ≈ 0.4-0.6 for natural text), the planning curve
+    that answers "how much NEW vocabulary does the next 10× of corpus
+    buy" — a tokenizer/vocab-budget question zipf_slope (frequency
+    within a fixed vocabulary) cannot.
+
+    Spark-first shape, NO corpus-sized window: the growth curve needs
+    cumulative token counts and cumulative distinct vocabulary at
+    checkpoints, and both collapse to group-by math — each token's
+    FIRST document (min doc_id) decides when it enters the vocabulary,
+    so V(cut) = #{tokens: first_id <= cut} and n(cut) = sum of token
+    counts of docs with doc_id <= cut. Checkpoints are id-value deciles
+    (one 2-number bounds row per group), the checkpoint join is a
+    broadcast of the bounded cuts relation (each doc/token row matches
+    <= n_checkpoints cuts), and the log-log OLS runs over
+    n_checkpoints points per group under the zipf_slope discipline:
+    libm ln on INTEGER args fixed-pointed to BIGINT, DECIMAL(38,0)
+    moments, one final double ratio."""
+    toks = df.select(
+        F.col(group_col), F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
+    )
+    per_doc = toks.groupBy(group_col, id_col).agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    vocab = toks.groupBy(group_col, "tok").agg(
+        F.min(id_col).alias("first_id")
+    )
+    cuts = (
+        df.groupBy(group_col)
+        .agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi"))
+        .select(
+            group_col,
+            F.explode(F.sequence(F.lit(1), F.lit(n_checkpoints))).alias("c"),
+            "lo", "hi",
+        )
+        .select(
+            group_col, "c",
+            F.expr(f"lo + (hi - lo) * c div {n_checkpoints}").alias("cut"),
+        )
+    )
+    n_c = (
+        per_doc.join(
+            F.broadcast(cuts),
+            (per_doc[group_col] == cuts[group_col])
+            & (F.col(id_col) <= F.col("cut")),
+        )
+        .groupBy(per_doc[group_col].alias(group_col), "c")
+        .agg(F.sum("n_toks").cast("long").alias("n_tokens"))
+    )
+    v_c = (
+        vocab.join(
+            F.broadcast(cuts),
+            (vocab[group_col] == cuts[group_col])
+            & (F.col("first_id") <= F.col("cut")),
+        )
+        .groupBy(vocab[group_col].alias(group_col), "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    pts = (
+        n_c.join(v_c, [group_col, "c"])
+        .filter((F.col("n_tokens") >= 1) & (F.col("vocab") >= 1))
+        .select(
+            group_col, "c", "n_tokens", "vocab",
+            F.floor(F.log(F.col("n_tokens").cast("double")) * FP9)
+            .cast("long").alias("x"),
+            F.floor(F.log(F.col("vocab").cast("double")) * FP9)
+            .cast("long").alias("y"),
+        )
+    )
+    sums = pts.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.max(F.when(F.col("c") == n_checkpoints, F.col("n_tokens")))
+        .cast("long").alias("tokens_final"),
+        F.max(F.when(F.col("c") == n_checkpoints, F.col("vocab")))
+        .cast("long").alias("vocab_final"),
+        F.sum(F.col("x").cast(DEC38)).alias("sx"),
+        F.sum(F.col("y").cast(DEC38)).alias("sy"),
+        F.sum(F.col("x").cast(DEC38) * F.col("x").cast(DEC38)).alias("sxx"),
+        F.sum(F.col("x").cast(DEC38) * F.col("y").cast(DEC38)).alias("sxy"),
+    )
+    n_d = F.col("n_points").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    beta = (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)
+    return sums.filter(F.col("n_points") >= 2).select(
+        group_col,
+        F.col("n_points").cast("long").alias("n_points"),
+        "tokens_final",
+        "vocab_final",
+        F.floor(beta * FP6).cast("long").alias("heaps_beta_fp6"),
+        F.floor((sy - beta * sx) / n_d / FP9 * FP6).cast("long")
+        .alias("heaps_lnk_fp6"),
+    )
+
+
 def char_entropy(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

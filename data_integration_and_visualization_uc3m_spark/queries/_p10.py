@@ -483,4 +483,207 @@ def ols_leverage_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantile_treatment_effect",
+    """
+    WITH pur AS (
+        SELECT user_id % 2 AS arm,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v_cents,
+               event_id
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), ranked AS (
+        SELECT arm, v_cents,
+               ROW_NUMBER() OVER (PARTITION BY arm
+                                  ORDER BY v_cents, event_id) AS rn
+        FROM pur
+    ), na AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM pur GROUP BY arm
+    ), t AS (
+        SELECT na.arm, p.p AS p_pct, na.n,
+               (p.p * na.n + 99) // 100 AS r
+        FROM na CROSS JOIN (VALUES (25), (50), (75), (90)) p(p)
+    ), q AS (
+        SELECT t.p_pct, t.arm, t.n, rk.v_cents
+        FROM t JOIN ranked rk ON rk.arm = t.arm AND rk.rn = t.r
+    )
+    SELECT CAST(p_pct AS BIGINT) AS p_pct,
+           CAST(MAX(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_ctrl,
+           CAST(MAX(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_treat,
+           CAST(MAX(CASE WHEN arm = 0 THEN v_cents END) AS BIGINT)
+               AS q_ctrl_cents,
+           CAST(MAX(CASE WHEN arm = 1 THEN v_cents END) AS BIGINT)
+               AS q_treat_cents,
+           CAST(MAX(CASE WHEN arm = 1 THEN v_cents END)
+                - MAX(CASE WHEN arm = 0 THEN v_cents END) AS BIGINT)
+               AS qte_cents
+    FROM q GROUP BY p_pct ORDER BY p_pct
+    """,
+    ops=["quantile-treatment-effect", "exact-quantile", "ab-eval"],
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effect — the distributional A/B readout a
+    mean difference hides (Athey & Imbens 2017: a treatment can move
+    the p90 while leaving the median alone): exact nearest-rank
+    quantiles of purchase value per arm at p in {25,50,75,90},
+    r = ceil(p*n/100), and the per-quantile treated-minus-control gap.
+
+    The oracle spells the textbook per-arm global sort; the Spark plan
+    is the distributed two-phase nearest-rank: a $10-bucket histogram
+    (bounded by the value range, ~50 rows) carries cumulative counts,
+    the target rank binary-locates its bucket in that broadcast
+    relation, and only the ONE bucket holding each quantile is ranked
+    row-by-row — the per-arm sort the oracle does never happens, and
+    no window ever sees more than one bucket's rows (the global_rank
+    recipe). Ties break on event_id; tied values make the tiebreak
+    value-invariant."""
+    e = _t(spark, sf_dir, "events")
+    pur = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v_cents"),
+        "event_id",
+    )
+    na = pur.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    targets = na.select(
+        "arm", "n",
+        F.explode(F.array(F.lit(25), F.lit(50), F.lit(75), F.lit(90)))
+        .alias("p_pct"),
+    ).select(
+        "arm", "n", "p_pct",
+        F.expr("(p_pct * n + 99) div 100").alias("r"),
+    )
+    hist = pur.groupBy("arm", F.expr("v_cents div 1000").alias("bkt")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("arm")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = hist.withColumn("cum", F.sum("cnt").over(wc))
+    tb = targets.join(
+        F.broadcast(hist),
+        (targets["arm"] == hist["arm"])
+        & (F.col("cum") >= F.col("r"))
+        & (F.col("cum") - F.col("cnt") < F.col("r")),
+    ).select(
+        targets["arm"].alias("arm"), "n", "p_pct", "bkt",
+        (F.col("r") - (F.col("cum") - F.col("cnt"))).alias("offset"),
+    )
+    wq = Window.partitionBy("arm", "p_pct").orderBy("v_cents", "event_id")
+    q = (
+        pur.withColumn("bkt", F.expr("v_cents div 1000"))
+        .join(F.broadcast(tb), ["arm", "bkt"])
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == F.col("offset"))
+        .select("p_pct", "arm", "n", "v_cents")
+    )
+    return (
+        q.groupBy("p_pct")
+        .agg(
+            F.max(F.when(F.col("arm") == 0, F.col("n"))).cast("long")
+            .alias("n_ctrl"),
+            F.max(F.when(F.col("arm") == 1, F.col("n"))).cast("long")
+            .alias("n_treat"),
+            F.max(F.when(F.col("arm") == 0, F.col("v_cents")))
+            .cast("long").alias("q_ctrl_cents"),
+            F.max(F.when(F.col("arm") == 1, F.col("v_cents")))
+            .cast("long").alias("q_treat_cents"),
+        )
+        .select(
+            F.col("p_pct").cast("long").alias("p_pct"),
+            "n_ctrl", "n_treat", "q_ctrl_cents", "q_treat_cents",
+            (F.col("q_treat_cents") - F.col("q_ctrl_cents"))
+            .cast("long").alias("qte_cents"),
+        )
+        .orderBy("p_pct")
+    )
+
+
+@register(
+    "heaps_law_fit",
+    """
+    WITH toks AS (
+        SELECT source, doc_id,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), tk AS (SELECT source, doc_id, tok FROM toks WHERE tok <> ''),
+    per_doc AS (
+        SELECT source, doc_id, COUNT(*) AS n_toks
+        FROM tk GROUP BY source, doc_id
+    ), vocab AS (
+        SELECT source, tok, MIN(doc_id) AS first_id
+        FROM tk GROUP BY source, tok
+    ), cuts AS (
+        SELECT d.source, c.c,
+               d.lo + (d.hi - d.lo) * c.c // 10 AS cut
+        FROM (SELECT source, MIN(doc_id) AS lo, MAX(doc_id) AS hi
+              FROM documents GROUP BY source) d
+        CROSS JOIN generate_series(1, 10) c(c)
+    ), n_c AS (
+        SELECT p.source, c.c, CAST(SUM(p.n_toks) AS BIGINT) AS n_tokens
+        FROM per_doc p JOIN cuts c
+          ON c.source = p.source AND p.doc_id <= c.cut
+        GROUP BY p.source, c.c
+    ), v_c AS (
+        SELECT v.source, c.c, CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM vocab v JOIN cuts c
+          ON c.source = v.source AND v.first_id <= c.cut
+        GROUP BY v.source, c.c
+    ), pts AS (
+        SELECT n.source, n.c, n.n_tokens, v.vocab,
+               CAST(FLOOR(ln(CAST(n.n_tokens AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS x,
+               CAST(FLOOR(ln(CAST(v.vocab AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS y
+        FROM n_c n JOIN v_c v ON v.source = n.source AND v.c = n.c
+        WHERE n.n_tokens >= 1 AND v.vocab >= 1
+    ), s AS (
+        SELECT source, COUNT(*) AS n_points,
+               MAX(CASE WHEN c = 10 THEN n_tokens END) AS tokens_final,
+               MAX(CASE WHEN c = 10 THEN vocab END) AS vocab_final,
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM pts GROUP BY source
+    )
+    SELECT source, CAST(n_points AS BIGINT) AS n_points,
+           CAST(tokens_final AS BIGINT) AS tokens_final,
+           CAST(vocab_final AS BIGINT) AS vocab_final,
+           CAST(FLOOR(
+               (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * 1000000) AS BIGINT) AS heaps_beta_fp6,
+           CAST(FLOOR(
+               (CAST(sy AS DOUBLE)
+                - (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n_points AS DOUBLE) / 1000000000 * 1000000)
+               AS BIGINT) AS heaps_lnk_fp6
+    FROM s WHERE n_points >= 2
+    ORDER BY source
+    """,
+    ops=["heaps-law", "vocab-growth", "tokenizer-planning"],
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent per source — see
+    corpus_stats.heaps_fit: V(n) = K*n^beta fitted on 10 nested
+    id-decile checkpoints, answering the tokenizer/vocab-budget
+    question "how much NEW vocabulary does the next 10x of corpus
+    buy" that zipf_slope (frequency inside a fixed vocabulary) cannot.
+    No corpus-sized window anywhere: first-appearance doc ids turn
+    cumulative-distinct into group-by math, checkpoints broadcast."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    return corpus_stats.heaps_fit(d).orderBy("source")
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -421,6 +421,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "bh_fdr_nation_tests",
     "srm_check_report",
     "ols_leverage_outliers",
+    "quantile_treatment_effect",
+    "heaps_law_fit",
 )
 
 
