@@ -686,4 +686,222 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats.heaps_fit(d).orderBy("source")
 
 
+@register(
+    "orc_roundtrip_report",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_revenue
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    ops=["orc-sink", "orc-source", "columnar-roundtrip"],
+)
+def orc_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write -> read roundtrip under the oracle gate — the OTHER
+    built-in columnar format (the warehouse-interop path next to the
+    parquet snapshot sink, sinks/writers.py): orders flow to an ORC
+    directory (native vectorized writer) and back, then aggregate; the
+    oracle is the direct relational answer on the parquet original, so
+    the gate proves ORC round-trips types (decimal revenue survives
+    exactly) and rows with zero loss. Stable per-session scratch path,
+    overwritten per run (the pyds_reader pattern — no per-run dir
+    leak). Scale: both write and read are distributed columnar I/O;
+    nothing touches the driver."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_orc_rt_{spark.sparkContext.applicationId}",
+        "orders_orc",
+    )
+    (
+        e.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC2)).cast("double")
+            .alias("total_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "join_size_estimate_report",
+    """
+    WITH deg AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS d
+        FROM lineitem GROUP BY l_partkey
+    ), exact AS (
+        SELECT SUM(d * d) AS j FROM deg
+    ), est AS (
+        SELECT SUM(d * d) * 32 AS j
+        FROM deg
+        WHERE ('0x' || substr(md5('jse:' || CAST(l_partkey AS VARCHAR)),
+                              1, 8))::BIGINT % 32 = 0
+    )
+    SELECT CAST(exact.j AS BIGINT) AS exact_pairs,
+           CAST(est.j AS BIGINT) AS est_pairs,
+           CAST(ABS(est.j - exact.j) * 1000 // exact.j AS BIGINT)
+               AS rel_err_milli
+    FROM exact CROSS JOIN est
+    """,
+    ops=["join-size-estimation", "distinct-value-sampling", "cbo"],
+)
+def join_size_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation — the cost-based-optimizer primitive
+    that decides broadcast-vs-shuffle before a join runs: the self-join
+    size |lineitem x lineitem on partkey| is exactly sum(d_k^2) over key
+    degrees, and DISTINCT-VALUE sampling (keep whole keys by md5 bucket,
+    scale by the inverse rate — the AGMS/end-biased family) estimates it
+    from 1/32 of the degree relation. Sampling KEYS rather than rows is
+    the load-bearing choice: row sampling biases d^2 estimates
+    quadratically, key sampling keeps each sampled degree intact and is
+    unbiased. Report: exact vs estimate vs relative error in milli —
+    all from ONE grouped pass over the fact table; the d^2 sum never
+    materializes a single joined pair. At 100 TB this is why the
+    estimate is affordable when the join itself is not."""
+    l = _t(spark, sf_dir, "lineitem")
+    deg = l.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    exact = deg.agg(F.sum(F.expr("d * d")).alias("j_exact"))
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("jse:"),
+                               F.col("l_partkey").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 32
+        == 0
+    )
+    est = deg.filter(keep).agg(
+        (F.sum(F.expr("d * d")) * 32).alias("j_est")
+    )
+    return exact.crossJoin(est).select(
+        F.col("j_exact").cast("long").alias("exact_pairs"),
+        F.col("j_est").cast("long").alias("est_pairs"),
+        F.expr(
+            "CAST(ABS(j_est - j_exact) * 1000 div j_exact AS BIGINT)"
+        ).alias("rel_err_milli"),
+    )
+
+
+@register(
+    "stratified_uplift_report",
+    """
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT) END), 0) AS BIGINT) AS rev_cents
+        FROM events GROUP BY user_id
+    ), strat AS (
+        SELECT arm, rev_cents,
+               CASE WHEN n_events <= 2 THEN 1
+                    WHEN n_events <= 5 THEN 2
+                    WHEN n_events <= 10 THEN 3
+                    ELSE 4 END AS stratum
+        FROM per_user
+    ), cells AS (
+        SELECT stratum,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ctrl,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treat,
+               CAST(SUM(CASE WHEN arm = 0 THEN rev_cents ELSE 0 END)
+                    AS BIGINT) AS rev_ctrl_cents,
+               CAST(SUM(CASE WHEN arm = 1 THEN rev_cents ELSE 0 END)
+                    AS BIGINT) AS rev_treat_cents
+        FROM strat GROUP BY stratum
+    )
+    SELECT CAST(stratum AS BIGINT) AS stratum, n_ctrl, n_treat,
+           rev_ctrl_cents, rev_treat_cents,
+           CAST(rev_treat_cents * 1000 // n_treat
+                - rev_ctrl_cents * 1000 // n_ctrl AS BIGINT)
+               AS uplift_milli_cents,
+           CAST((n_ctrl + n_treat) * 1000000
+                // SUM(n_ctrl + n_treat) OVER () AS BIGINT)
+               AS weight_micro
+    FROM cells ORDER BY stratum
+    """,
+    ops=["stratified-uplift", "post-stratification", "ab-eval"],
+)
+def stratified_uplift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified uplift — the variance-reduction sibling of CUPED
+    (ab_test_cuped): per-user purchase revenue contrasted
+    treated-vs-control WITHIN activity strata (fixed n_events bins, so
+    strata are deterministic and arm-independent), plus each stratum's
+    population weight for the pooled post-stratified ATE
+    (sum of weight x uplift). Heavy/light users stop masking each
+    other — the mix shift a raw mean diff confounds is held fixed.
+    Exact integers: cents, truncating-div milli means, micro weights.
+    Scale: one grouped pass to per-user rows, one to the 4-stratum
+    cells; the weight window runs over 4 rows."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr(
+                        "CAST(CAST(value AS DECIMAL(18,2)) * 100"
+                        " AS BIGINT)"
+                    ),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("rev_cents"),
+    )
+    strat = per_user.select(
+        (F.col("user_id") % 2).alias("arm"),
+        "rev_cents",
+        F.when(F.col("n_events") <= 2, 1)
+        .when(F.col("n_events") <= 5, 2)
+        .when(F.col("n_events") <= 10, 3)
+        .otherwise(4).alias("stratum"),
+    )
+    cells = strat.groupBy("stratum").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_ctrl"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_treat"),
+        F.sum(F.when(F.col("arm") == 0, F.col("rev_cents")).otherwise(0))
+        .cast("long").alias("rev_ctrl_cents"),
+        F.sum(F.when(F.col("arm") == 1, F.col("rev_cents")).otherwise(0))
+        .cast("long").alias("rev_treat_cents"),
+    )
+    tot = cells.agg(
+        F.sum(F.col("n_ctrl") + F.col("n_treat")).alias("n_all")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("stratum").cast("long").alias("stratum"),
+            "n_ctrl", "n_treat", "rev_ctrl_cents", "rev_treat_cents",
+            F.expr(
+                "CAST(rev_treat_cents * 1000 div n_treat"
+                " - rev_ctrl_cents * 1000 div n_ctrl AS BIGINT)"
+            ).alias("uplift_milli_cents"),
+            F.expr(
+                "CAST((n_ctrl + n_treat) * 1000000 div n_all AS BIGINT)"
+            ).alias("weight_micro"),
+        )
+        .orderBy("stratum")
+    )
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

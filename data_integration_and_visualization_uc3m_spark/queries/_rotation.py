@@ -423,6 +423,9 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "ols_leverage_outliers",
     "quantile_treatment_effect",
     "heaps_law_fit",
+    "orc_roundtrip_report",
+    "join_size_estimate_report",
+    "stratified_uplift_report",
 )
 
 
