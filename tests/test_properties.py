@@ -370,3 +370,79 @@ def test_ppjoin_prefix_filter_lossless_property(spark, sets):
                     inter * 1000 // union,
                 )
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50_000),
+             min_size=1, max_size=40),
+    st.lists(st.integers(min_value=1, max_value=100),
+             min_size=1, max_size=4, unique=True),
+)
+def test_two_phase_nearest_rank_quantile_property(spark, vals, ps):
+    """The bucket-histogram two-phase nearest-rank quantile (the
+    quantile_treatment_effect plan: histogram -> locate bucket ->
+    rank inside ONE bucket) returns exactly sorted(vals)[ceil(p*n/100)]
+    for arbitrary values and percentiles — the distributed recipe and
+    the naive global sort agree."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "rid long, v long"
+    )
+    n = len(vals)
+    hist = df.groupBy(F.expr("v div 1000").alias("bkt")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = hist.withColumn("cum", F.sum("cnt").over(wc))
+    targets = spark.createDataFrame(
+        [(p, (p * n + 99) // 100) for p in ps], "p long, r long"
+    )
+    tb = targets.join(
+        hist,
+        (F.col("cum") >= F.col("r"))
+        & (F.col("cum") - F.col("cnt") < F.col("r")),
+    ).select("p", "bkt", (F.col("r") - (F.col("cum") - F.col("cnt"))).alias("off"))
+    wq = Window.partitionBy("p").orderBy("v", "rid")
+    got = {
+        r.p: r.v
+        for r in df.withColumn("bkt", F.expr("v div 1000"))
+        .join(tb, "bkt")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == F.col("off"))
+        .select("p", "v")
+        .collect()
+    }
+    sv = sorted(vals)
+    expect = {p: sv[(p * n + 99) // 100 - 1] for p in ps}
+    assert got == expect
+
+
+def test_heaps_fit_known_counts(spark):
+    """heaps_fit checkpoint math on a hand-computable corpus: with one
+    source, ids 0..9, and doc i contributing tokens {t0..t_i} (vocab
+    grows one token per doc, token count grows linearly), the final
+    checkpoint must see the exact full token count and vocabulary, and
+    the fitted beta must be positive and below 1e6 (V grows sublinearly
+    vs n here: V(n) ~ sqrt(2n))."""
+    from data_integration_and_visualization_uc3m_spark.operators.corpus_stats import (
+        heaps_fit,
+    )
+
+    rows = [
+        (i, "s", " ".join(f"t{j}" for j in range(i + 1)))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = heaps_fit(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.tokens_final == sum(i + 1 for i in range(10))  # 55
+    assert r.vocab_final == 10
+    assert r.n_points == 10
+    assert 0 < r.heaps_beta_fp6 < 1_000_000
