@@ -904,4 +904,97 @@ def stratified_uplift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# binaryFile-source oracle: the generator's closed pixel form (the
+# bmp_feature_report contract, queries/_p07.py) restricted to the
+# doc_id % 100 == 0 media subset that goes through the file system.
+_BFLUM = (
+    "299*((seed*7 + {x}*13 + y*31) % 256)"
+    " + 587*((seed*11 + {x}*3 + y*17) % 256)"
+    " + 114*((seed*5 + {x}*19 + y*23) % 256)"
+)
+
+
+@register(
+    "binary_file_media_ingest",
+    f"""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + doc_id % 5 AS w,
+               6 + doc_id % 4 AS h,
+               doc_id % 97 AS seed
+        FROM documents WHERE doc_id % 100 = 0
+    ), grid AS (
+        SELECT doc_id, w, h,
+               {_BFLUM.format(x='x')} AS lum,
+               CASE WHEN x < w - 1 THEN {_BFLUM.format(x='(x+1)')}
+               END AS lum_next
+        FROM dims
+        CROSS JOIN (SELECT unnest(range(12)) AS x)
+        CROSS JOIN (SELECT unnest(range(9)) AS y)
+        WHERE x < w AND y < h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(54 + ((3*w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+           CAST(SUM(lum) // COUNT(*) AS DOUBLE) AS feature_0,
+           CAST((COUNT(*) * SUM(lum*lum) - SUM(lum) * SUM(lum))
+                // (COUNT(*) * COUNT(*)) AS DOUBLE) AS feature_1,
+           CAST(1000 * SUM(CASE WHEN lum_next > lum THEN 1 ELSE 0 END)
+                // (h * (w - 1)) AS DOUBLE) AS feature_2
+    FROM grid GROUP BY doc_id, w, h
+    """,
+    ops=["binary-file-source", "multimodal-ingest", "media-files"],
+)
+def binary_file_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media ingestion through Spark's ``binaryFile`` source — the
+    missing first hop of a real 100 TB image-curation pipeline, where
+    payloads arrive as FILES, not parquet columns: synthesized BMPs
+    (doc_id % 100 subset) are written one file per media id by
+    executor-side tasks (foreachPartition — no driver collect, the
+    same local-FS-standing-in-for-shared-storage contract as the
+    jsonl_dir sink), read back via
+    ``spark.read.format("binaryFile")`` (media id parsed from the
+    file path, bytes from ``content``), REAL-decoded
+    (multimodal.decode_bmp24) and featurized. The oracle restates the
+    features on the generator's closed pixel form, so a hash match
+    proves the whole encode -> file write -> binaryFile scan ->
+    decode chain is lossless. Scratch dir keyed by (session, sf) so
+    parity and bench runs at different SFs never see each other's
+    files."""
+    import os
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    src = d.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        (8 + F.col("doc_id") % 5).cast("int").alias("width_px"),
+        (6 + F.col("doc_id") % 4).cast("int").alias("height_px"),
+        (F.col("doc_id") % 97).alias("img_seed"),
+    )
+    media = multimodal.synthesize_bmp24(src)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_binfile_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    os.makedirs(out, exist_ok=True)
+
+    def write_part(rows):
+        for r in rows:
+            with open(os.path.join(out, f"{r.media_id}.bmp"), "wb") as fh:
+                fh.write(bytes(r.payload))
+
+    media.select("media_id", "payload").foreachPartition(write_part)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(out)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bmp$", 1)
+            .cast("long").alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    return multimodal.extract_features(files, fake=False)
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -426,6 +426,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "orc_roundtrip_report",
     "join_size_estimate_report",
     "stratified_uplift_report",
+    "binary_file_media_ingest",
 )
 
 

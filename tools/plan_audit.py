@@ -130,6 +130,12 @@ SCALAR_OK: set[str] = {
     "temperature_mixing_plan",  # 1-row weight-normalizer broadcast
     "nation_trade_k_core",      # 1-row median-threshold broadcast
     "source_term_kl",           # 1-row support-mass scalar broadcast
+    "krippendorff_alpha_report",  # 1-row observed/expected disagreement
+                                  # scalars cross-joined (r12 adjudicated)
+    "merkle_partition_proof",   # 1-row root digest broadcast onto the
+                                # 32-bucket relation (r12 adjudicated)
+    "bh_fdr_nation_tests",      # 1-row m + 1-row step-up k* broadcasts
+                                # onto the bounded test relation
     "forecast_backtest_mase",   # 1-row max-day cutoff + 1-row in-sample
                                 # scale broadcasts (2-row method dim is
                                 # an equi-join after the date offset)
