@@ -136,6 +136,10 @@ SCALAR_OK: set[str] = {
                                 # 32-bucket relation (r12 adjudicated)
     "bh_fdr_nation_tests",      # 1-row m + 1-row step-up k* broadcasts
                                 # onto the bounded test relation
+    "join_size_estimate_report",  # two 1-row degree-sum aggregates
+                                  # (exact, sampled-estimate) cross-joined
+    "stratified_uplift_report",   # 1-row population total broadcast onto
+                                  # the 4-stratum cells
     "forecast_backtest_mase",   # 1-row max-day cutoff + 1-row in-sample
                                 # scale broadcasts (2-row method dim is
                                 # an equi-join after the date offset)
