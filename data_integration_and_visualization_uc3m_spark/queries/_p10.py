@@ -997,4 +997,177 @@ def binary_file_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(files, fake=False)
 
 
+@register(
+    "nation_trade_cheapest_route",
+    """
+    WITH w AS MATERIALIZED (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2
+    ), e AS MATERIALIZED (
+        SELECT src, dst, 1000000 // w AS cost FROM w
+    ), d0 AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost
+    ), d1 AS MATERIALIZED (
+        SELECT node, MIN(cost) AS cost FROM (
+            SELECT node, cost FROM d0
+            UNION ALL
+            SELECT e.dst, d0.cost + e.cost FROM e JOIN d0 ON e.src = d0.node
+        ) GROUP BY node
+    ), d2 AS MATERIALIZED (
+        SELECT node, MIN(cost) AS cost FROM (
+            SELECT node, cost FROM d1
+            UNION ALL
+            SELECT e.dst, d1.cost + e.cost FROM e JOIN d1 ON e.src = d1.node
+        ) GROUP BY node
+    ), d3 AS MATERIALIZED (
+        SELECT node, MIN(cost) AS cost FROM (
+            SELECT node, cost FROM d2
+            UNION ALL
+            SELECT e.dst, d2.cost + e.cost FROM e JOIN d2 ON e.src = d2.node
+        ) GROUP BY node
+    ), d4 AS MATERIALIZED (
+        SELECT node, MIN(cost) AS cost FROM (
+            SELECT node, cost FROM d3
+            UNION ALL
+            SELECT e.dst, d3.cost + e.cost FROM e JOIN d3 ON e.src = d3.node
+        ) GROUP BY node
+    )
+    SELECT n.n_name, CAST(COALESCE(d4.cost, -1) AS BIGINT)
+               AS route_cost
+    FROM nation n LEFT JOIN d4 ON d4.node = n.n_nationkey
+    ORDER BY route_cost, n.n_name
+    """,
+    ops=["shortest-path", "bellman-ford", "iterative-relaxation"],
+)
+def nation_trade_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-leg WEIGHTED shortest path (Bellman-Ford relaxation) —
+    the graph primitive hop-count BFS (nation_trade_bfs_hops) can't
+    express: edge cost is the inverse trade volume (1e6 div w — busy
+    lanes are cheap), and four relaxation rounds from nation 0 compute
+    each nation's cheapest route USING AT MOST 4 LEGS (the bounded-leg
+    semantics route planners actually ship; both engines run the same
+     4 rounds, so the contract is exact, not an approximation
+    mismatch). Spark-first: the edge derivation (the expensive part)
+    collapses the fact table ONCE to a <=|V|^2 edge relation; each
+    round is a frontier-broadcast join + a min-groupBy over node-count
+    rows with localCheckpoint pinning the lineage flat — the loop cost
+    is bounded by |V| rounds x |E| row joins regardless of fact
+    volume. The oracle unrolls the same rounds as nested CTEs."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.expr("1000000 div COUNT(1)").alias("ecost"))
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame([(0, 0)], "node long, cost long")
+    for _ in range(4):
+        relaxed = e.join(
+            F.broadcast(dist), e.src == F.col("node")
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("cost") + F.col("ecost")).alias("cost"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").cast("long").alias("cost"))
+            .localCheckpoint()
+        )
+    return (
+        nation.join(
+            F.broadcast(dist), nation.n_nationkey == F.col("node"), "left"
+        )
+        .select(
+            "n_name",
+            F.coalesce(F.col("cost"), F.lit(-1)).cast("long")
+            .alias("route_cost"),
+        )
+        .orderBy("route_cost", "n_name")
+    )
+
+
+@register(
+    "raw_text_log_parse",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT)), 0) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    ops=["text-source", "regex-parse", "log-etl"],
+)
+def raw_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text log ETL under the oracle gate — the classic 100 TB
+    first mile where data arrives as LOG LINES, not columns: events
+    are rendered to a key=value log format, written through the text
+    sink, read back with ``spark.read.text`` and re-typed with
+    ``regexp_extract`` + ``try_cast`` (the ANSI-safe coercion path),
+    then aggregated. The oracle computes the same aggregate on the
+    original relation, so a hash match proves render -> text file ->
+    scan -> regex parse -> coerce loses nothing (decimals survive via
+    the exact DECIMAL(18,2) string form; NULL values render empty and
+    coerce back to NULL). Scratch dir keyed by (session, sf). Both
+    write and scan are distributed line I/O; the regex runs in
+    whole-stage codegen, not Python."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_textlog_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    lines = e.select(
+        F.concat(
+            F.lit("uid="), F.col("user_id").cast("string"),
+            F.lit(" type="), F.col("event_type"),
+            F.lit(" val="),
+            F.coalesce(
+                F.col("value").cast(DEC2).cast("string"), F.lit("")
+            ),
+        ).alias("value")
+    )
+    lines.repartition(4).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    parsed = raw.select(
+        F.regexp_extract("value", r" type=(\w+) ", 1).alias("event_type"),
+        F.expr(
+            r"try_cast(regexp_extract(value, ' val=([0-9.]*)$', 1)"
+            " AS DECIMAL(18,2))"
+        ).alias("val"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.coalesce(
+                F.sum(F.expr("CAST(val * 100 AS BIGINT)")), F.lit(0)
+            ).cast("long").alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -427,6 +427,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "join_size_estimate_report",
     "stratified_uplift_report",
     "binary_file_media_ingest",
+    "nation_trade_cheapest_route",
+    "raw_text_log_parse",
 )
 
 
