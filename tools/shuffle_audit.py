@@ -92,7 +92,20 @@ def main() -> None:
     spark = get_spark("shuffle-audit")
     qs = E.queries()
     names = [n for n in qs if n not in BENCH_EXCLUDE]
+    # Subset mode: extra args name queries to (re-)audit; their rows
+    # merge into the existing JSON so a full re-run isn't needed to
+    # cover a few late additions (_meta totals are recomputed).
+    only = set(sys.argv[2:])
     report: dict[str, dict[str, int]] = {}
+    if only:
+        names = [n for n in names if n in only]
+        try:
+            with open(OUT) as f:
+                prior = json.load(f)
+            prior.pop("_meta", None)
+            report.update(prior)
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
     for name in names:
         try:
             df = qs[name](spark, sf_dir)
