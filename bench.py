@@ -126,13 +126,18 @@ def main() -> None:
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
-    # Preserve the streaming-family section bench_streaming.py merged
-    # in — the two harnesses share this file but own disjoint keys.
+    # Preserve every section other harnesses merged in (streaming from
+    # bench_streaming.py, streaming_state_growth from
+    # tools/streaming_state_probe.py, ...) — the harnesses share this
+    # file but own disjoint keys, and this one owns only the batch keys
+    # it writes above (r12: the old streaming-only preserve silently
+    # dropped the state-growth section).
     try:
         with open(detail_path) as f:
             prior = json.load(f)
-        if "streaming" in prior:
-            detail["streaming"] = prior["streaming"]
+        for key, val in prior.items():
+            if key not in detail:
+                detail[key] = val
     except (FileNotFoundError, json.JSONDecodeError):
         pass
     with open(detail_path, "w") as f:

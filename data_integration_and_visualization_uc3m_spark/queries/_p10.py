@@ -1,13 +1,25 @@
 """Query registry — part 10: round-12 additions.
 
-Continues the chain (see queries/_core.py): experiment-operations and
-regression-diagnostics operators — exact Fisher randomization tests,
-Benjamini-Hochberg multiple-testing correction, sample-ratio-mismatch
-(SRM) guardrails, and OLS leverage/outlier diagnostics — the
-metric-quality layer an eval platform runs ABOVE the per-metric tests
-of parts 8-9 (one test is never run alone; families of tests need FDR
-control, and every A/B readout needs an SRM gate before anyone trusts
-it). Registration order is append-only.
+Continues the chain (see queries/_core.py). Two themes:
+
+Experiment-operations / diagnostics — exact Fisher randomization
+tests, Benjamini-Hochberg FDR correction, sample-ratio-mismatch (SRM)
+guardrails, quantile treatment effects, post-stratified uplift, and
+OLS leverage/outlier diagnostics: the metric-quality layer an eval
+platform runs ABOVE the per-metric tests of parts 8-9 (one test is
+never run alone; families of tests need FDR control, and every A/B
+readout needs an SRM gate before anyone trusts it). Plus Heaps'-law
+vocabulary growth (tokenizer budget planning) and CBO-style join-size
+estimation via distinct-value sampling.
+
+Engine-surface completions — the remaining built-in source/sink
+formats under the oracle gate (ORC columnar roundtrip, binaryFile
+media ingest with real pixel decode, raw-text log-line ETL via
+spark.read.text + regexp/try_cast) and bounded-leg Bellman-Ford
+weighted shortest paths (the weighted-graph primitive BFS hop
+counting can't express).
+
+Registration order is append-only.
 """
 
 from __future__ import annotations
