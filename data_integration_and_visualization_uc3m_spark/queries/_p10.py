@@ -93,6 +93,10 @@ def _perm_p_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("nation", "day")
         .agg(F.sum("signed_cents").alias("d_cents"))
+        # daily feeds BOTH t_obs and the 64-way permutation arm and
+        # Spark does no CSE across them — unstaged, the order scan +
+        # join + groupBy ran twice (the contrastive/ivf disease).
+        .localCheckpoint()
     )
     tobs = daily.groupBy("nation").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
@@ -204,7 +208,9 @@ def bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     max run over the m-row test relation (m = nation count), never the
     data — correcting a million tests is a million-row window, still
     nothing."""
-    pv = _perm_p_rel(spark, sf_dir)
+    # pv feeds the rank window AND the m-count aggregate — stage it so
+    # the whole permutation pipeline runs once, not twice.
+    pv = _perm_p_rel(spark, sf_dir).localCheckpoint()
     w = Window.orderBy("p_milli", "nation")
     ranked = pv.select(
         "nation", "p_milli",
