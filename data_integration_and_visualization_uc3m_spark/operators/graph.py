@@ -251,6 +251,13 @@ def label_propagation_rounds(
 
     Returns (node, label) after ``rounds`` rounds.
     """
+    # localCheckpoint, NOT persist: the function returns a LAZY plan,
+    # so a persist paired with an end-of-function unpersist is a no-op
+    # by the time the caller executes — the cache entry is gone and
+    # every und reference re-derives the whole upstream edge pipeline
+    # (r12 rescan audit: 42 fact-table scans in the modularity query's
+    # plan). The eager checkpoint materializes the bounded symmetrized
+    # relation once and every round reads the pinned RDD.
     und = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
         .unionByName(
@@ -260,7 +267,7 @@ def label_propagation_rounds(
         )
         .groupBy("u", "v")
         .agg(F.sum("w").cast("long").alias("w"))
-        .persist()
+        .localCheckpoint()
     )
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -284,9 +291,7 @@ def label_propagation_rounds(
             .filter(F.col("rn") == 1)
             .select("node", "label")
         )
-    out = labels
-    und.unpersist()
-    return out
+    return labels
 
 
 def community_modularity_terms(

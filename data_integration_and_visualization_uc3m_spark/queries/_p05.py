@@ -2146,6 +2146,10 @@ def trade_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        # edges feeds LPA's symmetrize AND the modularity annotate —
+        # stage it so the four-table fact pipeline runs once (r12
+        # rescan audit: unstaged, the plan carried 42 scans per table)
+        .localCheckpoint()
     )
     labels = graph.label_propagation_rounds(edges, rounds=2)
     terms = graph.community_modularity_terms(edges, labels)

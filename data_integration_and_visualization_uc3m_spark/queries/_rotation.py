@@ -398,7 +398,17 @@ _LAST_GREEN.update(dict.fromkeys([  # round 11: 45 greens
 #    dir (no more per-run mkdtemp leak); reader re-types
 #    date/timestamp/decimal and rejects untypeable schema types.
 #    Parity exact; plumbing changed → re-pin.
+#  - trade_community_modularity / nation_trade_communities: r12 rescan
+#    audit found label_propagation_rounds' persist was unpersisted
+#    before the returned lazy plan ever executed — a no-op cache, so
+#    every symmetrized-edge reference re-derived the four-table fact
+#    pipeline (42 scans/table in the modularity plan). Now
+#    localCheckpoint (operators/graph.py) + staged edges in the
+#    modularity query. Result-identical (parity exact), plans changed
+#    after their greens → re-pin. 2.43→1.87 s / →1.35 s at sf0.1.
 _PRIORITY: tuple[str, ...] = (
+    "trade_community_modularity",
+    "nation_trade_communities",
     "prefix_cache_hit_report",
     "fs_em_weight_estimation",
     "worst_group_metric_report",
