@@ -678,7 +678,19 @@ def train_codebook(
 
 def _collapse_codebook(codebook: DataFrame) -> DataFrame:
     """k-row codebook → ONE row with a c-sorted array of (c, centroid)
-    structs: the broadcastable form every map-side consumer wants."""
+    structs: the broadcastable form every map-side consumer wants.
+
+    Deliberately NOT staged (measured negative, r12): consumers that
+    reference this from both arms of a pair self-join re-derive the
+    codebook subtree per reference (rescan audit: 12 embeddings scans
+    in semdedup_verdicts' plan), but BOTH staging forms measured
+    slower at sf0.1 — eager localCheckpoint added a scheduled job per
+    collapse (ivfpq 2.79→3.84 s) and lazy persist's cache
+    materialization broke whole-stage pipelining (semdedup
+    2.12→3.11 s). The re-derived subtree is TakeOrdered(k) + one
+    aggregation — cheap next to the corpus-sized assignment passes at
+    every scale, and at 100 TB codebook training would be a separate
+    staged artifact anyway."""
     return codebook.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("c", "centroid"))).alias("_cb")
     )

@@ -1303,9 +1303,13 @@ def markov_event_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_t")
     ).filter(F.col("prev_t").isNotNull())
+    # trans is the BOUNDED k^2 transition matrix but it is consumed by
+    # r, nt and both power steps — unstaged, each reference re-ran the
+    # corpus-wide lag window (r12 rescan audit: 10 events scans in the
+    # plan). Checkpoint pins the k^2 relation once.
     trans = ordered.groupBy(
         F.col("prev_t").alias("from_t"), F.col("event_type").alias("to_t")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     r = trans.groupBy("from_t").agg(F.sum("c").alias("r"))
     nt = trans.agg(F.count_distinct("from_t").alias("n"))
     v1 = r.crossJoin(F.broadcast(nt)).select(

@@ -1906,7 +1906,12 @@ def fs_em_weight_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("d1") == F.col("sd1"), 2).otherwise(0)
             + F.when(F.col("d2") == F.col("sd2"), 1).otherwise(0)
         ).cast("long").alias("k")
-    ).groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ).groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n")) \
+        .localCheckpoint()
+    # ^ the 8-row pattern relation feeds all three chained EM levels;
+    # unstaged, each level re-derived the blocked pair join (r12
+    # rescan audit: 6 customer+supplier scans). The checkpoint is one
+    # 8-row job; the pair join is the corpus-scale part.
 
     params = spark.range(1).select(
         F.lit(100000).cast("long").alias("p"),

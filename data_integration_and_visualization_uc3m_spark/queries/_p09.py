@@ -839,7 +839,11 @@ def label_noise_confident_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     k = langs.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    langs = langs.crossJoin(F.broadcast(k))
+    # langs is the BOUNDED class relation but is consumed three times
+    # (k-count + two broadcast joins in pred) — unstaged, each
+    # reference re-ran the corpus distinct + rank window (r12 rescan
+    # audit: 10 documents scans in the plan). Pin the <=K rows once.
+    langs = langs.crossJoin(F.broadcast(k)).localCheckpoint()
     md = F.md5(F.concat(F.lit("nz:"), F.col("doc_id").cast("string")))
     d = d0.select(
         "doc_id",

@@ -406,9 +406,17 @@ _LAST_GREEN.update(dict.fromkeys([  # round 11: 45 greens
 #    localCheckpoint (operators/graph.py) + staged edges in the
 #    modularity query. Result-identical (parity exact), plans changed
 #    after their greens → re-pin. 2.43→1.87 s / →1.35 s at sf0.1.
+#  - markov_event_stationary: r12 rescan audit — the bounded k^2
+#    transition matrix was re-derived (corpus lag-window per
+#    reference, 10 events scans); now localCheckpoint-staged. fs_em's
+#    8-row pattern relation likewise (6 scans; 2.04→1.72 s);
+#    label_noise's bounded class relation likewise (10→2 scans).
+#    All parity-exact; plans changed → pinned (fs_em/label_noise
+#    already pinned above for the oracle/guard fixes).
 _PRIORITY: tuple[str, ...] = (
     "trade_community_modularity",
     "nation_trade_communities",
+    "markov_event_stationary",
     "prefix_cache_hit_report",
     "fs_em_weight_estimation",
     "worst_group_metric_report",

@@ -64,6 +64,54 @@ EXEMPT: dict[str, str] = {
     "retrieval_ranking_metrics": "truth and scored arms derive "
     "different relations (adjudicated r11 — double vectors + ddot "
     "norms vs int8 codes + integer norms)",
+    # Codebook family — staging the collapsed codebook MEASURED SLOWER
+    # both ways at sf0.1 (BASELINE.md r12 'Codebook staging: a
+    # measured negative'); the re-derived subtree is TakeOrdered(k) +
+    # one aggregation, cheap next to the corpus-sized assignment pass.
+    "semdedup_verdicts": "codebook re-derivation, measured negative",
+    "ivfpq_topk": "coarse+PQ codebook re-derivation, measured negative",
+    "pq_adc_topk": "PQ codebook re-derivation, measured negative",
+    "pq_codes_embeddings": "PQ codebook re-derivation, measured negative",
+    "ivf_topk": "coarse codebook re-derivation, measured negative",
+    "ivf_incremental_assign": "codebook re-derivation, measured negative",
+    # Near-dup pair generators: the repeated document scans are the
+    # (a, b) arms of pair self-joins plus 1-row df-cap broadcasts;
+    # staging the shingle/window fan-out would materialize an
+    # intermediate LARGER than the corpus (round-1 measured rule:
+    # persist lost 30% on single-pass shingle queries — recompute
+    # beats cache for explode fan-outs).
+    "dedup_minhash_lsh": "pair-arm scans; shingle fan-out > corpus",
+    "dedup_ngram_jaccard": "pair-arm scans; shingle fan-out > corpus",
+    "dedup_jaccard_df_capped": "pair arms + 1-row df-cap broadcast",
+    "containment_pairs": "pair-arm scans; shingle fan-out > corpus",
+    "verbatim_window_pairs": "pair arms + df-cap; window fan-out > corpus",
+    "tfidf_cosine_pairs": "pair arms + df-cap + idf relation",
+    "ppjoin_word_set_pairs": "prefix (a,b) arms + verify token arms",
+    "cross_source_ngram_overlap": "per-source-pair arms by design",
+    "split_leakage_audit": "pair arms + split assignment by design",
+    "snm_part_name_pairs": "sorted-neighborhood (a,b) arms",
+    "user_cooccurrence_pairs": "co-visit (a,b) arms",
+    "incremental_dedup_assign": "old-index vs new-batch arms by design",
+    "fs_linkage_score_histogram": "two blocking passes x pair arms "
+    "by design (r10 ask #3 multi-pass blocking)",
+    # Fold/split/version arms: each scan carries a DIFFERENT pushed
+    # filter (year page, split half, snapshot version, period, fold) —
+    # partition pruning makes N filtered scans the intended plan.
+    "union_fold_by_year": "per-year filtered pages by design (A4)",
+    "set_ops_customers": "set-operation arms by design",
+    "funnel_view_click_purchase": "per-stage filtered scans by design",
+    "distinct_rollup_hierarchy": "per-level arms by design",
+    "stl_daily_revenue": "trend/seasonal/residual arms by design",
+    "forecast_backtest_mase": "per-fold cutoff filters by design",
+    "scd2_price_history": "per-version snapshot filters by design",
+    "scd2_point_in_time_join": "per-version snapshot filters by design",
+    "psi_price_drift": "two period filters x bucket/total arms",
+    "conformal_coverage_report": "train/calib/test hash-split arms",
+    "perplexity_buckets": "tercile-bound 1-row + bucket arms",
+    "dsir_selection_report": "target/proposal distribution arms",
+    "source_term_kl": "p/q distribution + support-mass arms",
+    "corpus_bigram_lift": "unigram + bigram relations by design",
+    "corpus_build_e2e": "full pipeline composes mix+dedup+quality arms",
 }
 
 
