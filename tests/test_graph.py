@@ -185,3 +185,54 @@ def test_modularity_single_community_is_zero(spark):
     )
     out = graph.community_modularity_terms(df, labels).collect()
     assert len(out) == 1 and out[0]["contrib_scaled"] == 0
+
+
+def test_lpa_shared_relation_stays_staged(spark):
+    """Regression pin for the r12 no-op-persist bug: label propagation
+    persisted its symmetrized edge relation and unpersisted it BEFORE
+    the returned lazy plan executed, so every reference re-derived the
+    whole upstream pipeline (42 fact scans in the modularity query's
+    plan). With the localCheckpoint fix, a consumer referencing both
+    the LPA labels and the raw edges must carry at most the caller's
+    own scans — the iterative subtree reads a pinned RDD, visible as
+    Scan ExistingRDD and the ABSENCE of repeated source scans."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from data_integration_and_visualization_uc3m_spark.operators import graph
+    from pyspark.sql import functions as F
+
+    from data_integration_and_visualization_uc3m_spark.queries import REGISTRY
+
+    df = REGISTRY["trade_community_modularity"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    # the staged edges + und checkpoints mean the four-table fact
+    # pipeline runs ONCE: its parquet scans must not appear in the
+    # final plan at all (everything downstream reads pinned RDDs).
+    # The no-op-persist regression showed 42 scans PER TABLE here.
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        n = len(re.findall(rf"\(\d+\) Scan parquet[\s\S]{{0,400}}?{t}\.parquet",
+                           plan))
+        assert n <= 1, f"{t}: {n} parquet scans in modularity plan"
+    # result sanity on a tiny literal graph: every touched node gets a
+    # label drawn from the node universe (synchronous LPA can
+    # oscillate on a 2-cycle — 3<->4 here — so community COUNT is not
+    # a stable invariant; determinism and domain are)
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 3), (2, 0, 2), (3, 4, 7)],
+        "src long, dst long, w long",
+    )
+    labels = graph.label_propagation_rounds(edges, rounds=2)
+    rows = {(r.node, r.label) for r in labels.collect()}
+    assert {n for n, _ in rows} == {0, 1, 2, 3, 4}
+    assert {l for _, l in rows} <= {0, 1, 2, 3, 4}
+    rows2 = {(r.node, r.label)
+             for r in graph.label_propagation_rounds(edges, rounds=2)
+             .collect()}
+    assert rows == rows2  # deterministic under re-run
