@@ -436,13 +436,16 @@ def ols_leverage_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wmin = Window.partitionBy("region")
+    # xy is the BOUNDED (region, day) relation but feeds the moment
+    # aggregate AND the diagnostic join — stage it so the fact join
+    # runs once (r12 rescan audit: 4 orders scans unstaged).
     xy = daily.select(
         "region",
         F.col("day_d").cast("string").alias("day"),
         F.datediff(F.col("day_d"), F.min("day_d").over(wmin))
         .cast("long").alias("x"),
         F.col("y_cents").cast("long").alias("y_cents"),
-    )
+    ).localCheckpoint()
     d38 = lambda col: F.col(col).cast(DEC38)  # noqa: E731
     mo = xy.groupBy("region").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1185,6 +1188,72 @@ def raw_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("value_cents"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "parquet_schema_merge_report",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_price,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS priced_revenue
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    ops=["schema-evolution", "parquet-merge-schema", "lake-ops"],
+)
+def parquet_schema_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under the oracle gate — the lake-ops reality
+    that a long-lived table's early files LACK columns added later:
+    batch 1 (even order keys) is written WITHOUT o_totalprice, batch 2
+    (odd keys) WITH it; ``spark.read.option("mergeSchema", true)``
+    reconciles the two footers into one relation where batch-1 rows
+    carry NULL prices. The aggregate counts priced rows and sums only
+    the priced revenue, and the oracle recomputes the same from the
+    original table — a hash match proves the merged read neither
+    drops old-schema rows nor fabricates values for the missing
+    column. Scratch keyed by (session, sf); both writes and the
+    merged scan are distributed columnar I/O."""
+    import os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_mergeschema_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    b1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    b2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b1.repartition(2).write.mode("overwrite").parquet(f"{out}/b1")
+    b2.repartition(2).write.mode("overwrite").parquet(f"{out}/b2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{out}/b1", f"{out}/b2")
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_totalprice").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_with_price"),
+            F.sum(
+                F.coalesce(
+                    F.col("o_totalprice").cast(DEC2),
+                    F.lit(0).cast(DEC2),
+                )
+            ).cast("double").alias("priced_revenue"),
+        )
+        .orderBy("o_orderstatus")
     )
 
 

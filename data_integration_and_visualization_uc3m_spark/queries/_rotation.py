@@ -447,6 +447,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "binary_file_media_ingest",
     "nation_trade_cheapest_route",
     "raw_text_log_parse",
+    "parquet_schema_merge_report",
 )
 
 

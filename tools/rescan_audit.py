@@ -112,6 +112,24 @@ EXEMPT: dict[str, str] = {
     "source_term_kl": "p/q distribution + support-mass arms",
     "corpus_bigram_lift": "unigram + bigram relations by design",
     "corpus_build_e2e": "full pipeline composes mix+dedup+quality arms",
+    # Multi-aggregate-over-one-pruned-scan: several independent
+    # aggregations of the SAME narrow column-pruned scan (each reduces
+    # immediately; the plan is scan-bound either way, and staging
+    # would materialize a corpus-sized projection instead).
+    "t_closeness_report": "5 aggregations over one 2-column scan",
+    "kaplan_meier_user_lifetime": "risk-set/horizon aggs over one scan",
+    "nelson_aalen_hazard": "risk-set/event aggs over one scan",
+    "events_anomaly_mad": "median/MAD/score passes over one scan",
+    "rolling_distinct_users": "per-window distinct arms over one scan",
+    "user_feature_store": "feature aggs + recency anchor over one scan",
+    "quantile_treatment_effect": "count/histogram/select-rank passes "
+    "over one filtered 3-column scan (two-phase nearest-rank design)",
+    "heaps_law_fit": "per_doc + vocab derive the token explode twice; "
+    "staging the fan-out materializes more than the corpus",
+    "upsert_conflict_ignore": "target/source/anti arms by design (K2)",
+    "upsert_replace_orders": "target/source/replace arms by design",
+    "incremental_agg_maintenance": "base/delta/merged views by design",
+    "incremental_join_maintenance": "base/delta views by design",
 }
 
 
