@@ -140,6 +140,10 @@ def triangle_counts(
 
     Returns (node, n_triangles); nodes in no triangle are absent.
     """
+    # localCheckpoint: the bounded (<=|V|^2) distinct-edge relation
+    # feeds all THREE triangle arms (ab, bc, ac) — unstaged, each arm
+    # re-derived the caller's whole upstream fact pipeline (r12 rescan
+    # audit: 3 scans of every base table in nation_trade_triangles).
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
@@ -147,6 +151,7 @@ def triangle_counts(
         )
         .filter(F.col("lo") < F.col("hi"))
         .distinct()
+        .localCheckpoint()
     )
     ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))

@@ -417,6 +417,7 @@ _PRIORITY: tuple[str, ...] = (
     "trade_community_modularity",
     "nation_trade_communities",
     "markov_event_stationary",
+    "nation_trade_triangles",
     "prefix_cache_hit_report",
     "fs_em_weight_estimation",
     "worst_group_metric_report",

@@ -130,6 +130,32 @@ EXEMPT: dict[str, str] = {
     "upsert_replace_orders": "target/source/replace arms by design",
     "incremental_agg_maintenance": "base/delta/merged views by design",
     "incremental_join_maintenance": "base/delta views by design",
+    "supplier_adamic_adar_links": "capped-degree arms pinned to "
+    "SHUFFLE_HASH by the r11 tuning; the cap relation is below the "
+    "pair join by design (plan_audit cap rule)",
+    "dominant_part_suppliers": "share numerator/denominator arms over "
+    "one pruned scan",
+    "feature_information_gain": "per-feature conditional-entropy arms "
+    "by design",
+    "ab_test_cuped": "pre/post-period covariate arms by design",
+    "dr_policy_value_report": "half-split q-model vs eval arms by design",
+    "approx_sketches": "exact vs sketch twin arms by design",
+    "balanced_lang_mix": "per-stratum min + sample arms over one scan",
+    "basket_part_lift": "basket/pair/total arms over one scan",
+    "bm25_topk": "df + tf + corpus-stats aggs over one scan",
+    "corpus_build_v4_e2e": "pipeline composes mix+dedup+quality arms",
+    "corpus_mix_apply": "plan + apply arms by design",
+    "corpus_release_readiness": "readiness checks are independent aggs",
+    "doc_bigram_logprob": "unigram + bigram LM relations by design",
+    "embedding_gram_power": "Gram + Rayleigh arms over one scan",
+    "heavy_hitters_cms": "sketch vs exact twin arms by design",
+    "hybrid_rrf_topk": "BM25 arm + embedding arm fused by design",
+    "important_parts_share": "numerator/denominator arms over one scan",
+    "lang_source_chisq_cells": "cell/margin/total aggs over one scan",
+    "naive_bayes_langid_report": "train-half vs eval-half arms by design",
+    "pps_doc_sample": "weight-total + stride-pick arms over one scan",
+    "strip_boilerplate_tokens": "stoplist + corpus-count + rewrite arms",
+    "tfidf_top_terms": "df + tf + corpus-count aggs over one scan",
 }
 
 
