@@ -9,24 +9,24 @@ from ._p10 import *  # noqa: F401,F403
 # Rotation schedule for the driver's bounded correctness window.
 #
 # The driver's CORRECTNESS gate checks the first N registered queries in
-# `all_queries()` order (N=50 observed in rounds 2-8). To get driver
+# `all_queries()` order (N=50 observed in rounds 2-12). To get driver
 # verdicts onto every query, `all_queries()` emits not-yet-verified
 # queries first (registration order preserved) and already-green ones
 # last, oldest green first; freshly-verified names move into
 # _PRIOR_VERIFIED each round via ``python tools/rotate.py
 # CORRECTNESS_rNN.json`` (which prints these literals — the counts
-# below are generated, not hand-maintained). Round-12 state: 361
-# registered at round start, 356 driver-green (union r2-r11; r11 was
-# 45/50 — the 5 reds were HUGEINT oracle-type leaks, values exact).
-# _PRIORITY carries those 5 fixed-oracle re-pins (fresh verdict
-# required by the pin policy); the rest of the window = round-12
-# additions (_NEW_PARITY_ONLY) + the oldest greens.
+# below are generated, not hand-maintained). Round-13 state: 374
+# registered at round start, 374 driver-green (union r2-r12; r12 was
+# 50/50 — the first fully-green rotation state). No pins pending:
+# _PRIORITY is empty, so the r13 window = round-13 additions
+# (_NEW_PARITY_ONLY) + the oldest greens (r3/r4 vintage first).
 _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "ab_test_cuped", "ab_test_welch", "ann_int8_topk",
     "annotator_agreement_kappa", "anova_order_value_by_segment",
     "anti_join_inactive_customers", "approx_quantile_report",
     "approx_sketches", "asof_last_purchase", "balanced_lang_mix",
     "basket_part_lift", "benford_order_totals", "best_of_n_selection",
+    "bh_fdr_nation_tests", "binary_file_media_ingest",
     "bloom_prefilter_orders", "bm25_topk", "bmp_feature_report",
     "bmp_resize_dhash_clusters", "bpe_encode_stats", "bpe_merge_table",
     "bpe_token_estimate", "bradley_terry_strengths",
@@ -77,22 +77,23 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "feature_hash_embeddings", "feature_information_gain",
     "fingerprint_diff_report", "fk_and_null_audit",
     "flagship_nation_year_rate", "forecast_backtest_mase",
-    "forecast_revenue_change", "fs_linkage_score_histogram",
-    "funnel_view_click_purchase", "fuzzy_name_matching",
-    "fuzzy_part_name_pairs", "gif_header_report", "global_rank_orders",
-    "gopher_quality_rules", "grouping_sets_revenue",
-    "hard_negative_mining", "hash_bootstrap_revenue_ci",
-    "hash_sample_docs", "having_large_volume_orders",
-    "heavy_hitters_cms", "holt_forecast_region_revenue",
-    "hot_key_share_report", "hybrid_rrf_topk", "image_dhash_clusters",
-    "important_parts_share", "incremental_agg_maintenance",
-    "incremental_dedup_assign", "incremental_join_maintenance",
-    "int8_recall_report", "interval_bucket_join",
-    "inverse_scaling_fit_report", "inverted_index_postings",
-    "ips_policy_value_report", "isotonic_calibration_bins",
-    "ivf_incremental_assign", "ivf_nprobe_recall_sweep",
-    "ivf_recall_report", "ivf_topk", "ivfpq_topk",
-    "jaccard_threshold_sweep", "jdbc_roundtrip_report",
+    "forecast_revenue_change", "fs_em_weight_estimation",
+    "fs_linkage_score_histogram", "funnel_view_click_purchase",
+    "fuzzy_name_matching", "fuzzy_part_name_pairs", "gif_header_report",
+    "global_rank_orders", "gopher_quality_rules",
+    "grouping_sets_revenue", "hard_negative_mining",
+    "hash_bootstrap_revenue_ci", "hash_sample_docs",
+    "having_large_volume_orders", "heaps_law_fit", "heavy_hitters_cms",
+    "holt_forecast_region_revenue", "hot_key_share_report",
+    "hybrid_rrf_topk", "image_dhash_clusters", "important_parts_share",
+    "incremental_agg_maintenance", "incremental_dedup_assign",
+    "incremental_join_maintenance", "int8_recall_report",
+    "interval_bucket_join", "inverse_scaling_fit_report",
+    "inverted_index_postings", "ips_policy_value_report",
+    "isotonic_calibration_bins", "ivf_incremental_assign",
+    "ivf_nprobe_recall_sweep", "ivf_recall_report", "ivf_topk",
+    "ivfpq_topk", "jaccard_threshold_sweep", "jackknife_ratio_ci",
+    "jdbc_roundtrip_report", "join_size_estimate_report",
     "jpeg_sof_report", "json_corrupt_record_audit",
     "json_props_extract", "jsonl_roundtrip_report",
     "k_anonymity_report", "kaplan_meier_user_lifetime",
@@ -112,46 +113,51 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "naive_bayes_langid_report", "nation_market_share",
     "nation_pair_volume", "nation_price_qty_corr",
     "nation_revenue_cusum", "nation_revenue_trend",
-    "nation_trade_bfs_hops", "nation_trade_communities",
-    "nation_trade_k_core", "nation_trade_pagerank",
-    "nation_trade_triangles", "nation_value_share",
-    "nation_year_profit", "nelson_aalen_hazard",
+    "nation_trade_bfs_hops", "nation_trade_cheapest_route",
+    "nation_trade_communities", "nation_trade_k_core",
+    "nation_trade_pagerank", "nation_trade_triangles",
+    "nation_value_share", "nation_year_profit", "nelson_aalen_hazard",
     "not_exists_rich_inactive", "ntile_customer_quartiles",
+    "ols_leverage_outliers", "orc_roundtrip_report",
     "order_gaps_lead_lag", "order_total_reconciliation",
     "order_window_overlap", "orders_above_customer_avg",
     "orders_equidepth_deciles", "orders_seasonality_yoy",
     "outer_join_order_counts", "pack_payloads_per_seq",
     "pack_sequences", "pack_stats_per_lang", "packing_length_sweep",
-    "partitioned_warehouse_prune", "parts_supplier_breadth",
+    "parquet_schema_merge_report", "partitioned_warehouse_prune",
+    "parts_supplier_breadth", "permutation_test_nation_revenue",
     "perplexity_buckets", "pii_redaction_report", "pivot_event_matrix",
     "png_header_report", "ppjoin_word_set_pairs", "ppm_feature_report",
     "pps_doc_sample", "pq_adc_topk", "pq_codes_embeddings",
-    "pq_recall_report", "preference_pair_audit", "pricing_summary",
+    "pq_recall_report", "preference_pair_audit",
+    "prefix_cache_hit_report", "pricing_summary",
     "priority_lines_matrix", "promo_revenue_share",
     "props_variant_histogram", "psi_price_drift",
     "pyds_reader_roundtrip_e2e", "quality_classifier_filter",
     "quality_quantile_align", "quality_weighted_sample",
-    "quantiles_order_value", "quota_sample_per_lang",
-    "range_violations", "readability_report", "region_revenue",
-    "region_revenue_quad_trend", "retrieval_ranking_metrics",
-    "returned_item_customers", "revenue_gini_by_nation",
-    "roc_auc_length_vs_dup", "rolling_corr_nation_global",
-    "rolling_distinct_users", "rolling_median_daily_revenue",
-    "rollup_region_nation", "rounding_contract", "salted_event_totals",
-    "salted_join_user_enrichment", "scattergeo_trace_specs",
-    "scd2_point_in_time_join", "scd2_price_history",
-    "schema_evolution_union", "self_join_blowup_events",
-    "semantic_packing_order_report", "semdedup_verdicts",
-    "semi_join_active_customers", "session_gap_sensitivity",
-    "session_pattern_match", "sessionize_events", "set_ops_customers",
-    "shipping_delay_profile", "shipping_priority", "simhash_near_pairs",
-    "simhash_signatures", "skyline_customers", "small_quantity_orders",
-    "snm_part_name_pairs", "source_frequency_cap",
-    "source_lang_simpson", "source_loo_value_report",
-    "source_mix_report", "source_term_kl", "spatial_grid_nn",
-    "spearman_price_qty_by_nation", "split_leakage_audit",
-    "sprt_conversion_monitor", "sql_api_revenue_rank",
-    "stl_daily_revenue", "stratified_lang_sample",
+    "quantile_treatment_effect", "quantiles_order_value",
+    "quota_sample_per_lang", "range_violations", "raw_text_log_parse",
+    "readability_report", "region_revenue", "region_revenue_quad_trend",
+    "retrieval_ranking_metrics", "returned_item_customers",
+    "revenue_gini_by_nation", "roc_auc_length_vs_dup",
+    "rolling_corr_nation_global", "rolling_distinct_users",
+    "rolling_median_daily_revenue", "rollup_region_nation",
+    "rounding_contract", "salted_event_totals",
+    "salted_join_user_enrichment", "sample_scaling_curve_report",
+    "scattergeo_trace_specs", "scd2_point_in_time_join",
+    "scd2_price_history", "schema_evolution_union",
+    "self_join_blowup_events", "semantic_packing_order_report",
+    "semdedup_verdicts", "semi_join_active_customers",
+    "session_gap_sensitivity", "session_pattern_match",
+    "sessionize_events", "set_ops_customers", "shipping_delay_profile",
+    "shipping_priority", "simhash_near_pairs", "simhash_signatures",
+    "skyline_customers", "small_quantity_orders", "snm_part_name_pairs",
+    "source_frequency_cap", "source_lang_simpson",
+    "source_loo_value_report", "source_mix_report", "source_term_kl",
+    "spatial_grid_nn", "spearman_price_qty_by_nation",
+    "split_leakage_audit", "sprt_conversion_monitor",
+    "sql_api_revenue_rank", "srm_check_report", "stl_daily_revenue",
+    "stratified_lang_sample", "stratified_uplift_report",
     "streaming_attribution_e2e", "streaming_batch_parity_e2e",
     "streaming_curate_e2e", "streaming_dedup_e2e",
     "streaming_enrich_e2e", "streaming_lsh_dedup_e2e",
@@ -180,29 +186,19 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "webdataset_shard_index", "weekly_retention_cohorts",
     "weighted_priority_sample", "wilcoxon_signed_rank_purchase_vs_view",
     "window_running_total", "winsorized_event_stats",
-    "zone_map_skipping_report", "zorder_clustering_report"
+    "worst_group_metric_report", "zone_map_skipping_report",
+    "zorder_clustering_report"
 })
 
 
+
 _LAST_GREEN: dict[str, int] = {}
-_LAST_GREEN.update(dict.fromkeys([  # round 3: 36 greens
-    "ann_int8_topk", "bpe_token_estimate", "cdc_order_changes",
-    "dedup_embedding_cosine", "dedup_jaccard_df_capped",
-    "disjunctive_pushdown_revenue", "doc_repetition_stats",
-    "events_sliding_windows", "exists_late_shipments",
-    "grouping_sets_revenue", "hash_sample_docs",
-    "having_large_volume_orders", "json_props_extract",
-    "label_centroids", "multimodal_binary_meta",
-    "multimodal_frame_sample", "nation_market_share",
-    "nation_pair_volume", "nation_value_share",
-    "ntile_customer_quartiles", "orders_above_customer_avg",
-    "outer_join_order_counts", "pack_sequences", "pack_stats_per_lang",
-    "priority_lines_matrix", "promo_revenue_share",
-    "quota_sample_per_lang", "returned_item_customers",
-    "simhash_near_pairs", "stratified_lang_sample",
+_LAST_GREEN.update(dict.fromkeys([  # round 3: 13 greens
+    "ann_int8_topk", "dedup_jaccard_df_capped", "nation_market_share",
+    "nation_pair_volume", "pack_sequences", "pack_stats_per_lang",
+    "returned_item_customers", "simhash_near_pairs",
     "streaming_attribution_e2e", "streaming_stateful_totals_e2e",
-    "tfidf_top_terms", "top_revenue_supplier", "train_holdout_split",
-    "user_journey_prefixes"
+    "tfidf_top_terms", "top_revenue_supplier", "user_journey_prefixes"
 ], 3))
 _LAST_GREEN.update(dict.fromkeys([  # round 4: 41 greens
     "column_profile_lineitem", "containment_pairs",
@@ -226,7 +222,7 @@ _LAST_GREEN.update(dict.fromkeys([  # round 4: 41 greens
     "training_shuffle_order", "unpivot_event_matrix",
     "user_inactivity_gaps", "weekly_retention_cohorts"
 ], 4))
-_LAST_GREEN.update(dict.fromkeys([  # round 5: 50 greens
+_LAST_GREEN.update(dict.fromkeys([  # round 5: 49 greens
     "anti_join_inactive_customers", "balanced_lang_mix",
     "bloom_prefilter_orders", "bucketed_colocated_revenue",
     "chunk_dup_profile", "consistent_user_sample", "corpus_bigram_lift",
@@ -241,18 +237,17 @@ _LAST_GREEN.update(dict.fromkeys([  # round 5: 50 greens
     "inverted_index_postings", "lang_source_chisq_cells",
     "length_bucketed_batching", "nation_price_qty_corr",
     "nation_revenue_trend", "nation_trade_pagerank",
-    "nation_trade_triangles", "nation_year_profit",
-    "not_exists_rich_inactive", "partitioned_warehouse_prune",
-    "props_variant_histogram", "quality_quantile_align",
-    "revenue_gini_by_nation", "rolling_distinct_users",
-    "rolling_median_daily_revenue", "salted_join_user_enrichment",
-    "scd2_point_in_time_join", "schema_evolution_union",
-    "streaming_batch_parity_e2e", "streaming_lsh_dedup_e2e",
-    "upsert_conflict_ignore", "upsert_replace_orders",
-    "upsert_time_travel", "upsert_version_diff",
-    "winsorized_event_stats"
+    "nation_year_profit", "not_exists_rich_inactive",
+    "partitioned_warehouse_prune", "props_variant_histogram",
+    "quality_quantile_align", "revenue_gini_by_nation",
+    "rolling_distinct_users", "rolling_median_daily_revenue",
+    "salted_join_user_enrichment", "scd2_point_in_time_join",
+    "schema_evolution_union", "streaming_batch_parity_e2e",
+    "streaming_lsh_dedup_e2e", "upsert_conflict_ignore",
+    "upsert_replace_orders", "upsert_time_travel",
+    "upsert_version_diff", "winsorized_event_stats"
 ], 5))
-_LAST_GREEN.update(dict.fromkeys([  # round 6: 44 greens
+_LAST_GREEN.update(dict.fromkeys([  # round 6: 43 greens
     "basket_part_lift", "bpe_encode_stats", "bpe_merge_table",
     "canonical_part_names", "corpus_release_readiness",
     "cube_orders_status_year", "curriculum_order_docs", "cv_fold_stats",
@@ -262,40 +257,37 @@ _LAST_GREEN.update(dict.fromkeys([  # round 6: 44 greens
     "fd_discovery_audit", "feature_information_gain",
     "fuzzy_part_name_pairs", "hard_negative_mining",
     "jsonl_roundtrip_report", "k_anonymity_report",
-    "markov_event_stationary", "median_imputation_report",
-    "merge_orders_full", "multiformat_join_report",
-    "perplexity_buckets", "quality_classifier_filter",
-    "self_join_blowup_events", "session_gap_sensitivity",
-    "source_frequency_cap", "source_term_kl", "split_leakage_audit",
-    "stl_daily_revenue", "streaming_curate_e2e", "streaming_enrich_e2e",
-    "strip_boilerplate_tokens", "table_fingerprint_orders",
-    "tokenizer_fertility_by_lang", "upsert_delete_keys",
-    "upsert_history_report", "user_cooccurrence_pairs",
-    "verbatim_window_pairs", "vocab_coverage_report",
-    "zorder_clustering_report"
+    "median_imputation_report", "merge_orders_full",
+    "multiformat_join_report", "perplexity_buckets",
+    "quality_classifier_filter", "self_join_blowup_events",
+    "session_gap_sensitivity", "source_frequency_cap", "source_term_kl",
+    "split_leakage_audit", "stl_daily_revenue", "streaming_curate_e2e",
+    "streaming_enrich_e2e", "strip_boilerplate_tokens",
+    "table_fingerprint_orders", "tokenizer_fertility_by_lang",
+    "upsert_delete_keys", "upsert_history_report",
+    "user_cooccurrence_pairs", "verbatim_window_pairs",
+    "vocab_coverage_report", "zorder_clustering_report"
 ], 6))
-_LAST_GREEN.update(dict.fromkeys([  # round 8: 49 greens
+_LAST_GREEN.update(dict.fromkeys([  # round 8: 46 greens
     "ab_test_cuped", "ab_test_welch", "anova_order_value_by_segment",
     "approx_quantile_report", "benford_order_totals", "bm25_topk",
     "cohort_ltv_curve", "column_histogram_orders",
-    "contrastive_pairs_dataset", "corpus_build_v2_e2e",
-    "country_alias_normalize", "distinct_rollup_hierarchy",
-    "dsir_selection_report", "embedding_cosine_topk",
-    "embedding_coverage_audit", "event_trigram_patterns",
-    "fingerprint_diff_report", "global_rank_orders",
-    "int8_recall_report", "ivf_recall_report", "ivf_topk",
-    "jdbc_roundtrip_report", "kaplan_meier_user_lifetime",
+    "corpus_build_v2_e2e", "country_alias_normalize",
+    "distinct_rollup_hierarchy", "dsir_selection_report",
+    "embedding_cosine_topk", "embedding_coverage_audit",
+    "event_trigram_patterns", "fingerprint_diff_report",
+    "global_rank_orders", "int8_recall_report", "ivf_recall_report",
+    "ivf_topk", "jdbc_roundtrip_report", "kaplan_meier_user_lifetime",
     "ks_chars_by_lang", "late_arrival_audit", "lineitem_corr_matrix",
     "multimodal_shard_plan", "nation_revenue_cusum",
-    "nation_trade_communities", "nation_trade_k_core",
-    "order_total_reconciliation", "order_window_overlap",
-    "orders_equidepth_deciles", "pps_doc_sample", "pq_adc_topk",
-    "pq_codes_embeddings", "pq_recall_report", "psi_price_drift",
-    "region_revenue_quad_trend", "rolling_corr_nation_global",
-    "semdedup_verdicts", "session_pattern_match", "snm_part_name_pairs",
-    "spatial_grid_nn", "synthetic_sku_profile",
-    "temperature_mixing_plan", "tfidf_cosine_pairs",
-    "trade_community_modularity", "user_feature_store"
+    "nation_trade_k_core", "order_total_reconciliation",
+    "order_window_overlap", "orders_equidepth_deciles",
+    "pps_doc_sample", "pq_adc_topk", "pq_codes_embeddings",
+    "pq_recall_report", "psi_price_drift", "region_revenue_quad_trend",
+    "rolling_corr_nation_global", "semdedup_verdicts",
+    "session_pattern_match", "snm_part_name_pairs", "spatial_grid_nn",
+    "synthetic_sku_profile", "temperature_mixing_plan",
+    "tfidf_cosine_pairs", "user_feature_store"
 ], 8))
 _LAST_GREEN.update(dict.fromkeys([  # round 9: 45 greens
     "brier_calibration_report", "cdc_chunk_dedup_histogram",
@@ -340,115 +332,69 @@ _LAST_GREEN.update(dict.fromkeys([  # round 10: 46 greens
     "union_fold_by_year", "viz_hover_points", "wav_autocorr_report",
     "window_running_total"
 ], 10))
-_LAST_GREEN.update(dict.fromkeys([  # round 11: 45 greens
+_LAST_GREEN.update(dict.fromkeys([  # round 11: 41 greens
     "annotator_agreement_kappa", "approx_sketches",
-    "best_of_n_selection", "bradley_terry_strengths",
-    "changepoint_revenue_report", "cleaning_corners",
-    "conformal_coverage_report", "cube_status_priority",
-    "deletion_propagation_audit", "doc_winnowing",
-    "dr_policy_value_report", "eb_shrunk_source_quality",
-    "ece_calibration_report", "events_zscore_outliers",
-    "fs_linkage_score_histogram", "hash_bootstrap_revenue_ci",
-    "interval_bucket_join", "inverse_scaling_fit_report",
-    "ips_policy_value_report", "isotonic_calibration_bins",
-    "krippendorff_alpha_report", "label_noise_confident_report",
+    "best_of_n_selection", "changepoint_revenue_report",
+    "cleaning_corners", "conformal_coverage_report",
+    "cube_status_priority", "deletion_propagation_audit",
+    "doc_winnowing", "dr_policy_value_report",
+    "eb_shrunk_source_quality", "ece_calibration_report",
+    "events_zscore_outliers", "fs_linkage_score_histogram",
+    "hash_bootstrap_revenue_ci", "interval_bucket_join",
+    "inverse_scaling_fit_report", "ips_policy_value_report",
+    "isotonic_calibration_bins", "krippendorff_alpha_report",
     "merkle_partition_proof", "mmr_diverse_topk", "mulaw_codec_report",
     "naive_bayes_langid_report", "nation_trade_bfs_hops",
-    "nelson_aalen_hazard", "ppjoin_word_set_pairs",
-    "ppm_feature_report", "pyds_reader_roundtrip_e2e",
-    "scd2_price_history", "set_ops_customers", "skyline_customers",
-    "source_loo_value_report", "sprt_conversion_monitor",
-    "sql_api_revenue_rank", "streaming_dedup_e2e",
-    "streaming_pyds_sink_e2e", "supplier_adamic_adar_links",
-    "t_closeness_report", "uncertainty_sampling_batch",
-    "wav_vad_segments_report", "webdataset_shard_index",
-    "weighted_priority_sample"
+    "nelson_aalen_hazard", "ppm_feature_report", "scd2_price_history",
+    "set_ops_customers", "skyline_customers", "source_loo_value_report",
+    "sprt_conversion_monitor", "sql_api_revenue_rank",
+    "streaming_dedup_e2e", "streaming_pyds_sink_e2e",
+    "supplier_adamic_adar_links", "t_closeness_report",
+    "uncertainty_sampling_batch", "wav_vad_segments_report",
+    "webdataset_shard_index", "weighted_priority_sample"
 ], 11))
+_LAST_GREEN.update(dict.fromkeys([  # round 12: 50 greens
+    "bh_fdr_nation_tests", "binary_file_media_ingest",
+    "bpe_token_estimate", "bradley_terry_strengths",
+    "cdc_order_changes", "contrastive_pairs_dataset",
+    "dedup_embedding_cosine", "disjunctive_pushdown_revenue",
+    "doc_repetition_stats", "events_sliding_windows",
+    "exists_late_shipments", "fs_em_weight_estimation",
+    "grouping_sets_revenue", "hash_sample_docs",
+    "having_large_volume_orders", "heaps_law_fit", "jackknife_ratio_ci",
+    "join_size_estimate_report", "json_props_extract",
+    "label_centroids", "label_noise_confident_report",
+    "markov_event_stationary", "multimodal_binary_meta",
+    "multimodal_frame_sample", "nation_trade_cheapest_route",
+    "nation_trade_communities", "nation_trade_triangles",
+    "nation_value_share", "ntile_customer_quartiles",
+    "ols_leverage_outliers", "orc_roundtrip_report",
+    "orders_above_customer_avg", "outer_join_order_counts",
+    "parquet_schema_merge_report", "permutation_test_nation_revenue",
+    "ppjoin_word_set_pairs", "prefix_cache_hit_report",
+    "priority_lines_matrix", "promo_revenue_share",
+    "pyds_reader_roundtrip_e2e", "quantile_treatment_effect",
+    "quota_sample_per_lang", "raw_text_log_parse",
+    "sample_scaling_curve_report", "srm_check_report",
+    "stratified_lang_sample", "stratified_uplift_report",
+    "trade_community_modularity", "train_holdout_split",
+    "worst_group_metric_report"
+], 12))
 
 
 # Queries whose implementation changed this round AFTER their last
 # driver verdict — pinned to the front of the window so the stale green
 # is replaced. Pins must be backed by an actual diff to the named
-# query's plan or oracle. Round 12:
-#  - The five r11 reds (VERDICT r11 "What's wrong" #1): their DuckDB
-#    oracles left final columns un-CAST, which DuckDB promotes to
-#    HUGEINT (int128) from `//` division and SUM(BIGINT); the driver
-#    hashes the oracle-side representation, so they hash-mismatched
-#    Spark's int64 despite value-exact results (parity re-verified
-#    exact at sf0.01 after the fix). Oracle text only — Spark plans
-#    untouched. CAST(... AS BIGINT) added per column; the new
-#    bind-only registry guard (tests/test_registry.py) and the
-#    type-strict parity check (tools/parity.py) keep the class out.
-#  - ppjoin_word_set_pairs: VERDICT r11 ask #4 — candidate
-#    ``distinct()`` replaced with first-shared-prefix-token emission
-#    + PPJoin positional filter (operators/dedup.py). Result-identical
-#    (hypothesis property test + parity exact at sf0.01), plan changed
-#    after its r11 green → re-pin. Bench 4.91 → ~2.9 s at sf0.1.
-#  - contrastive_pairs_dataset: r11 watch-item attribution (BASELINE.md)
-#    found the no-CSE-across-unions disease — `pos` derived twice; now
-#    localCheckpoint-staged (2.71 → 1.81 s median, rows identical).
-#    Plan changed after its green → re-pin.
-#  - bradley_terry_strengths: ADVICE r11 — pico terms + MM denominator
-#    now DECIMAL(38,0) (silent int64 wrap past ~9.2e6 games/pair).
-#    Parity exact at sf0.01; plan changed → re-pin.
-#  - label_noise_confident_report: ADVICE r11 — k>1 guard on the noise
-#    rotation (Spark NULL vs DuckDB error on single-class corpora).
-#    Parity exact; plan changed → re-pin.
-#  - pyds_reader_roundtrip_e2e: ADVICE r11 — stable per-session scratch
-#    dir (no more per-run mkdtemp leak); reader re-types
-#    date/timestamp/decimal and rejects untypeable schema types.
-#    Parity exact; plumbing changed → re-pin.
-#  - trade_community_modularity / nation_trade_communities: r12 rescan
-#    audit found label_propagation_rounds' persist was unpersisted
-#    before the returned lazy plan ever executed — a no-op cache, so
-#    every symmetrized-edge reference re-derived the four-table fact
-#    pipeline (42 scans/table in the modularity plan). Now
-#    localCheckpoint (operators/graph.py) + staged edges in the
-#    modularity query. Result-identical (parity exact), plans changed
-#    after their greens → re-pin. 2.43→1.87 s / →1.35 s at sf0.1.
-#  - markov_event_stationary: r12 rescan audit — the bounded k^2
-#    transition matrix was re-derived (corpus lag-window per
-#    reference, 10 events scans); now localCheckpoint-staged. fs_em's
-#    8-row pattern relation likewise (6 scans; 2.04→1.72 s);
-#    label_noise's bounded class relation likewise (10→2 scans).
-#    All parity-exact; plans changed → pinned (fs_em/label_noise
-#    already pinned above for the oracle/guard fixes).
-_PRIORITY: tuple[str, ...] = (
-    "trade_community_modularity",
-    "nation_trade_communities",
-    "markov_event_stationary",
-    "nation_trade_triangles",
-    "prefix_cache_hit_report",
-    "fs_em_weight_estimation",
-    "worst_group_metric_report",
-    "sample_scaling_curve_report",
-    "jackknife_ratio_ci",
-    "ppjoin_word_set_pairs",
-    "contrastive_pairs_dataset",
-    "bradley_terry_strengths",
-    "label_noise_confident_report",
-    "pyds_reader_roundtrip_e2e",
-)
+# query's plan or oracle. Round 13: none pending — r12 closed fully
+# green (50/50) and every prior pin was verified.
+_PRIORITY: tuple[str, ...] = ()
 
 
 # Queries ADDED this round (construction parity evidence only). They
 # queue BEHIND the pending-verdict block so they can't push a
-# longer-waiting query out of the window. Round 12 additions are
+# longer-waiting query out of the window. Round 13 additions are
 # appended here as they land.
 _NEW_PARITY_ONLY: tuple[str, ...] = (
-    "permutation_test_nation_revenue",
-    "bh_fdr_nation_tests",
-    "srm_check_report",
-    "ols_leverage_outliers",
-    "quantile_treatment_effect",
-    "heaps_law_fit",
-    "orc_roundtrip_report",
-    "join_size_estimate_report",
-    "stratified_uplift_report",
-    "binary_file_media_ingest",
-    "nation_trade_cheapest_route",
-    "raw_text_log_parse",
-    "parquet_schema_merge_report",
 )
 
 
