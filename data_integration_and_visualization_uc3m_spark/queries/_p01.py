@@ -709,13 +709,12 @@ def streaming_batch_parity_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs. The oracle is the plain batch SQL over raw events: stream
     delivery + per-batch upsert must be contents-preserving (event_id
     is the natural key), so both sides hash-match exactly."""
-    import tempfile
 
     from ..operators.upsert import read_upsert_parquet
     from ..streaming.events import hourly_agg, run_stream_foreach_batch_upsert
 
     e = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="sg_stream_e2e_")
+    work = scratch_dir("stream_e2e", sf_dir, clean=True)
     src = f"{work}/src"
     e.repartition(4).write.mode("overwrite").parquet(src)
     run_stream_foreach_batch_upsert(
@@ -745,12 +744,11 @@ def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain hourly SQL over the SINGLE-copy events table — it only
     hash-matches if the streaming dedup removed every redelivered
     duplicate and nothing else."""
-    import tempfile
 
     from ..streaming.events import hourly_agg, run_stream_dedup_to_parquet
 
     e = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="sg_stream_dedup_")
+    work = scratch_dir("stream_dedup", sf_dir, clean=True)
     src = f"{work}/src"
     e.repartition(3).write.mode("overwrite").parquet(src)
     e.repartition(3).write.mode("append").parquet(src)  # redelivery: 2nd copy
@@ -1542,13 +1540,12 @@ def streaming_lsh_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
     import time as _time
 
     from ..streaming.docs import read_survivors, run_stream_lsh_dedup
 
     d = _t(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="sg_stream_lsh_")
+    work = scratch_dir("stream_lsh", sf_dir, clean=True)
     src = f"{work}/src"
     os.makedirs(src)
     base = _time.time()

@@ -244,12 +244,11 @@ def partitioned_warehouse_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     year directory (PartitionFilters in the plan, zero row-group reads
     elsewhere), then aggregated. The oracle is the plain SQL over raw
     orders — layout must not change results."""
-    import tempfile
 
     from ..sinks.writers import write_parquet_snapshot
 
     o = _t(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="sg_warehouse_")
+    work = scratch_dir("warehouse", sf_dir, clean=True)
     path = f"{work}/orders_by_year"
     write_parquet_snapshot(
         o.withColumn("order_year", F.year("o_orderdate")),
@@ -650,12 +649,11 @@ def upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots are immutable and remain readable after later commits —
     the Delta/Iceberg-style guarantee, no jars."""
     import os
-    import tempfile
 
     from ..operators.upsert import write_upsert_parquet
 
     o = _t(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="sg_timetravel_")
+    root = scratch_dir("timetravel", sf_dir, clean=True)
     v1 = write_upsert_parquet(
         root, o.filter(F.col("o_orderkey") % 3 == 0), ["o_orderkey"]
     )
@@ -761,13 +759,12 @@ def streaming_stateful_totals_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
     raw events. Fixed-point state (floor(value·1e6) int64) makes the
     Python accumulation order-independent — the determinism convention
     applied inside the state store."""
-    import tempfile
 
     from ..operators.upsert import read_upsert_parquet
     from ..streaming.events import run_stream_stateful_totals
 
     e = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="sg_stream_state_")
+    work = scratch_dir("stream_state", sf_dir, clean=True)
     src = f"{work}/src"
     e.repartition(4).write.mode("overwrite").parquet(src)
     run_stream_stateful_totals(spark, src, f"{work}/target", f"{work}/ckpt")
@@ -806,12 +803,11 @@ def streaming_attribution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked (real state-store join, matches found across
     micro-batches), matches appended to parquet, then aggregated.
     Hash-matches the batch SQL interval self-join exactly."""
-    import tempfile
 
     from ..streaming.events import run_stream_attribution_to_parquet
 
     e = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="sg_stream_attr_")
+    work = scratch_dir("stream_attr", sf_dir, clean=True)
     src = f"{work}/src"
     e.repartition(4).write.mode("overwrite").parquet(src)
     run_stream_attribution_to_parquet(
@@ -1545,12 +1541,11 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back as one table via mergeSchema — old-batch rows surface
     NULL for the added column, aggregates treat them as missing. The
     lakehouse column-add migration, no table rewrite."""
-    import tempfile
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    root = tempfile.mkdtemp(prefix="sg_schema_evo_")
+    root = scratch_dir("schema_evo", sf_dir, clean=True)
     o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_orderstatus"
     ).write.mode("overwrite").parquet(f"{root}/batch=1")
@@ -1848,12 +1843,11 @@ def bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness gate end-to-end). Written as external tables under a
     temp path with run-unique names; the merge hint keeps the tiny test
     scale from broadcasting away the thing being demonstrated."""
-    import tempfile
     import uuid as _uuid
 
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    wh = tempfile.mkdtemp(prefix="sg_bucketed_")
+    wh = scratch_dir("bucketed", sf_dir, clean=True)
     sfx = _uuid.uuid4().hex[:8]
     t_l, t_o = f"sg_bkt_lineitem_{sfx}", f"sg_bkt_orders_{sfx}"
     (

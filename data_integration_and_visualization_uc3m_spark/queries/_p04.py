@@ -476,12 +476,11 @@ def upsert_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes both versions' contents relationally from the base
     table. (No 'removed' rows by construction: upsert never deletes.)"""
     import os
-    import tempfile
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    root = tempfile.mkdtemp(prefix="sg_vdiff_")
+    root = scratch_dir("vdiff", sf_dir, clean=True)
     v1 = upsert.write_upsert_parquet(
         root, o.filter(F.col("o_orderkey") % 2 == 0), ["o_orderkey"]
     )
@@ -873,7 +872,6 @@ def multiformat_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes from the base tables, so the hash-match proves the ORC
     and CSV read paths are value-faithful end to end (including CSV's
     schema-declared typed re-read), not just non-crashing."""
-    import tempfile
 
     from ..sinks.writers import write_orc_snapshot
     from ..sources.readers import read_csv, read_orc
@@ -881,7 +879,7 @@ def multiformat_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    root = tempfile.mkdtemp(prefix="sg_multifmt_")
+    root = scratch_dir("multifmt", sf_dir, clean=True)
     write_orc_snapshot(c, f"{root}/customer_orc")
     n.write.mode("overwrite").csv(f"{root}/nation_csv", header=True)
     c_orc = read_orc(spark, f"{root}/customer_orc")
@@ -929,7 +927,6 @@ def streaming_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the exactly-once parquet file sink, and aggregated. The
     oracle is the plain batch join: stream delivery must be
     contents-preserving."""
-    import tempfile
 
     from ..streaming.events import run_stream_enrich_to_parquet
 
@@ -939,7 +936,7 @@ def streaming_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.lit(1))
         .select("user_id", (F.col("user_id") % 10).alias("user_bucket"))
     )
-    work = tempfile.mkdtemp(prefix="sg_enrich_e2e_")
+    work = scratch_dir("enrich_e2e", sf_dir, clean=True)
     src = f"{work}/src"
     e.repartition(4).write.mode("overwrite").parquet(src)
     run_stream_enrich_to_parquet(
@@ -1363,12 +1360,11 @@ def upsert_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     version intact (its count feeds n_before — deletion must not
     mutate history; `vacuum` is what eventually forgets)."""
     import os as _os
-    import tempfile
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    root = tempfile.mkdtemp(prefix="sg_delete_")
+    root = scratch_dir("delete", sf_dir, clean=True)
     v1 = upsert.write_upsert_parquet(
         root, o.filter(F.col("o_orderkey") % 2 == 0), ["o_orderkey"]
     )
@@ -1640,12 +1636,11 @@ def upsert_history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest commit log. The oracle recomputes the three states
     relationally, proving the history is faithful (each listed version
     remains time-travel-readable until vacuum retires it)."""
-    import tempfile
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    root = tempfile.mkdtemp(prefix="sg_hist_")
+    root = scratch_dir("hist", sf_dir, clean=True)
     upsert.write_upsert_parquet(
         root, o.filter(F.col("o_orderkey") % 2 == 0), ["o_orderkey"]
     )
@@ -1693,7 +1688,6 @@ def export_manifest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     in table_fingerprint_orders). The oracle recomputes the manifest
     from the base table, so a hash-match proves the partitioned write
     + read round trip is content-faithful shard by shard."""
-    import tempfile
 
     from ..operators.sampling import hash_bucket
 
@@ -1703,7 +1697,7 @@ def export_manifest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (hash_bucket(F.col("doc_id"), seed="exp") % 8).alias("shard"),
     )
-    out = tempfile.mkdtemp(prefix="sg_export_") + "/corpus"
+    out = scratch_dir("export", sf_dir, clean=True) + "/corpus"
     sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
     back = spark.read.parquet(out)
     rh = F.conv(
@@ -2543,12 +2537,11 @@ def streaming_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet file sink; the oracle replays the same deterministic
     predicates in batch. No state store anywhere — curation at ingest
     is pure map-side work per micro-batch."""
-    import tempfile
 
     from ..streaming.docs import run_stream_curate_to_parquet
 
     d = _t(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="sg_curate_e2e_")
+    work = scratch_dir("curate_e2e", sf_dir, clean=True)
     src = f"{work}/src"
     d.repartition(4).write.mode("overwrite").parquet(src)
     run_stream_curate_to_parquet(

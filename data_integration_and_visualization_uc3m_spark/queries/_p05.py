@@ -217,14 +217,13 @@ def jsonl_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet original, down to min/max epoch-microseconds. The
     oracle reads the ORIGINAL table, so any truncation or tz shift in
     the roundtrip fails the hash."""
-    import tempfile
 
     from ..schemas import TESTDATA
     from ..sinks.writers import write_jsonl
     from ..sources.readers import read_jsonl
 
     e = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="sg_jsonl_")
+    work = scratch_dir("jsonl", sf_dir, clean=True)
     write_jsonl(e, f"{work}/events_jsonl")
     back = read_jsonl(spark, f"{work}/events_jsonl", TESTDATA["events"])
     return back.groupBy("event_type").agg(

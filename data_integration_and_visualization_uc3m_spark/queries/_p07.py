@@ -1348,12 +1348,11 @@ def streaming_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     read re-aggregates emitted sessions per user and drops the
     sentinel."""
     import datetime as dt
-    import tempfile
 
     from ..streaming.events import run_stream_sessionized_to_parquet
 
     e = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="sg_stream_sess_")
+    work = scratch_dir("stream_sess", sf_dir, clean=True)
     src = f"{work}/src"
     e.repartition(3).write.mode("overwrite").parquet(src)
     bounds = e.agg(

@@ -2291,7 +2291,6 @@ def streaming_pyds_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     than asserted. Values rehydrate from the sink's JSON (strings) via
     the exact-cents decimal path."""
     import os as _os
-    import tempfile
 
     from ..sinks.pyds_writer import (
         read_stream_manifests,
@@ -2300,7 +2299,7 @@ def streaming_pyds_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_jsonl_dir(spark)
     e = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="sg_pyds_sink_")
+    work = scratch_dir("pyds_sink", sf_dir, clean=True)
     src_dir = f"{work}/src"
     out = f"{work}/out"
     e.repartition(4).write.mode("overwrite").parquet(src_dir)

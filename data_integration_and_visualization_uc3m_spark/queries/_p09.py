@@ -2136,23 +2136,19 @@ def pyds_reader_roundtrip_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream write, batch write, and now manifest-honoring batch
     read-back."""
     import os
-    import tempfile
 
+    from ..scratch import scratch_dir
     from ..sinks.pyds_writer import register_jsonl_dir
 
     register_jsonl_dir(spark)
     e = _t(spark, sf_dir, "events")
-    # Stable per-session scratch path, NOT a fresh mkdtemp per call
-    # (ADVICE r11: bench/correctness sweeps run this repeatedly and
-    # each mkdtemp leaked a directory). The returned DataFrame is lazy
-    # so the directory must outlive this function; keying by the Spark
-    # application id keeps concurrent sessions apart while repeated
-    # runs in one session overwrite in place.
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"sg_pyds_rt_{spark.sparkContext.applicationId}",
-        "data",
-    )
+    # Stable scratch path per (query, sf) — NOT per session: the r11
+    # fix keyed by applicationId, which still leaked one dir per
+    # session (r12 VERDICT #2). The returned DataFrame is lazy so the
+    # directory must outlive this function; repeated runs (and repeated
+    # sessions) overwrite in place via the jsonl_dir sink's overwrite
+    # mode.
+    out = os.path.join(scratch_dir("pyds_rt", sf_dir), "data")
     (
         e.filter(F.col("event_type") != "error")
         .select("event_id", "event_type", "value")

@@ -725,19 +725,16 @@ def orc_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory (native vectorized writer) and back, then aggregate; the
     oracle is the direct relational answer on the parquet original, so
     the gate proves ORC round-trips types (decimal revenue survives
-    exactly) and rows with zero loss. Stable per-session scratch path,
-    overwritten per run (the pyds_reader pattern — no per-run dir
-    leak). Scale: both write and read are distributed columnar I/O;
-    nothing touches the driver."""
+    exactly) and rows with zero loss. Scratch: stable per (query, sf),
+    overwrite-mode writes — zero leaked dirs across sessions (r12
+    VERDICT #2). Scale: both write and read are distributed columnar
+    I/O; nothing touches the driver."""
     import os
-    import tempfile
+
+    from ..scratch import scratch_dir
 
     e = _t(spark, sf_dir, "orders")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"sg_orc_rt_{spark.sparkContext.applicationId}",
-        "orders_orc",
-    )
+    out = os.path.join(scratch_dir("orc_rt", sf_dir), "orders_orc")
     (
         e.select("o_orderkey", "o_orderstatus", "o_totalprice")
         .repartition(4)
@@ -978,11 +975,12 @@ def binary_file_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal.decode_bmp24) and featurized. The oracle restates the
     features on the generator's closed pixel form, so a hash match
     proves the whole encode -> file write -> binaryFile scan ->
-    decode chain is lossless. Scratch dir keyed by (session, sf) so
-    parity and bench runs at different SFs never see each other's
-    files."""
+    decode chain is lossless. Scratch: stable per (query, sf) via
+    scratch.scratch_dir — repeated sessions overwrite in place, zero
+    leaked dirs (r12 VERDICT #2)."""
     import os
-    import tempfile
+
+    from ..scratch import scratch_dir
 
     d = _t(spark, sf_dir, "documents", fanout=True)
     src = d.filter(F.col("doc_id") % 100 == 0).select(
@@ -992,12 +990,7 @@ def binary_file_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 97).alias("img_seed"),
     )
     media = multimodal.synthesize_bmp24(src)
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"sg_binfile_{spark.sparkContext.applicationId}_"
-        + os.path.basename(sf_dir.rstrip("/")),
-    )
-    os.makedirs(out, exist_ok=True)
+    out = scratch_dir("binfile", sf_dir, clean=True)
 
     def write_part(rows):
         for r in rows:
@@ -1148,18 +1141,14 @@ def raw_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     original relation, so a hash match proves render -> text file ->
     scan -> regex parse -> coerce loses nothing (decimals survive via
     the exact DECIMAL(18,2) string form; NULL values render empty and
-    coerce back to NULL). Scratch dir keyed by (session, sf). Both
+    coerce back to NULL). Scratch: stable per (query, sf), overwrite
+    mode — zero leaked dirs across sessions (r12 VERDICT #2). Both
     write and scan are distributed line I/O; the regex runs in
     whole-stage codegen, not Python."""
-    import os
-    import tempfile
+    from ..scratch import scratch_dir
 
     e = _t(spark, sf_dir, "events")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"sg_textlog_{spark.sparkContext.applicationId}_"
-        + os.path.basename(sf_dir.rstrip("/")),
-    )
+    out = scratch_dir("textlog", sf_dir)
     lines = e.select(
         F.concat(
             F.lit("uid="), F.col("user_id").cast("string"),
@@ -1216,17 +1205,13 @@ def parquet_schema_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the priced revenue, and the oracle recomputes the same from the
     original table — a hash match proves the merged read neither
     drops old-schema rows nor fabricates values for the missing
-    column. Scratch keyed by (session, sf); both writes and the
-    merged scan are distributed columnar I/O."""
-    import os
-    import tempfile
+    column. Scratch: stable per (query, sf), overwrite-mode writes —
+    zero leaked dirs across sessions (r12 VERDICT #2); both writes and
+    the merged scan are distributed columnar I/O."""
+    from ..scratch import scratch_dir
 
     o = _t(spark, sf_dir, "orders")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"sg_mergeschema_{spark.sparkContext.applicationId}_"
-        + os.path.basename(sf_dir.rstrip("/")),
-    )
+    out = scratch_dir("mergeschema", sf_dir)
     b1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_orderstatus"
     )

@@ -214,7 +214,8 @@ def main() -> None:
     ):
         rows = {}
         for k in (1, 10):
-            work = tempfile.mkdtemp(prefix=f"sg_stateprobe_{name}_{k}x_")
+            from data_integration_and_visualization_uc3m_spark.scratch import scratch_dir
+            work = scratch_dir(f"stateprobe_{name}_{k}x", clean=True)
             src = stage_ordered(spark, k, work)
             cap.reset()
             t0 = time.perf_counter()
