@@ -128,16 +128,18 @@ def main() -> None:
                                "BENCH_DETAIL.json")
     # Preserve every section other harnesses merged in (streaming from
     # bench_streaming.py, streaming_state_growth from
-    # tools/streaming_state_probe.py, ...) — the harnesses share this
-    # file but own disjoint keys, and this one owns only the batch keys
-    # it writes above (r12: the old streaming-only preserve silently
-    # dropped the state-growth section).
+    # tools/streaming_state_probe.py) — the harnesses share this file
+    # but own disjoint keys. Preserve a WHITELIST of known
+    # foreign-owned sections, not every unknown key (ADVICE r12: the
+    # open-ended merge kept renamed/retired sections alive forever,
+    # reading as current data).
+    foreign_sections = ("streaming", "streaming_state_growth")
     try:
         with open(detail_path) as f:
             prior = json.load(f)
-        for key, val in prior.items():
-            if key not in detail:
-                detail[key] = val
+        for key in foreign_sections:
+            if key in prior and key not in detail:
+                detail[key] = prior[key]
     except (FileNotFoundError, json.JSONDecodeError):
         pass
     with open(detail_path, "w") as f:

@@ -204,22 +204,29 @@ def heaps_fit(
             F.expr(f"lo + (hi - lo) * c div {n_checkpoints}").alias("cut"),
         )
     )
+    # cuts' group column aliased before each join: cuts shares lineage
+    # with per_doc/vocab, and same-lineage equality would lean on
+    # Dataset self-join auto-resolution (ADVICE r12 — fragile across
+    # Spark versions and compound conditions).
+    cuts_r = cuts.select(
+        F.col(group_col).alias("_cut_grp"), "c", "cut"
+    )
     n_c = (
         per_doc.join(
-            F.broadcast(cuts),
-            (per_doc[group_col] == cuts[group_col])
+            F.broadcast(cuts_r),
+            (F.col(group_col) == F.col("_cut_grp"))
             & (F.col(id_col) <= F.col("cut")),
         )
-        .groupBy(per_doc[group_col].alias(group_col), "c")
+        .groupBy(group_col, "c")
         .agg(F.sum("n_toks").cast("long").alias("n_tokens"))
     )
     v_c = (
         vocab.join(
-            F.broadcast(cuts),
-            (vocab[group_col] == cuts[group_col])
+            F.broadcast(cuts_r),
+            (F.col(group_col) == F.col("_cut_grp"))
             & (F.col("first_id") <= F.col("cut")),
         )
-        .groupBy(vocab[group_col].alias(group_col), "c")
+        .groupBy(group_col, "c")
         .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
     )
     pts = (

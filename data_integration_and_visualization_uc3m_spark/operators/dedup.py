@@ -1143,6 +1143,7 @@ def ppjoin_pairs(
     item_col: str = "shingle",
     t_num: int = 3,
     t_den: int = 5,
+    assume_distinct: bool = True,
 ) -> DataFrame:
     """Set-similarity self-join with PREFIX FILTERING (the
     AllPairs/PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008):
@@ -1150,6 +1151,17 @@ def ppjoin_pairs(
     joining only on each set's PREFIX — its ``|x| − ceil(t·|x|) + 1``
     rarest items under a global (document-frequency, item) total
     order — then verified exactly inside the candidate set.
+
+    PRECONDITION (ADVICE r12): input (id, item) rows must be DISTINCT
+    per document — set semantics. Since the r12 first-shared-prefix
+    emission removed the candidate ``distinct()``, a duplicated item
+    occupies two positions in the sorted order (breaking the unique-
+    emitter invariant) and multiplies ``n_common`` in the verify
+    count. The registered caller feeds ``array_distinct``-built
+    shingles, so the default ``assume_distinct=True`` keeps its plan
+    shuffle-free; pass ``assume_distinct=False`` for inputs that may
+    carry duplicates — one extra (id, item) dropDuplicates shuffle
+    restores set semantics.
 
     The prefix principle is LOSSLESS (pinned by a hypothesis property
     test against the brute-force quadratic): if J(X,Y) ≥ t and the
@@ -1185,6 +1197,8 @@ def ppjoin_pairs(
     tok = items.select(
         F.col(id_col).alias("_id"), F.col(item_col).alias("_w")
     )
+    if not assume_distinct:
+        tok = tok.dropDuplicates(["_id", "_w"])
     dfreq = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         tok.join(dfreq, "_w")

@@ -586,13 +586,17 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     hist = hist.withColumn("cum", F.sum("cnt").over(wc))
+    # hist's arm aliased before the join: both sides derive from pur,
+    # and same-lineage equality would lean on Dataset self-join
+    # auto-resolution (ADVICE r12 — fragile across Spark versions).
     tb = targets.join(
-        F.broadcast(hist),
-        (targets["arm"] == hist["arm"])
+        F.broadcast(hist.select(F.col("arm").alias("h_arm"), "bkt",
+                                "cnt", "cum")),
+        (F.col("arm") == F.col("h_arm"))
         & (F.col("cum") >= F.col("r"))
         & (F.col("cum") - F.col("cnt") < F.col("r")),
     ).select(
-        targets["arm"].alias("arm"), "n", "p_pct", "bkt",
+        "arm", "n", "p_pct", "bkt",
         (F.col("r") - (F.col("cum") - F.col("cnt"))).alias("offset"),
     )
     wq = Window.partitionBy("arm", "p_pct").orderBy("v_cents", "event_id")

@@ -372,6 +372,30 @@ def test_ppjoin_prefix_filter_lossless_property(spark, sets):
     assert got == expect
 
 
+def test_ppjoin_duplicate_items_enforced(spark):
+    """assume_distinct=False restores set semantics for inputs whose
+    (id, item) rows carry duplicates (ADVICE r12: with the default
+    fast path a duplicated item occupies two sorted positions and
+    multiplies n_common in the verify count)."""
+    from data_integration_and_visualization_uc3m_spark.operators.dedup import (
+        ppjoin_pairs,
+    )
+
+    sets = [{0, 1, 2, 3}, {0, 1, 2, 4}, {7, 8}]
+    rows = [
+        (i, f"w{w}") for i, s in enumerate(sets) for w in sorted(s)
+    ]
+    # duplicate every item of doc 0 and one item of doc 1
+    rows += [(0, f"w{w}") for w in sorted(sets[0])] + [(1, "w0")]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.size_a, r.size_b,
+                           r.jaccard_milli)
+        for r in ppjoin_pairs(df, assume_distinct=False).collect()
+    }
+    assert got == {(0, 1): (3, 4, 4, 600)}
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(st.integers(min_value=0, max_value=50_000),

@@ -159,6 +159,93 @@ EXEMPT: dict[str, str] = {
 }
 
 
+# Adjudicated ceiling per exemption (ADVICE r12): the scan count
+# observed when the exemption was granted. An exempted query whose
+# plan later grows PAST its adjudicated count (a new re-derived
+# subtree) is re-flagged instead of silently suppressed. Update a
+# ceiling only together with a fresh adjudication note in EXEMPT.
+EXEMPT_MAX: dict[str, int] = {
+    "ab_test_cuped": 3,
+    "approx_sketches": 3,
+    "balanced_lang_mix": 3,
+    "basket_part_lift": 4,
+    "bm25_topk": 4,
+    "cms_width_error_sweep": 9,
+    "conformal_coverage_report": 8,
+    "containment_pairs": 3,
+    "corpus_bigram_lift": 5,
+    "corpus_build_e2e": 6,
+    "corpus_build_v4_e2e": 3,
+    "corpus_mix_apply": 3,
+    "corpus_release_readiness": 4,
+    "cross_source_ngram_overlap": 8,
+    "dedup_jaccard_df_capped": 6,
+    "dedup_minhash_lsh": 6,
+    "dedup_ngram_jaccard": 3,
+    "distinct_rollup_hierarchy": 6,
+    "doc_bigram_logprob": 3,
+    "dominant_part_suppliers": 3,
+    "dr_policy_value_report": 3,
+    "dsir_selection_report": 7,
+    "embedding_gram_power": 4,
+    "events_anomaly_mad": 4,
+    "feature_information_gain": 5,
+    "forecast_backtest_mase": 6,
+    "fs_linkage_score_histogram": 9,
+    "funnel_view_click_purchase": 6,
+    "heaps_law_fit": 4,
+    "heavy_hitters_cms": 3,
+    "hybrid_rrf_topk": 4,
+    "important_parts_share": 3,
+    "incremental_agg_maintenance": 5,
+    "incremental_dedup_assign": 9,
+    "incremental_join_maintenance": 4,
+    "int8_recall_report": 4,
+    "ivf_incremental_assign": 9,
+    "ivf_nprobe_recall_sweep": 10,
+    "ivf_recall_report": 10,
+    "ivf_topk": 4,
+    "ivfpq_topk": 11,
+    "jaccard_threshold_sweep": 0,
+    "kaplan_meier_user_lifetime": 4,
+    "lang_source_chisq_cells": 4,
+    "lsh_band_sweep": 0,
+    "lsh_recall_report": 0,
+    "naive_bayes_langid_report": 4,
+    "nelson_aalen_hazard": 4,
+    "packing_length_sweep": 1,
+    "perplexity_buckets": 7,
+    "ppjoin_word_set_pairs": 6,
+    "pps_doc_sample": 4,
+    "pq_adc_topk": 8,
+    "pq_codes_embeddings": 4,
+    "pq_recall_report": 10,
+    "psi_price_drift": 8,
+    "quantile_treatment_effect": 3,
+    "retrieval_ranking_metrics": 4,
+    "rolling_distinct_users": 4,
+    "scd2_point_in_time_join": 8,
+    "scd2_price_history": 8,
+    "semdedup_verdicts": 12,
+    "set_ops_customers": 6,
+    "snm_part_name_pairs": 4,
+    "source_term_kl": 8,
+    "split_leakage_audit": 5,
+    "stl_daily_revenue": 6,
+    "strip_boilerplate_tokens": 3,
+    "supplier_adamic_adar_links": 3,
+    "t_closeness_report": 5,
+    "tfidf_cosine_pairs": 12,
+    "tfidf_top_terms": 3,
+    "union_fold_by_year": 7,
+    "upsert_conflict_ignore": 3,
+    "upsert_replace_orders": 3,
+    "user_cooccurrence_pairs": 4,
+    "user_feature_store": 3,
+    "verbatim_window_pairs": 9,
+}
+
+
 def main() -> None:
     from data_integration_and_visualization_uc3m_spark.session import get_spark
     import __spark_entry__ as E
@@ -207,8 +294,14 @@ def main() -> None:
             "max_same_table": worst,
             "uses_cache": cached,
         }
-        if worst >= 3 and not cached and name not in EXEMPT:
-            flags.append(name)
+        if worst >= 3 and not cached:
+            if name not in EXEMPT:
+                flags.append(name)
+            elif worst > EXEMPT_MAX.get(name, worst):
+                flags.append(
+                    f"{name} (grew past adjudicated max "
+                    f"{EXEMPT_MAX[name]} -> {worst})"
+                )
     meta = {
         "sf_dir": sf_dir,
         "n_queries": len(report),

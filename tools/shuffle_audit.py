@@ -98,12 +98,18 @@ def main() -> None:
     only = set(sys.argv[2:])
     report: dict[str, dict[str, int]] = {}
     if only:
+        all_names = set(names)
         names = [n for n in names if n in only]
         try:
             with open(OUT) as f:
                 prior = json.load(f)
             prior.pop("_meta", None)
-            report.update(prior)
+            # Drop prior rows for queries no longer in the registry
+            # (renamed/retired) so recomputed _meta totals never count
+            # stale entries (ADVICE r12).
+            report.update(
+                {n: v for n, v in prior.items() if n in all_names}
+            )
         except (FileNotFoundError, json.JSONDecodeError):
             pass
     for name in names:
