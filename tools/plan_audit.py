@@ -68,6 +68,24 @@ GLOBAL_WINDOW_OK = {
     "nelson_aalen_hazard",
     # cumulative + rank windows over the ≤31-row daily aggregate
     "changepoint_revenue_report",
+    # r13 adjudications (the rule was a dead letter before r13 — it
+    # grepped the formatted plan for a literal only the simple plan
+    # contains; these five surfaced when it started firing):
+    # rank over the m-row per-nation test relation (m = |nation| ≤ 25)
+    "bh_fdr_nation_tests",
+    # bucket-offset cumulated over the n_buckets(=10)-row relation;
+    # within-bucket ranks are partitioned (operators/mixing.py)
+    "curriculum_order_docs",
+    # |d|-rank over the per-user diff relation — one row per paired
+    # user, already reduced from event volume (docstring scale note)
+    "wilcoxon_signed_rank_purchase_vs_view",
+    # corpus-share window over the domain-count aggregate, never raw
+    # rows (operators/web.py domain_profile)
+    "domain_crawl_profile",
+    # global_rank's offset window over the ~32-row partition-count
+    # relation (the range-partitioned recipe, same as
+    # global_rank_orders)
+    "conformal_coverage_report",
 }
 # Queries whose nested-loop join is DELIBERATE over a provably-small
 # input: the skyline global phase runs a quadratic dominance check over
@@ -283,10 +301,19 @@ def main() -> None:
                 problems.append(f"{name}: BroadcastNestedLoopJoin in plan")
             if "CartesianProduct" in plan:
                 problems.append(f"{name}: CartesianProduct in plan")
-        if (
-            name not in GLOBAL_WINDOW_OK
-            and "Window" in plan
-            and "Exchange SinglePartition" in plan
+        # r13 fix: the formatted plan spells the exchange as
+        # "Exchange\n...Arguments: SinglePartition" — the one-line
+        # "Exchange SinglePartition" literal only exists in the SIMPLE
+        # plan string, so this rule silently never fired against
+        # `plan`. Window-feeding detection runs on `simple`: a Window
+        # node whose direct input chain (Sort →) is a SinglePartition
+        # exchange is an unpartitioned window over its full input
+        # (VERDICT r12 ask #6 — flag unless whitelisted with a
+        # bounded-input justification above).
+        if name not in GLOBAL_WINDOW_OK and re.search(
+            r"Window .*\n(?:[\s+:|-]*(?:\*\(\d+\) )?Sort .*\n)?"
+            r"[\s+:|-]*(?:\*\(\d+\) )?Exchange SinglePartition",
+            simple,
         ):
             problems.append(f"{name}: global window (SinglePartition exchange)")
     if problems:
