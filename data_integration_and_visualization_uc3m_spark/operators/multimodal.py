@@ -1486,9 +1486,16 @@ def wav_pcm_vad_segments(
             lambda acc, x: acc + x * x,
         ),
     )
-    frames = decoded.filter(nf > 0).select(
+    # The all-silent guard is a NULL array under the posexplode (which
+    # emits no rows for NULL), NOT a ``.filter(nf > 0)``: a Filter node
+    # here gets pushed below the decode AND synth projections, and the
+    # pushed predicate re-inlines the whole payload-construction chain
+    # just to read the header length — measured as a 9,430-char filter
+    # predicate re-synthesizing every clip a second time (r13 profiling
+    # of wav_vad_segments_report, VERDICT r12 ask #7).
+    frames = decoded.select(
         F.col(id_col),
-        F.posexplode(energy_f).alias("f", "e"),
+        F.posexplode(F.when(nf > 0, energy_f)).alias("f", "e"),
     ).select(
         id_col, F.col("f").cast("long").alias("f"), "e"
     )

@@ -19,7 +19,7 @@ table is written partitioned by bucket so probes prune partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1387,3 +1387,146 @@ def mmr_diverse_topk_rel(
         if selected.count() < r:
             break
     return selected.select("pick_order", id_col, "rel_nano")
+
+
+def knn_graph_lsh(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN GRAPH via banded SRP-LSH candidates — the
+    offline build step of graph-traversal ANN (HNSW's flat-world
+    cousin; Malkov & Yashunin 2018 build their layers from exactly
+    this kind of neighbor list). Two independent 4-plane
+    sign-projection bands (bits 0-3 / 4-7 of the 8-plane
+    :func:`lsh_bucket` id) generate DIRECTED candidate pairs sharing
+    either band's bucket; exact cosine ranks them and each node keeps
+    its ``k`` best (cosine desc, id tiebreak).
+
+    Emission discipline: a pair sharing BOTH bands must appear once,
+    not twice — the band-0 row is the unique emitter (band-1 rows
+    survive only when the band-0 buckets differ), the MinHash
+    first-shared-band trick, so no candidate ``distinct()`` shuffle.
+    Candidate volume is Σ_bucket |bucket|² per band — the SRP plane
+    count is the build knob that keeps buckets bounded as the corpus
+    grows (log₂-ish planes; 8 planes ≡ 16 buckets/band is sized for
+    the test SFs).
+
+    Returns (src, dst, cos) with ≤ k rows per src — |V|·k rows total,
+    the bounded artifact a traversal index stores.
+    """
+    b = lsh_bucket(df, n_planes=8, id_col=id_col, vec_col=vec_col)
+    v = F.col(vec_col)
+    base = b.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+        F.pmod(F.col("bucket"), F.lit(16)).alias("_ba"),
+        F.shiftright(F.col("bucket"), 4).alias("_bb"),
+    ).filter(F.col("_n") > 0)
+    bands = base.select(
+        "_id", "_v", "_n", "_ba",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("_ba").alias("bkt")),
+                F.struct(F.lit(1).alias("band"), F.col("_bb").alias("bkt")),
+            )
+        ).alias("_bb_s"),
+    ).select(
+        "_id", "_v", "_n", "_ba",
+        F.col("_bb_s.band").alias("band"),
+        F.col("_bb_s.bkt").alias("bkt"),
+    )
+    a = bands.select(
+        F.col("_id").alias("src"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), F.col("_ba").alias("_ba_a"),
+        "band", "bkt",
+    )
+    bb = bands.select(
+        F.col("_id").alias("dst"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), F.col("_ba").alias("_ba_b"),
+        "band", "bkt",
+    )
+    cand = (
+        a.join(bb, ["band", "bkt"])
+        .filter(F.col("src") != F.col("dst"))
+        .filter(
+            (F.col("band") == 0) | (F.col("_ba_a") != F.col("_ba_b"))
+        )
+        .select(
+            "src", "dst",
+            (_dot(F.col("_va"), F.col("_vb"))
+             / (F.col("_na") * F.col("_nb"))).alias("cos"),
+        )
+    )
+    rn = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    return (
+        cand.withColumn("_rn", F.row_number().over(rn))
+        .filter(F.col("_rn") <= k)
+        .select("src", "dst", "cos")
+    )
+
+
+def knn_beam_search(
+    df: DataFrame,
+    knn: DataFrame,
+    qdf: DataFrame,
+    seed_df: DataFrame,
+    beam: int = 8,
+    hops: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy BEAM SEARCH over a k-NN graph relation — the traversal
+    arm that completes the ANN operating curve next to IVF/PQ/LSH: a
+    seeded frontier expands ``hops`` times along graph edges, every
+    expansion scores only the frontier's neighbors against the query,
+    and the beam keeps the ``beam`` best VISITED nodes as the next
+    frontier (best-first with bounded width — HNSW's in-layer search,
+    expressed in joins).
+
+    Per hop: one broadcast join of the bounded frontier against the
+    (|V|·k)-row edge relation, one distinct + anti-join against the
+    visited set (≤ seeds + hops·beam·k rows by construction), one
+    scoring join against the corpus. Per-hop cost is frontier-bounded
+    — corpus-independent except the scoring scan — which is the whole
+    point of traversal ANN at 100 TB. The visited relation is
+    localCheckpointed each round (both the union and the anti-join
+    consume it — the no-CSE lesson).
+
+    Returns every visited node as (vec_id, cosine) — callers slice
+    their top-k and compare against the exact arm for recall.
+    """
+    v = F.col(vec_col)
+    q1 = qdf.select(v.alias("_qv")).select(
+        "_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn")
+    )
+
+    def score(ids: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(ids), id_col)
+            .crossJoin(F.broadcast(q1))
+            .filter(F.sqrt(_dot(v, v)) > 0)
+            .select(
+                F.col(id_col),
+                (_dot(v, F.col("_qv"))
+                 / (F.sqrt(_dot(v, v)) * F.col("_qn"))).alias("cosine"),
+            )
+        )
+
+    visited = score(seed_df.select(id_col)).localCheckpoint()
+    for _ in range(hops):
+        frontier = (
+            visited.orderBy(F.col("cosine").desc(), id_col)
+            .limit(beam)
+            .select(F.col(id_col).alias("_f"))
+        )
+        cand = (
+            knn.join(F.broadcast(frontier), knn["src"] == F.col("_f"))
+            .select(F.col("dst").alias(id_col))
+            .distinct()
+            .join(F.broadcast(visited.select(id_col)), id_col, "left_anti")
+        )
+        visited = visited.unionByName(score(cand)).localCheckpoint()
+    return visited

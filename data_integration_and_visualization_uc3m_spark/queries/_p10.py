@@ -1246,4 +1246,158 @@ def parquet_schema_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "knn_beam_search_recall",
+    """
+    WITH planes AS (
+        SELECT p.plane, d.dim,
+               CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || ':'
+                                  || CAST(d.dim AS VARCHAR)), 1, 1)
+                         IN ('1','3','5','7','9','b','d','f')
+                    THEN 1.0 ELSE -1.0 END AS c
+        FROM (SELECT unnest(range(8)) AS plane) p,
+             (SELECT unnest(range(64)) AS dim) d
+    ), proj AS (
+        SELECT e.vec_id, p.plane,
+               SUM(CAST(e.embedding[CAST(p.dim AS INTEGER) + 1] AS DOUBLE)
+                   * p.c) AS s
+        FROM embeddings e, planes p
+        GROUP BY e.vec_id, p.plane
+    ), buck AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN s > 0 AND plane < 4
+                             THEN 1::BIGINT << CAST(plane AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS ba,
+               CAST(SUM(CASE WHEN s > 0 AND plane >= 4
+                             THEN 1::BIGINT << (CAST(plane AS INTEGER) - 4)
+                             ELSE 0 END) AS BIGINT) AS bb
+        FROM proj GROUP BY vec_id
+    ), base AS (
+        SELECT * FROM (
+            SELECT e.vec_id, e.embedding,
+                   sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))) AS norm,
+                   b.ba, b.bb
+            FROM embeddings e JOIN buck b USING (vec_id)
+        ) WHERE norm > 0
+    ), knn AS (
+        SELECT src, dst, cos FROM (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+                     / (a.norm * b.norm) AS cos,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+                                  / (a.norm * b.norm) DESC, b.vec_id
+                   ) AS rn
+            FROM base a JOIN base b
+              ON a.vec_id <> b.vec_id AND (a.ba = b.ba OR a.bb = b.bb)
+        ) WHERE rn <= 8
+    ), q AS (
+        SELECT embedding AS qv,
+               sqrt(list_sum(list_transform(list_zip(embedding, embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))) AS qn
+        FROM embeddings WHERE vec_id = 1
+    ), sc AS (
+        SELECT b.vec_id,
+               list_sum(list_transform(list_zip(b.embedding, qv), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (b.norm * qn) AS cosine
+        FROM base b, q
+    ), v0 AS (
+        SELECT vec_id, cosine FROM sc WHERE vec_id < 4
+    ), f0 AS (
+        SELECT vec_id FROM v0 ORDER BY cosine DESC, vec_id LIMIT 8
+    ), c1 AS (
+        SELECT DISTINCT k.dst AS vec_id
+        FROM knn k JOIN f0 f ON k.src = f.vec_id
+        WHERE k.dst NOT IN (SELECT vec_id FROM v0)
+    ), v1 AS (
+        SELECT * FROM v0
+        UNION ALL
+        SELECT sc.vec_id, sc.cosine FROM sc JOIN c1 USING (vec_id)
+    ), f1 AS (
+        SELECT vec_id FROM v1 ORDER BY cosine DESC, vec_id LIMIT 8
+    ), c2 AS (
+        SELECT DISTINCT k.dst AS vec_id
+        FROM knn k JOIN f1 f ON k.src = f.vec_id
+        WHERE k.dst NOT IN (SELECT vec_id FROM v1)
+    ), v2 AS (
+        SELECT * FROM v1
+        UNION ALL
+        SELECT sc.vec_id, sc.cosine FROM sc JOIN c2 USING (vec_id)
+    ), f2 AS (
+        SELECT vec_id FROM v2 ORDER BY cosine DESC, vec_id LIMIT 8
+    ), c3 AS (
+        SELECT DISTINCT k.dst AS vec_id
+        FROM knn k JOIN f2 f ON k.src = f.vec_id
+        WHERE k.dst NOT IN (SELECT vec_id FROM v2)
+    ), v3 AS (
+        SELECT * FROM v2
+        UNION ALL
+        SELECT sc.vec_id, sc.cosine FROM sc JOIN c3 USING (vec_id)
+    ), beam AS (
+        SELECT vec_id, cosine,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        FROM v3 ORDER BY cosine DESC, vec_id LIMIT 10
+    ), exact AS (
+        SELECT vec_id FROM sc ORDER BY cosine DESC, vec_id LIMIT 10
+    )
+    SELECT rank, vec_id, cosine,
+           vec_id IN (SELECT vec_id FROM exact) AS in_exact_top10
+    FROM beam
+""",
+    ops=["ann-graph-traversal", "similarity-knn-graph", "recall-twin"],
+)
+def knn_beam_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-traversal ANN with a recall twin — the arm that completes
+    the operating curve next to IVF/PQ/LSH/int8 (VERDICT r12 ask #8):
+    a banded SRP-LSH k-NN graph (similarity.knn_graph_lsh, 8 neighbors
+    per node, |V|·k edge rows) is walked by a 3-hop beam-8 best-first
+    search from the 4 lowest-id seeds toward the vec_id=1 query
+    (similarity.knn_beam_search — HNSW's flat-world in-layer search,
+    expressed as bounded frontier joins). Output: the beam's top-10
+    visited, ranked, each flagged against the EXACT brute-force top-10
+    so the oracle gate pins both the traversal and its recall.
+
+    Scale shape: graph build is the offline |V|·k artifact (banded
+    candidates, first-shared-band emission, no distinct shuffle; plane
+    count is the bucket-size knob); search cost is hops·beam·k
+    neighbor lookups + frontier-sized scoring joins — corpus-
+    independent except the per-hop scoring scan. The edge relation is
+    localCheckpointed: every hop consumes it, and it carries the
+    round's only corpus-scale shuffle (the staging rule's win case).
+    Global windows: rank over the ≤10-row beam slice only."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    knn = similarity.knn_graph_lsh(e, k=8).localCheckpoint()
+    visited = similarity.knn_beam_search(
+        e, knn, e.filter(F.col("vec_id") == 1),
+        e.filter(F.col("vec_id") < 4), beam=8, hops=3,
+    )
+    beam10 = (
+        visited.orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine").desc(), "vec_id")
+            ),
+        )
+    )
+    exact = (
+        similarity.cosine_topk_rel(e, e.filter(F.col("vec_id") == 1), k=10)
+        .select(F.col("vec_id").alias("_evid"))
+    )
+    return (
+        beam10.join(
+            F.broadcast(exact), beam10["vec_id"] == F.col("_evid"), "left"
+        )
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            "cosine",
+            F.col("_evid").isNotNull().alias("in_exact_top10"),
+        )
+        .orderBy("rank")
+    )
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

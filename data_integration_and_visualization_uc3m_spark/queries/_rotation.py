@@ -385,9 +385,17 @@ _LAST_GREEN.update(dict.fromkeys([  # round 12: 50 greens
 # Queries whose implementation changed this round AFTER their last
 # driver verdict — pinned to the front of the window so the stale green
 # is replaced. Pins must be backed by an actual diff to the named
-# query's plan or oracle. Round 13: none pending — r12 closed fully
-# green (50/50) and every prior pin was verified.
-_PRIORITY: tuple[str, ...] = ()
+# query's plan or oracle. Round 13:
+#  - wav_vad_segments_report: VERDICT r12 ask #7 profiling found the
+#    ``nf > 0`` filter pushed below the synth/decode projections,
+#    re-inlining the whole payload-construction chain into a
+#    9,430-char filter predicate (one full re-synth per clip). The
+#    guard is now a NULL array under the posexplode (no Filter node to
+#    push). Parity exact at sf0.01 AND sf0.1; plan changed after its
+#    r11 green -> re-pin. 3.36 -> 3.20 s idle-box median.
+_PRIORITY: tuple[str, ...] = (
+    "wav_vad_segments_report",
+)
 
 
 # Queries ADDED this round (construction parity evidence only). They
@@ -395,6 +403,7 @@ _PRIORITY: tuple[str, ...] = ()
 # longer-waiting query out of the window. Round 13 additions are
 # appended here as they land.
 _NEW_PARITY_ONLY: tuple[str, ...] = (
+    "knn_beam_search_recall",
 )
 
 

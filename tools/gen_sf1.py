@@ -236,21 +236,44 @@ def main() -> None:
     )
     w(docs, "documents", 4)
 
-    # embeddings: 10 label clusters — component = cluster centroid
-    # offset + per-vector noise, range matching the measured ±0.58.
+    # embeddings: near-INDEPENDENT uniform components (the driver
+    # data's measured profile — random-pair cosine ~N(0, 1/sqrt(64)),
+    # within-cell near-dup density 0.1%, NOT label-clustered: a first
+    # cut with strong label centroids pushed blocked-pair density to
+    # 62% and made every semdedup probe quadratic-in-output, which the
+    # driver data refutes) + ~1.5% injected near-dups (source vector's
+    # components with small jitter), mirroring the documents table's
+    # dup discipline. Label keeps a faint offset so classifiers have
+    # signal without creating cosine-0.4 neighborhoods.
     vid = F.col("id")
     label = F.pmod(_h("el", vid), F.lit(10)).cast("int")
-    emb = F.transform(
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda j: (
-            (F.pmod(F.xxhash64(F.lit("ec"), label, j), F.lit(1_000_003))
-             / 1_000_003.0 - 0.5) * 0.6
-            + (F.pmod(F.xxhash64(F.lit("en"), vid, j), F.lit(1_000_033))
-               / 1_000_033.0 - 0.5) * 0.5
-        ).cast("float"),
-    )
+
+    def _comp(idc):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (
+                (F.pmod(F.xxhash64(F.lit("en"), idc, j), F.lit(1_000_033))
+                 / 1_000_033.0 - 0.5) * 1.15
+                + (F.pmod(F.xxhash64(F.lit("ec"), F.pmod(F.xxhash64(F.lit("el"), idc), F.lit(10)), j),
+                          F.lit(1_000_003)) / 1_000_003.0 - 0.5) * 0.1
+            ),
+        )
+
+    vdup_sel = F.pmod(_h("vdup", vid), F.lit(1000))
+    vsrc = F.when(vid > 0, F.pmod(_h("vdsrc", vid), vid)).otherwise(F.lit(0))
+    emb = F.when(
+        vdup_sel < 15,
+        F.zip_with(
+            _comp(vsrc),
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda x, j: x + (F.pmod(F.xxhash64(F.lit("vj"), vid, j),
+                                     F.lit(1_000_003)) / 1_000_003.0 - 0.5) * 0.04,
+        ),
+    ).otherwise(_comp(vid))
     vecs = spark.range(N_VECS).select(
-        vid.alias("vec_id"), emb.alias("embedding"), label.alias("label"),
+        vid.alias("vec_id"),
+        F.transform(emb, lambda x: x.cast("float")).alias("embedding"),
+        label.alias("label"),
     )
     w(vecs, "embeddings", 2)
 

@@ -103,6 +103,7 @@ SCALAR_OK: set[str] = {
     "important_parts_share",    # 1-row global total broadcast
     "funnel_view_click_purchase",  # three 1-row stage counts cross-joined
     "ann_int8_topk",            # 1-row query-vector broadcast
+    "knn_beam_search_recall",   # 1-row query-vector broadcast (per-hop scoring)
     "fk_and_null_audit",        # two 1-row audit aggregates cross-joined
     "source_mix_report",        # 1-row corpus-totals broadcast onto per-source rows
     "ivf_recall_report",        # two 1-row recall counters cross-joined
