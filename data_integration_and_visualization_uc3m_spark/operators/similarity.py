@@ -62,7 +62,15 @@ def cosine_topk(
 def rademacher_component(plane: int, dim_col) -> F.Column:
     """±1 pseudo-random component for (plane, dim), via md5 hex parity —
     engine-portable replacement for a seeded Gaussian."""
-    h = F.md5(F.concat_ws(":", F.lit(plane), dim_col))
+    return rademacher_component_col(F.lit(plane), dim_col)
+
+
+def rademacher_component_col(plane_col, dim_col) -> F.Column:
+    """Column-typed twin of :func:`rademacher_component` — integer
+    columns render through concat_ws exactly like integer literals, so
+    the md5 strings (and the ±1 parities every SQL oracle re-derives)
+    are identical."""
+    h = F.md5(F.concat_ws(":", plane_col, dim_col))
     return F.when(
         F.substring(h, 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
         F.lit(1.0),
@@ -74,25 +82,55 @@ def lsh_bucket(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Assign each vector an LSH bucket id from the signs of ``n_planes``
     signed random projections. bucket ∈ [0, 2^n_planes).
 
-    Entirely map-side (no shuffle): the projection is an array fold per
-    plane. Vectors in the same bucket are cosine-similar with the usual
-    hyperplane-LSH probability; multi-probe = also search neighboring
-    buckets (Hamming-1 bucket ids).
+    Entirely map-side (no data shuffle): the projection is an array fold
+    per plane. Vectors in the same bucket are cosine-similar with the
+    usual hyperplane-LSH probability; multi-probe = also search
+    neighboring buckets (Hamming-1 bucket ids).
+
+    The ±1 plane components are md5-parity pseudo-randoms — the
+    engine-portable seeded-Gaussian replacement (rademacher_component)
+    — but they are CONSTANT per (plane, dim): deriving them inside the
+    per-row fold re-evaluated n_planes·dim md5 calls on EVERY row
+    (measured 9.7 s for 12 planes over 2,000 rows — the md5s, not the
+    arithmetic, were the whole cost). They now come from one
+    ``range(n_planes·dim)`` relation collapsed to a single broadcast
+    row of per-plane component arrays, so each data row pays only the
+    zip_with·fold arithmetic. Same md5 strings, same ±1 values — bucket
+    ids (and every oracle that re-derives them in SQL) are unchanged.
+    ``dim`` is the component-table width; vectors longer than ``dim``
+    raise at fold time rather than hashing with missing planes.
     """
+    spark = df.sparkSession
+    comp = spark.range(n_planes * dim).select(
+        (F.col("id") / dim).cast("int").alias("_p"),
+        F.pmod(F.col("id"), F.lit(dim)).cast("int").alias("_d"),
+    ).select(
+        "_p", "_d", rademacher_component_col(F.col("_p"), F.col("_d")).alias("_c")
+    )
+    per_plane = comp.groupBy("_p").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_d", "_c"))),
+            lambda s: s["_c"],
+        ).alias("_arr")
+    )
+    packed = per_plane.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_arr"))),
+            lambda s: s["_arr"],
+        ).alias("_planes")
+    )
     v = F.col(vec_col)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
                 v,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda d: rademacher_component(p, d),
-                ),
+                F.slice(F.element_at(F.col("_planes"), p + 1), 1, F.size(v)),
                 lambda x, c: x.cast("double") * c,
             ),
             F.lit(0.0),
@@ -101,7 +139,9 @@ def lsh_bucket(
         bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    return df.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col), F.col(vec_col), bucket.alias("bucket")
+    )
 
 
 def cosine_pairs_blocked(
@@ -1392,68 +1432,77 @@ def mmr_diverse_topk_rel(
 def knn_graph_lsh(
     df: DataFrame,
     k: int = 8,
+    cell_cap: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate k-NN GRAPH via banded SRP-LSH candidates — the
-    offline build step of graph-traversal ANN (HNSW's flat-world
+    """Approximate k-NN GRAPH via ADAPTIVE-RESOLUTION SRP-LSH blocking
+    — the offline build step of graph-traversal ANN (HNSW's flat-world
     cousin; Malkov & Yashunin 2018 build their layers from exactly
-    this kind of neighbor list). Two independent 4-plane
-    sign-projection bands (bits 0-3 / 4-7 of the 8-plane
-    :func:`lsh_bucket` id) generate DIRECTED candidate pairs sharing
-    either band's bucket; exact cosine ranks them and each node keeps
-    its ``k`` best (cosine desc, id tiebreak).
+    this kind of neighbor list). One 12-plane sign-projection bucket
+    id is read at three resolutions (bits 0-3 / 0-7 / 0-11); each
+    4-bit COARSE bucket whose population fits ``cell_cap`` blocks at
+    level 0, an oversized coarse bucket descends to its 8-bit
+    sub-buckets, and a still-oversized one to 12 bits — so candidate
+    volume stays ~``cell_cap``·|V| at ANY corpus size instead of
+    growing Σ|bucket|² with a fixed plane count (the r13 decade probe
+    measured the fixed-4-plane build at 47.8x on 10x data; adaptive
+    descent is the same fix the IVF story prescribes for fixed-k
+    blocking: the CELL COUNT scales, not the cell). The level is a
+    function of the bucket ANCESTRY, so every member of a bucket
+    agrees on its blocking level and pair generation stays consistent
+    — no pair is half-descended.
 
-    Emission discipline: a pair sharing BOTH bands must appear once,
-    not twice — the band-0 row is the unique emitter (band-1 rows
-    survive only when the band-0 buckets differ), the MinHash
-    first-shared-band trick, so no candidate ``distinct()`` shuffle.
-    Candidate volume is Σ_bucket |bucket|² per band — the SRP plane
-    count is the build knob that keeps buckets bounded as the corpus
-    grows (log₂-ish planes; 8 planes ≡ 16 buckets/band is sized for
-    the test SFs).
-
-    Returns (src, dst, cos) with ≤ k rows per src — |V|·k rows total,
-    the bounded artifact a traversal index stores.
+    Exact cosine ranks the candidates and each node keeps its ``k``
+    best (cosine desc, id tiebreak). Returns (src, dst, cos) with
+    ≤ k rows per src — the bounded |V|·k artifact a traversal index
+    stores. Population counts are two grouped aggregates broadcast
+    back onto the vectors; a single blocking level per vector means
+    each unordered pair is generated once per direction with no
+    distinct shuffle.
     """
-    b = lsh_bucket(df, n_planes=8, id_col=id_col, vec_col=vec_col)
+    b = lsh_bucket(df, n_planes=12, id_col=id_col, vec_col=vec_col)
     v = F.col(vec_col)
     base = b.select(
         F.col(id_col).alias("_id"),
         v.alias("_v"),
         F.sqrt(_dot(v, v)).alias("_n"),
-        F.pmod(F.col("bucket"), F.lit(16)).alias("_ba"),
-        F.shiftright(F.col("bucket"), 4).alias("_bb"),
+        F.pmod(F.col("bucket"), F.lit(16)).alias("_b4"),
+        F.pmod(F.col("bucket"), F.lit(256)).alias("_b8"),
+        F.col("bucket").alias("_b12"),
     ).filter(F.col("_n") > 0)
-    bands = base.select(
-        "_id", "_v", "_n", "_ba",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), F.col("_ba").alias("bkt")),
-                F.struct(F.lit(1).alias("band"), F.col("_bb").alias("bkt")),
-            )
-        ).alias("_bb_s"),
-    ).select(
-        "_id", "_v", "_n", "_ba",
-        F.col("_bb_s.band").alias("band"),
-        F.col("_bb_s.bkt").alias("bkt"),
+    c4 = base.groupBy("_b4").agg(F.count(F.lit(1)).alias("_n4"))
+    c8 = base.groupBy("_b8").agg(F.count(F.lit(1)).alias("_n8"))
+    # Staged: both pair arms (and through them the window) consume this
+    # relation, and without the checkpoint the 12-plane bucket chain +
+    # count joins re-derive under each arm (the no-CSE lesson); the
+    # staged relation is |V| rows of (id, vec, norm, lvl, bkt) — the
+    # bounded artifact the build would persist anyway.
+    keyed = (
+        base.join(F.broadcast(c4), "_b4")
+        .join(F.broadcast(c8), "_b8")
+        .select(
+            "_id", "_v", "_n",
+            F.when(F.col("_n4") <= cell_cap, F.lit(0))
+            .when(F.col("_n8") <= cell_cap, F.lit(1))
+            .otherwise(F.lit(2)).alias("lvl"),
+            F.when(F.col("_n4") <= cell_cap, F.col("_b4"))
+            .when(F.col("_n8") <= cell_cap, F.col("_b8"))
+            .otherwise(F.col("_b12")).alias("bkt"),
+        )
+        .localCheckpoint()
     )
-    a = bands.select(
+    a = keyed.select(
         F.col("_id").alias("src"), F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"), F.col("_ba").alias("_ba_a"),
-        "band", "bkt",
+        F.col("_n").alias("_na"), "lvl", "bkt",
     )
-    bb = bands.select(
+    bb = keyed.select(
         F.col("_id").alias("dst"), F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"), F.col("_ba").alias("_ba_b"),
-        "band", "bkt",
+        F.col("_n").alias("_nb"), "lvl", "bkt",
     )
     cand = (
-        a.join(bb, ["band", "bkt"])
+        a.join(bb, ["lvl", "bkt"])
         .filter(F.col("src") != F.col("dst"))
-        .filter(
-            (F.col("band") == 0) | (F.col("_ba_a") != F.col("_ba_b"))
-        )
         .select(
             "src", "dst",
             (_dot(F.col("_va"), F.col("_vb"))

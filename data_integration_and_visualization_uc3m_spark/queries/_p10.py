@@ -1257,7 +1257,7 @@ def parquet_schema_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   || CAST(d.dim AS VARCHAR)), 1, 1)
                          IN ('1','3','5','7','9','b','d','f')
                     THEN 1.0 ELSE -1.0 END AS c
-        FROM (SELECT unnest(range(8)) AS plane) p,
+        FROM (SELECT unnest(range(12)) AS plane) p,
              (SELECT unnest(range(64)) AS dim) d
     ), proj AS (
         SELECT e.vec_id, p.plane,
@@ -1267,20 +1267,28 @@ def parquet_schema_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY e.vec_id, p.plane
     ), buck AS (
         SELECT vec_id,
-               CAST(SUM(CASE WHEN s > 0 AND plane < 4
+               CAST(SUM(CASE WHEN s > 0
                              THEN 1::BIGINT << CAST(plane AS INTEGER)
-                             ELSE 0 END) AS BIGINT) AS ba,
-               CAST(SUM(CASE WHEN s > 0 AND plane >= 4
-                             THEN 1::BIGINT << (CAST(plane AS INTEGER) - 4)
-                             ELSE 0 END) AS BIGINT) AS bb
+                             ELSE 0 END) AS BIGINT) AS b12
         FROM proj GROUP BY vec_id
-    ), base AS (
+    ), vecs AS (
         SELECT * FROM (
             SELECT e.vec_id, e.embedding,
                    sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))) AS norm,
-                   b.ba, b.bb
+                   b.b12 % 16 AS b4, b.b12 % 256 AS b8, b.b12
             FROM embeddings e JOIN buck b USING (vec_id)
         ) WHERE norm > 0
+    ), c4 AS (
+        SELECT b4, COUNT(*) AS n4 FROM vecs GROUP BY b4
+    ), c8 AS (
+        SELECT b8, COUNT(*) AS n8 FROM vecs GROUP BY b8
+    ), base AS (
+        SELECT v.vec_id, v.embedding, v.norm,
+               CASE WHEN c4.n4 <= 64 THEN 0
+                    WHEN c8.n8 <= 64 THEN 1 ELSE 2 END AS lvl,
+               CASE WHEN c4.n4 <= 64 THEN v.b4
+                    WHEN c8.n8 <= 64 THEN v.b8 ELSE v.b12 END AS bkt
+        FROM vecs v JOIN c4 USING (b4) JOIN c8 USING (b8)
     ), knn AS (
         SELECT src, dst, cos FROM (
             SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -1292,7 +1300,7 @@ def parquet_schema_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   / (a.norm * b.norm) DESC, b.vec_id
                    ) AS rn
             FROM base a JOIN base b
-              ON a.vec_id <> b.vec_id AND (a.ba = b.ba OR a.bb = b.bb)
+              ON a.vec_id <> b.vec_id AND a.lvl = b.lvl AND a.bkt = b.bkt
         ) WHERE rn <= 8
     ), q AS (
         SELECT embedding AS qv,
@@ -1350,22 +1358,24 @@ def parquet_schema_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_beam_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-traversal ANN with a recall twin — the arm that completes
     the operating curve next to IVF/PQ/LSH/int8 (VERDICT r12 ask #8):
-    a banded SRP-LSH k-NN graph (similarity.knn_graph_lsh, 8 neighbors
-    per node, |V|·k edge rows) is walked by a 3-hop beam-8 best-first
-    search from the 4 lowest-id seeds toward the vec_id=1 query
-    (similarity.knn_beam_search — HNSW's flat-world in-layer search,
-    expressed as bounded frontier joins). Output: the beam's top-10
-    visited, ranked, each flagged against the EXACT brute-force top-10
-    so the oracle gate pins both the traversal and its recall.
+    an ADAPTIVE-RESOLUTION SRP-LSH k-NN graph (similarity.
+    knn_graph_lsh — oversized coarse buckets descend to finer plane
+    prefixes so candidate volume stays ~cap·|V| at any corpus size;
+    the fixed-plane first cut measured 47.8x on the 10x decade slice,
+    the adaptive build is the fix) is walked by a 3-hop beam-8
+    best-first search from the 4 lowest-id seeds toward the vec_id=1
+    query (similarity.knn_beam_search — HNSW's flat-world in-layer
+    search, expressed as bounded frontier joins). Output: the beam's
+    top-10 visited, ranked, each flagged against the EXACT brute-force
+    top-10 so the oracle gate pins both the traversal and its recall.
 
-    Scale shape: graph build is the offline |V|·k artifact (banded
-    candidates, first-shared-band emission, no distinct shuffle; plane
-    count is the bucket-size knob); search cost is hops·beam·k
-    neighbor lookups + frontier-sized scoring joins — corpus-
-    independent except the per-hop scoring scan. The edge relation is
-    localCheckpointed: every hop consumes it, and it carries the
-    round's only corpus-scale shuffle (the staging rule's win case).
-    Global windows: rank over the ≤10-row beam slice only."""
+    Scale shape: graph build is the offline |V|·k artifact; search
+    cost is hops·beam·k neighbor lookups + frontier-sized scoring
+    joins — corpus-independent except the per-hop scoring scan. The
+    edge relation is localCheckpointed: every hop consumes it, and it
+    carries the round's only corpus-scale shuffle (the staging rule's
+    win case). Global windows: rank over the ≤10-row beam slice
+    only."""
     e = _t(spark, sf_dir, "embeddings", fanout=True)
     knn = similarity.knn_graph_lsh(e, k=8).localCheckpoint()
     visited = similarity.knn_beam_search(
@@ -1397,6 +1407,391 @@ def knn_beam_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_evid").isNotNull().alias("in_exact_top10"),
         )
         .orderBy("rank")
+    )
+
+
+
+
+@register(
+    "two_stage_rerank_topk",
+    """
+    WITH vd AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), staged AS (
+        SELECT vec_id, embedding, v,
+               list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM vd
+    ), quant AS (
+        SELECT vec_id, embedding,
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(floor(x / scale * 127) AS INTEGER))
+               END AS codes
+        FROM staged
+    ), q AS (
+        SELECT codes AS qc FROM quant WHERE vec_id = 1
+    ), s1 AS (
+        SELECT vec_id, embedding,
+               CAST(list_sum(list_transform(list_zip(codes, qc), s -> CAST(s[1] AS BIGINT) * CAST(s[2] AS BIGINT))) AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(list_zip(codes, codes), s -> CAST(s[1] AS BIGINT) * CAST(s[2] AS BIGINT))) AS DOUBLE))
+                    * sqrt(CAST(list_sum(list_transform(list_zip(qc, qc), s -> CAST(s[1] AS BIGINT) * CAST(s[2] AS BIGINT))) AS DOUBLE))) AS cos_int8
+        FROM quant CROSS JOIN q
+        WHERE vec_id <> 1 AND list_sum(list_transform(list_zip(codes, codes), s -> CAST(s[1] AS BIGINT) * CAST(s[2] AS BIGINT))) > 0
+    ), short AS (
+        SELECT vec_id, embedding, cos_int8,
+               row_number() OVER (ORDER BY cos_int8 DESC, vec_id) AS stage1_rank
+        FROM s1 ORDER BY cos_int8 DESC, vec_id LIMIT 20
+    ), qv AS (
+        SELECT embedding AS qe,
+               sqrt(list_sum(list_transform(list_zip(embedding, embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))) AS qn
+        FROM embeddings WHERE vec_id = 1
+    ), reranked AS (
+        SELECT s.vec_id, s.stage1_rank,
+               list_sum(list_transform(list_zip(s.embedding, qe), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(list_zip(s.embedding, s.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))) * qn) AS cosine
+        FROM short s, qv
+    )
+    SELECT row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank,
+           vec_id, cosine, CAST(stage1_rank AS BIGINT) AS stage1_rank
+    FROM reranked ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+    ops=["ann-two-stage-rerank", "ann-int8", "similarity-topk"],
+)
+def two_stage_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving shape (cheap
+    recall stage, exact precision stage): stage 1 shortlists the top-20
+    neighbors of vec_id=1 on INT8 codes (4x less data per distance,
+    integer dots exact <= 2^53 — the ann_int8_topk arm), stage 2
+    reranks ONLY the 20 survivors with full-precision double cosine
+    and returns the top-10 carrying both ranks, so the oracle gate
+    pins the shortlist, the rerank, and every promotion/demotion
+    between them (the relational form of a cross-encoder rerank over
+    a bi-encoder shortlist). Scale shape: stage 1 is the corpus-wide
+    scan (broadcast 1-row query, TakeOrdered(20)); stage 2 touches 20
+    rows — rerank cost is shortlist-bounded, corpus-independent.
+    Global window: rank over the <=20-row shortlist only."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    quant = similarity.quantize_embeddings(e).select("vec_id", "codes")
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    q = (
+        quant.filter(F.col("vec_id") == 1)
+        .select(F.col("codes").alias("qc"))
+        .select(
+            "qc",
+            F.sqrt(idot(F.col("qc"), F.col("qc")).cast("double")).alias("_qn8"),
+        )
+    )
+    s1 = (
+        quant.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "_qn8",
+            idot(F.col("codes"), F.col("codes")).alias("_na2"),
+            (idot(F.col("codes"), F.col("qc")).cast("double")).alias("_dot"),
+        )
+        .filter(F.col("_na2") > 0)
+        .select(
+            "vec_id",
+            (F.col("_dot")
+             / (F.sqrt(F.col("_na2").cast("double")) * F.col("_qn8"))
+             ).alias("cos_int8"),
+        )
+    )
+    short = (
+        s1.orderBy(F.col("cos_int8").desc(), "vec_id")
+        .limit(20)
+        .withColumn(
+            "stage1_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cos_int8").desc(), "vec_id")
+            ).cast("long"),
+        )
+    )
+    def ddot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qv = (
+        e.filter(F.col("vec_id") == 1)
+        .select(F.col("embedding").alias("_qe"))
+        .select(
+            "_qe",
+            F.sqrt(ddot(F.col("_qe"), F.col("_qe"))).alias("_qn"),
+        )
+    )
+    v = F.col("embedding")
+    reranked = (
+        e.join(F.broadcast(short.select("vec_id", "stage1_rank")), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "stage1_rank",
+            (ddot(v, F.col("_qe"))
+             / (F.sqrt(ddot(v, v)) * F.col("_qn"))).alias("cosine"),
+        )
+    )
+    return (
+        reranked.orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+        .select(
+            F.row_number().over(
+                Window.orderBy(F.col("cosine").desc(), "vec_id")
+            ).cast("long").alias("rank"),
+            "vec_id", "cosine", "stage1_rank",
+        )
+        .orderBy("rank")
+    )
+
+
+@register(
+    "mde_power_analysis",
+    """
+    WITH j AS (
+        SELECT n.n_name AS nation,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n ON c_nationkey = n.n_nationkey
+    ), g AS (
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s,
+               CAST(SUM(CAST(v AS DECIMAL(19,2)) * v) AS DOUBLE) AS ss
+        FROM j GROUP BY nation
+    )
+    SELECT nation, n,
+           CAST(FLOOR(s / n * 10000) AS BIGINT) AS mean_fp4,
+           CAST(FLOOR((ss - s * s / n) / (n - 1) * 100) AS BIGINT) AS var_fp2,
+           CAST(FLOOR(CAST(2.801585 AS DOUBLE)
+                      * sqrt(CAST(2 AS DOUBLE) * ((ss - s * s / n) / (n - 1)) / n)
+                      * 10000) AS BIGINT) AS mde_fp4
+    FROM g
+    WHERE n > 1
+""",
+    ops=["stats-power-mde", "A3"],
+)
+def mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation MINIMUM DETECTABLE EFFECT at 80% power / 5% alpha
+    for a two-arm order-value test — the experiment-SIZING analytics
+    every A/B platform runs before launch (the r12 eval-ops family's
+    missing prequel: Welch/CUPED test results, permutation/BH decide,
+    this query says what effect a nation's volume can even see):
+    mde = (z_{0.975} + z_{0.80}) * sqrt(2 * s^2 / n), with the z-sum
+    2.801585 a HOST literal inlined into both engines (the DCG-weight
+    pattern — no engine's normal quantile is on the hash path) and
+    s^2 from exact DECIMAL sums cast to DOUBLE only for the final
+    scalar arithmetic (the anova convention; one operand widened to
+    DECIMAL(19,2) for the sf0.1 square-sum range). One grouped scan;
+    fixed-point BIGINT outputs."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_totalprice").cast(DEC2).alias("v"),
+        )
+    )
+    g = j.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum(F.col("v").cast("decimal(19,2)") * F.col("v"))
+        .cast("double").alias("ss"),
+    )
+    return g.filter(F.col("n") > 1).select(
+        "nation",
+        "n",
+        F.floor(F.col("s") / F.col("n") * 10000).cast("long")
+        .alias("mean_fp4"),
+        F.floor(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1) * 100
+        ).cast("long").alias("var_fp2"),
+        F.floor(
+            F.lit(2.801585).cast("double")
+            * F.sqrt(
+                F.lit(2).cast("double")
+                * ((F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                   / (F.col("n") - 1))
+                / F.col("n")
+            )
+            * 10000
+        ).cast("long").alias("mde_fp4"),
+    )
+
+
+@register(
+    "nation_trade_hits",
+    """
+    WITH edges AS MATERIALIZED (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2
+
+    ), nodes AS MATERIALIZED (
+        SELECT n_nationkey AS node, n_name FROM nation
+    ), h0 AS MATERIALIZED (
+        SELECT node, CAST(1000 AS BIGINT) AS hub FROM nodes
+    ), a1_raw AS MATERIALIZED (
+        SELECT n.node, COALESCE(SUM(e.w * h0.hub), 0) AS raw
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN h0 ON h0.node = e.src
+        GROUP BY n.node
+    ), a1 AS MATERIALIZED (
+        SELECT node, CAST(raw * 1000 // (SELECT MAX(raw) FROM a1_raw) AS BIGINT) AS auth
+        FROM a1_raw
+    ), h1_raw AS MATERIALIZED (
+        SELECT n.node, COALESCE(SUM(e.w * a1.auth), 0) AS raw
+        FROM nodes n
+        LEFT JOIN edges e ON e.src = n.node
+        LEFT JOIN a1 ON a1.node = e.dst
+        GROUP BY n.node
+    ), h1 AS MATERIALIZED (
+        SELECT node, CAST(raw * 1000 // (SELECT MAX(raw) FROM h1_raw) AS BIGINT) AS hub
+        FROM h1_raw
+    ), a2_raw AS MATERIALIZED (
+        SELECT n.node, COALESCE(SUM(e.w * h1.hub), 0) AS raw
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN h1 ON h1.node = e.src
+        GROUP BY n.node
+    ), a2 AS MATERIALIZED (
+        SELECT node, CAST(raw * 1000 // (SELECT MAX(raw) FROM a2_raw) AS BIGINT) AS auth
+        FROM a2_raw
+    ), h2_raw AS MATERIALIZED (
+        SELECT n.node, COALESCE(SUM(e.w * a2.auth), 0) AS raw
+        FROM nodes n
+        LEFT JOIN edges e ON e.src = n.node
+        LEFT JOIN a2 ON a2.node = e.dst
+        GROUP BY n.node
+    ), h2 AS MATERIALIZED (
+        SELECT node, CAST(raw * 1000 // (SELECT MAX(raw) FROM h2_raw) AS BIGINT) AS hub
+        FROM h2_raw
+    ), a3_raw AS MATERIALIZED (
+        SELECT n.node, COALESCE(SUM(e.w * h2.hub), 0) AS raw
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN h2 ON h2.node = e.src
+        GROUP BY n.node
+    ), a3 AS MATERIALIZED (
+        SELECT node, CAST(raw * 1000 // (SELECT MAX(raw) FROM a3_raw) AS BIGINT) AS auth
+        FROM a3_raw
+    ), h3_raw AS MATERIALIZED (
+        SELECT n.node, COALESCE(SUM(e.w * a3.auth), 0) AS raw
+        FROM nodes n
+        LEFT JOIN edges e ON e.src = n.node
+        LEFT JOIN a3 ON a3.node = e.dst
+        GROUP BY n.node
+    ), h3 AS MATERIALIZED (
+        SELECT node, CAST(raw * 1000 // (SELECT MAX(raw) FROM h3_raw) AS BIGINT) AS hub
+        FROM h3_raw
+    )
+    SELECT CAST(n.node AS BIGINT) AS nationkey, n.n_name AS nation,
+           h3.hub AS hub_milli, a3.auth AS auth_milli
+    FROM nodes n
+    JOIN h3 ON h3.node = n.node
+    JOIN a3 ON a3.node = n.node
+""",
+    ops=["graph-hits", "graph-iterative"],
+)
+def nation_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the weighted
+    nation-trade graph — the directed-centrality twin to PageRank the
+    graph family lacked: 3 mutual-reinforcement rounds (authority =
+    weighted sum of in-neighbor hubs, hub = weighted sum of
+    out-neighbor authorities), each normalized to max=1000 by EXACT
+    integer division so every score is a cross-engine BIGINT (no float
+    normalization on the hash path). The edge relation is derived once
+    from the four-table fact join and localCheckpointed — every round
+    consumes it twice, the LPA no-op-cache lesson — and each round's
+    score relation is <=|V| rows, localCheckpointed because the next
+    round references it per arm. Scale: the corpus-sized work is the
+    ONE edge derivation; iterations join |V|-row relations."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    nodes = nat.select(
+        F.col("n_nationkey").cast("long").alias("node"), "n_name"
+    )
+    h = nodes.select("node", F.lit(1000).cast("long").alias("hub"))
+    a = None
+    for _ in range(3):
+        a_raw = (
+            nodes.select("node")
+            .join(edges, F.col("dst") == F.col("node"), "left")
+            .join(h.select(F.col("node").alias("_sn"),
+                           F.col("hub").alias("_sh")),
+                  F.col("src") == F.col("_sn"), "left")
+            .groupBy("node")
+            .agg(F.coalesce(F.sum(F.col("w") * F.col("_sh")), F.lit(0))
+                 .cast("long").alias("raw"))
+        )
+        amax = a_raw.agg(F.max("raw").alias("_m"))
+        a = (
+            a_raw.crossJoin(F.broadcast(amax))
+            .select("node", F.expr("raw * 1000 div _m").alias("auth"))
+            .localCheckpoint()
+        )
+        h_raw = (
+            nodes.select("node")
+            .join(edges, F.col("src") == F.col("node"), "left")
+            .join(a.select(F.col("node").alias("_dn"),
+                           F.col("auth").alias("_da")),
+                  F.col("dst") == F.col("_dn"), "left")
+            .groupBy("node")
+            .agg(F.coalesce(F.sum(F.col("w") * F.col("_da")), F.lit(0))
+                 .cast("long").alias("raw"))
+        )
+        hmax = h_raw.agg(F.max("raw").alias("_m"))
+        h = (
+            h_raw.crossJoin(F.broadcast(hmax))
+            .select("node", F.expr("raw * 1000 div _m").alias("hub"))
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(h, "node").join(a, "node")
+        .select(
+            F.col("node").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.col("hub").alias("hub_milli"),
+            F.col("auth").alias("auth_milli"),
+        )
     )
 
 

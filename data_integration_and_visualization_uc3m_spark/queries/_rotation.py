@@ -404,6 +404,9 @@ _PRIORITY: tuple[str, ...] = (
 # appended here as they land.
 _NEW_PARITY_ONLY: tuple[str, ...] = (
     "knn_beam_search_recall",
+    "two_stage_rerank_topk",
+    "mde_power_analysis",
+    "nation_trade_hits",
 )
 
 
