@@ -86,6 +86,10 @@ GLOBAL_WINDOW_OK = {
     # relation (the range-partitioned recipe, same as
     # global_rank_orders)
     "conformal_coverage_report",
+    # rank over the ≤20-row int8 shortlist / ≤10-row rerank slice only
+    "two_stage_rerank_topk",
+    # rank over the ≤10-row beam slice (visited ≤ seeds+hops·beam·k)
+    "knn_beam_search_recall",
 }
 # Queries whose nested-loop join is DELIBERATE over a provably-small
 # input: the skyline global phase runs a quadratic dominance check over
@@ -104,6 +108,10 @@ SCALAR_OK: set[str] = {
     "funnel_view_click_purchase",  # three 1-row stage counts cross-joined
     "ann_int8_topk",            # 1-row query-vector broadcast
     "knn_beam_search_recall",   # 1-row query-vector broadcast (per-hop scoring)
+    "two_stage_rerank_topk",    # 1-row int8 query + 1-row float query broadcasts
+    "embedding_lsh_buckets",    # 1-row SRP component-table broadcast (r13 lsh_bucket rewrite)
+    "semantic_packing_order_report",  # same 1-row component-table broadcast
+    "nation_trade_hits",        # 1-row max-score normalization broadcasts per HITS round
     "fk_and_null_audit",        # two 1-row audit aggregates cross-joined
     "source_mix_report",        # 1-row corpus-totals broadcast onto per-source rows
     "ivf_recall_report",        # two 1-row recall counters cross-joined

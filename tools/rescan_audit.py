@@ -156,6 +156,9 @@ EXEMPT: dict[str, str] = {
     "pps_doc_sample": "weight-total + stride-pick arms over one scan",
     "strip_boilerplate_tokens": "stoplist + corpus-count + rewrite arms",
     "tfidf_top_terms": "df + tf + corpus-count aggs over one scan",
+    "two_stage_rerank_topk": "stage-1 corpus quantization scan + "
+    "1-row int8-query, 1-row float-query, and 20-row rerank-join "
+    "scans (all pushed-filter bounded) by design",
 }
 
 
@@ -165,6 +168,7 @@ EXEMPT: dict[str, str] = {
 # subtree) is re-flagged instead of silently suppressed. Update a
 # ceiling only together with a fresh adjudication note in EXEMPT.
 EXEMPT_MAX: dict[str, int] = {
+    "two_stage_rerank_topk": 4,
     "ab_test_cuped": 3,
     "approx_sketches": 3,
     "balanced_lang_mix": 3,
