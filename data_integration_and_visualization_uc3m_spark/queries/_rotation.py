@@ -15,11 +15,11 @@ from ._p10 import *  # noqa: F401,F403
 # last, oldest green first; freshly-verified names move into
 # _PRIOR_VERIFIED each round via ``python tools/rotate.py
 # CORRECTNESS_rNN.json`` (which prints these literals — the counts
-# below are generated, not hand-maintained). Round-13 state: 374
-# registered at round start, 374 driver-green (union r2-r12; r12 was
-# 50/50 — the first fully-green rotation state). No pins pending:
-# _PRIORITY is empty, so the r13 window = round-13 additions
-# (_NEW_PARITY_ONLY) + the oldest greens (r3/r4 vintage first).
+# below are generated, not hand-maintained). Round-14 state: 378
+# registered at round start, 378 driver-green (union r2-r13; r13 was
+# 50/50, including all four r13 additions and the wav_vad re-pin).
+# No pins pending at round start: the r14 window = round-14 additions
+# (_NEW_PARITY_ONLY) + the oldest greens first.
 _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "ab_test_cuped", "ab_test_welch", "ann_int8_topk",
     "annotator_agreement_kappa", "anova_order_value_by_segment",
@@ -97,26 +97,28 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "jpeg_sof_report", "json_corrupt_record_audit",
     "json_props_extract", "jsonl_roundtrip_report",
     "k_anonymity_report", "kaplan_meier_user_lifetime",
-    "keyed_dedup_first_wins", "krippendorff_alpha_report",
-    "ks_chars_by_lang", "l_diversity_report", "label_centroids",
+    "keyed_dedup_first_wins", "knn_beam_search_recall",
+    "krippendorff_alpha_report", "ks_chars_by_lang",
+    "l_diversity_report", "label_centroids",
     "label_noise_confident_report", "lang_confusion_matrix",
     "lang_id_predict", "lang_source_chisq_cells", "late_arrival_audit",
     "length_bucketed_batching", "lineitem_corr_matrix",
     "lookup_join_fallback", "lsh_band_sweep", "lsh_recall_report",
     "mannwhitney_value_by_event_type", "markov_event_stationary",
-    "maxsim_late_interaction_topk", "median_imputation_report",
-    "merge_orders_full", "merkle_partition_proof",
-    "min_cost_supplier_per_part", "mmr_diverse_topk", "mp4_mvhd_report",
-    "mulaw_codec_report", "multiformat_join_report",
-    "multimodal_audio_chunks", "multimodal_binary_meta",
-    "multimodal_frame_sample", "multimodal_shard_plan",
-    "naive_bayes_langid_report", "nation_market_share",
-    "nation_pair_volume", "nation_price_qty_corr",
-    "nation_revenue_cusum", "nation_revenue_trend",
-    "nation_trade_bfs_hops", "nation_trade_cheapest_route",
-    "nation_trade_communities", "nation_trade_k_core",
-    "nation_trade_pagerank", "nation_trade_triangles",
-    "nation_value_share", "nation_year_profit", "nelson_aalen_hazard",
+    "maxsim_late_interaction_topk", "mde_power_analysis",
+    "median_imputation_report", "merge_orders_full",
+    "merkle_partition_proof", "min_cost_supplier_per_part",
+    "mmr_diverse_topk", "mp4_mvhd_report", "mulaw_codec_report",
+    "multiformat_join_report", "multimodal_audio_chunks",
+    "multimodal_binary_meta", "multimodal_frame_sample",
+    "multimodal_shard_plan", "naive_bayes_langid_report",
+    "nation_market_share", "nation_pair_volume",
+    "nation_price_qty_corr", "nation_revenue_cusum",
+    "nation_revenue_trend", "nation_trade_bfs_hops",
+    "nation_trade_cheapest_route", "nation_trade_communities",
+    "nation_trade_hits", "nation_trade_k_core", "nation_trade_pagerank",
+    "nation_trade_triangles", "nation_value_share",
+    "nation_year_profit", "nelson_aalen_hazard",
     "not_exists_rich_inactive", "ntile_customer_quartiles",
     "ols_leverage_outliers", "orc_roundtrip_report",
     "order_gaps_lead_lag", "order_total_reconciliation",
@@ -172,12 +174,12 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "tokenizer_fertility_by_lang", "top3_orders_per_priority",
     "top_k_orders", "top_orders_with_ties", "top_revenue_supplier",
     "trade_community_modularity", "train_holdout_split",
-    "training_shuffle_order", "uncertainty_sampling_batch",
-    "union_fold_by_year", "uniqueness_violations",
-    "unpivot_event_matrix", "upsert_conflict_ignore",
-    "upsert_delete_keys", "upsert_history_report",
-    "upsert_replace_orders", "upsert_time_travel",
-    "upsert_version_diff", "url_canonical_dedup",
+    "training_shuffle_order", "two_stage_rerank_topk",
+    "uncertainty_sampling_batch", "union_fold_by_year",
+    "uniqueness_violations", "unpivot_event_matrix",
+    "upsert_conflict_ignore", "upsert_delete_keys",
+    "upsert_history_report", "upsert_replace_orders",
+    "upsert_time_travel", "upsert_version_diff", "url_canonical_dedup",
     "user_cooccurrence_pairs", "user_feature_store",
     "user_inactivity_gaps", "user_journey_prefixes",
     "validated_m2o_join", "verbatim_window_pairs", "viz_hover_points",
@@ -190,37 +192,13 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
     "zorder_clustering_report"
 })
 
-
-
 _LAST_GREEN: dict[str, int] = {}
-_LAST_GREEN.update(dict.fromkeys([  # round 3: 13 greens
-    "ann_int8_topk", "dedup_jaccard_df_capped", "nation_market_share",
-    "nation_pair_volume", "pack_sequences", "pack_stats_per_lang",
-    "returned_item_customers", "simhash_near_pairs",
-    "streaming_attribution_e2e", "streaming_stateful_totals_e2e",
-    "tfidf_top_terms", "top_revenue_supplier", "user_journey_prefixes"
-], 3))
-_LAST_GREEN.update(dict.fromkeys([  # round 4: 41 greens
-    "column_profile_lineitem", "containment_pairs",
-    "corpus_vocabulary_topk", "curation_pipeline_stats",
-    "customer_order_count_histogram", "customer_rfm_segments",
-    "daily_revenue_momentum", "decontaminate_docs",
-    "dedup_cluster_size_histogram", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_survivors_by_quality",
-    "doc_chunks_512", "doc_fingerprint", "dup_rate_by_source",
-    "embedding_int8_quantization", "events_anomaly_mad",
-    "funnel_view_click_purchase", "gopher_quality_rules",
-    "hot_key_share_report", "incremental_agg_maintenance",
-    "incremental_join_maintenance", "lang_confusion_matrix",
-    "min_cost_supplier_per_part", "multimodal_audio_chunks",
-    "order_gaps_lead_lag", "orders_seasonality_yoy",
-    "pack_payloads_per_seq", "parts_supplier_breadth",
-    "pii_redaction_report", "quality_weighted_sample",
-    "salted_event_totals", "shipping_delay_profile",
-    "simhash_signatures", "source_mix_report",
-    "suppliers_kept_orders_waiting", "top_orders_with_ties",
-    "training_shuffle_order", "unpivot_event_matrix",
-    "user_inactivity_gaps", "weekly_retention_cohorts"
+_LAST_GREEN.update(dict.fromkeys([  # round 4: 9 greens
+    "column_profile_lineitem", "customer_rfm_segments",
+    "events_anomaly_mad", "hot_key_share_report",
+    "incremental_join_maintenance", "orders_seasonality_yoy",
+    "shipping_delay_profile", "top_orders_with_ties",
+    "user_inactivity_gaps"
 ], 4))
 _LAST_GREEN.update(dict.fromkeys([  # round 5: 49 greens
     "anti_join_inactive_customers", "balanced_lang_mix",
@@ -332,7 +310,7 @@ _LAST_GREEN.update(dict.fromkeys([  # round 10: 46 greens
     "union_fold_by_year", "viz_hover_points", "wav_autocorr_report",
     "window_running_total"
 ], 10))
-_LAST_GREEN.update(dict.fromkeys([  # round 11: 41 greens
+_LAST_GREEN.update(dict.fromkeys([  # round 11: 40 greens
     "annotator_agreement_kappa", "approx_sketches",
     "best_of_n_selection", "changepoint_revenue_report",
     "cleaning_corners", "conformal_coverage_report",
@@ -350,8 +328,8 @@ _LAST_GREEN.update(dict.fromkeys([  # round 11: 41 greens
     "sprt_conversion_monitor", "sql_api_revenue_rank",
     "streaming_dedup_e2e", "streaming_pyds_sink_e2e",
     "supplier_adamic_adar_links", "t_closeness_report",
-    "uncertainty_sampling_batch", "wav_vad_segments_report",
-    "webdataset_shard_index", "weighted_priority_sample"
+    "uncertainty_sampling_batch", "webdataset_shard_index",
+    "weighted_priority_sample"
 ], 11))
 _LAST_GREEN.update(dict.fromkeys([  # round 12: 50 greens
     "bh_fdr_nation_tests", "binary_file_media_ingest",
@@ -380,34 +358,47 @@ _LAST_GREEN.update(dict.fromkeys([  # round 12: 50 greens
     "trade_community_modularity", "train_holdout_split",
     "worst_group_metric_report"
 ], 12))
+_LAST_GREEN.update(dict.fromkeys([  # round 13: 50 greens
+    "ann_int8_topk", "containment_pairs", "corpus_vocabulary_topk",
+    "curation_pipeline_stats", "customer_order_count_histogram",
+    "daily_revenue_momentum", "decontaminate_docs",
+    "dedup_cluster_size_histogram", "dedup_jaccard_df_capped",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_survivors_by_quality", "doc_chunks_512", "doc_fingerprint",
+    "dup_rate_by_source", "embedding_int8_quantization",
+    "funnel_view_click_purchase", "gopher_quality_rules",
+    "incremental_agg_maintenance", "knn_beam_search_recall",
+    "lang_confusion_matrix", "mde_power_analysis",
+    "min_cost_supplier_per_part", "multimodal_audio_chunks",
+    "nation_market_share", "nation_pair_volume", "nation_trade_hits",
+    "order_gaps_lead_lag", "pack_payloads_per_seq", "pack_sequences",
+    "pack_stats_per_lang", "parts_supplier_breadth",
+    "pii_redaction_report", "quality_weighted_sample",
+    "returned_item_customers", "salted_event_totals",
+    "simhash_near_pairs", "simhash_signatures", "source_mix_report",
+    "streaming_attribution_e2e", "streaming_stateful_totals_e2e",
+    "suppliers_kept_orders_waiting", "tfidf_top_terms",
+    "top_revenue_supplier", "training_shuffle_order",
+    "two_stage_rerank_topk", "unpivot_event_matrix",
+    "user_journey_prefixes", "wav_vad_segments_report",
+    "weekly_retention_cohorts"
+], 13))
 
 
 # Queries whose implementation changed this round AFTER their last
 # driver verdict — pinned to the front of the window so the stale green
 # is replaced. Pins must be backed by an actual diff to the named
-# query's plan or oracle. Round 13:
-#  - wav_vad_segments_report: VERDICT r12 ask #7 profiling found the
-#    ``nf > 0`` filter pushed below the synth/decode projections,
-#    re-inlining the whole payload-construction chain into a
-#    9,430-char filter predicate (one full re-synth per clip). The
-#    guard is now a NULL array under the posexplode (no Filter node to
-#    push). Parity exact at sf0.01 AND sf0.1; plan changed after its
-#    r11 green -> re-pin. 3.36 -> 3.20 s idle-box median.
-_PRIORITY: tuple[str, ...] = (
-    "wav_vad_segments_report",
-)
+# query's plan or oracle. Round 14: none yet (the r13 re-pin
+# wav_vad_segments_report went green in CORRECTNESS_r13 and rotated
+# into _PRIOR_VERIFIED).
+_PRIORITY: tuple[str, ...] = ()
 
 
 # Queries ADDED this round (construction parity evidence only). They
 # queue BEHIND the pending-verdict block so they can't push a
-# longer-waiting query out of the window. Round 13 additions are
+# longer-waiting query out of the window. Round 14 additions are
 # appended here as they land.
-_NEW_PARITY_ONLY: tuple[str, ...] = (
-    "knn_beam_search_recall",
-    "two_stage_rerank_topk",
-    "mde_power_analysis",
-    "nation_trade_hits",
-)
+_NEW_PARITY_ONLY: tuple[str, ...] = ()
 
 
 def _rotated() -> list[str]:
