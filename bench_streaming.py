@@ -138,6 +138,11 @@ def main() -> None:
         detail = json.load(open(DETAIL))
     except (FileNotFoundError, json.JSONDecodeError):
         detail = {}
+    # NOTE: bench.py preserves only a WHITELIST of foreign-owned
+    # sections across its rewrites (`foreign_sections` in bench.py) —
+    # if this key is ever renamed or a sibling section added, update
+    # that tuple in the same change or the section is silently dropped
+    # on the next bench run.
     detail["streaming"] = section
     with open(DETAIL, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

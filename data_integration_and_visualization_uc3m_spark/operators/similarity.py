@@ -139,6 +139,21 @@ def lsh_bucket(
         bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
+    # Enforce the documented over-width contract LOUDLY: slice() caps at
+    # the component-array length and zip_with null-pads the remainder,
+    # so without this guard a vector longer than ``dim`` would project
+    # NULL on every plane (NULL > 0 is false) and silently land in
+    # bucket 0 — degenerate quadratic blocking AND divergence from the
+    # SQL oracles, which sum only the first ``dim`` components.
+    bucket = F.when(F.size(v) <= F.lit(dim), bucket).otherwise(
+        F.raise_error(
+            F.format_string(
+                "lsh_bucket: vector width %s exceeds component-table "
+                "dim %s — rebuild with a larger dim",
+                F.size(v).cast("string"), F.lit(str(dim)),
+            )
+        ).cast("long")
+    )
     return df.crossJoin(F.broadcast(packed)).select(
         F.col(id_col), F.col(vec_col), bucket.alias("bucket")
     )
@@ -881,14 +896,25 @@ def cosine_topk_rel(
 ) -> DataFrame:
     """cosine_topk with the query as a 1-row broadcast relation; the
     query norm is computed ONCE on the broadcast side (constant per
-    query — the ann_int8_topk lesson)."""
-    q1 = qdf.select(F.col(vec_col).alias("_qv")).select(
-        "_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn")
+    query — the ann_int8_topk lesson).
+
+    Zero-norm rows are excluded on BOTH sides: 0/0 cosine is NaN, and
+    NaN sorts above every double, so an all-zero corpus vector would
+    otherwise claim rank 1 (and an all-zero query would poison every
+    rank). This matches the oracles' ``WHERE norm > 0`` base relation;
+    the current testdata has no zero vectors, so results are unchanged
+    there. The limit pins the documented 1-row query contract."""
+    q1 = (
+        qdf.select(F.col(vec_col).alias("_qv"))
+        .select("_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn"))
+        .filter(F.col("_qn") > 0)
+        .limit(1)
     )
     v = F.col(vec_col)
     cos = _dot(v, F.col("_qv")) / (F.sqrt(_dot(v, v)) * F.col("_qn"))
     return (
         df.crossJoin(F.broadcast(q1))
+        .filter(F.sqrt(_dot(v, v)) > 0)
         .select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -1429,6 +1455,81 @@ def mmr_diverse_topk_rel(
     return selected.select("pick_order", id_col, "rel_nano")
 
 
+def adaptive_lsh_cells(
+    df: DataFrame,
+    cell_cap: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADAPTIVE-RESOLUTION SRP-LSH cell assignment — the bounded-cell
+    blocking primitive shared by the graph build (:func:`knn_graph_lsh`)
+    and the scale-safe dedup twins (queries ``semdedup_verdicts_scaled``,
+    ``dedup_embedding_cosine_srp``).
+
+    One 12-plane sign-projection bucket id is read at three resolutions
+    (bits 0-3 / 0-7 / 0-11); each 4-bit COARSE bucket whose population
+    fits ``cell_cap`` blocks at level 0, an oversized coarse bucket
+    descends to its 8-bit sub-buckets, and a still-oversized one to 12
+    bits. The level is a function of the bucket ANCESTRY, so every
+    member of a bucket agrees on its blocking level and pair generation
+    stays consistent — no pair is half-descended. Within-cell candidate
+    volume stays ~``cell_cap``·|V| at ANY corpus size instead of
+    growing Σ|bucket|² with a fixed cell count (the r13 decade probe
+    measured the fixed-cardinality forms at 24-159x on 10x data; this
+    descent is the measured fix, 47.8x → 1.1x on the k-NN graph build).
+
+    Returns the localCheckpointed |V|-row relation
+    ``(_id, _v, _n, lvl, bkt)`` — zero-norm vectors excluded (their
+    cosine is undefined). Checkpointed because every consumer joins it
+    at least twice (both pair arms), and without it the 12-plane bucket
+    chain + count joins re-derive under each arm (the no-CSE lesson).
+    """
+    srp = _srp_keyed(df, id_col, vec_col)
+    c4 = srp.groupBy("_b4").agg(F.count(F.lit(1)).alias("_n4"))
+    c8 = srp.groupBy("_b8").agg(F.count(F.lit(1)).alias("_n8"))
+    return _descend(srp, c4, c8, cell_cap).localCheckpoint()
+
+
+def _srp_keyed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """12-plane SRP bucket read at three resolutions:
+    ``(_id, _v, _n, _b4, _b8, _b12)``, zero-norm vectors excluded."""
+    b = lsh_bucket(df, n_planes=12, id_col=id_col, vec_col=vec_col)
+    v = F.col(vec_col)
+    return b.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+        F.pmod(F.col("bucket"), F.lit(16)).alias("_b4"),
+        F.pmod(F.col("bucket"), F.lit(256)).alias("_b8"),
+        F.col("bucket").alias("_b12"),
+    ).filter(F.col("_n") > 0)
+
+
+def _descend(srp: DataFrame, c4: DataFrame, c8: DataFrame,
+             cell_cap: int) -> DataFrame:
+    """Pick each vector's blocking (lvl, bkt) from the 4/8-bit
+    population counts. The counts relations define the descent — pass
+    a FROZEN index's counts (left-joined; an unseen bucket counts 0 and
+    opens at the coarse level) to assign NEW vectors into an existing
+    cell structure without rebuilding it (:func:`knn_graph_delta_merge`).
+    """
+    return (
+        srp.join(F.broadcast(c4), "_b4", "left")
+        .join(F.broadcast(c8), "_b8", "left")
+        .select(
+            "_id", "_v", "_n",
+            F.when(F.coalesce(F.col("_n4"), F.lit(0)) <= cell_cap, F.lit(0))
+            .when(F.coalesce(F.col("_n8"), F.lit(0)) <= cell_cap, F.lit(1))
+            .otherwise(F.lit(2)).alias("lvl"),
+            F.when(F.coalesce(F.col("_n4"), F.lit(0)) <= cell_cap,
+                   F.col("_b4"))
+            .when(F.coalesce(F.col("_n8"), F.lit(0)) <= cell_cap,
+                  F.col("_b8"))
+            .otherwise(F.col("_b12")).alias("bkt"),
+        )
+    )
+
+
 def knn_graph_lsh(
     df: DataFrame,
     k: int = 8,
@@ -1461,46 +1562,26 @@ def knn_graph_lsh(
     each unordered pair is generated once per direction with no
     distinct shuffle.
     """
-    b = lsh_bucket(df, n_planes=12, id_col=id_col, vec_col=vec_col)
-    v = F.col(vec_col)
-    base = b.select(
-        F.col(id_col).alias("_id"),
-        v.alias("_v"),
-        F.sqrt(_dot(v, v)).alias("_n"),
-        F.pmod(F.col("bucket"), F.lit(16)).alias("_b4"),
-        F.pmod(F.col("bucket"), F.lit(256)).alias("_b8"),
-        F.col("bucket").alias("_b12"),
-    ).filter(F.col("_n") > 0)
-    c4 = base.groupBy("_b4").agg(F.count(F.lit(1)).alias("_n4"))
-    c8 = base.groupBy("_b8").agg(F.count(F.lit(1)).alias("_n8"))
-    # Staged: both pair arms (and through them the window) consume this
-    # relation, and without the checkpoint the 12-plane bucket chain +
-    # count joins re-derive under each arm (the no-CSE lesson); the
-    # staged relation is |V| rows of (id, vec, norm, lvl, bkt) — the
-    # bounded artifact the build would persist anyway.
-    keyed = (
-        base.join(F.broadcast(c4), "_b4")
-        .join(F.broadcast(c8), "_b8")
-        .select(
-            "_id", "_v", "_n",
-            F.when(F.col("_n4") <= cell_cap, F.lit(0))
-            .when(F.col("_n8") <= cell_cap, F.lit(1))
-            .otherwise(F.lit(2)).alias("lvl"),
-            F.when(F.col("_n4") <= cell_cap, F.col("_b4"))
-            .when(F.col("_n8") <= cell_cap, F.col("_b8"))
-            .otherwise(F.col("_b12")).alias("bkt"),
-        )
-        .localCheckpoint()
-    )
-    a = keyed.select(
+    # Staged (inside adaptive_lsh_cells): both pair arms (and through
+    # them the window) consume this relation — |V| rows of
+    # (id, vec, norm, lvl, bkt), the bounded artifact the build would
+    # persist anyway.
+    keyed = adaptive_lsh_cells(df, cell_cap, id_col, vec_col)
+    return _keep_topk(_cell_pair_scores(keyed, keyed), k)
+
+
+def _cell_pair_scores(src_keyed: DataFrame, dst_keyed: DataFrame) -> DataFrame:
+    """(src, dst, cos) for every same-cell pair across the two keyed
+    relations (``adaptive_lsh_cells`` shape), self-pairs excluded."""
+    a = src_keyed.select(
         F.col("_id").alias("src"), F.col("_v").alias("_va"),
         F.col("_n").alias("_na"), "lvl", "bkt",
     )
-    bb = keyed.select(
+    bb = dst_keyed.select(
         F.col("_id").alias("dst"), F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"), "lvl", "bkt",
     )
-    cand = (
+    return (
         a.join(bb, ["lvl", "bkt"])
         .filter(F.col("src") != F.col("dst"))
         .select(
@@ -1509,12 +1590,71 @@ def knn_graph_lsh(
              / (F.col("_na") * F.col("_nb"))).alias("cos"),
         )
     )
+
+
+def _keep_topk(edges: DataFrame, k: int) -> DataFrame:
+    """Each src keeps its k best edges (cos desc, dst tiebreak)."""
     rn = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
     return (
-        cand.withColumn("_rn", F.row_number().over(rn))
+        edges.withColumn("_rn", F.row_number().over(rn))
         .filter(F.col("_rn") <= k)
         .select("src", "dst", "cos")
     )
+
+
+def knn_graph_delta_merge(
+    base_df: DataFrame,
+    delta_df: DataFrame,
+    k: int = 8,
+    cell_cap: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL k-NN graph maintenance — attach a CDC delta batch of
+    new vectors to an existing :func:`knn_graph_lsh` index WITHOUT a
+    full rebuild (VERDICT r13 ask #8b).
+
+    The base build's cell structure is FROZEN: delta vectors are
+    assigned through the base's 4/8-bit population counts (an unseen
+    bucket counts 0 and opens at the coarse level), exactly like
+    assigning new vectors to a frozen IVF codebook. Work is then
+    delta-proportional, not corpus-proportional:
+
+    * delta sources score only their cell-mates (base + delta),
+    * base sources UPDATE by merging their existing k edges with the
+      same-cell delta candidates and re-taking top-k — top-k(A ∪ B) =
+      top-k(top-k(A) ∪ B), so merging the stored edge list with the
+      delta candidates is EXACTLY a frozen-cell rebuild over
+      base ∪ delta. The oracle spells that full rebuild, so the
+      oracle gate PROVES incremental == batch (the
+      incremental_dedup_assign discipline).
+
+    At 100 TB: the base edge relation is the stored |V|·k artifact;
+    each delta batch touches only the cells it lands in — the
+    broadcast count relations and the delta-sized join arms are the
+    whole per-batch cost. Periodic full rebuilds re-balance cells the
+    same way IVF retrains its codebook.
+    """
+    base_srp = _srp_keyed(base_df, id_col, vec_col)
+    c4 = base_srp.groupBy("_b4").agg(F.count(F.lit(1)).alias("_n4"))
+    c8 = base_srp.groupBy("_b8").agg(F.count(F.lit(1)).alias("_n8"))
+    base_keyed = _descend(base_srp, c4, c8, cell_cap).localCheckpoint()
+    delta_keyed = _descend(
+        _srp_keyed(delta_df, id_col, vec_col), c4, c8, cell_cap
+    ).localCheckpoint()
+
+    base_edges = _keep_topk(_cell_pair_scores(base_keyed, base_keyed), k)
+    all_keyed = base_keyed.unionByName(delta_keyed)
+    delta_edges = _keep_topk(
+        _cell_pair_scores(delta_keyed, all_keyed), k
+    )
+    base_updated = _keep_topk(
+        base_edges.unionByName(
+            _cell_pair_scores(base_keyed, delta_keyed)
+        ),
+        k,
+    )
+    return base_updated.unionByName(delta_edges)
 
 
 def knn_beam_search(
@@ -1548,8 +1688,18 @@ def knn_beam_search(
     their top-k and compare against the exact arm for recall.
     """
     v = F.col(vec_col)
-    q1 = qdf.select(v.alias("_qv")).select(
-        "_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn")
+    # Query contract: qdf carries exactly ONE query vector (the limit
+    # enforces it — a multi-row qdf would silently multiply every score
+    # through the crossJoin) and it must have norm > 0: a zero-norm
+    # query yields NaN cosines (0/0), NaN sorts above every double, and
+    # the beam would chase garbage. Filtering matches the oracles'
+    # norm>0 base relation; an all-zero query returns an empty result
+    # rather than a wrong one.
+    q1 = (
+        qdf.select(v.alias("_qv"))
+        .select("_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn"))
+        .filter(F.col("_qn") > 0)
+        .limit(1)
     )
 
     def score(ids: DataFrame) -> DataFrame:

@@ -210,7 +210,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with coarse-quantizer
     blocking (pairs only form inside a cell) — the embedding analogue
     of MinHash candidate pairs. Within a block the result is exact,
-    and the left-fold dot products are bit-identical to the oracle."""
+    and the left-fold dot products are bit-identical to the oracle.
+
+    SCALE NOTE: the 10-value label column is a FIXED-cardinality
+    blocking key — cell population grows with the corpus, candidates
+    Θ(n²/10), measured 159x on 10x data (BASELINE.md
+    "Fixed-cardinality blocking"). The registered 100 TB form is
+    `dedup_embedding_cosine_srp` (queries/_p11.py): adaptive-LSH
+    cells bounded at 64 vectors by construction."""
     e = _t(spark, sf_dir, "embeddings", fanout=True)
     return similarity.cosine_pairs_blocked(e, block_col="label", threshold=0.3)
 

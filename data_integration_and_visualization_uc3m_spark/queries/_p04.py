@@ -1918,7 +1918,15 @@ def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to one broadcast row, assignment is map-side argmax
     cosine, and near-dup flags come from within-cluster exact cosine
     pairs (similarity.semdedup_rel). One verdict row per
-    non-degenerate vector; zero driver collects."""
+    non-degenerate vector; zero driver collects.
+
+    SCALE NOTE: the codebook is PINNED at k=8 for oracle
+    comparability, which makes within-cluster candidates Θ(n²/k) —
+    measured 27.4x on 10x data (BASELINE.md "Fixed-cardinality
+    blocking"). The registered 100 TB form is
+    `semdedup_verdicts_scaled` (queries/_p11.py): same semantics
+    class, cells bounded by construction via
+    similarity.adaptive_lsh_cells."""
     e = _t(spark, sf_dir, "embeddings", fanout=True)
     cb = similarity.train_codebook(e, k=8)
     return similarity.semdedup_rel(e, cb, threshold=0.4)

@@ -1290,7 +1290,15 @@ def ppjoin_word_set_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     float touches the hash path; jaccard_milli is truncating-div
     fixed point (div ~ //, the theil_sen contract). Losslessness is
     additionally pinned by a hypothesis property test against the
-    brute-force quadratic (tests/test_properties.py)."""
+    brute-force quadratic (tests/test_properties.py).
+
+    SCALE NOTE: this form's 3-gram shingle universe SATURATES on the
+    synthetic 31-word vocabulary (~30k combos; median df 77% of docs
+    at sf1), so the prefix has nothing rare to key on and candidates
+    are Θ(n²) — measured 24x on 10x data (BASELINE.md
+    "Fixed-cardinality blocking"). The registered 100 TB form is
+    `ppjoin_rare_shingle_pairs` (queries/_p11.py): 5-gram shingles,
+    whose universe grows with the corpus and keeps prefixes rare."""
     d = _t(spark, sf_dir, "documents", fanout=True)
     tok = dedup.ngram_set(d, n=3)
     return dedup.ppjoin_pairs(

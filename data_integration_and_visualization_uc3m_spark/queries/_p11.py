@@ -1,0 +1,293 @@
+"""Query registry — part 11: round-14 additions.
+
+Continues the chain (see queries/_core.py). Theme: SCALE-SAFE TWINS
+for the three fixed-cardinality-blocking queries the r13 decade probe
+measured at 24-159x on 10x data (BASELINE.md "Fixed-cardinality
+blocking"). The pinned forms (`semdedup_verdicts` k=8 codebook,
+`dedup_embedding_cosine` 10-value label blocking,
+`ppjoin_word_set_pairs` saturated 3-gram universe) stay registered for
+oracle comparability; these twins are the forms a 100 TB user should
+call — same operators, same semantics class, but the blocking key's
+cardinality SCALES with the corpus, so within-cell candidate volume
+stays ~cap·|V| (embedding twins: adaptive-resolution SRP descent,
+similarity.adaptive_lsh_cells) or keys on genuinely rare tokens
+(ppjoin twin: 5-gram shingles, whose universe grows combinatorially
+with the corpus instead of saturating at the 31-word vocabulary's
+~30k 3-gram combos — measured median df 1 of 5,000 docs at sf0.1 vs
+77% saturation for 3-grams at sf1).
+
+Registration order is append-only.
+"""
+
+from __future__ import annotations
+
+from ._p10 import *  # noqa: F401,F403
+
+# Shared oracle CTE: the adaptive-resolution SRP-LSH cell assignment
+# (similarity.adaptive_lsh_cells) re-derived in SQL — 12 md5-parity
+# hyperplanes, bucket read at 4/8/12 bits, each vector blocking at the
+# coarsest ancestry level whose population fits cell_cap=64. Exactly
+# the descent the knn_beam_search_recall oracle pins; shared here so
+# both embedding twins spell the same cells. ``count_where`` restricts
+# the POPULATION COUNTS to a sub-relation (the frozen-index form the
+# delta-merge query needs: counts from the base only, LEFT joins so an
+# unseen bucket counts 0 and opens coarse).
+
+
+def _adaptive_cells_cte(count_where: str = "") -> str:
+    return _ADAPTIVE_CELLS_TEMPLATE.replace("{CW}", count_where)
+
+
+_ADAPTIVE_CELLS_TEMPLATE = """planes AS (
+        SELECT p.plane, d.dim,
+               CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || ':'
+                                  || CAST(d.dim AS VARCHAR)), 1, 1)
+                         IN ('1','3','5','7','9','b','d','f')
+                    THEN 1.0 ELSE -1.0 END AS c
+        FROM (SELECT unnest(range(12)) AS plane) p,
+             (SELECT unnest(range(64)) AS dim) d
+    ), proj AS (
+        SELECT e.vec_id, p.plane,
+               SUM(CAST(e.embedding[CAST(p.dim AS INTEGER) + 1] AS DOUBLE)
+                   * p.c) AS s
+        FROM embeddings e, planes p
+        GROUP BY e.vec_id, p.plane
+    ), buck AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN s > 0
+                             THEN 1::BIGINT << CAST(plane AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS b12
+        FROM proj GROUP BY vec_id
+    ), vecs AS (
+        SELECT * FROM (
+            SELECT e.vec_id, e.embedding,
+                   sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+                        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))) AS norm,
+                   b.b12 % 16 AS b4, b.b12 % 256 AS b8, b.b12
+            FROM embeddings e JOIN buck b USING (vec_id)
+        ) WHERE norm > 0
+    ), c4 AS (
+        SELECT b4, COUNT(*) AS n4 FROM vecs {CW} GROUP BY b4
+    ), c8 AS (
+        SELECT b8, COUNT(*) AS n8 FROM vecs {CW} GROUP BY b8
+    ), cells AS (
+        SELECT v.vec_id, v.embedding, v.norm,
+               CASE WHEN COALESCE(c4.n4, 0) <= 64 THEN 0
+                    WHEN COALESCE(c8.n8, 0) <= 64 THEN 1 ELSE 2 END AS lvl,
+               CASE WHEN COALESCE(c4.n4, 0) <= 64 THEN v.b4
+                    WHEN COALESCE(c8.n8, 0) <= 64 THEN v.b8
+                    ELSE v.b12 END AS bkt
+        FROM vecs v LEFT JOIN c4 USING (b4) LEFT JOIN c8 USING (b8)
+    )"""
+
+
+_ADAPTIVE_CELLS_CTE = _adaptive_cells_cte()
+
+
+@register(
+    "semdedup_verdicts_scaled",
+    f"""
+    WITH {_ADAPTIVE_CELLS_CTE}, dups AS (
+        SELECT DISTINCT b.vec_id AS dup_id
+        FROM cells a JOIN cells b
+          ON a.lvl = b.lvl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (a.norm * b.norm) >= 0.4
+    )
+    SELECT c.vec_id,
+           CAST(c.lvl * 4096 + c.bkt AS INTEGER) AS cluster,
+           (c.vec_id IN (SELECT dup_id FROM dups)) AS is_dup
+    FROM cells c
+    """,
+    ops=["semdedup", "similarity-blocked", "embedding-near-dup",
+         "adaptive-lsh-cells"],
+)
+def semdedup_verdicts_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with SCALE-SAFE cells — the registered 100 TB form of
+    `semdedup_verdicts` (whose codebook is pinned at k=8 for oracle
+    comparability and measured Θ(n²/k): 27.4x on 10x data; raising k
+    alone measured insufficient — one Lloyd step leaves cells
+    unbalanced, BASELINE.md "Fixed-cardinality blocking"). Cells here
+    come from similarity.adaptive_lsh_cells: every cell is bounded by
+    cell_cap=64 BY CONSTRUCTION, so the within-cell verdict join stays
+    ~cap·|V| candidates at any corpus size. One verdict row per
+    non-degenerate vector: its cell id (lvl·4096+bkt — unique across
+    levels since bkt < 2^12) and whether a lower-id cell-mate sits at
+    cosine >= 0.4 (first-wins, same convention as the pinned form).
+    The dup flag joins the bounded dup-id relation back via a grouped
+    broadcast — no distinct over the corpus."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    keyed = similarity.adaptive_lsh_cells(e, cell_cap=64)
+    a = keyed.select(
+        F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "lvl", "bkt",
+    )
+    b = keyed.select(
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "lvl", "bkt",
+    )
+    cos = similarity._dot(F.col("_va"), F.col("_vb")) / (
+        F.col("_na") * F.col("_nb")
+    )
+    dups = (
+        a.join(b, ["lvl", "bkt"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cos >= 0.4)
+        .groupBy(F.col("_idb").alias("_dup"))
+        .agg(F.lit(True).alias("_f"))
+    )
+    return (
+        keyed.join(F.broadcast(dups), keyed["_id"] == dups["_dup"], "left")
+        .select(
+            F.col("_id").alias("vec_id"),
+            (F.col("lvl") * 4096 + F.col("bkt")).cast("int").alias("cluster"),
+            F.coalesce(F.col("_f"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+@register(
+    "dedup_embedding_cosine_srp",
+    f"""
+    WITH {_ADAPTIVE_CELLS_CTE}
+    SELECT * FROM (
+        SELECT CAST(a.lvl * 4096 + a.bkt AS INTEGER) AS block,
+               a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (a.norm * b.norm) AS cosine
+        FROM cells a JOIN cells b
+          ON a.lvl = b.lvl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+    ops=["dedup-embedding", "similarity-blocked", "adaptive-lsh-cells"],
+)
+def dedup_embedding_cosine_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with SRP blocking — the
+    registered 100 TB form of `dedup_embedding_cosine` (whose 10-value
+    label blocking measured 159x on 10x data; the fixed 8-plane/256-cell
+    SRP arm measured 85.7 → 13.8 s at sf1, BASELINE.md
+    "Fixed-cardinality blocking"). This twin goes one step further than
+    the measured fixed-256-cell arm: similarity.adaptive_lsh_cells
+    bounds EVERY cell by cell_cap=64 by construction, so candidate
+    volume is ~cap·|V| at any corpus size — the hyperplane-recall trade
+    (blocking is candidate GENERATION with recall < 1) is the same one
+    the IVF/nprobe family already quantifies. Within a cell the cosine
+    is exact and bit-identical to the oracle's left-fold."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    keyed = similarity.adaptive_lsh_cells(e, cell_cap=64)
+    cells = keyed.select(
+        (F.col("lvl") * 4096 + F.col("bkt")).cast("int").alias("cell"),
+        F.col("_id").alias("vec_id"),
+        F.col("_v").alias("embedding"),
+    )
+    return similarity.cosine_pairs_blocked(
+        cells, block_col="cell", threshold=0.3
+    )
+
+
+# 5-gram shingle relation: same tokenizer as _SHINGLES_CTE (split
+# lower(text) on space) but 5-word windows — the universe grows
+# combinatorially with the corpus (vs the 3-gram universe saturating
+# at ~31^3 combos), so document frequencies stay LOW and prefix
+# filtering has rare tokens to key on.
+_SHINGLES5_CTE = """sh5 AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(
+                [array_to_string(list_slice(toks, i + 1, i + 5), ' ')
+                 FOR i IN range(0, greatest(len(toks) - 5, 0) + 1)]
+            ) AS shingle
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents)
+        ) WHERE length(shingle) > 0
+    )"""
+
+
+@register(
+    "ppjoin_rare_shingle_pairs",
+    f"""
+    WITH {_SHINGLES5_CTE}, tok AS (
+        SELECT doc_id, shingle AS w FROM sh5
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.set_size AS BIGINT) AS size_a,
+           CAST(sb.set_size AS BIGINT) AS size_b,
+           CAST(n_common * 1000
+                // (sa.set_size + sb.set_size - n_common)
+                AS BIGINT) AS jaccard_milli
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 5 * n_common >= 3 * (sa.set_size + sb.set_size - n_common)
+    """,
+    ops=["set-similarity-join", "prefix-filtering", "dedup-jaccard"],
+)
+def ppjoin_rare_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin over a RARITY-BEARING token universe — the registered
+    100 TB form of `ppjoin_word_set_pairs`, whose 3-gram shingle
+    universe saturates at the 31-word vocabulary's ~30k combinations
+    (median shingle df 77% of docs at sf1 → prefix filtering has
+    nothing rare to key on → Θ(n²) candidates, measured 24x on 10x
+    data). 5-gram shingles grow combinatorially with the corpus
+    (measured median df 1 of 5,000 docs at sf0.1), so each document's
+    prefix — its rarest shingles under the global (df, shingle) order
+    — actually prunes: candidate volume tracks the df of rare keys,
+    which stays bounded as the corpus grows. Same operator
+    (dedup.ppjoin_pairs), same lossless prefix principle, same exact
+    integer threshold math; only the token relation differs."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    tok = dedup.ngram_set(d, n=5)
+    return dedup.ppjoin_pairs(
+        tok, id_col="doc_id", item_col="shingle", t_num=3, t_den=5
+    )
+
+
+@register(
+    "knn_graph_delta_merge",
+    f"""
+    WITH {_adaptive_cells_cte("WHERE vec_id % 10 <> 0")}
+    SELECT src, dst, cos FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (a.norm * b.norm) AS cos,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_sum(list_transform(
+                                list_zip(a.embedding, b.embedding),
+                                p -> CAST(p[1] AS DOUBLE)
+                                     * CAST(p[2] AS DOUBLE)))
+                              / (a.norm * b.norm) DESC, b.vec_id
+               ) AS rn
+        FROM cells a JOIN cells b
+          ON a.lvl = b.lvl AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
+    ) WHERE rn <= 8
+    """,
+    ops=["ann-graph-traversal", "incremental-index-maintenance",
+         "cdc-delta-merge", "adaptive-lsh-cells"],
+)
+def knn_graph_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (VERDICT r13 ask #8b): a CDC
+    delta batch (every 10th vec_id — the new-arrivals slice) attaches
+    to the existing k-NN graph through the FROZEN base cell structure
+    (similarity.knn_graph_delta_merge): delta vectors assign via the
+    base's population counts like a frozen IVF codebook, delta sources
+    score only their cell-mates, and base sources merge their stored k
+    edges with same-cell delta candidates — top-k(A ∪ B) =
+    top-k(top-k(A) ∪ B), so the merge is EXACTLY a frozen-cell rebuild
+    over base ∪ delta. The ORACLE spells that full rebuild, so the
+    oracle gate proves incremental == batch (the
+    incremental_dedup_assign discipline). Per-batch work is
+    delta-proportional: the stored |V|·k edge relation plus
+    delta-sized join arms — no corpus-scale recompute."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    base = e.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    delta = e.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    return similarity.knn_graph_delta_merge(base, delta, k=8, cell_cap=64)

@@ -4,7 +4,7 @@ the all_queries()/all_oracles()/run_entry() driver surface.
 
 from __future__ import annotations
 
-from ._p10 import *  # noqa: F401,F403
+from ._p11 import *  # noqa: F401,F403
 
 # Rotation schedule for the driver's bounded correctness window.
 #
@@ -388,17 +388,37 @@ _LAST_GREEN.update(dict.fromkeys([  # round 13: 50 greens
 # Queries whose implementation changed this round AFTER their last
 # driver verdict — pinned to the front of the window so the stale green
 # is replaced. Pins must be backed by an actual diff to the named
-# query's plan or oracle. Round 14: none yet (the r13 re-pin
-# wav_vad_segments_report went green in CORRECTNESS_r13 and rotated
-# into _PRIOR_VERIFIED).
-_PRIORITY: tuple[str, ...] = ()
+# query's plan or oracle. Round 14: the ADVICE r13 guards changed the
+# plans of every similarity consumer after their last green —
+# lsh_bucket gained the loud over-width raise (an F.when wrap on the
+# bucket expression), cosine_topk_rel gained the norm>0 filters + the
+# 1-row query limit, knn_beam_search gained the zero-norm query guard,
+# and knn_graph_lsh's cell assignment was extracted into
+# similarity.adaptive_lsh_cells for the round-14 twins. All eight
+# re-verified parity-exact at sf0.01 AND sf0.1 this round; pinned so
+# the driver refreshes their stale greens.
+_PRIORITY: tuple[str, ...] = (
+    "embedding_cosine_topk",
+    "ivf_recall_report",
+    "ivf_nprobe_recall_sweep",
+    "int8_recall_report",
+    "hybrid_rrf_topk",
+    "knn_beam_search_recall",
+    "embedding_lsh_buckets",
+    "semantic_packing_order_report",
+)
 
 
 # Queries ADDED this round (construction parity evidence only). They
 # queue BEHIND the pending-verdict block so they can't push a
 # longer-waiting query out of the window. Round 14 additions are
 # appended here as they land.
-_NEW_PARITY_ONLY: tuple[str, ...] = ()
+_NEW_PARITY_ONLY: tuple[str, ...] = (
+    "semdedup_verdicts_scaled",
+    "dedup_embedding_cosine_srp",
+    "ppjoin_rare_shingle_pairs",
+    "knn_graph_delta_merge",
+)
 
 
 def _rotated() -> list[str]:

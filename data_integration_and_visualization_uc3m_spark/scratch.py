@@ -61,9 +61,22 @@ def _sweep_legacy() -> None:
         names = os.listdir(tmp)
     except OSError:
         return
+    # Age gate (ADVICE r13): an older-version session running
+    # CONCURRENTLY may still hold a lazy DataFrame over a legacy dir —
+    # rmtree'ing it mid-run would fail that session's query. Only sweep
+    # entries untouched for a day; anything younger is plausibly live
+    # and gets collected by a later session instead.
+    import time
+    cutoff = time.time() - 86400
     for name in names:
         if any(name.startswith(p) for p in _LEGACY_PREFIXES):
-            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            path = os.path.join(tmp, name)
+            try:
+                if os.path.getmtime(path) > cutoff:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def scratch_dir(tag: str, sf_dir: str | None = None,

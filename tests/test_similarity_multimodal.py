@@ -34,6 +34,74 @@ def test_lsh_bucket_identical_vectors_same_bucket(spark):
     assert got[0] != got[2]  # antipodal vector flips every plane sign
 
 
+def test_lsh_bucket_overwidth_vector_raises(spark):
+    # ADVICE r13 (medium): slice caps at the component-array length and
+    # zip_with null-pads, so an over-width vector used to project NULL
+    # on every plane and silently land in bucket 0. The guard must fail
+    # loudly instead.
+    e = vecs(spark, [(0, [1.0] * 5)])
+    with pytest.raises(Exception, match="lsh_bucket: vector width"):
+        similarity.lsh_bucket(e, n_planes=4, dim=4).collect()
+    # exactly dim-wide is fine
+    ok = similarity.lsh_bucket(e, n_planes=4, dim=5).collect()
+    assert len(ok) == 1
+
+
+def test_cosine_topk_rel_zero_norm_excluded(spark):
+    # ADVICE r13: a zero-norm corpus vector scores 0/0 = NaN, and NaN
+    # sorts above every double — it must be dropped, matching the
+    # oracles' norm > 0 base relation. A zero-norm query yields an
+    # empty result rather than NaN ranks.
+    e = vecs(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.8, 0.6]), (2, [0.0, 0.0])],
+    )
+    got = similarity.cosine_topk_rel(
+        e, e.filter(F.col("vec_id") == 0), k=3
+    ).collect()
+    assert [r.vec_id for r in got] == [0, 1]  # zero vector excluded
+    empty = similarity.cosine_topk_rel(
+        e, e.filter(F.col("vec_id") == 2), k=3
+    ).collect()
+    assert empty == []
+
+
+def test_knn_graph_delta_merge_equals_frozen_rebuild(spark):
+    # Incremental == batch: merging a delta through the FROZEN base
+    # cells must equal rebuilding the whole graph with those same
+    # cells. With 30 vectors every 4-bit bucket is under cell_cap, so
+    # the frozen rebuild is knn_graph_lsh over the union (descent
+    # never triggers and the counts don't matter).
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    e = vecs(spark, rows)
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    merged = sorted(
+        (r.src, r.dst) for r in
+        similarity.knn_graph_delta_merge(base, delta, k=3).collect()
+    )
+    rebuilt = sorted(
+        (r.src, r.dst) for r in
+        similarity.knn_graph_lsh(e, k=3).collect()
+    )
+    assert merged == rebuilt and len(merged) > 0
+
+
+def test_knn_beam_search_zero_norm_query_empty(spark):
+    e = vecs(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+    )
+    knn = similarity.knn_graph_lsh(e, k=2)
+    out = similarity.knn_beam_search(
+        e, knn, e.filter(F.col("vec_id") == 3),
+        e.filter(F.col("vec_id") < 2), beam=2, hops=1,
+    ).collect()
+    assert out == []  # zero-norm query visits nothing, loudly-empty
+
+
 def test_lsh_topk_returns_query_bucket_hits(spark):
     e = vecs(spark, [(i, [float(i == j) for j in range(8)]) for i in range(8)])
     got = similarity.lsh_topk(e, [1.0] + [0.0] * 7, n_planes=4, k=3).collect()

@@ -87,6 +87,10 @@ EXEMPT: dict[str, str] = {
     "verbatim_window_pairs": "pair arms + df-cap; window fan-out > corpus",
     "tfidf_cosine_pairs": "pair arms + df-cap + idf relation",
     "ppjoin_word_set_pairs": "prefix (a,b) arms + verify token arms",
+    "ppjoin_rare_shingle_pairs": "same operator as ppjoin_word_set_pairs"
+    " (dedup.ppjoin_pairs): prefix (a,b) arms + verify token arms over"
+    " the 5-gram relation; scan count identical to the pinned form's"
+    " adjudicated 6",
     "cross_source_ngram_overlap": "per-source-pair arms by design",
     "split_leakage_audit": "pair arms + split assignment by design",
     "snm_part_name_pairs": "sorted-neighborhood (a,b) arms",
@@ -220,6 +224,7 @@ EXEMPT_MAX: dict[str, int] = {
     "packing_length_sweep": 1,
     "perplexity_buckets": 7,
     "ppjoin_word_set_pairs": 6,
+    "ppjoin_rare_shingle_pairs": 6,
     "pps_doc_sample": 4,
     "pq_adc_topk": 8,
     "pq_codes_embeddings": 4,

@@ -257,6 +257,10 @@ def main() -> None:
         detail = json.load(open(DETAIL))
     except (FileNotFoundError, json.JSONDecodeError):
         detail = {}
+    # NOTE: bench.py preserves only a WHITELIST of foreign-owned
+    # sections across its rewrites (`foreign_sections` in bench.py) —
+    # renaming this key or adding a sibling section requires updating
+    # that tuple in the same change.
     detail["streaming_state_growth"] = meta
     with open(DETAIL, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
