@@ -1702,17 +1702,29 @@ def knn_beam_search(
         .limit(1)
     )
 
-    def score(ids: DataFrame) -> DataFrame:
-        return (
-            df.join(F.broadcast(ids), id_col)
-            .crossJoin(F.broadcast(q1))
-            .filter(F.sqrt(_dot(v, v)) > 0)
-            .select(
-                F.col(id_col),
-                (_dot(v, F.col("_qv"))
-                 / (F.sqrt(_dot(v, v)) * F.col("_qn"))).alias("cosine"),
-            )
+    # Score the WHOLE corpus against the query ONCE and checkpoint the
+    # |V|-row (id, cosine) relation; every hop then joins this scored
+    # relation instead of re-planning a corpus scan + fold chain. The
+    # floats are identical (same fold on the same rows) but the per-hop
+    # plan carries NO lambda expressions — the r13 profile attributed
+    # the query's fresh-session floor to HOF plan-compile cost, and 4
+    # nested fold-bearing trees collapse to 1 here. At 100 TB the
+    # corpus pass is the hop-independent cost the traversal amortizes
+    # over many queries (a served index stores exactly this relation
+    # per query batch).
+    sc = (
+        df.crossJoin(F.broadcast(q1))
+        .filter(F.sqrt(_dot(v, v)) > 0)
+        .select(
+            F.col(id_col),
+            (_dot(v, F.col("_qv"))
+             / (F.sqrt(_dot(v, v)) * F.col("_qn"))).alias("cosine"),
         )
+        .localCheckpoint()
+    )
+
+    def score(ids: DataFrame) -> DataFrame:
+        return sc.join(F.broadcast(ids), id_col)
 
     visited = score(seed_df.select(id_col)).localCheckpoint()
     for _ in range(hops):
