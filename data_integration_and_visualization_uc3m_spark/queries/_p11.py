@@ -291,3 +291,46 @@ def knn_graph_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
     delta = e.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
     return similarity.knn_graph_delta_merge(base, delta, k=8, cell_cap=64)
+
+
+@register(
+    "knn_graph_delta_delete",
+    f"""
+    WITH {_ADAPTIVE_CELLS_CTE}
+    SELECT src, dst, cos FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (a.norm * b.norm) AS cos,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_sum(list_transform(
+                                list_zip(a.embedding, b.embedding),
+                                p -> CAST(p[1] AS DOUBLE)
+                                     * CAST(p[2] AS DOUBLE)))
+                              / (a.norm * b.norm) DESC, b.vec_id
+               ) AS rn
+        FROM cells a JOIN cells b
+          ON a.lvl = b.lvl AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
+        WHERE a.vec_id % 7 <> 0 AND b.vec_id % 7 <> 0
+    ) WHERE rn <= 8
+    """,
+    ops=["ann-graph-traversal", "incremental-index-maintenance",
+         "cdc-delta-delete", "adaptive-lsh-cells"],
+)
+def knn_graph_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index DELETION — the complement of
+    `knn_graph_delta_merge`: every 7th vec_id leaves the corpus, and
+    the stored k-NN graph repairs itself without a rebuild
+    (similarity.knn_graph_delta_delete): edges from deleted srcs
+    vanish, srcs that lost a top-k neighbor re-rank their surviving
+    cell-mates (found by one semi-join over the stored |V|·k edge
+    artifact), everyone else keeps their edges verbatim — deleting a
+    vector never in a src's top-k cannot change that top-k. Cells stay
+    FROZEN (counts from the pre-delete corpus, the IVF
+    no-retrain-on-delete convention). The ORACLE spells the frozen-cell
+    full rebuild over survivors, so the oracle gate proves
+    incremental == batch."""
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
+    dele = e.filter(F.pmod(F.col("vec_id"), F.lit(7)) == 0).select("vec_id")
+    return similarity.knn_graph_delta_delete(e, dele, k=8, cell_cap=64)

@@ -418,6 +418,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "dedup_embedding_cosine_srp",
     "ppjoin_rare_shingle_pairs",
     "knn_graph_delta_merge",
+    "knn_graph_delta_delete",
 )
 
 

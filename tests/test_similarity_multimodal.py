@@ -89,6 +89,29 @@ def test_knn_graph_delta_merge_equals_frozen_rebuild(spark):
     assert merged == rebuilt and len(merged) > 0
 
 
+def test_knn_graph_delta_delete_equals_frozen_rebuild(spark):
+    # Deleting vectors and repairing incrementally must equal the
+    # frozen-cell rebuild over survivors. Small corpus: all buckets
+    # under cell_cap, so the frozen rebuild is knn_graph_lsh over the
+    # survivors.
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    e = vecs(spark, rows)
+    dele = e.filter(F.col("vec_id") % 4 == 0).select("vec_id")
+    repaired = sorted(
+        (r.src, r.dst) for r in
+        similarity.knn_graph_delta_delete(e, dele, k=3).collect()
+    )
+    rebuilt = sorted(
+        (r.src, r.dst) for r in
+        similarity.knn_graph_lsh(
+            e.filter(F.col("vec_id") % 4 != 0), k=3
+        ).collect()
+    )
+    assert repaired == rebuilt and len(repaired) > 0
+
+
 def test_knn_beam_search_zero_norm_query_empty(spark):
     e = vecs(
         spark,
