@@ -334,3 +334,6 @@ def knn_graph_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings", fanout=True)
     dele = e.filter(F.pmod(F.col("vec_id"), F.lit(7)) == 0).select("vec_id")
     return similarity.knn_graph_delta_delete(e, dele, k=8, cell_cap=64)
+
+
+__all__ = [n for n in globals() if not n.startswith("__")]
