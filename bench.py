@@ -44,6 +44,7 @@ BENCH_EXCLUDE = frozenset({
     "streaming_rest_poll_e2e",
     "streaming_sessionize_e2e",
     "streaming_pyds_sink_e2e",
+    "streaming_ann_index_e2e",
 })
 
 

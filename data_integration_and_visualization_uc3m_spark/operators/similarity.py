@@ -1644,6 +1644,24 @@ def knn_graph_delta_merge(
     ).localCheckpoint()
 
     base_edges = _keep_topk(_cell_pair_scores(base_keyed, base_keyed), k)
+    return knn_graph_delta_merge_prebuilt(
+        base_keyed, base_edges, delta_keyed, k
+    )
+
+
+def knn_graph_delta_merge_prebuilt(
+    base_keyed: DataFrame,
+    base_edges: DataFrame,
+    delta_keyed: DataFrame,
+    k: int = 8,
+) -> DataFrame:
+    """The merge core of :func:`knn_graph_delta_merge` against
+    PERSISTED index state — what a served index (or the streaming
+    ingester, streaming/ann.py) runs per batch: ``base_keyed`` and
+    ``base_edges`` come off storage, ``delta_keyed`` is the new batch
+    already assigned through the FROZEN counts (:func:`_descend`).
+    Only delta-sized join arms touch compute; the stored edge artifact
+    streams through one union + window."""
     all_keyed = base_keyed.unionByName(delta_keyed)
     delta_edges = _keep_topk(
         _cell_pair_scores(delta_keyed, all_keyed), k

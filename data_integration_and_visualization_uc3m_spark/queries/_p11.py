@@ -336,4 +336,70 @@ def knn_graph_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_graph_delta_delete(e, dele, k=8, cell_cap=64)
 
 
+@register(
+    "streaming_ann_index_e2e",
+    f"""
+    WITH {_adaptive_cells_cte("WHERE vec_id % 4 = 0")}
+    SELECT src, dst, cos FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (a.norm * b.norm) AS cos,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_sum(list_transform(
+                                list_zip(a.embedding, b.embedding),
+                                p -> CAST(p[1] AS DOUBLE)
+                                     * CAST(p[2] AS DOUBLE)))
+                              / (a.norm * b.norm) DESC, b.vec_id
+               ) AS rn
+        FROM cells a JOIN cells b
+          ON a.lvl = b.lvl AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
+    ) WHERE rn <= 8
+    """,
+    ops=["streaming-e2e", "ann-graph-traversal",
+         "incremental-index-maintenance", "adaptive-lsh-cells"],
+)
+def streaming_ann_index_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental ANN index, proven end-to-end: embeddings
+    staged as 4 mtime-ordered chunk files (chunk = vec_id % 4),
+    streamed one file per micro-batch (streaming/ann.py). Batch 0
+    trains the adaptive-LSH cell structure and FREEZES its population
+    counts; every later batch assigns through the frozen counts and
+    merges into the stored |V|*k edge artifact with
+    similarity.knn_graph_delta_merge_prebuilt — per-batch compute is
+    delta-proportional, state is epoch-scoped/replay-safe. The ORACLE
+    spells the frozen-cell FULL REBUILD over all vectors with counts
+    from chunk 0 alone, so a hash match proves the incremental stream
+    maintained exactly the batch index across every micro-batch
+    boundary."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from ..streaming.ann import read_index_edges, run_stream_ann_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    work = scratch_dir("stream_ann", sf_dir, clean=True)
+    src = f"{work}/src"
+    os.makedirs(src)
+    base = _time.time()
+    for c in range(4):
+        tmp = f"{work}/tmp{c}"
+        e.filter(F.pmod(F.col("vec_id"), F.lit(4)) == c).repartition(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        dst = f"{src}/chunk{c}.parquet"
+        shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        # distinct ascending mtimes pin FileStreamSource arrival order
+        os.utime(dst, (base + c, base + c))
+    run_stream_ann_index(
+        spark, src, f"{work}/state", f"{work}/ckpt", k=8, cell_cap=64
+    )
+    return read_index_edges(spark, f"{work}/state").select(
+        "src", "dst", "cos"
+    )
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

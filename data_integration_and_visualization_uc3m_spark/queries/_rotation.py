@@ -419,6 +419,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "ppjoin_rare_shingle_pairs",
     "knn_graph_delta_merge",
     "knn_graph_delta_delete",
+    "streaming_ann_index_e2e",
 )
 
 

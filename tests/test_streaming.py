@@ -520,3 +520,41 @@ def test_tws_totals_runs_or_gates_cleanly(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_ann_index_sink_replay_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: redelivering an epoch (crash after
+    # the state write, before the checkpoint commit) must leave the
+    # index byte-identical to a single delivery — the epoch-scoped
+    # overwrite + strictly-earlier-epoch reads make the replay pure.
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_integration_and_visualization_uc3m_spark.streaming.ann import (
+        make_index_sink,
+        read_index_edges,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(40)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    b0 = e.filter(F.col("vec_id") < 20)
+    b1 = e.filter(F.col("vec_id") >= 20)
+
+    state = str(tmp_path / "state")
+    sink = make_index_sink(spark, state, k=3, cell_cap=64)
+    sink(b0, 0)
+    sink(b1, 1)
+    once = sorted(map(tuple, read_index_edges(spark, state).collect()))
+
+    state2 = str(tmp_path / "state2")
+    sink2 = make_index_sink(spark, state2, k=3, cell_cap=64)
+    sink2(b0, 0)
+    sink2(b0, 0)  # replayed epoch 0
+    sink2(b1, 1)
+    sink2(b1, 1)  # replayed epoch 1
+    twice = sorted(map(tuple, read_index_edges(spark, state2).collect()))
+    assert once == twice and len(once) > 0
