@@ -402,4 +402,80 @@ def streaming_ann_index_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "compaction_bin_plan",
+    """
+    WITH files AS (
+        SELECT source, doc_id // 50 AS file_id,
+               CAST(SUM(n_chars) AS BIGINT) AS file_bytes,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source, doc_id // 50
+    ), planned AS (
+        SELECT source, file_id, file_bytes, n_docs,
+               CAST(COALESCE(SUM(file_bytes) OVER (
+                   PARTITION BY source ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 16384 AS BIGINT) AS bin_id
+        FROM files
+    )
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(file_bytes) AS BIGINT) AS bin_bytes,
+           CAST(SUM(file_bytes) * 1000 // 16384 AS BIGINT) AS fill_milli,
+           (COUNT(*) > 1) AS is_compaction
+    FROM planned
+    GROUP BY source, bin_id
+    """,
+    ops=["storage-maintenance", "small-files-compaction",
+         "bin-packing-plan"],
+)
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILES COMPACTION planning as a relational operator — the
+    storage-maintenance step every long-lived 100 TB table needs
+    (streaming sinks and per-batch writers mint small files; reads then
+    pay a footer+task per file). The file inventory here is the
+    documents table chunked 50 docs/file with byte sizes from real
+    n_chars sums; in production it comes from the filesystem listing or
+    the table format's manifest. The PLAN is next-fit bin packing by
+    running total, computed entirely with per-partition windows: within
+    each source partition (compaction never merges across partition
+    boundaries — it would break partition pruning), files in id order
+    accumulate into bins of target 16 KiB via
+    ``bin = floor(preceding-cumsum / target)`` — deterministic integer
+    math, no driver loop, no global sort. Output: one row per planned
+    output file (bin): file count, docs, bytes, fill ratio in milli,
+    and whether the bin actually merges anything (``is_compaction``).
+    Scale shape: one window + one aggregate, both keyed by the
+    partition column — the planner parallelizes over partitions and
+    emits a bounded plan relation; the rewrite itself is a distributed
+    copy job driven by this plan."""
+    d = _t(spark, sf_dir, "documents", fanout=True)
+    target = F.lit(16384).cast("long")
+    files = d.groupBy(
+        "source", F.expr("doc_id div 50").alias("file_id")
+    ).agg(
+        F.sum("n_chars").cast("long").alias("file_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "source", "file_bytes", "n_docs",
+        (F.coalesce(F.sum("file_bytes").over(w), F.lit(0).cast("long"))
+         / target).cast("long").alias("bin_id"),
+    )
+    return planned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("file_bytes").cast("long").alias("bin_bytes"),
+        F.expr("CAST(sum(file_bytes) * 1000 div 16384 AS BIGINT)")
+        .alias("fill_milli"),
+        (F.count(F.lit(1)) > 1).alias("is_compaction"),
+    )
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -420,6 +420,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "knn_graph_delta_merge",
     "knn_graph_delta_delete",
     "streaming_ann_index_e2e",
+    "compaction_bin_plan",
 )
 
 
