@@ -478,4 +478,65 @@ def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_dpp_pruned_topk",
+    f"""
+    WITH {_ADAPTIVE_CELLS_CTE}, qc AS (
+        SELECT lvl, bkt, embedding AS qv, norm AS qn
+        FROM cells WHERE vec_id = 1
+    )
+    SELECT c.vec_id,
+           list_sum(list_transform(list_zip(c.embedding, qc.qv),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (c.norm * qc.qn) AS cosine
+    FROM cells c JOIN qc ON c.lvl = qc.lvl AND c.bkt = qc.bkt
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT 10
+    """,
+    ops=["similarity-ivf", "partition-pruning", "adaptive-lsh-cells",
+         "storage-layout"],
+)
+def ann_dpp_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-PRUNED ANN probe — the storage-layout demonstration
+    behind the IVF scale story ("partition-by-cell + partition pruning
+    at the scan", ivf_topk): the adaptive-LSH cell index is WRITTEN
+    partitioned by (lvl, bkt), and the probe joins it with the query's
+    1-row cell relation — Spark's DYNAMIC PARTITION PRUNING turns that
+    join into partition filters on BOTH columns
+    (``SubqueryAdaptiveBroadcast dynamicpruning#...`` feeding
+    ``PartitionFilters`` in the scan, verified in PLANS.md), so the
+    scan reads ONLY the query's cell directory instead of the corpus.
+    At 100 TB this is the difference between touching one ~cell_cap
+    slice and touching every file: the index layout, not the executor
+    count, bounds probe latency. Exact cosine (stored norms — the same
+    left-fold values the oracle recomputes) ranks the pruned cell's
+    members, top-10. Scratch: stable per (query, sf)."""
+    import os
+
+    from ..operators.similarity import _dot
+
+    e = _t(spark, sf_dir, "embeddings")
+    store = os.path.join(scratch_dir("ann_dpp", sf_dir, clean=True),
+                         "cells")
+    similarity.adaptive_lsh_cells(e, cell_cap=64).write.mode(
+        "overwrite"
+    ).partitionBy("lvl", "bkt").parquet(store)
+    stored = spark.read.parquet(store)
+    qc = (
+        stored.filter(F.col("_id") == 1)
+        .select("lvl", "bkt", F.col("_v").alias("_qv"),
+                F.col("_n").alias("_qn"))
+    )
+    return (
+        stored.join(F.broadcast(qc), ["lvl", "bkt"])
+        .select(
+            F.col("_id").alias("vec_id"),
+            (_dot(F.col("_v"), F.col("_qv"))
+             / (F.col("_n") * F.col("_qn"))).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 __all__ = [n for n in globals() if not n.startswith("__")]

@@ -421,6 +421,7 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "knn_graph_delta_delete",
     "streaming_ann_index_e2e",
     "compaction_bin_plan",
+    "ann_dpp_pruned_topk",
 )
 
 
