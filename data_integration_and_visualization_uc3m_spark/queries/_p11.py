@@ -540,3 +540,350 @@ def ann_dpp_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = [n for n in globals() if not n.startswith("__")]
+
+
+# HyperLogLog rho = position of the first set bit (from the MSB) in
+# the 32-bit window below the bucket bits; 33 when the window is all
+# zeros. Spelled as one integer CASE chain so BOTH engines compute it
+# with exact comparisons — no log2/doubles near power-of-2 boundaries.
+_HLL_RHO_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN w32 >= {1 << (31 - i)} THEN {i + 1}" for i in range(32)
+    )
+    + " ELSE 33 END"
+)
+
+# alpha_256 * m^2 * 2^33 / S, every literal cast to DOUBLE and the
+# op tree left-associated identically in Spark and DuckDB so the one
+# floating chain is bit-identical (all inputs exact integers).
+_HLL_EST_SQL = (
+    "CAST(0.7213 AS DOUBLE)"
+    " / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)"
+    " / CAST(256.0 AS DOUBLE))"
+    " * CAST(65536.0 AS DOUBLE) * CAST(8589934592.0 AS DOUBLE)"
+    " / CAST(s_scaled AS DOUBLE)"
+)
+
+
+@register(
+    "hll_register_distinct",
+    f"""
+    WITH h AS (
+        SELECT o_orderpriority AS prio, o_orderkey % 2 AS parity,
+               CAST(('0x' || substring(md5('h:' ||
+                        CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM orders
+    ), wb AS (
+        SELECT prio, parity, hv % 256 AS bucket,
+               (hv // 256) % 4294967296 AS w32
+        FROM h
+    ), rh AS (
+        SELECT prio, parity, bucket, {_HLL_RHO_CASE} AS rho FROM wb
+    ), regs_half AS (
+        SELECT prio, parity, bucket, MAX(rho) AS r
+        FROM rh GROUP BY prio, parity, bucket
+    ), regs_merged AS (
+        SELECT prio, bucket, MAX(r) AS r
+        FROM regs_half GROUP BY prio, bucket
+    ), regs AS (
+        SELECT prio, bucket, MAX(rho) AS r FROM rh GROUP BY prio, bucket
+    ), mergechk AS (
+        SELECT COALESCE(w.prio, m.prio) AS prio,
+               BOOL_AND(w.r IS NOT DISTINCT FROM m.r)
+                 AS merge_consistent
+        FROM regs w FULL JOIN regs_merged m
+          ON w.prio = m.prio AND w.bucket = m.bucket
+        GROUP BY COALESCE(w.prio, m.prio)
+    ), summ AS (
+        SELECT prio, COUNT(*) AS buckets_hit,
+               SUM(1::BIGINT << (33 - r)) AS s_hit
+        FROM regs GROUP BY prio
+    ), est AS (
+        SELECT prio, buckets_hit,
+               s_hit + (256 - buckets_hit) * 8589934592 AS s_scaled
+        FROM summ
+    ), est2 AS (
+        SELECT prio, buckets_hit, s_scaled,
+               {_HLL_EST_SQL} AS raw_estimate
+        FROM est
+    ), ex AS (
+        SELECT o_orderpriority AS prio,
+               COUNT(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT e.prio AS o_orderpriority,
+           CAST(256 AS BIGINT) AS m,
+           CAST(e.buckets_hit AS BIGINT) AS buckets_hit,
+           CAST(e.s_scaled AS BIGINT) AS s_scaled,
+           e.raw_estimate,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           (e.raw_estimate <= CAST(640.0 AS DOUBLE)
+            AND e.buckets_hit < 256) AS lc_regime,
+           mc.merge_consistent
+    FROM est2 e JOIN ex x ON e.prio = x.prio
+    JOIN mergechk mc ON e.prio = mc.prio
+    """,
+    ops=["sketch-hll-registers", "mergeable-aggregate",
+         "distinct-estimate"],
+)
+def hll_register_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERLOGLOG REGISTERS AS RELATIONAL ALGEBRA — the mergeable
+    distinct-count sketch built from scratch with exact cross-engine
+    parity (`approx_sketches` exercises Spark's built-in HLL++, whose
+    binary sketch is engine-private; here the REGISTERS themselves are
+    the relation, so parity is bit-exact). Per (priority, custkey):
+    a 60-bit md5 hash splits into an 8-bit bucket and a 32-bit rho
+    window; rho = first-set-bit position via an integer CASE chain
+    (no float log2). Registers = groupBy(prio, bucket).max(rho) — the
+    canonical MERGEABLE aggregate: max() is associative/commutative,
+    so 256 tiny rows per group flow through map-side partial
+    aggregation no matter how many billions of rows feed them; that is
+    the whole 100 TB story (profile distinct cardinalities with one
+    scan + a 1.3 KB state per group). Mergeability is PROVEN in-query:
+    registers built separately over even/odd orderkey halves and
+    max-merged must equal the whole-corpus registers
+    (`merge_consistent`, full-join bool_and). The estimate keeps every
+    aggregate in exact integers — sum of 2^(33-rho) scaled by 2^33 —
+    and spends exactly one double chain on alpha_m*m^2*2^33/S, spelled
+    identically in both engines; `lc_regime` flags groups where the
+    linear-counting correction would apply downstream.
+
+    Reference parity: extends the reference's aggregate family
+    (etl.py:71-76 yearly means) to sketch aggregates; no reference
+    counterpart — LLM-pipeline extension surface."""
+    o = _t(spark, sf_dir, "orders")
+    h = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.pmod(F.col("o_orderkey"), F.lit(2)).alias("parity"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("h:"),
+                               F.col("o_custkey").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long").alias("hv"),
+    )
+    wb = h.select(
+        "prio", "parity",
+        F.pmod(F.col("hv"), F.lit(256)).alias("bucket"),
+        F.expr("pmod(hv div 256, 4294967296)").alias("w32"),
+    )
+    rh = wb.select(
+        "prio", "parity", "bucket", F.expr(_HLL_RHO_CASE).alias("rho")
+    )
+    regs_half = rh.groupBy("prio", "parity", "bucket").agg(
+        F.max("rho").alias("r")
+    )
+    regs_merged = regs_half.groupBy("prio", "bucket").agg(
+        F.max("r").alias("r")
+    )
+    regs = rh.groupBy("prio", "bucket").agg(F.max("rho").alias("r"))
+    mergechk = (
+        regs.alias("w")
+        .join(
+            regs_merged.alias("m"),
+            (F.col("w.prio") == F.col("m.prio"))
+            & (F.col("w.bucket") == F.col("m.bucket")),
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("w.prio"), F.col("m.prio")).alias("prio"),
+            F.col("w.r").eqNullSafe(F.col("m.r")).alias("eq"),
+        )
+        .groupBy("prio")
+        .agg(F.expr("bool_and(eq)").alias("merge_consistent"))
+    )
+    est = regs.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("buckets_hit"),
+        F.expr(
+            "sum(shiftleft(cast(1 as bigint), 33 - r))"
+        ).alias("s_hit"),
+    ).select(
+        "prio", "buckets_hit",
+        (F.col("s_hit")
+         + (F.lit(256).cast("long") - F.col("buckets_hit"))
+         * F.lit(8589934592).cast("long")).alias("s_scaled"),
+    ).withColumn("raw_estimate", F.expr(_HLL_EST_SQL))
+    exact = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(F.broadcast(exact), "prio")
+        .join(F.broadcast(mergechk), "prio")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.lit(256).cast("long").alias("m"),
+            "buckets_hit", "s_scaled", "raw_estimate",
+            "exact_distinct",
+            ((F.col("raw_estimate") <= F.lit(640.0))
+             & (F.col("buckets_hit") < 256)).alias("lc_regime"),
+            "merge_consistent",
+        )
+    )
+
+
+@register(
+    "kmv_theta_intersection",
+    """
+    WITH h AS (
+        SELECT DISTINCT o_orderpriority AS prio,
+               CAST(('0x' || substring(md5('h:' ||
+                        CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM orders
+    ), rk AS (
+        SELECT prio, hv,
+               ROW_NUMBER() OVER (PARTITION BY prio ORDER BY hv) AS rn
+        FROM h
+    ), sk AS (
+        SELECT prio, hv, rn FROM rk WHERE rn <= 64
+    ), th AS (
+        SELECT prio,
+               COALESCE(MAX(CASE WHEN rn = 64 THEN hv END),
+                        1152921504606846976) AS theta
+        FROM sk GROUP BY prio
+    ), pairs AS (
+        SELECT a.prio AS p1, b.prio AS p2,
+               LEAST(ta.theta, tb.theta) AS theta,
+               COUNT(*) FILTER (
+                   WHERE a.hv = b.hv
+                     AND a.hv < LEAST(ta.theta, tb.theta)
+               ) AS kmv_matches
+        FROM sk a JOIN sk b ON a.hv = b.hv AND a.prio < b.prio
+        JOIN th ta ON ta.prio = a.prio
+        JOIN th tb ON tb.prio = b.prio
+        GROUP BY a.prio, b.prio, LEAST(ta.theta, tb.theta)
+    ), allpairs AS (
+        SELECT ta.prio AS p1, tb.prio AS p2,
+               LEAST(ta.theta, tb.theta) AS theta,
+               COALESCE(p.kmv_matches, 0) AS kmv_matches
+        FROM th ta JOIN th tb ON ta.prio < tb.prio
+        LEFT JOIN pairs p ON p.p1 = ta.prio AND p.p2 = tb.prio
+    ), ex AS (
+        SELECT a.prio AS p1, b.prio AS p2,
+               COUNT(*) AS exact_common
+        FROM (SELECT DISTINCT o_orderpriority AS prio, o_custkey AS c
+              FROM orders) a
+        JOIN (SELECT DISTINCT o_orderpriority AS prio, o_custkey AS c
+              FROM orders) b
+          ON a.c = b.c AND a.prio < b.prio
+        GROUP BY a.prio, b.prio
+    )
+    SELECT ap.p1, ap.p2, CAST(64 AS BIGINT) AS k,
+           CAST(ap.theta AS BIGINT) AS theta,
+           CAST(ap.kmv_matches AS BIGINT) AS kmv_matches,
+           CAST(ap.kmv_matches AS DOUBLE)
+             * CAST(1152921504606846976 AS DOUBLE)
+             / CAST(ap.theta AS DOUBLE) AS theta_estimate,
+           CAST(COALESCE(ex.exact_common, 0) AS BIGINT) AS exact_common
+    FROM allpairs ap LEFT JOIN ex ON ex.p1 = ap.p1 AND ex.p2 = ap.p2
+    """,
+    ops=["sketch-kmv-theta", "set-intersection-estimate",
+         "mergeable-aggregate"],
+)
+def kmv_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA/KMV SKETCH SET INTERSECTION — distinct-set algebra at
+    sketch size: per order priority, keep the k=64 SMALLEST 60-bit
+    md5 hashes of its customer set (a KMV sketch; bottom-k is order-
+    insensitive and mergeable — merging two sketches is min-k of the
+    union, which is how a 1000-executor cluster builds it with
+    map-side partial TakeOrdered state, never the full distinct set).
+    For every priority pair the theta-sketch rule estimates the
+    intersection: theta = min(theta_a, theta_b); matches = shared
+    hashes below theta; |A∩B| ~= matches * 2^60 / theta — the ONE
+    double chain, fed by exact integers and spelled identically in
+    the DuckDB oracle. At 100 TB the exact pairwise-intersection join
+    this query carries for ground truth is the thing you CANNOT run —
+    the sketch path touches each input row once and intersects
+    64-row relations. Partition shape: the rank window partitions by
+    priority (5 bounded partitions); sketch-sketch joins are
+    broadcast-size by construction. Guard: a priority with fewer than
+    k distinct hashes keeps its whole set and theta = 2^60 (exact
+    regime).
+
+    Reference parity: no counterpart (reference dedupes row batches,
+    etl.py:64-67); LLM-pipeline extension surface."""
+    o = _t(spark, sf_dir, "orders")
+    h = (
+        o.select(
+            F.col("o_orderpriority").alias("prio"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("h:"),
+                                   F.col("o_custkey").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long").alias("hv"),
+        )
+        .groupBy("prio", "hv")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    w = Window.partitionBy("prio").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+    )
+    full = F.lit(1152921504606846976).cast("long")
+    th = sk.groupBy("prio").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == 64, F.col("hv"))), full
+        ).alias("theta")
+    )
+    ta = th.select(F.col("prio").alias("p1"),
+                   F.col("theta").alias("_tha"))
+    tb = th.select(F.col("prio").alias("p2"),
+                   F.col("theta").alias("_thb"))
+    matches = (
+        sk.select(F.col("prio").alias("p1"), "hv")
+        .join(sk.select(F.col("prio").alias("p2"), F.col("hv")), "hv")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(F.broadcast(ta), "p1")
+        .join(F.broadcast(tb), "p2")
+        .withColumn("_th", F.least("_tha", "_thb"))
+        .groupBy("p1", "p2", F.col("_th").alias("theta"))
+        .agg(
+            F.sum(
+                F.when(F.col("hv") < F.col("_th"), 1).otherwise(0)
+            ).cast("long").alias("kmv_matches")
+        )
+    )
+    # group-grid crossJoin: |priorities|^2 = 25 rows, both sides are
+    # per-group 1-row theta aggregates (plan-audit SCALAR_OK entry)
+    allpairs = (
+        ta.crossJoin(tb)
+        .filter(F.col("p1") < F.col("p2"))
+        .withColumn("theta", F.least("_tha", "_thb"))
+        .select("p1", "p2", "theta")
+        .join(matches, ["p1", "p2", "theta"], "left")
+        .withColumn(
+            "kmv_matches",
+            F.coalesce(F.col("kmv_matches"), F.lit(0).cast("long")),
+        )
+    )
+    dcust = (
+        o.select(F.col("o_orderpriority").alias("prio"),
+                 F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    exact = (
+        dcust.select(F.col("prio").alias("p1"), "c")
+        .join(dcust.select(F.col("prio").alias("p2"), "c"), "c")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_common"))
+    )
+    return allpairs.join(exact, ["p1", "p2"], "left").select(
+        "p1", "p2",
+        F.lit(64).cast("long").alias("k"),
+        "theta", "kmv_matches",
+        (F.col("kmv_matches").cast("double")
+         * F.lit(1152921504606846976).cast("double")
+         / F.col("theta").cast("double")).alias("theta_estimate"),
+        F.coalesce(F.col("exact_common"),
+                   F.lit(0).cast("long")).alias("exact_common"),
+    )

@@ -422,6 +422,8 @@ _NEW_PARITY_ONLY: tuple[str, ...] = (
     "streaming_ann_index_e2e",
     "compaction_bin_plan",
     "ann_dpp_pruned_topk",
+    "hll_register_distinct",
+    "kmv_theta_intersection",
 )
 
 

@@ -91,3 +91,72 @@ def test_cms_width_sweep_consistent_with_heavy_hitters(spark):
     for w, r in sweep.items():
         assert r.total_overcount >= 0 and r.max_overcount >= 0
         assert r.sum_est >= r.sum_exact
+
+
+# --- HLL register / KMV theta relations (queries hll_register_distinct,
+# kmv_theta_intersection) — pin the sketch math against a pure-Python
+# reference on the real sf0.001 orders table.
+
+def _py_hll(keys, m=256):
+    import hashlib
+    regs = {}
+    for k in keys:
+        hv = int(hashlib.md5(f"h:{k}".encode()).hexdigest()[:15], 16)
+        bucket = hv % m
+        w32 = (hv // m) % (1 << 32)
+        rho = 33 if w32 == 0 else (33 - w32.bit_length())
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    s = sum(1 << (33 - r) for r in regs.values())
+    s += (m - len(regs)) * (1 << 33)
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    return regs, s, alpha * 65536.0 * 8589934592.0 / s
+
+
+def test_hll_registers_match_python_reference(spark):
+    import duckdb
+
+    from data_integration_and_visualization_uc3m_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["hll_register_distinct"].fn(spark, sf).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    by_prio = {}
+    for prio, ck in con.execute(
+        "SELECT o_orderpriority, o_custkey FROM orders"
+    ).fetchall():
+        by_prio.setdefault(prio, []).append(ck)
+    assert len(rows) == len(by_prio)
+    for r in rows:
+        regs, s, est = _py_hll(by_prio[r.o_orderpriority])
+        assert r.s_scaled == s, r.o_orderpriority
+        assert r.buckets_hit == len(regs)
+        assert r.raw_estimate == est  # bit-identical double chain
+        assert r.merge_consistent is True
+        exact = len(set(by_prio[r.o_orderpriority]))
+        assert r.exact_distinct == exact
+        # HLL with m=256 has rsd ~= 1.04/16 = 6.5%; allow 4 sigma
+        if not r.lc_regime:
+            assert abs(r.raw_estimate - exact) / exact < 0.26
+
+
+def test_kmv_theta_estimate_brackets_exact(spark):
+    from data_integration_and_visualization_uc3m_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["kmv_theta_intersection"].fn(spark, sf).collect()
+    assert len(rows) == 10  # C(5,2) priority pairs
+    for r in rows:
+        assert r.p1 < r.p2
+        assert r.kmv_matches <= r.k
+        assert r.theta <= 1152921504606846976
+        if r.theta == 1152921504606846976:
+            # full-set regime: estimate is exact
+            assert int(round(r.theta_estimate)) == r.exact_common
+        elif r.exact_common >= 64:
+            # sketch regime: within 6 sigma of ~1/sqrt(k) rsd
+            assert abs(r.theta_estimate - r.exact_common) <= (
+                0.75 * r.exact_common + 64
+            )

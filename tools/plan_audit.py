@@ -148,6 +148,8 @@ SCALAR_OK: set[str] = {
                                 # k-row transition-state axis
     "upsert_delete_keys",       # two 1-row audit aggregates cross-joined
     "verbatim_window_pairs",    # 1-row corpus count broadcast (df-cap threshold)
+    "kmv_theta_intersection",   # |groups|^2 theta-grid (5x5) of per-group
+                                # 1-row KMV theta aggregates cross-joined
     "cv_fold_stats",            # 1-row fold-totals broadcast (leave-one-out mean)
     "strip_boilerplate_tokens", # 1-row stoplist + 1-row corpus count broadcasts
     "basket_part_lift",         # 1-row basket-total broadcast (lift denominator)
