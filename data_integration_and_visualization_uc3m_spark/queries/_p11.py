@@ -677,9 +677,17 @@ def hll_register_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs_half = rh.groupBy("prio", "parity", "bucket").agg(
         F.max("rho").alias("r")
     )
+    # The merged registers feed BOTH the merge check and the estimate:
+    # localCheckpoint the <=2*256*|groups|-row relation so the second
+    # consumer reuses the materialized registers instead of re-deriving
+    # the whole orders lineage (audited plan: 2 orders scans — the
+    # two verification arms; the checkpoint build itself is the third,
+    # paid once at construction).
     regs_merged = regs_half.groupBy("prio", "bucket").agg(
         F.max("r").alias("r")
-    )
+    ).localCheckpoint()
+    # Independent whole-corpus aggregation — the merge check compares
+    # this direct arm against the merged halves.
     regs = rh.groupBy("prio", "bucket").agg(F.max("rho").alias("r"))
     mergechk = (
         regs.alias("w")
@@ -696,7 +704,7 @@ def hll_register_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prio")
         .agg(F.expr("bool_and(eq)").alias("merge_consistent"))
     )
-    est = regs.groupBy("prio").agg(
+    est = regs_merged.groupBy("prio").agg(
         F.count(F.lit(1)).cast("long").alias("buckets_hit"),
         F.expr(
             "sum(shiftleft(cast(1 as bigint), 33 - r))"
@@ -824,9 +832,17 @@ def kmv_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_one")
     )
     w = Window.partitionBy("prio").orderBy("hv")
+    # The sketch relation is <= k*|groups| rows BY CONSTRUCTION (320
+    # here) and every downstream relation (thetas, pair matches, the
+    # theta grid) derives from it: localCheckpoint once so the four
+    # consumers read the materialized sketch instead of re-deriving
+    # the orders lineage each (audited plan: 8 -> 2 orders scans, the
+    # exact ground-truth arm's self-join; the checkpoint build scan is
+    # paid once at construction).
     sk = (
         h.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 64)
+        .localCheckpoint()
     )
     full = F.lit(1152921504606846976).cast("long")
     th = sk.groupBy("prio").agg(
