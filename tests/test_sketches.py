@@ -160,3 +160,48 @@ def test_kmv_theta_estimate_brackets_exact(spark):
             assert abs(r.theta_estimate - r.exact_common) <= (
                 0.75 * r.exact_common + 64
             )
+
+
+def test_kmv_full_set_regime_is_exact(spark, tmp_path):
+    # Groups with fewer than k=64 distinct customers keep their whole
+    # hash set and theta = 2^60: the estimate must equal the exact
+    # intersection. Not exercised by the driver SFs (every priority
+    # has >64 customers), so pin it on a synthetic mini orders table.
+    import duckdb
+    import pandas as pd
+
+    from data_integration_and_visualization_uc3m_spark.queries import REGISTRY
+
+    rows = []
+    ok = 0
+    for prio, custs in [("1-URGENT", range(10)), ("2-HIGH", range(5, 15)),
+                        ("3-MEDIUM", range(8, 12))]:
+        for c in custs:
+            ok += 1
+            rows.append((ok, c, prio))
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_custkey",
+                                      "o_orderpriority"])
+    # write with the columns the loader contract expects; extra orders
+    # columns the query never touches can be absent only if load_table
+    # tolerates it — it casts declared columns, so provide them all
+    full = pdf.assign(
+        o_orderstatus="O", o_totalprice=1.0, o_orderdate="1995-01-01",
+        o_clerk="c", o_shippriority=0, o_comment="x",
+    )
+    full["o_orderdate"] = pd.to_datetime(full["o_orderdate"]).dt.date
+    sfdir = tmp_path / "mini"
+    sfdir.mkdir()
+    duck = duckdb.connect()
+    duck.register("t", full)
+    duck.execute(
+        f"COPY t TO '{sfdir}/orders.parquet' (FORMAT PARQUET)"
+    )
+    out = {(r.p1, r.p2): r for r in
+           REGISTRY["kmv_theta_intersection"].fn(spark, str(sfdir)).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert r.theta == 1152921504606846976
+        assert int(round(r.theta_estimate)) == r.exact_common
+    assert out[("1-URGENT", "2-HIGH")].exact_common == 5
+    assert out[("1-URGENT", "3-MEDIUM")].exact_common == 2
+    assert out[("2-HIGH", "3-MEDIUM")].exact_common == 4
