@@ -1483,11 +1483,36 @@ def adaptive_lsh_cells(
     cosine is undefined). Checkpointed because every consumer joins it
     at least twice (both pair arms), and without it the 12-plane bucket
     chain + count joins re-derive under each arm (the no-CSE lesson).
+
+    The SRP relation itself is staged FIRST: it feeds THREE subtrees
+    (the two population-count aggregates and the descent arm), and
+    Spark does no CSE across them — unstaged, the 12-plane HOF bucket
+    fold (the dominant per-row cost) executed 3× inside the output
+    checkpoint's job (r14 opt: cells-build force 2.2-2.4 s → 1.3-1.6 s
+    fresh-JVM at sf0.1). The intermediate checkpoint is unpersisted as
+    soon as the output checkpoint materializes — only the returned
+    relation's blocks linger (the connected_components hygiene rule).
     """
-    srp = _srp_keyed(df, id_col, vec_col)
+    srp = _srp_keyed(df, id_col, vec_col).localCheckpoint()
     c4 = srp.groupBy("_b4").agg(F.count(F.lit(1)).alias("_n4"))
     c8 = srp.groupBy("_b8").agg(F.count(F.lit(1)).alias("_n8"))
-    return _descend(srp, c4, c8, cell_cap).localCheckpoint()
+    out = _descend(srp, c4, c8, cell_cap).localCheckpoint()
+    _unpersist_ck(srp)  # superseded: out is materialized, srp unreferenced
+    return out
+
+
+def _unpersist_ck(df: DataFrame) -> None:
+    """Free a superseded localCheckpoint's storage blocks eagerly and
+    EXACTLY (by the backing RDD id read from the LogicalRDD plan node)
+    — ``DataFrame.unpersist()`` cannot free checkpoint blocks, and the
+    ContextCleaner only reclaims them after a driver full GC (the
+    measured 3-5× late-session degradation; see
+    operators/dedup.py:connected_components)."""
+    jsc = df.sparkSession.sparkContext._jsc.sc()
+    rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
+    jmap = jsc.getPersistentRDDs()
+    if jmap.contains(rdd_id):
+        jmap.apply(rdd_id).unpersist(False)
 
 
 def _srp_keyed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -1635,13 +1660,19 @@ def knn_graph_delta_merge(
     whole per-batch cost. Periodic full rebuilds re-balance cells the
     same way IVF retrains its codebook.
     """
-    base_srp = _srp_keyed(base_df, id_col, vec_col)
+    # Stage the base SRP relation: it feeds the two count aggregates,
+    # the base descent AND (via the frozen counts) the delta descent —
+    # unstaged, the 12-plane HOF fold re-executed under each subtree
+    # (same r14 opt as adaptive_lsh_cells; freed once both descents
+    # are materialized).
+    base_srp = _srp_keyed(base_df, id_col, vec_col).localCheckpoint()
     c4 = base_srp.groupBy("_b4").agg(F.count(F.lit(1)).alias("_n4"))
     c8 = base_srp.groupBy("_b8").agg(F.count(F.lit(1)).alias("_n8"))
     base_keyed = _descend(base_srp, c4, c8, cell_cap).localCheckpoint()
     delta_keyed = _descend(
         _srp_keyed(delta_df, id_col, vec_col), c4, c8, cell_cap
     ).localCheckpoint()
+    _unpersist_ck(base_srp)  # both descents materialized; srp unreferenced
 
     base_edges = _keep_topk(_cell_pair_scores(base_keyed, base_keyed), k)
     return knn_graph_delta_merge_prebuilt(

@@ -518,9 +518,18 @@ def ann_dpp_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     store = os.path.join(scratch_dir("ann_dpp", sf_dir, clean=True),
                          "cells")
-    similarity.adaptive_lsh_cells(e, cell_cap=64).write.mode(
-        "overwrite"
-    ).partitionBy("lvl", "bkt").parquet(store)
+    # Repartition by the partition columns (explicit partition count —
+    # a keyed repartition without one is AQE-coalesced back to ONE
+    # partition at this SF) before the partitioned write: without it a
+    # single task wrote all ~255 (lvl, bkt) directories sequentially
+    # (measured 4.8-5.6 s vs 1.3-1.6 s with the 32-way spread; guide §6
+    # small-files/output-sizing). defaultParallelism keeps the count
+    # scale-adaptive (cluster cores, not a local constant); hashing on
+    # the partition columns keeps exactly one file per cell directory
+    # at any scale — the layout DPP prunes against is unchanged.
+    similarity.adaptive_lsh_cells(e, cell_cap=64).repartition(
+        spark.sparkContext.defaultParallelism, "lvl", "bkt"
+    ).write.mode("overwrite").partitionBy("lvl", "bkt").parquet(store)
     stored = spark.read.parquet(store)
     qc = (
         stored.filter(F.col("_id") == 1)
