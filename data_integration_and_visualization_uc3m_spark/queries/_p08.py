@@ -2225,7 +2225,19 @@ def hash_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — resampling inference with zero extra passes over the
     data; the rank window runs over the 32-ROW replica aggregate,
     never the data."""
-    o = _t(spark, sf_dir, "orders")
+    # fanout=True (r14 opt): the 32-way replica explode and its 32
+    # md5/row run ABOVE this scan, and the sf0.1 orders parquet is one
+    # ~2.7 MB file = ONE scan partition — without the respread the
+    # whole exploded map stage executed on a single core (measured
+    # 5.2-5.9 s vs 1.0 s respread, interleaved). This is exactly the
+    # explode-heavy case the fanout flag documents. Two in-row
+    # rewrites that compute the 32 weights BEFORE the explode (8
+    # md5/order instead of 32) both measured SLOWER (array-of-32
+    # when-chains: 7.5-24 s — generator-input arrays defeat
+    # whole-stage pipelining); the explode-then-compute shape with the
+    # scan respread is the measured optimum, and every digest/value
+    # the oracle recomputes is unchanged.
+    o = _t(spark, sf_dir, "orders", fanout=True)
     b = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
     w = o.select(
         F.expr(
@@ -2237,8 +2249,8 @@ def hash_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.col("b").cast("long").alias("b"),
         # one md5 feeds FOUR replicas (8 hex chars each of the 32-char
-        # digest) — 4x fewer digests on the hot path; the replica
-        # group b div 4 is in the seed, the lane b % 4 picks the slice
+        # digest); the replica group b div 4 is in the seed, the lane
+        # b % 4 picks the slice
         (
             F.conv(
                 F.expr(
