@@ -1584,6 +1584,71 @@ def mulaw_decode_expr(code: str, dialect: str = "spark") -> str:
     return f"(CASE WHEN {u2} >= 128 THEN 132 - {ts} ELSE {ts} - 132 END)"
 
 
+def mulaw_roundtrip_staged(src: DataFrame, s_col: str = "s") -> DataFrame:
+    """Encode→decode round-trip ``(s, code, back, seg)`` as STAGED
+    projections — the same `_mulaw_encode_pieces`/decode algebra, but
+    with each named subexpression computed ONCE into a column instead
+    of textually substituted into one expression.
+
+    Why this exists (r14 opt): `mulaw_encode_expr` substitutes the
+    m14/magc/seg/mask pieces into each other, so an inline encode of a
+    compound input duplicates the shift-clamp chain ~50× — a ~20 KB
+    expression tree whose analysis/codegen dominated the sf0.1 query
+    (measured 4.6-5.9 s giant-expr vs 2.2-2.8 s staged, interleaved;
+    per-row arithmetic is identical integer ops, so every code/back/
+    seg value is byte-identical — pinned against the generator
+    expressions over ALL 65536 PCM values in
+    tests/test_similarity_multimodal.py). The generator expressions
+    remain the cross-dialect source of truth for the oracles."""
+    s = s_col
+    s1 = src.select(s, F.expr(f"((({s}) - ((({s}) % 4 + 4) % 4)) div 4)").alias("_m14"))
+    s2 = s1.select(
+        s, "_m14",
+        F.expr(
+            "(CASE WHEN (CASE WHEN _m14 < 0 THEN -_m14 ELSE _m14 END)"
+            " > 8159 THEN 8159 ELSE (CASE WHEN _m14 < 0 THEN -_m14"
+            " ELSE _m14 END) END + 33)"
+        ).alias("_magc"),
+        F.expr("(CASE WHEN _m14 < 0 THEN 127 ELSE 255 END)").alias("_mask"),
+    )
+    s3 = s2.select(
+        s, "_magc", "_mask",
+        F.expr(
+            "(CASE WHEN _magc <= 63 THEN 0 WHEN _magc <= 127 THEN 1"
+            " WHEN _magc <= 255 THEN 2 WHEN _magc <= 511 THEN 3"
+            " WHEN _magc <= 1023 THEN 4 WHEN _magc <= 2047 THEN 5"
+            " WHEN _magc <= 4095 THEN 6 WHEN _magc <= 8191 THEN 7"
+            " ELSE 8 END)"
+        ).alias("_seg"),
+    )
+    pow2 = _ULAW_POW.format(s="(_seg + 1)")
+    enc = s3.select(
+        s,
+        F.expr(
+            f"(CASE WHEN _seg >= 8 THEN _mask - 127 ELSE _mask -"
+            f" (_seg * 16 + (_magc - (_magc % {pow2})) div {pow2} % 16)"
+            f" END)"
+        ).alias("code"),
+    )
+    dec = enc.select(
+        s, "code",
+        F.expr("(255 - (code))").alias("_u2"),
+    ).select(
+        s, "code", "_u2",
+        F.expr("((_u2 % 16) * 8 + 132)").alias("_t"),
+        F.expr("(((_u2 - (_u2 % 16)) div 16) % 8)").alias("seg"),
+    )
+    powd = _ULAW_POW.format(s="seg")
+    return dec.select(
+        s, "code",
+        F.expr(
+            f"(CASE WHEN _u2 >= 128 THEN 132 - (_t * {powd})"
+            f" ELSE (_t * {powd}) - 132 END)"
+        ).alias("back"),
+        "seg",
+    )
+
+
 # --- Netpbm P6 (PPM) — second REAL raster codec ------------------------
 
 

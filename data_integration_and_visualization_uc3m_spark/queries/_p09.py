@@ -1841,14 +1841,15 @@ def mulaw_codec_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (doc_id * 40503 + k * 2654435761) % 65536 - 32768))"
         ).alias("s")
     )
-    enc = src.select("s", F.expr('(CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 63 THEN 0 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 127 THEN 1 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 255 THEN 2 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 511 THEN 3 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 1023 THEN 4 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 2047 THEN 5 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 4095 THEN 6 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 8191 THEN 7 ELSE 8 END) >= 8 THEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN 127 ELSE 255 END) - 127 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN 127 ELSE 255 END) - ((CASE WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 63 THEN 0 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 127 THEN 1 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 255 THEN 2 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 511 THEN 3 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 1023 THEN 4 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 2047 THEN 5 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 4095 THEN 6 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 8191 THEN 7 ELSE 8 END) * 16 + ((CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) - ((CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) % CASE ((CASE WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 63 THEN 0 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 127 THEN 1 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 255 THEN 2 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 511 THEN 3 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 1023 THEN 4 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 2047 THEN 5 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 4095 THEN 6 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 8191 THEN 7 ELSE 8 END) + 1) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 ELSE 256 END)) div CASE ((CASE WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 63 THEN 0 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 127 THEN 1 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 255 THEN 2 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 511 THEN 3 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 1023 THEN 4 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 2047 THEN 5 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 4095 THEN 6 WHEN (CASE WHEN (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) > 8159 THEN 8159 ELSE (CASE WHEN (((s) - (((s) % 4 + 4) % 4)) div 4) < 0 THEN -(((s) - (((s) % 4 + 4) % 4)) div 4) ELSE (((s) - (((s) % 4 + 4) % 4)) div 4) END) END + 33) <= 8191 THEN 7 ELSE 8 END) + 1) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 ELSE 256 END % 16) END)').alias("code"))
-    rt = enc.select(
-        "s", "code",
-        F.expr('(CASE WHEN (255 - (code)) >= 128 THEN 132 - (((((255 - (code))) % 16) * 8 + 132) * CASE (((((255 - (code))) - (((255 - (code))) % 16)) div 16) % 8) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 ELSE 256 END) ELSE (((((255 - (code))) % 16) * 8 + 132) * CASE (((((255 - (code))) - (((255 - (code))) % 16)) div 16) % 8) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 WHEN 7 THEN 128 ELSE 256 END) - 132 END)').alias("back"),
-        F.expr(
-            "(((255 - code) - ((255 - code) % 16)) div 16) % 8"
-        ).alias("seg"),
-    )
+    # Staged-projection round-trip (r14 opt): the former inline
+    # generator-substituted encode/decode expressions duplicated the
+    # shift-clamp chain ~50x into one ~20 KB expression tree whose
+    # analysis/codegen dominated the query (measured 4.6-5.9 s ->
+    # 2.2-2.8 s interleaved). Same integer algebra, one column per
+    # named piece; byte-identity vs the generator expressions is
+    # pinned over all 65536 PCM values in
+    # tests/test_similarity_multimodal.py.
+    rt = multimodal.mulaw_roundtrip_staged(src, "s")
     return (
         rt.groupBy("seg")
         .agg(

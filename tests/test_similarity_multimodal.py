@@ -948,6 +948,35 @@ def test_mulaw_sql_matches_audioop_exhaustively(spark):
         assert r["back"] == refback, (r["s"], r["back"], refback)
 
 
+def test_mulaw_staged_roundtrip_matches_generator_exhaustively(spark):
+    """The staged-projection round-trip (mulaw_roundtrip_staged — the
+    r14 codegen optimization behind mulaw_codec_report) must produce
+    byte-identical (code, back, seg) to the generator expressions over
+    ALL 65536 PCM inputs — the staging is a pure expression-tree
+    restructure, never an algebra change."""
+    from data_integration_and_visualization_uc3m_spark.operators.multimodal import (
+        mulaw_decode_expr,
+        mulaw_encode_expr,
+        mulaw_roundtrip_staged,
+    )
+
+    src = spark.range(65536).select((F.col("id") - 32768).alias("s"))
+    staged = mulaw_roundtrip_staged(src, "s")
+    ref = (
+        src.select("s", F.expr(mulaw_encode_expr("s", "spark")).alias("code"))
+        .select(
+            "s", "code",
+            F.expr(mulaw_decode_expr("code", "spark")).alias("back"),
+            F.expr(
+                "(((255 - code) - ((255 - code) % 16)) div 16) % 8"
+            ).alias("seg"),
+        )
+    )
+    a = {r["s"]: (r["code"], r["back"], r["seg"]) for r in staged.collect()}
+    b = {r["s"]: (r["code"], r["back"], r["seg"]) for r in ref.collect()}
+    assert a == b
+
+
 def test_mulaw_segment_error_doubles(spark):
     """Per-segment max quantization error must grow with the segment
     (companding contract) and stay within the closed bound
