@@ -406,6 +406,14 @@ _PRIORITY: tuple[str, ...] = (
     "knn_beam_search_recall",
     "embedding_lsh_buckets",
     "semantic_packing_order_report",
+    # r14 optimization re-pins: plans changed this round (scan
+    # respread under the bootstrap explode; staged mulaw projections;
+    # df-cap anti-join inversion) — refresh their driver greens. The
+    # adaptive-cells consumers that also re-planned are already in
+    # this list or _NEW_PARITY_ONLY.
+    "hash_bootstrap_revenue_ci",
+    "mulaw_codec_report",
+    "verbatim_window_pairs",
 )
 
 
