@@ -887,17 +887,25 @@ def bpe_encode_stats(
             F.lit(f"⟨{m['lhs']}⟩⟨{m['rhs']}⟩"),
             F.lit(f"⟨{m['lhs']}{m['rhs']}⟩"),
         )
-    vocab = (
-        sw.select("w")
-        .distinct()
-        .select(
-            "w",
-            F.size(
-                F.regexp_extract_all(r, F.lit("⟨([^⟩]+)⟩"), 1)
-            ).cast("long").alias("n_tok"),
-        )
+    # n_tok is a pure function of the word, so project it straight on
+    # the grouped (group, word, cnt) relation (r14 opt): the former
+    # distinct-vocabulary + hash-join spelling evaluated the corpus
+    # word-count pass TWICE (sw fed both the distinct arm and the join
+    # arm — no CSE across them) and paid a distinct shuffle + join for
+    # a value the projection computes in place. Per-row replace
+    # evaluations go from |distinct words| to |distinct (group, word)|
+    # — the same order. Wall-NEUTRAL at sf0.1 (interleaved A/B 4.4-6.7
+    # vs 3.9-6.9 s — the sequential 5-round trainer dominates); kept
+    # for the plan shape: one fewer corpus pass, one fewer shuffle,
+    # no join. Values unchanged (the oracle's vocabulary-join spelling
+    # is value-identical because n_tok depends only on w) — parity
+    # exact at both SFs.
+    joined = sw.select(
+        group_col, "w", "cnt",
+        F.size(
+            F.regexp_extract_all(r, F.lit("⟨([^⟩]+)⟩"), 1)
+        ).cast("long").alias("n_tok"),
     )
-    joined = sw.join(vocab, "w")
     n_words = F.sum("cnt").cast("long")
     n_chars = F.sum(F.col("cnt") * F.length("w")).cast("long")
     n_tokens = F.sum(F.col("cnt") * F.col("n_tok")).cast("long")
