@@ -66,6 +66,30 @@ def test_cosine_topk_rel_zero_norm_excluded(spark):
     assert empty == []
 
 
+def test_adaptive_cells_frees_staged_srp_checkpoint(spark):
+    """r14 opt hygiene: adaptive_lsh_cells stages its SRP relation as
+    an intermediate localCheckpoint (so the 12-plane fold runs once)
+    and must unpersist it the moment the output checkpoint
+    materializes — exactly ONE new persistent RDD (the returned
+    relation) may linger, or long bench sessions re-accumulate
+    storage blocks (the dedup_clusters 3-5x late-session lesson)."""
+    jsc = spark.sparkContext._jsc.sc()
+
+    def persisted_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    before = persisted_ids()
+    e = vecs(
+        spark,
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+    )
+    keyed = similarity.adaptive_lsh_cells(e, cell_cap=4)
+    after = persisted_ids()
+    assert len(after - before) == 1  # the returned ck only; SRP freed
+    # and the returned relation is usable (materialized, complete)
+    assert keyed.count() == 40
+
+
 def test_knn_graph_delta_merge_equals_frozen_rebuild(spark):
     # Incremental == batch: merging a delta through the FROZEN base
     # cells must equal rebuilding the whole graph with those same
