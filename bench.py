@@ -114,12 +114,14 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     detail = {
         "metric": "per-query wall seconds (noop-sink forced), full roster",
         "n_queries": len(times),
         "total_median": round(sum(times.values()), 3),
         "total_warm": round(sum(warm.values()), 3),
         "calib_sec": calib,
+        "cpus": cpus,
         "queries": times,
         "queries_cold": cold,
         "queries_warm": warm,
@@ -145,6 +147,22 @@ def main() -> None:
         pass
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # The driver benches the same code at several core counts back to
+    # back; a single shared detail file means the later (lower-core)
+    # run destroys the 32-core per-query evidence (r14 VERDICT item).
+    # Keep a per-core-count copy alongside the canonical file so every
+    # epoch's full detail survives a multi-cpu driver sweep. The
+    # streaming sections live only in the canonical file (those
+    # harnesses are cpu-count-agnostic).
+    if cpus:
+        percpu_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL_c%s.json" % cpus,
+        )
+        percpu = {k: v for k, v in detail.items()
+                  if k not in foreign_sections}
+        with open(percpu_path, "w") as f:
+            json.dump(percpu, f, indent=1, sort_keys=True)
 
     # Printed subset: the BASELINE.md round-1 20-query series (the 2x
     # gate's comparison points) plus the heaviest queries this run.

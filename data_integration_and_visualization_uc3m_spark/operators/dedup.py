@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._ck import ck_rdd_id, unpersist_by_id
+
 # --- keyed dedup (reference surface) --------------------------------------
 
 
@@ -118,19 +120,27 @@ def char_gram_set(
     re-expression is this window relation + the same grouped pair
     machinery as every other set-similarity operator here.
 
-    Windows are md5-hashed IN-ROW (the 128-bit hex replaces the k-char
-    payload before the explode, so the shuffled relation carries 32-byte
-    keys, not document text), and deduped in-row (``array_distinct``)
-    like every set relation in this module — zero shuffles until the
-    consumer aggregates. Documents shorter than k contribute their
-    whole text as the single window (substring truncates identically in
-    both engines).
+    Windows are md5-hashed IN-ROW (the 128-bit digest replaces the
+    k-char payload before the explode, so the shuffled relation carries
+    fixed 16-byte keys, not document text), and deduped in-row
+    (``array_distinct``) like every set relation in this module — zero
+    shuffles until the consumer aggregates. Documents shorter than k
+    contribute their whole text as the single window (substring
+    truncates identically in both engines).
+
+    The key is the RAW 16-byte digest (``unhex(md5(…))``), not the
+    32-char hex string (r15 opt, guide §2.3 narrower types): unhex is
+    a bijection of the hex spelling, so every downstream
+    equality/grouping/ordering is unchanged (hex is monotone in byte
+    order) while each key crossing an exchange halves. Consumers never
+    emit the gram itself — only ids and counts — so oracle outputs are
+    untouched.
     """
     txt = F.col(text_col)
     n_pos = F.greatest(F.length(txt) - k + 1, F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n_pos),
-        lambda p: F.md5(F.substring(txt, p, F.lit(k))),
+        lambda p: F.unhex(F.md5(F.substring(txt, p, F.lit(k)))),
     )
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
@@ -248,16 +258,25 @@ def df_capped_sets(
     present item has df ≥ 1). The threshold is floor(frac·N) — double
     multiply then floor, identical in both engines, then an exact
     integer compare.
+
+    NULL items are dropped up front (matching the pre-r14 semi-join,
+    which never matched a NULL key; an anti-join alone would KEEP
+    NULL-item rows — ADVICE r14). The forced broadcast of the
+    over-threshold set is bounded by (avg items per doc)/max_df_frac —
+    parameter-dependent: a pathologically small ``max_df_frac`` (say
+    1e-4 against ~1000 items/doc) pushes that bound toward 10M keys;
+    keep the fraction ≥ ~1e-3 or drop the hint for such sweeps.
     """
     totals = sets_df.agg(F.count_distinct(F.col(id_col)).alias("_n_docs"))
+    present = sets_df.filter(F.col(item_col).isNotNull())
     hot_items = (
-        sets_df.groupBy(item_col)
+        present.groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(totals))
         .filter(F.col("df") > F.floor(F.lit(max_df_frac) * F.col("_n_docs")))
         .select(item_col)
     )
-    return sets_df.join(F.broadcast(hot_items), item_col, "left_anti")
+    return present.join(F.broadcast(hot_items), item_col, "left_anti")
 
 
 def contaminated_docs(
@@ -784,17 +803,17 @@ def connected_components(
     concurrent persists elsewhere in the session (e.g. a streaming
     foreachBatch caching its micro-batch on another thread).
     """
-    jsc = pairs.sparkSession.sparkContext._jsc.sc()
+    # id read + free shared with the similarity module (operators/
+    # _ck.py, ADVICE r14): exact by backing-RDD id, degrading to
+    # ContextCleaner GC when the private plan path is unavailable.
+    spark = pairs.sparkSession
 
-    def _ck_rdd_id(df: DataFrame) -> int:
-        # after localCheckpoint the analyzed plan is a LogicalRDD
-        # holding the materialized RDD
-        return df._jdf.queryExecution().analyzed().rdd().id()
+    def _ck_rdd_id(df: DataFrame) -> int | None:
+        return ck_rdd_id(df)
 
-    def _unpersist(rdd_id: int) -> None:
-        jmap = jsc.getPersistentRDDs()
-        if jmap.contains(rdd_id):
-            jmap.apply(rdd_id).unpersist(False)
+    def _unpersist(rdd_id: int | None) -> None:
+        if rdd_id is not None:
+            unpersist_by_id(spark, rdd_id)
 
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))

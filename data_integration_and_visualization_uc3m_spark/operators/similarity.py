@@ -22,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._ck import unpersist_ck
+from ._overlap import overlap
+
 
 def _dot(a, b):
     """Left-fold double dot product — deterministic summation order."""
@@ -1501,18 +1504,10 @@ def adaptive_lsh_cells(
     return out
 
 
-def _unpersist_ck(df: DataFrame) -> None:
-    """Free a superseded localCheckpoint's storage blocks eagerly and
-    EXACTLY (by the backing RDD id read from the LogicalRDD plan node)
-    — ``DataFrame.unpersist()`` cannot free checkpoint blocks, and the
-    ContextCleaner only reclaims them after a driver full GC (the
-    measured 3-5× late-session degradation; see
-    operators/dedup.py:connected_components)."""
-    jsc = df.sparkSession.sparkContext._jsc.sc()
-    rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
-    jmap = jsc.getPersistentRDDs()
-    if jmap.contains(rdd_id):
-        jmap.apply(rdd_id).unpersist(False)
+# Shared checkpoint-hygiene helper (operators/_ck.py): exact eager
+# free by backing-RDD id, degrading to ContextCleaner GC when the
+# private plan path is unavailable (ADVICE r14 dedup + VERDICT r14 #8).
+_unpersist_ck = unpersist_ck
 
 
 def _srp_keyed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -1668,10 +1663,16 @@ def knn_graph_delta_merge(
     base_srp = _srp_keyed(base_df, id_col, vec_col).localCheckpoint()
     c4 = base_srp.groupBy("_b4").agg(F.count(F.lit(1)).alias("_n4"))
     c8 = base_srp.groupBy("_b8").agg(F.count(F.lit(1)).alias("_n8"))
-    base_keyed = _descend(base_srp, c4, c8, cell_cap).localCheckpoint()
-    delta_keyed = _descend(
-        _srp_keyed(delta_df, id_col, vec_col), c4, c8, cell_cap
-    ).localCheckpoint()
+    # The two descents are independent given the staged SRP relation
+    # (both read the cached base_srp / the frozen counts) — overlap
+    # their checkpoint jobs (guide §2.6) instead of queueing the
+    # delta's behind the base's tail.
+    base_keyed, delta_keyed = overlap(
+        lambda: _descend(base_srp, c4, c8, cell_cap).localCheckpoint(),
+        lambda: _descend(
+            _srp_keyed(delta_df, id_col, vec_col), c4, c8, cell_cap
+        ).localCheckpoint(),
+    )
     _unpersist_ck(base_srp)  # both descents materialized; srp unreferenced
 
     base_edges = _keep_topk(_cell_pair_scores(base_keyed, base_keyed), k)
@@ -1736,15 +1737,28 @@ def knn_graph_delta_delete(
     artifact once, and only the affected srcs' cells re-score.
     """
     keyed = adaptive_lsh_cells(df, cell_cap, id_col, vec_col)
-    edges = _keep_topk(_cell_pair_scores(keyed, keyed), k).localCheckpoint()
-    del_ids = delete_df.select(F.col(id_col).alias("_del")).localCheckpoint()
+
+    # Given the staged cells, the edge build and the delete-side chain
+    # (delete ids, then the survivor slice) are independent — run the
+    # two chains on sibling driver threads (guide §2.6) so the small
+    # delete-side jobs back-fill the edge build's tail.
+    def _delete_side():
+        ids = delete_df.select(F.col(id_col).alias("_del")).localCheckpoint()
+        surv = keyed.join(
+            F.broadcast(ids), keyed["_id"] == F.col("_del"), "left_anti"
+        ).localCheckpoint()
+        return ids, surv
+
+    edges, (del_ids, survivors) = overlap(
+        lambda: _keep_topk(
+            _cell_pair_scores(keyed, keyed), k
+        ).localCheckpoint(),
+        _delete_side,
+    )
 
     affected_src = edges.join(
         F.broadcast(del_ids), edges["dst"] == F.col("_del"), "left_semi"
     ).select("src")
-    survivors = keyed.join(
-        F.broadcast(del_ids), keyed["_id"] == F.col("_del"), "left_anti"
-    ).localCheckpoint()
     untouched = (
         edges.join(F.broadcast(del_ids), edges["src"] == F.col("_del"),
                    "left_anti")
@@ -1760,6 +1774,42 @@ def knn_graph_delta_delete(
     return untouched.unionByName(recomputed)
 
 
+def score_corpus_vs_query(
+    df: DataFrame,
+    qdf: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The |V|-row ``(id_col, cosine)`` relation of the whole corpus
+    scored against ``qdf``'s single query vector, localCheckpointed —
+    the hop-independent input of :func:`knn_beam_search`, exposed so a
+    caller can OVERLAP its materialization with the independent k-NN
+    graph build (guide §2.6; the two chains share no dependency, so
+    submitting them from sibling driver threads back-fills the
+    scheduling floor instead of paying it twice in sequence).
+
+    Query contract (same as knn_beam_search): one query vector with
+    norm > 0 — the limit enforces single-row, the norm filter turns an
+    all-zero query into an empty result rather than NaN chasing."""
+    v = F.col(vec_col)
+    q1 = (
+        qdf.select(v.alias("_qv"))
+        .select("_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn"))
+        .filter(F.col("_qn") > 0)
+        .limit(1)
+    )
+    return (
+        df.crossJoin(F.broadcast(q1))
+        .filter(F.sqrt(_dot(v, v)) > 0)
+        .select(
+            F.col(id_col),
+            (_dot(v, F.col("_qv"))
+             / (F.sqrt(_dot(v, v)) * F.col("_qn"))).alias("cosine"),
+        )
+        .localCheckpoint()
+    )
+
+
 def knn_beam_search(
     df: DataFrame,
     knn: DataFrame,
@@ -1769,6 +1819,7 @@ def knn_beam_search(
     hops: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy BEAM SEARCH over a k-NN graph relation — the traversal
     arm that completes the ANN operating curve next to IVF/PQ/LSH: a
@@ -1790,21 +1841,6 @@ def knn_beam_search(
     Returns every visited node as (vec_id, cosine) — callers slice
     their top-k and compare against the exact arm for recall.
     """
-    v = F.col(vec_col)
-    # Query contract: qdf carries exactly ONE query vector (the limit
-    # enforces it — a multi-row qdf would silently multiply every score
-    # through the crossJoin) and it must have norm > 0: a zero-norm
-    # query yields NaN cosines (0/0), NaN sorts above every double, and
-    # the beam would chase garbage. Filtering matches the oracles'
-    # norm>0 base relation; an all-zero query returns an empty result
-    # rather than a wrong one.
-    q1 = (
-        qdf.select(v.alias("_qv"))
-        .select("_qv", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))).alias("_qn"))
-        .filter(F.col("_qn") > 0)
-        .limit(1)
-    )
-
     # Score the WHOLE corpus against the query ONCE and checkpoint the
     # |V|-row (id, cosine) relation; every hop then joins this scored
     # relation instead of re-planning a corpus scan + fold chain. The
@@ -1814,16 +1850,12 @@ def knn_beam_search(
     # nested fold-bearing trees collapse to 1 here. At 100 TB the
     # corpus pass is the hop-independent cost the traversal amortizes
     # over many queries (a served index stores exactly this relation
-    # per query batch).
-    sc = (
-        df.crossJoin(F.broadcast(q1))
-        .filter(F.sqrt(_dot(v, v)) > 0)
-        .select(
-            F.col(id_col),
-            (_dot(v, F.col("_qv"))
-             / (F.sqrt(_dot(v, v)) * F.col("_qn"))).alias("cosine"),
-        )
-        .localCheckpoint()
+    # per query batch). Callers that also build the graph can pass the
+    # relation in as ``scored`` (score_corpus_vs_query) to overlap the
+    # two independent chains (guide §2.6); the query contract —
+    # exactly one norm>0 query vector — lives there either way.
+    sc = scored if scored is not None else score_corpus_vs_query(
+        df, qdf, id_col, vec_col
     )
 
     def score(ids: DataFrame) -> DataFrame:

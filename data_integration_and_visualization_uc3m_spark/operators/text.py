@@ -250,9 +250,17 @@ def repetition_stats(
     fraction of duplicated trigrams. High values flag boilerplate /
     machine-generated text for removal before training.
 
-    Shape: explode bigrams+trigrams once, two-level aggregation
-    (ngram-frequency then per-doc max/sum) — both shuffles keyed on
-    doc_id so AQE coalesces them; ratios are exact integer divisions.
+    Shape (r15 opt, guide §2.3/§2.4): ONE corpus scan — bigrams and
+    trigrams are tagged with their size and exploded together, so the
+    tokenizer + gram construction (the per-row cost) runs once instead
+    of once per arm, and the former two aggregation chains + doc_id
+    join (6 Exchanges, two scans) collapse to one
+    groupBy(doc, k, gram) → groupBy(doc) chain (2 Exchanges, one
+    scan). Conditional aggregates split the two gram sizes back apart;
+    the inner join's "has both ≥1 bigram and ≥1 trigram" semantics is
+    the trailing not-null filter (a doc with <3 tokens has no trigram
+    rows and both its trigram aggregates come back NULL). Values are
+    identical: per-(doc,k,gram) counts don't interact across k.
     """
     toks = _tokens(text_col)
     n = F.size(toks)
@@ -269,28 +277,37 @@ def repetition_stats(
         )
         return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
 
-    big = (
-        df.select(F.col(id_col), F.explode(grams(2)).alias("bg"))
-        .groupBy(id_col, "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("cnt").cast("long").alias("n_bigrams"),
-            F.max("cnt").cast("long").alias("top_bigram_cnt"),
+    def tagged(k: int) -> F.Column:
+        return F.transform(
+            grams(k),
+            lambda g: F.struct(F.lit(k).alias("k"), g.alias("g")),
         )
-    )
-    tri = (
-        df.select(F.col(id_col), F.explode(grams(3)).alias("tg"))
-        .groupBy(id_col, "tg")
+
+    is_big = F.col("k") == 2
+    is_tri = F.col("k") == 3
+    per_doc = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.concat(tagged(2), tagged(3))).alias("p"),
+        )
+        .groupBy(id_col, F.col("p.k").alias("k"), F.col("p.g").alias("g"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy(id_col)
         .agg(
-            F.sum("cnt").cast("long").alias("n_trigrams"),
-            F.count(F.lit(1)).cast("long").alias("n_unique_trigrams"),
+            F.sum(F.when(is_big, F.col("cnt"))).cast("long")
+            .alias("n_bigrams"),
+            F.max(F.when(is_big, F.col("cnt"))).cast("long")
+            .alias("top_bigram_cnt"),
+            F.sum(F.when(is_tri, F.col("cnt"))).cast("long")
+            .alias("n_trigrams"),
+            F.count(F.when(is_tri, F.lit(1))).cast("long")
+            .alias("n_unique_trigrams"),
         )
     )
     return (
-        big.join(tri, id_col, "inner")
+        per_doc.filter(
+            F.col("n_bigrams").isNotNull() & F.col("n_trigrams").isNotNull()
+        )
         .select(
             id_col,
             "n_bigrams",
@@ -727,6 +744,16 @@ def bpe_train_merges(
     # dedup.connected_components' checkpoint rounds).
     words = words.persist()
     merges = []
+    # One Spark job per round, not two (r15 opt, guide §1.2): round
+    # s's 1-row collect scans every partition of the persisted
+    # vocabulary (TakeOrdered over a full aggregate), so it IS the
+    # materializing action for round s-1's rewrite — the explicit
+    # count() job per round was redundant, and the parent is freed
+    # right after the collect instead. The LAST round's rewrite is
+    # never consumed by anyone (the merge table is complete once its
+    # collect returns), so it is not built at all — n_merges jobs
+    # total instead of 2·n_merges+1.
+    prev = None
     for step in range(1, n_merges + 1):
         syms = F.regexp_extract_all(F.col("r"), F.lit("⟨([^⟩]+)⟩"), 1)
         pairs = (
@@ -750,21 +777,23 @@ def bpe_train_merges(
         top = (
             pairs.orderBy(F.col("freq").desc(), "lhs", "rhs").limit(1).collect()
         )
+        if prev is not None:
+            prev.unpersist()  # this round's collect materialized `words`
+            prev = None
         if not top:
             break
         lhs, rhs, freq = top[0].lhs, top[0].rhs, top[0].freq
         merges.append((step, lhs, rhs, lhs + rhs, freq))
-        prev = words
-        words = words.select(
-            F.replace(
-                F.col("r"),
-                F.lit(f"⟨{lhs}⟩⟨{rhs}⟩"),
-                F.lit(f"⟨{lhs}{rhs}⟩"),
-            ).alias("r"),
-            "cnt",
-        ).persist()
-        words.count()  # materialize before freeing the parent
-        prev.unpersist()
+        if step < n_merges:
+            prev = words
+            words = words.select(
+                F.replace(
+                    F.col("r"),
+                    F.lit(f"⟨{lhs}⟩⟨{rhs}⟩"),
+                    F.lit(f"⟨{lhs}{rhs}⟩"),
+                ).alias("r"),
+                "cnt",
+            ).persist()
     words.unpersist()
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, freq long"
@@ -858,12 +887,13 @@ def bpe_encode_stats(
     per-group tokenization stats — the fertility/compression readout a
     tokenizer change is judged by before a training run.
 
-    The apply side never re-encodes occurrences: merges rewrite the
-    VOCABULARY map (distinct words → post-merge token count, the same
-    marked-symbol representation as training), and per-group word
-    occurrences join that map on the word — at 100 TB the corpus-sized
-    relation flows through one hash join against a vocabulary-sized
-    side while every merge replace stays a map-side expression.
+    The apply side never re-encodes occurrences: the post-merge token
+    count is a pure function of the word (the same marked-symbol
+    replace chain as training), projected IN PLACE on the grouped
+    (group, word, cnt) relation — no vocabulary join, no distinct
+    shuffle (r14 opt). At 100 TB the corpus-sized work is the single
+    word-count pass; every merge replace then evaluates once per
+    distinct (group, word) as a map-side expression.
 
     Returns ``(group_col, n_words, n_chars, n_tokens, fertility_fp6,
     compression_fp6)`` — fertility = tokens/word, compression =

@@ -44,6 +44,7 @@ from ..operators import (
     zorder,
 )
 from ..functions import geo, iso3166
+from ..operators._overlap import overlap
 from ..scratch import scratch_dir
 from ..sources.readers import load_table, synthetic_dim as readers_synthetic_dim
 from ..session import tune

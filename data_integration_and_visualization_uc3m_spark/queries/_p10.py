@@ -1377,10 +1377,22 @@ def knn_beam_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     win case). Global windows: rank over the ≤10-row beam slice
     only."""
     e = _t(spark, sf_dir, "embeddings", fanout=True)
-    knn = similarity.knn_graph_lsh(e, k=8).localCheckpoint()
+    # The graph build (SRP stage → cells → edges, 3 sequential
+    # checkpoint jobs) and the corpus scoring relation the beam needs
+    # next to it share NO dependency — overlap them from sibling
+    # driver threads (guide §2.6) so the scoring chain back-fills the
+    # build's scheduling floor instead of queueing behind it. Values
+    # identical: both thunks materialize the same deterministic plans
+    # the sequential code did.
+    knn, sc = overlap(
+        lambda: similarity.knn_graph_lsh(e, k=8).localCheckpoint(),
+        lambda: similarity.score_corpus_vs_query(
+            e, e.filter(F.col("vec_id") == 1)
+        ),
+    )
     visited = similarity.knn_beam_search(
         e, knn, e.filter(F.col("vec_id") == 1),
-        e.filter(F.col("vec_id") < 4), beam=8, hops=3,
+        e.filter(F.col("vec_id") < 4), beam=8, hops=3, scored=sc,
     )
     beam10 = (
         visited.orderBy(F.col("cosine").desc(), "vec_id")

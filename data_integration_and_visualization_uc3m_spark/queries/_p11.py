@@ -513,11 +513,26 @@ def ann_dpp_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     members, top-10. Scratch: stable per (query, sf)."""
     import os
 
-    from ..operators.similarity import _dot
+    from ..operators.similarity import (
+        _descend, _dot, _srp_keyed, _unpersist_ck,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     store = os.path.join(scratch_dir("ann_dpp", sf_dir, clean=True),
                          "cells")
+    # The cells relation has exactly ONE consumer here — the
+    # partitioned write — so adaptive_lsh_cells' output checkpoint
+    # (which exists because ordinary consumers join the relation
+    # twice) would be a wasted full |V|-row materialization + job
+    # (r15 opt, guide §5 caching-only-when-reused). Stage only the
+    # SRP fold (it still feeds the two count aggregates + the descent
+    # arm — the r14 no-CSE lesson) and let the WRITE be the single
+    # materialization of the descend; the staged fold is freed as soon
+    # as the store exists. Same cells values, same layout.
+    srp = _srp_keyed(e, "vec_id", "embedding").localCheckpoint()
+    c4 = srp.groupBy("_b4").agg(F.count(F.lit(1)).alias("_n4"))
+    c8 = srp.groupBy("_b8").agg(F.count(F.lit(1)).alias("_n8"))
+    cells = _descend(srp, c4, c8, cell_cap=64)
     # Repartition by the partition columns (explicit partition count —
     # a keyed repartition without one is AQE-coalesced back to ONE
     # partition at this SF) before the partitioned write: without it a
@@ -527,9 +542,10 @@ def ann_dpp_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale-adaptive (cluster cores, not a local constant); hashing on
     # the partition columns keeps exactly one file per cell directory
     # at any scale — the layout DPP prunes against is unchanged.
-    similarity.adaptive_lsh_cells(e, cell_cap=64).repartition(
+    cells.repartition(
         spark.sparkContext.defaultParallelism, "lvl", "bkt"
     ).write.mode("overwrite").partitionBy("lvl", "bkt").parquet(store)
+    _unpersist_ck(srp)  # the store is the artifact; the fold is done
     stored = spark.read.parquet(store)
     qc = (
         stored.filter(F.col("_id") == 1)

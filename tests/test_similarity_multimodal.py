@@ -90,6 +90,41 @@ def test_adaptive_cells_frees_staged_srp_checkpoint(spark):
     assert keyed.count() == 40
 
 
+def test_unpersist_ck_degrades_to_noop_when_plan_path_gone(spark, monkeypatch):
+    """VERDICT r14 #8: the exact-id eager free leans on Spark-classic
+    private API (queryExecution().analyzed().rdd()); when a Spark bump
+    removes that path the helper must DEGRADE to the ContextCleaner GC
+    behavior (skip the free, never raise, never free the wrong RDD) —
+    the build still returns correct, materialized data."""
+    from data_integration_and_visualization_uc3m_spark.operators import _ck
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def persisted_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    monkeypatch.setattr(_ck, "ck_rdd_id", lambda df: None)
+    # similarity module binds unpersist_ck directly; patch its behavior
+    # through the id reader it delegates to
+    monkeypatch.setattr(
+        similarity, "_unpersist_ck", _ck.unpersist_ck, raising=True
+    )
+    before = persisted_ids()
+    e = vecs(
+        spark,
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+    )
+    keyed = similarity.adaptive_lsh_cells(e, cell_cap=4)
+    after = persisted_ids()
+    # the SRP intermediate lingers (2 blocks) — GC reclaims it later;
+    # the point is graceful degradation, not leak-freedom
+    assert len(after - before) == 2
+    assert keyed.count() == 40
+    # cleanup: free the lingering blocks so later tests see a clean slate
+    for rid in after - before:
+        _ck.unpersist_by_id(spark, rid)
+
+
 def test_knn_graph_delta_merge_equals_frozen_rebuild(spark):
     # Incremental == batch: merging a delta through the FROZEN base
     # cells must equal rebuilding the whole graph with those same

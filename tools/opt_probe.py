@@ -1,4 +1,4 @@
-"""Round-14 optimization probe: per-query timing + plan capture.
+"""Round-15 optimization probe: per-query timing + plan capture.
 
 Usage:
   python tools/opt_probe.py time <query> [query ...]
@@ -7,7 +7,7 @@ Usage:
       cold = run 1, warm = best of runs 2-3). Prints one JSON line.
 
   python tools/opt_probe.py plan <suffix> <query> [query ...]
-      Write plans/r14/<query>_<suffix>.txt with explain("formatted")
+      Write plans/$SPARK_GRAFT_PLANDIR(default r15)/<query>_<suffix>.txt with explain("formatted")
       for each query (suffix: before | after).
 
 Timing env: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
@@ -39,7 +39,8 @@ def main() -> None:
 
     if mode == "plan":
         suffix, names = args[0], args[1:]
-        outdir = "/root/repo/plans/r14"
+        outdir = os.path.join("/root/repo/plans",
+                              os.environ.get("SPARK_GRAFT_PLANDIR", "r15"))
         os.makedirs(outdir, exist_ok=True)
         for name in names:
             df = qs[name](spark, SF_DIR)
