@@ -1844,13 +1844,17 @@ def lsh_recall_report(
     # Spark does no CSE across crossJoin/union branches (the ivf_sweep
     # lesson), so materialize each ONCE — both are pair-id relations,
     # tiny next to the shingle explode that produces them.
-    truth = dedup.jaccard_pairs(
-        sets, item_col="shingle", threshold=0.5
-    ).select("id_a", "id_b").localCheckpoint()
+    # The two pair relations share no dependency (each derives its own
+    # shingle pass) — overlap their checkpoint jobs (guide §2.6, r15).
     sigs = dedup.minhash_signatures(sets, num_hashes=16, item_col="shingle")
-    cands = dedup.lsh_candidate_pairs(
-        sigs, bands=4, rows_per_band=4
-    ).localCheckpoint()
+    truth, cands = overlap(
+        lambda: dedup.jaccard_pairs(
+            sets, item_col="shingle", threshold=0.5
+        ).select("id_a", "id_b").localCheckpoint(),
+        lambda: dedup.lsh_candidate_pairs(
+            sigs, bands=4, rows_per_band=4
+        ).localCheckpoint(),
+    )
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
     n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_hit = cands.join(truth, ["id_a", "id_b"]).agg(
@@ -1974,13 +1978,18 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count) and sigs feeds every banding self-join — Spark re-derives
     # a subtree per union branch, so materialize both (ivf_sweep
     # lesson; truth is a pair-id relation, sigs is one 16-column row
-    # per doc).
-    truth = dedup.jaccard_pairs(
-        sets, item_col="shingle", threshold=0.5
-    ).select("id_a", "id_b").localCheckpoint()
-    sigs = dedup.minhash_signatures(
-        sets, num_hashes=16, item_col="shingle"
-    ).localCheckpoint()
+    # per doc). The two checkpoints share no dependency (each derives
+    # its own shingle pass — recompute beats persist here), so their
+    # jobs run OVERLAPPED (guide §2.6, r15): the signature aggregate
+    # back-fills the exact-Jaccard arm's tail.
+    truth, sigs = overlap(
+        lambda: dedup.jaccard_pairs(
+            sets, item_col="shingle", threshold=0.5
+        ).select("id_a", "id_b").localCheckpoint(),
+        lambda: dedup.minhash_signatures(
+            sets, num_hashes=16, item_col="shingle"
+        ).localCheckpoint(),
+    )
     n_truth = truth.agg(
         F.count(F.lit(1)).cast("long").alias("n_truth_pairs")
     )

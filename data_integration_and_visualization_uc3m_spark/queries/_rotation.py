@@ -419,6 +419,11 @@ _PRIORITY: tuple[str, ...] = (
     "knn_graph_delta_merge",
     "knn_graph_delta_delete",
     "ann_dpp_pruned_topk",
+    # second tranche: truth/sigs (band sweep) and truth/cands (recall
+    # report) checkpoint chains overlapped — same plans, re-verified
+    # exact at both SFs
+    "lsh_band_sweep",
+    "lsh_recall_report",
 )
 
 
