@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._ck import ck_rdd_id, unpersist_by_id
+
 SCALE = 1_000_000_000_000  # 1.0 in fixed point
 
 
@@ -54,15 +56,14 @@ def pagerank_fixed_point(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     spark = edges.sparkSession
-    jsc = spark.sparkContext._jsc.sc()
 
-    def _ck_rdd_id(df: DataFrame) -> int:
-        return df._jdf.queryExecution().analyzed().rdd().id()
+    # exact-id checkpoint hygiene, shared helper (operators/_ck.py)
+    def _ck_rdd_id(df: DataFrame) -> int | None:
+        return ck_rdd_id(df)
 
-    def _unpersist(rdd_id: int) -> None:
-        jmap = jsc.getPersistentRDDs()
-        if jmap.contains(rdd_id):
-            jmap.apply(rdd_id).unpersist(False)
+    def _unpersist(rdd_id: int | None) -> None:
+        if rdd_id is not None:
+            unpersist_by_id(spark, rdd_id)
 
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -197,15 +198,15 @@ def k_core_fixed_rounds(
     exact superseded-id freeing as connected_components. Returns the
     surviving nodes with their residual degrees.
     """
-    jsc = edges.sparkSession.sparkContext._jsc.sc()
+    spark = edges.sparkSession
 
-    def _ck_rdd_id(df: DataFrame) -> int:
-        return df._jdf.queryExecution().analyzed().rdd().id()
+    # exact-id checkpoint hygiene, shared helper (operators/_ck.py)
+    def _ck_rdd_id(df: DataFrame) -> int | None:
+        return ck_rdd_id(df)
 
-    def _unpersist(rdd_id: int) -> None:
-        jmap = jsc.getPersistentRDDs()
-        if jmap.contains(rdd_id):
-            jmap.apply(rdd_id).unpersist(False)
+    def _unpersist(rdd_id: int | None) -> None:
+        if rdd_id is not None:
+            unpersist_by_id(spark, rdd_id)
 
     e = edges.select(F.col(a).alias("lo"), F.col(b).alias("hi")).localCheckpoint()
     prev_id = _ck_rdd_id(e)

@@ -722,7 +722,10 @@ def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition top-k before the qid shuffle), so no single-reducer
     bottleneck at 100 TB. Self-matches excluded; zero-norm vectors
     dropped from both arms."""
-    e = _t(spark, sf_dir, "embeddings")
+    # fanout: single-file scan otherwise runs BOTH arms' 64-dim
+    # cosine/dot folds (the dominant per-row cost) on one core (r15,
+    # guide §2.5 input skew — the hash_bootstrap class)
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
 
     def ddot(a: F.Column, b: F.Column) -> F.Column:
         return F.aggregate(

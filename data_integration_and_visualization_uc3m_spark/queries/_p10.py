@@ -93,6 +93,14 @@ def _perm_p_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("nation", "day")
         .agg(F.sum("signed_cents").alias("d_cents"))
+        # Respread BEFORE the checkpoint (r15, guide §2.5 — the
+        # hash_bootstrap disease): AQE coalesces the tiny grouped
+        # aggregate to ONE partition, so the 64-way explode's ~3.5M
+        # md5+conv evaluations ran on one core (measured 2.6-3.4 s for
+        # the perm stage; respread 0.65-1.2 s). Sign draws are md5 of
+        # row content — partition-independent — and defaultParallelism
+        # keeps the count scale-adaptive.
+        .repartition(spark.sparkContext.defaultParallelism)
         # daily feeds BOTH t_obs and the 64-way permutation arm and
         # Spark does no CSE across them — unstaged, the order scan +
         # join + groupBy ran twice (the contrastive/ivf disease).

@@ -424,6 +424,15 @@ _PRIORITY: tuple[str, ...] = (
     # exact at both SFs
     "lsh_band_sweep",
     "lsh_recall_report",
+    # third tranche: the shared (nation, day) permutation relation is
+    # respread before its checkpoint (the 64-way sign explode ran on
+    # ONE AQE-coalesced partition) — values partition-independent,
+    # re-verified exact at both SFs
+    "permutation_test_nation_revenue",
+    "bh_fdr_nation_tests",
+    # + the retrieval eval harness: embeddings scan respread under the
+    # two cosine/dot-fold arms (RoundRobinPartitioning now in plan)
+    "retrieval_ranking_metrics",
 )
 
 
